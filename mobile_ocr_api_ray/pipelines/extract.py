@@ -1,0 +1,159 @@
+"""Flagship extraction pipeline (SURVEY.md §3.1 engine equivalent).
+
+``read_parquet(pages) → map_batches(ExtractorActor pool) →
+map_batches(summarize) → write_parquet`` — the reference's whole
+``quick_recognize`` request lifecycle (app2.py:1360-1467) as one lazy,
+streaming Dataset lineage. The cheap-path short-circuit (M5), payload-kind
+branch (app.py:1224), structure analysis (M8) and error normalization (M11)
+all happen inside the actor stage; the extractive summary (F4) runs as a
+separate stateless batch stage, mirroring the reference's separate
+summarize step (app2.py:1446-1448).
+
+The dedup variant re-expresses the v2 OCR_CACHE (app2.py:46-48,329-336):
+hash-partition rows by content digest ``sha256(html) ⊕ lang ⊕ quality``
+(the cache-key fields, app2.py:330), run the kernel ONCE per digest inside
+the grouped stage, and replicate the result to every row in the group with
+``dedup_source_url`` provenance — the cluster-wide guarantee the
+per-process dict never gave (SURVEY.md §2.7 D1). This shuffles payload
+bytes once by digest; it pays off exactly when the kernel is more expensive
+than the exchange, which is the OCR regime.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.textproc import compression_ratio, summarize
+from ..schema import EXTRACTED_SCHEMA
+from ..stages.extractor import ExtractorActor
+
+SUMMARY_MIN_WORDS = 30       # app2.py:1336: len(text.split()) < 30 → too short
+SUMMARY_RATIO = 0.3          # app2.py:1447
+SUMMARY_MAX_SENTENCES = 5    # app2.py:1447: "Max 5 kalimat untuk mobile"
+
+
+def summarize_batch(batch: pa.Table, ratio: float = SUMMARY_RATIO,
+                    max_sentences: int | None = SUMMARY_MAX_SENTENCES) -> pa.Table:
+    """Stateless summary stage (v2 semantics, canonical per SURVEY.md D3).
+
+    For ok rows: < 30 words → summary = text verbatim (app2.py:1336-1342),
+    else extractive summary (F4). compression_ratio = len(summary)/len(text)
+    with 0 on empty (app2.py:1351). Non-ok rows keep null summary.
+    """
+    texts = batch["extracted_text"].to_pylist()
+    statuses = batch["status"].to_pylist()
+    summaries: list[str | None] = []
+    ratios: list[float | None] = []
+    for text, status in zip(texts, statuses):
+        if status != "ok" or text is None:
+            summaries.append(None)
+            ratios.append(None)
+            continue
+        if len(text.split()) < SUMMARY_MIN_WORDS:
+            s = text
+        else:
+            s = summarize(text, ratio, max_sentences)
+        summaries.append(s)
+        ratios.append(compression_ratio(s, text))
+    i_s = batch.column_names.index("summary")
+    i_r = batch.column_names.index("compression_ratio")
+    batch = batch.set_column(i_s, "summary", pa.array(summaries, pa.string()))
+    return batch.set_column(i_r, "compression_ratio", pa.array(ratios, pa.float64()))
+
+
+def default_concurrency() -> int:
+    res = ray.cluster_resources() if ray.is_initialized() else {}
+    return max(2, int(res.get("CPU", 4)))
+
+
+def extract_pipeline(ds: "ray.data.Dataset", quality: str = "medium",
+                     concurrency: int | None = None, batch_size: int = 32,
+                     with_summary: bool = True, build_spans: bool = True,
+                     do_deskew: bool = False) -> "ray.data.Dataset":
+    """Direct (no-dedup) path: actor-pool extraction + summary, fully lazy."""
+    concurrency = concurrency or default_concurrency()
+    out = ds.map_batches(
+        ExtractorActor,
+        fn_constructor_kwargs={"quality": quality, "build_spans": build_spans,
+                               "do_deskew": do_deskew},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    if with_summary:
+        out = out.map_batches(summarize_batch, batch_format="pyarrow")
+    return out
+
+
+# ----------------------------------------------------------- dedup variant
+
+def add_digest(batch: pa.Table, quality: str) -> pa.Table:
+    """Content digest = sha256(payload) ⊕ lang ⊕ quality — the v2 cache key
+    fields (app2.py:330-336) as a column."""
+    payloads = batch["html"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    texts = batch["text"].to_pylist()
+    digests = [
+        hashlib.sha256(
+            (p or b"") + b"\x00" + (t or "").encode() + b"\x00"
+            + (l or "").encode() + b"\x00" + quality.encode()
+        ).hexdigest()
+        for p, l, t in zip(payloads, langs, texts)
+    ]
+    return batch.append_column("digest", pa.array(digests, pa.string()))
+
+
+@functools.lru_cache(maxsize=8)
+def _worker_extractor(quality: str, build_spans: bool, do_deskew: bool) -> ExtractorActor:
+    """One warm extractor per worker process for the grouped dedup stage —
+    the map_groups analog of actor-pool __init__ state."""
+    return ExtractorActor(quality=quality, build_spans=build_spans, do_deskew=do_deskew)
+
+
+def extract_pipeline_dedup(ds: "ray.data.Dataset", quality: str = "medium",
+                           with_summary: bool = True, build_spans: bool = True,
+                           do_deskew: bool = False) -> "ray.data.Dataset":
+    """Dedup path: one kernel invocation per content digest, replicated to
+    every duplicate row (D1). Output rows additionally carry
+    ``dedup_source_url`` = the representative url for true duplicates."""
+
+    def extract_group(group: pa.Table) -> pa.Table:
+        ex = _worker_extractor(quality, build_spans, do_deskew)
+        urls = group["url"].to_pylist()
+        langs = group["lang"].to_pylist()
+        texts = group["text"].to_pylist()
+        payloads = group["html"].to_pylist()
+        # one kernel run on the representative (first row, stable by url sort)
+        order = sorted(range(len(urls)), key=lambda i: urls[i])
+        rep = order[0]
+        rep_row = ex.extract_row(urls[rep], payloads[rep], texts[rep], langs[rep])
+        rows = []
+        for i in order:
+            r = dict(rep_row)
+            r["url"] = urls[i]
+            if i != rep:
+                r["dedup_source_url"] = urls[rep]
+                r["source"] = "dedup" if r["source"] == "kernel" else r["source"]
+            rows.append(r)
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
+
+    with_digest = ds.map_batches(lambda b: add_digest(b, quality), batch_format="pyarrow")
+    out = with_digest.groupby("digest").map_groups(extract_group, batch_format="pyarrow")
+    if with_summary:
+        out = out.map_batches(summarize_batch, batch_format="pyarrow")
+    return out
+
+
+def read_pages(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Column-pruned read of a pages table (file or directory).
+
+    ``warc_ts`` is carried as data but unused by extraction (SURVEY.md §2.9),
+    so the default projection drops it at the read — only needed columns
+    leave storage."""
+    return ray.data.read_parquet(path, columns=columns or ["url", "html", "text", "lang"])

@@ -1,0 +1,221 @@
+"""The flagship actor-pool extraction stage (SURVEY.md §2.3 A1).
+
+``ExtractorActor`` is a callable class for
+``ds.map_batches(ExtractorActor, batch_format="pyarrow", concurrency=N)``:
+engine state (compiled regexes, glyph template stack, routing table) is
+warm per actor via module import + ``__init__`` — the Ray-native
+re-expression of the reference's module-global engine configuration
+(app.py:240-251, app2.py:50-58).
+
+Per row, it reproduces the reference request lifecycle as data:
+
+1. payload-kind sniff — magic bytes instead of filename extension
+   (``is_pdf = filename.endswith('.pdf')``, app.py:1143); unknown/empty →
+   ``status='rejected'`` row, the S2 whitelist rejection (app.py:317-320)
+   as data instead of HTTP 400.
+2. direct-text cheap path (M5) — if the row's ``text`` layer strips to
+   > 50 chars it is emitted as-is with confidence 90.0 and the kernel is
+   skipped, the exact PyPDF2 short-circuit (app.py:640-642).
+3. kernel dispatch by kind: HTML → text-density/link-density boilerplate
+   strip; IMGX → optimize→binarize→deskew→segment→recognize; PDFX → per-
+   page image kernel + ordered "\\n\\n" join (app.py:755-791).
+4. structure: paragraphs (with bounds + sentences), columns, char-span
+   offsets, suggested actions (M8/F8) — eager, per row, making the
+   reference's lazy navigate-time analysis (app.py:1508-1547) a no-op.
+5. per-row error isolation (M11): a failing row degrades exactly as the
+   reference does — error string in the text field, confidence 0
+   (app.py:602) — and never poisons its batch.
+
+Confidence ladder preserved: 90.0 direct text · kernel mean-score · 80.0
+no-evidence fallback · 0.0 error (app.py:593,642,810; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.navigation import suggested_actions
+from ..functions.routing import route_quality
+from ..functions.textproc import split_into_sentences
+from ..schema import EXTRACTED_SCHEMA
+from . import glyphs
+from .html_extract import extract_html
+from .image_extract import extract_image
+
+DIRECT_TEXT_MIN_CHARS = 50      # app.py:640: len(text.strip()) > 50
+DIRECT_TEXT_CONFIDENCE = 90.0   # app.py:642
+PAGE_JOIN = "\n\n"              # app.py:791
+
+
+def sniff_kind(payload: bytes | None) -> str:
+    if payload is None or len(payload) == 0:
+        return "empty"
+    if payload[:4] == glyphs.IMGX_MAGIC:
+        return "image"
+    if payload[:4] == glyphs.PDFX_MAGIC:
+        return "pdf"
+    head = payload[:256].lstrip()
+    if head[:9].lower() == b"<!doctype" or head[:5].lower() == b"<html" or head[:1] == b"<":
+        return "html"
+    return "unknown"
+
+
+def build_structure(paragraph_dicts: list[dict]) -> tuple[str, list, list, list, list]:
+    """Assemble (extracted_text, paragraphs, columns, spans, actions) from raw
+    paragraph dicts: [{text, x, y, width, height, column}].
+
+    extracted_text = paragraph texts joined with "\\n\\n"; sentence ids are the
+    reference's per-paragraph enumeration (app.py:903-909); spans are char
+    offsets into extracted_text; columns group paragraph ids (app.py:934-944);
+    actions follow F8 (app.py:980-1007).
+    """
+    paragraphs, spans = [], []
+    col_members: dict[int, list[int]] = {}
+    offset = 0
+    total_sentences = 0
+    texts = []
+    for pid, p in enumerate(paragraph_dicts):
+        text = p["text"]
+        col = int(p.get("column", 0))
+        start = offset
+        end = start + len(text)
+        sentences = []
+        s_cursor = 0
+        for sid, s in enumerate(split_into_sentences(text)):
+            pos = text.find(s, s_cursor)
+            if pos < 0:
+                pos = s_cursor
+            sentences.append({"id": sid, "text": s})
+            spans.append({"kind": "sentence", "start": start + pos,
+                          "end": start + pos + len(s), "para_id": pid,
+                          "sent_id": sid, "column": col})
+            s_cursor = pos + len(s)
+        total_sentences += len(sentences)
+        spans.append({"kind": "paragraph", "start": start, "end": end,
+                      "para_id": pid, "sent_id": -1, "column": col})
+        paragraphs.append({
+            "id": pid,
+            "bounds": {"x": int(p.get("x", 0)), "y": int(p.get("y", 0)),
+                       "width": int(p.get("width", len(text))),
+                       "height": int(p.get("height", 1))},
+            "text": text,
+            "column": col,
+            "sentences": sentences,
+        })
+        col_members.setdefault(col, []).append(pid)
+        texts.append(text)
+        offset = end + len(PAGE_JOIN)
+    columns = [{"id": c, "paragraphs": ids} for c, ids in sorted(col_members.items())]
+    actions = suggested_actions(len(paragraphs), len(columns), total_sentences)
+    return PAGE_JOIN.join(texts), paragraphs, columns, spans, actions
+
+
+def html_paragraph_dicts(kept_blocks: list[dict]) -> list[dict]:
+    """HTML paragraphs: bounds are char-offset rects (x=0, y=start offset,
+    width=len, height=1) — the DOM path has no pixel geometry (SURVEY.md §1.2);
+    all blocks belong to column 0 (single reading flow)."""
+    out, y = [], 0
+    for b in kept_blocks:
+        out.append({"text": b["text"], "x": 0, "y": y, "width": len(b["text"]),
+                    "height": 1, "column": 0})
+        y += len(b["text"]) + len(PAGE_JOIN)
+    return out
+
+
+class ExtractorActor:
+    """Stateful extraction stage; one instance per actor in the pool."""
+
+    def __init__(self, quality: str = "medium", do_deskew: bool = False,
+                 build_spans: bool = True):
+        self.quality = quality if quality in ("low", "medium", "high") else "medium"
+        (self.preprocess_kind, self.ocr_mode,
+         self.max_dim, self.jpeg_quality) = route_quality(self.quality)
+        self.do_deskew = do_deskew
+        self.build_spans = build_spans
+        self.kernel_invocations = 0  # dedup-property observability (A2)
+
+    # ---- per-kind kernels ----------------------------------------------
+
+    def _extract_payload(self, payload: bytes, kind: str) -> tuple[str, float, list[dict], int]:
+        """Returns (text, confidence, paragraph_dicts, total_pages)."""
+        if kind == "html":
+            text, conf, kept = extract_html(payload)
+            return text, conf, html_paragraph_dicts(kept), 1
+        if kind == "image":
+            img = glyphs.decode_imgx(payload)
+            r = extract_image(img, self.preprocess_kind, self.max_dim, self.do_deskew)
+            return r["text"], r["confidence"], r["paragraphs"], 1
+        # pdf: per-page kernel, ordered join (app.py:755-791); page confidences
+        # averaged with zero-exclusion (app.py:756-792 G2 semantics)
+        page_payloads = glyphs.decode_pdfx(payload)
+        page_texts, paragraphs, confs = [], [], []
+        for page_payload in page_payloads:
+            img = glyphs.decode_imgx(page_payload)
+            r = extract_image(img, self.preprocess_kind, self.max_dim, self.do_deskew)
+            page_texts.append(r["text"])
+            paragraphs.extend(r["paragraphs"])
+            if r["confidence"] > 0:
+                confs.append(r["confidence"])
+        conf = sum(confs) / len(confs) if confs else 0.0
+        return PAGE_JOIN.join(page_texts), conf, paragraphs, len(page_payloads)
+
+    def extract_row(self, url: str, payload: bytes | None, text_layer: str | None,
+                    lang: str | None) -> dict:
+        t0 = time.perf_counter()
+        row = {
+            "url": url, "extracted_text": "", "spans": [], "paragraphs": [],
+            "columns": [], "suggested_actions": [], "total_pages": 0, "page": 0,
+            "confidence": 0.0, "processing_time_ms": 0.0, "summary": None,
+            "compression_ratio": None, "lang": lang or "eng",
+            "quality": self.quality, "payload_kind": "unknown", "source": "kernel",
+            "dedup_source_url": None, "status": "ok", "error": None,
+        }
+        try:
+            kind = sniff_kind(payload)
+            row["payload_kind"] = kind
+            if kind in ("empty", "unknown"):
+                row["status"] = "rejected"
+                row["error"] = "empty payload" if kind == "empty" else "unsupported payload type"
+                row["processing_time_ms"] = (time.perf_counter() - t0) * 1e3
+                return row
+            stripped = (text_layer or "").strip()
+            if len(stripped) > DIRECT_TEXT_MIN_CHARS:
+                row["extracted_text"] = text_layer
+                row["confidence"] = DIRECT_TEXT_CONFIDENCE
+                row["source"] = "direct_text"
+                row["total_pages"] = 1
+                row["processing_time_ms"] = (time.perf_counter() - t0) * 1e3
+                return row
+            self.kernel_invocations += 1
+            text, conf, para_dicts, total_pages = self._extract_payload(payload, kind)
+            if self.build_spans:
+                text2, paragraphs, columns, spans, actions = build_structure(para_dicts)
+                # structure text and kernel text agree by construction (every
+                # paragraph survives into the join); if a future kernel ever
+                # diverges, keep the kernel text and drop the now-invalid spans
+                if text2 != text:
+                    spans = []
+                row.update(extracted_text=text, spans=spans, paragraphs=paragraphs,
+                           columns=columns, suggested_actions=actions)
+            else:
+                row["extracted_text"] = text
+            row["confidence"] = conf
+            row["total_pages"] = total_pages
+        except Exception as e:  # M11: row-level degradation, never batch-fatal
+            row["extracted_text"] = str(e)
+            row["confidence"] = 0.0
+            row["status"] = "error"
+            row["error"] = str(e)
+        row["processing_time_ms"] = (time.perf_counter() - t0) * 1e3
+        return row
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"].to_pylist()
+        texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(urls)
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
+        rows = [self.extract_row(u, p, t, l) for u, p, t, l in zip(urls, payloads, texts, langs)]
+        return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)

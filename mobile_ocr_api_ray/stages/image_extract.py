@@ -1,0 +1,317 @@
+"""Bitmap OCR kernels: optimize → binarize → deskew → segment → recognize.
+
+Re-expresses the reference's image pipeline stage-for-stage with the same
+tuned constants, over the deterministic IMGX glyph raster (no Tesseract in
+the sandbox — SURVEY.md §7):
+
+- M1 optimize_image_for_mobile: aspect-preserving downscale when a dimension
+  exceeds the quality tier's max_dim — v1 cap 1500 (app.py:323), v2 tiers
+  800/1200/2000 (app2.py:215-223). Formula replicated exactly
+  (``new_h = int(h * (max_dim / w))``); nearest-neighbor for determinism.
+- M2 preprocess_image kernels, selected by ``preprocess_kind``
+  (app.py:487-558, app2.py:250-312):
+    fast      — global threshold at 128 (app2.py:287)
+    balanced  — 3x3 Gaussian blur + adaptive Gaussian threshold(11, 2)
+                (app2.py:296-301)
+    quality   — 3x3 Gaussian + Otsu + morph-close 1x1 (identity close —
+                faithful to the reference's (1,1) kernel, app2.py:291-294)
+    default   — 3x3 Gaussian + Otsu (v1, app.py:550-556)
+- deskew: projection-profile search over ±3° (the reference delegates skew
+  to Tesseract's --psm 3 page analysis; here it is explicit).
+- M8 analyze_document_structure analog: line bands from row profiles,
+  region filter area ∈ (0.001·WH, 0.8·WH) and aspect 0.1 < w/h < 10
+  (app.py:867-883), paragraphs from inter-line gaps, columns from the
+  x-gap > 10%·width rule (app.py:916-944).
+- M3/M4 recognize: per-cell template match against the glyph table;
+  confidence = mean per-glyph match score ×100, fallback 80.0 when no
+  glyphs (app.py:586-593 mean-word-confidence + 80.0 fallback).
+
+All pure numpy, module-level state (font stack) built once per worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .glyphs import BG, FONT_CHARS, FONT_STACK, GLYPH_H, GLYPH_W, rotate_nn
+
+# ---------------------------------------------------------------- M1 optimize
+
+def optimize_image(img: np.ndarray, max_dim: int) -> np.ndarray:
+    """Downscale when larger than max_dim, aspect preserved (app2.py:225-236)."""
+    h, w = img.shape
+    if w <= max_dim and h <= max_dim:
+        return img
+    if w > h:
+        new_w = max_dim
+        new_h = int(h * (max_dim / w))
+    else:
+        new_h = max_dim
+        new_w = int(w * (max_dim / h))
+    ys = (np.arange(new_h) * h // new_h).astype(np.int64)
+    xs = (np.arange(new_w) * w // new_w).astype(np.int64)
+    return img[np.ix_(ys, xs)]
+
+
+# ------------------------------------------------------------- M2 binarizers
+
+def _gaussian_blur3(img: np.ndarray) -> np.ndarray:
+    """Separable 3x3 Gaussian ([1,2,1]/4), reflect borders (cv2 default)."""
+    f = img.astype(np.float64)
+    p = np.pad(f, 1, mode="reflect")
+    horiz = (p[1:-1, :-2] + 2.0 * p[1:-1, 1:-1] + p[1:-1, 2:]) / 4.0
+    p2 = np.pad(horiz, ((1, 1), (0, 0)), mode="reflect")
+    return (p2[:-2] + 2.0 * p2[1:-1] + p2[2:]) / 4.0
+
+
+def _otsu_threshold(img: np.ndarray) -> float:
+    hist = np.bincount(np.clip(img, 0, 255).astype(np.uint8).ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 127.0
+    omega = np.cumsum(hist) / total
+    mu = np.cumsum(hist * np.arange(256)) / total
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    denom[denom == 0] = np.nan
+    sigma_b = (mu_t * omega - mu) ** 2 / denom
+    return float(np.nanargmax(sigma_b))
+
+
+def _box_mean(img: np.ndarray, k: int) -> np.ndarray:
+    """k x k local mean via integral image, edge-replicated borders."""
+    pad = k // 2
+    p = np.pad(img.astype(np.float64), pad, mode="edge")
+    ii = np.cumsum(np.cumsum(p, axis=0), axis=1)
+    ii = np.pad(ii, ((1, 0), (1, 0)))
+    h, w = img.shape
+    s = (ii[k:k + h, k:k + w] - ii[:h, k:k + w] - ii[k:k + h, :w] + ii[:h, :w])
+    return s / (k * k)
+
+
+def binarize(img: np.ndarray, kind: str = "balanced") -> np.ndarray:
+    """Return boolean ink mask (True = text pixel). Kinds per app2.py:284-302."""
+    if kind == "fast":
+        return img < 128
+    if kind == "quality":
+        blurred = _gaussian_blur3(img)
+        t = _otsu_threshold(blurred)
+        return blurred <= t  # morph-close with (1,1) kernel is identity
+    if kind == "default":
+        blurred = _gaussian_blur3(img)
+        t = _otsu_threshold(blurred)
+        return blurred <= t
+    # balanced: Gaussian blur + adaptive threshold(blockSize=11, C=2):
+    # pixel is background iff value > local_mean - 2 (cv2 THRESH_BINARY)
+    blurred = _gaussian_blur3(img)
+    local = _box_mean(blurred, 11)
+    return blurred <= (local - 2.0)
+
+
+# ----------------------------------------------------------------- deskew
+
+DESKEW_ANGLES = np.arange(-3.0, 3.01, 0.5)
+
+
+def deskew(img: np.ndarray) -> tuple[np.ndarray, float]:
+    """Rotate by the angle maximizing row-profile variance of the ink mask."""
+    best_angle, best_var, best_img = 0.0, -1.0, img
+    for ang in DESKEW_ANGLES:
+        cand = rotate_nn(img, float(ang)) if ang != 0.0 else img
+        profile = (cand < 128).sum(axis=1).astype(np.float64)
+        var = float(profile.var())
+        if var > best_var + 1e-9:
+            best_var, best_angle, best_img = var, float(ang), cand
+    return best_img, best_angle
+
+
+# ------------------------------------------------- segmentation + recognition
+
+def despeckle(mask: np.ndarray) -> np.ndarray:
+    """Remove isolated ink pixels (no ink in the 8-neighborhood).
+
+    The engine's analog of the reference's morphological clean-up step
+    (app2.py:291-294); glyph strokes at scale >= 2 are always >= 2x2 blocks,
+    so only noise specks are affected — deterministic."""
+    m = mask.astype(np.uint8)
+    p = np.pad(m, 1)
+    neigh = (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    )
+    return mask & (neigh > 0)
+
+
+MIN_BAND_PX = 3  # ignore line bands thinner than any glyph row could be
+
+
+def _bands(profile: np.ndarray) -> list[tuple[int, int]]:
+    """Contiguous runs of non-zero profile entries → (start, stop) bands."""
+    nz = profile > 0
+    if not nz.any():
+        return []
+    diff = np.diff(nz.astype(np.int8))
+    starts = list(np.where(diff == 1)[0] + 1)
+    stops = list(np.where(diff == -1)[0] + 1)
+    if nz[0]:
+        starts.insert(0, 0)
+    if nz[-1]:
+        stops.append(len(profile))
+    return list(zip(starts, stops))
+
+
+def _match_cell(cell: np.ndarray) -> tuple[str, float]:
+    """Best glyph for a boolean cell by template agreement (floor-mapped NN)."""
+    ch, cw = cell.shape
+    if ch == 0 or cw == 0 or not cell.any():
+        return " ", 1.0
+    ys = (np.arange(ch) * GLYPH_H // ch).astype(np.int64)
+    xs = (np.arange(cw) * GLYPH_W // cw).astype(np.int64)
+    templates = FONT_STACK[:, ys][:, :, xs]  # (n_glyphs, ch, cw)
+    agree = (templates == cell[None, :, :]).reshape(len(FONT_CHARS), -1).mean(axis=1)
+    idx = int(np.argmax(agree))
+    return FONT_CHARS[idx], float(agree[idx])
+
+
+def _score_cell(cell: np.ndarray, glyph_idx: int) -> float:
+    """Agreement of a boolean cell against one glyph template (floor-mapped)."""
+    ch, cw = cell.shape
+    if ch == 0 or cw == 0:
+        return 0.0
+    ys = (np.arange(ch) * GLYPH_H // ch).astype(np.int64)
+    xs = (np.arange(cw) * GLYPH_W // cw).astype(np.int64)
+    template = FONT_STACK[glyph_idx][ys][:, xs]
+    return float((template == cell).mean())
+
+
+def recognize_lines(mask: np.ndarray, conf_mask: np.ndarray | None = None
+                    ) -> tuple[list[dict], list[float]]:
+    """Segment ink mask into lines and recognize each via the glyph grid.
+
+    ``mask`` drives layout analysis and glyph decisions (the engine's own
+    Otsu binarization — Tesseract likewise runs page layout analysis on its
+    own global binarization regardless of user preprocessing); ``conf_mask``
+    is the routed preprocess kernel's mask (M2), sampled at the same cells
+    to produce the per-glyph confidence evidence (M4). When None, ``mask``
+    scores itself. Returns (lines, glyph_scores); each line dict:
+    {text, x, y, width, height}.
+    """
+    h, w = mask.shape
+    mask = despeckle(mask)
+    row_profile = mask.sum(axis=1)
+    lines: list[dict] = []
+    scores: list[float] = []
+    for y0, y1 in _bands(row_profile):
+        if y1 - y0 < MIN_BAND_PX:
+            continue
+        band = mask[y0:y1]
+        conf_band = conf_mask[y0:y1] if conf_mask is not None else band
+        col_profile = band.sum(axis=0)
+        cols = np.where(col_profile > 0)[0]
+        if len(cols) == 0:
+            continue
+        left, right = int(cols[0]), int(cols[-1])
+        line_h = y1 - y0
+        s_f = line_h / GLYPH_H          # recovered scale (float)
+        pitch = 6.0 * s_f               # char pitch: 5s glyph + 1s gap
+        span = right - left + 1
+        n_chars = max(1, int(round((span + s_f) / pitch)))
+        chars = []
+        for i in range(n_chars):
+            x0 = left + int(round(i * pitch))
+            x1 = min(left + int(round(i * pitch + 5.0 * s_f)), w)
+            cell = band[:, x0:x1]
+            c, _ = _match_cell(cell)
+            chars.append(c)
+            if c != " ":
+                scores.append(_score_cell(conf_band[:, x0:x1], FONT_CHARS.index(c)))
+        text = "".join(chars).rstrip()
+        lines.append({"text": text, "x": left, "y": int(y0),
+                      "width": span, "height": int(line_h)})
+    return lines, scores
+
+
+def group_paragraphs(lines: list[dict]) -> list[list[dict]]:
+    """Group lines into paragraphs: a vertical gap > 4.5x the recovered scale
+    (normal inter-line gap is 3s, paragraph gap 6s) starts a new paragraph."""
+    if not lines:
+        return []
+    paras: list[list[dict]] = [[lines[0]]]
+    for prev, cur in zip(lines, lines[1:]):
+        s_f = prev["height"] / GLYPH_H
+        gap = cur["y"] - (prev["y"] + prev["height"])
+        if gap > 4.5 * s_f:
+            paras.append([cur])
+        else:
+            paras[-1].append(cur)
+    return paras
+
+
+def region_filter(x: int, y: int, w: int, h: int, img_w: int, img_h: int) -> bool:
+    """M8 region filter: area ∈ (0.001·WH, 0.8·WH), aspect 0.1 < w/h < 10
+    (app.py:867-883). Applied to paragraph bounding boxes."""
+    area = w * h
+    wh = img_w * img_h
+    if not (wh * 0.001 < area < wh * 0.8):
+        return False
+    if h == 0:
+        return False
+    return 0.1 < w / h < 10
+
+
+def detect_columns(paragraph_bounds: list[tuple[int, int, int, int]], img_w: int) -> list[int]:
+    """M8 column detection (app.py:916-944): sort by x, boundary where the
+    x-gap between consecutive sorted x's exceeds 10% of width, each paragraph
+    assigned to the nearest boundary. Returns column index per paragraph."""
+    if not paragraph_bounds:
+        return []
+    xs = [b[0] for b in paragraph_bounds]
+    sorted_x = sorted(xs)
+    boundaries = [sorted_x[0]]
+    for prev, cur in zip(sorted_x, sorted_x[1:]):
+        if cur - prev > img_w * 0.1:
+            boundaries.append(cur)
+    cols = []
+    for x in xs:
+        distances = [abs(x - cb) for cb in boundaries]
+        cols.append(distances.index(min(distances)))
+    return cols
+
+
+def extract_image(img: np.ndarray, preprocess_kind: str = "balanced",
+                  max_dim: int = 1200, do_deskew: bool = True) -> dict:
+    """Full image pipeline. Returns
+    {text, confidence, paragraphs:[{text,x,y,width,height,column}], width, height}.
+    Paragraph text = its lines joined with a single space; document text =
+    paragraph texts joined with "\\n\\n" (app.py:791 separator)."""
+    img = optimize_image(img, max_dim)
+    if do_deskew:
+        img, _ = deskew(img)
+    # Layout + decisions on the engine's own Otsu mask; the routed preprocess
+    # kernel contributes the confidence evidence (see recognize_lines).
+    layout_mask = binarize(img, "default")
+    conf_mask = layout_mask if preprocess_kind == "default" else binarize(img, preprocess_kind)
+    h, w = layout_mask.shape
+    lines, scores = recognize_lines(layout_mask, conf_mask)
+    paras_lines = group_paragraphs(lines)
+    paragraphs: list[dict] = []
+    for group in paras_lines:
+        x0 = min(l["x"] for l in group)
+        y0 = min(l["y"] for l in group)
+        x1 = max(l["x"] + l["width"] for l in group)
+        y1 = max(l["y"] + l["height"] for l in group)
+        if not region_filter(x0, y0, x1 - x0, y1 - y0, w, h):
+            continue
+        text = " ".join(l["text"] for l in group if l["text"]).strip()
+        if not text:
+            continue
+        paragraphs.append({"text": text, "x": int(x0), "y": int(y0),
+                           "width": int(x1 - x0), "height": int(y1 - y0)})
+    cols = detect_columns([(p["x"], p["y"], p["width"], p["height"]) for p in paragraphs], w)
+    for p, c in zip(paragraphs, cols):
+        p["column"] = int(c)
+    text = "\n\n".join(p["text"] for p in paragraphs)
+    confidence = (100.0 * sum(scores) / len(scores)) if scores else 80.0
+    return {"text": text, "confidence": confidence, "paragraphs": paragraphs,
+            "width": int(w), "height": int(h)}
