@@ -60,9 +60,19 @@ class NavigationView:
     (app.py:264-271) — state lives in this view object, data in the row.
     """
 
-    def __init__(self, paragraphs: list[dict], columns: list[dict]):
-        self.paragraphs = paragraphs or []
-        self.columns = columns or []
+    def __init__(self, paragraphs, columns):
+        # accept list / numpy object array / arrow-scalar conversions, and
+        # normalize nested sequences to plain lists
+        self.paragraphs = []
+        for p in (paragraphs if paragraphs is not None else []):
+            p = dict(p)
+            p["sentences"] = [dict(s) for s in (p.get("sentences") if p.get("sentences") is not None else [])]
+            self.paragraphs.append(p)
+        self.columns = []
+        for c in (columns if columns is not None else []):
+            c = dict(c)
+            c["paragraphs"] = list(c.get("paragraphs") if c.get("paragraphs") is not None else [])
+            self.columns.append(c)
         self.cursor = {"paragraph": 0, "sentence": 0, "column": 0}
 
     def step(self, axis: str, action: str, target: int | None = None) -> dict:
@@ -72,7 +82,7 @@ class NavigationView:
             self.cursor["sentence"] = 0
         elif axis == "sentence":
             para = self.paragraphs[self.cursor["paragraph"]] if self.paragraphs else {"sentences": []}
-            total = len(para.get("sentences") or [])
+            total = len(para["sentences"])
             self.cursor["sentence"] = navigate(total, self.cursor["sentence"], action, target)
         elif axis == "column":
             total = len(self.columns)
@@ -87,7 +97,7 @@ class NavigationView:
         if axis == "paragraph":
             return self.paragraphs[self.cursor["paragraph"]]["text"]
         if axis == "sentence":
-            sentences = self.paragraphs[self.cursor["paragraph"]].get("sentences") or []
+            sentences = self.paragraphs[self.cursor["paragraph"]]["sentences"]
             if not sentences:
                 return ""
             return sentences[min(self.cursor["sentence"], len(sentences) - 1)]["text"]
@@ -95,7 +105,7 @@ class NavigationView:
             if not self.columns:
                 return ""
             col = self.columns[self.cursor["column"]]
-            ids = col.get("paragraphs") or []
+            ids = col["paragraphs"]
             # column-scope text = that column's paragraph texts joined with
             # blank lines (app.py:1996-2005 summarize-by-column selection)
             by_id = {p["id"]: p for p in self.paragraphs}

@@ -1,0 +1,169 @@
+"""Kernel-level tests: HTML block extraction, bitmap OCR, structure rules."""
+
+import random
+
+import numpy as np
+import pytest
+
+from mobile_ocr_api_ray import corpus
+from mobile_ocr_api_ray.stages import glyphs, image_extract as ie
+from mobile_ocr_api_ray.stages.extractor import ExtractorActor, build_structure, sniff_kind
+from mobile_ocr_api_ray.stages.html_extract import extract_html, segment_blocks
+
+
+class TestHtmlExtract:
+    def test_golden_roundtrip(self):
+        rng = random.Random("html:0")
+        payload, golden, n_blocks = corpus._make_html(rng, "eng")
+        text, conf, kept = extract_html(payload)
+        assert text == golden
+        assert len(kept) == n_blocks
+        assert 66.0 < conf <= 100.0
+
+    def test_boilerplate_dropped(self):
+        html = (b"<html><body><nav><ul><li><a href='/'>Home page link</a></li></ul></nav>"
+                b"<p>This is the real main content paragraph of the page.</p>"
+                b"<footer><p><a href='/t'>Terms of service link text</a></p></footer>"
+                b"</body></html>")
+        text, _, kept = extract_html(html)
+        assert text == "This is the real main content paragraph of the page."
+        assert len(kept) == 1
+
+    def test_entity_unescape_and_collapse(self):
+        html = b"<p>alpha &amp; beta\n\n   gamma with more than twentyfive chars</p>"
+        text, _, _ = extract_html(html)
+        assert text == "alpha & beta gamma with more than twentyfive chars"
+
+    def test_script_style_dropped(self):
+        html = (b"<style>p { color: red }</style><script>var a = '<p>not a block '"
+                b"+ 'with enough characters</p>';</script>"
+                b"<p>Actual visible content block with enough characters.</p>")
+        text, _, kept = extract_html(html)
+        assert len(kept) == 1
+        assert "visible content" in text
+
+    def test_link_density_threshold(self):
+        dense = b"<p><a href='/x'>all of this paragraph text is one link here</a></p>"
+        assert extract_html(dense)[0] == ""
+        sparse = (b"<p>only <a href='/x'>one</a> word of this long paragraph is "
+                  b"a link so it stays</p>")
+        assert "only one word" in extract_html(sparse)[0]
+
+
+class TestImageKernels:
+    @pytest.mark.parametrize("kind", ["fast", "balanced", "quality", "default"])
+    @pytest.mark.parametrize("scale", [2, 3, 4])
+    def test_roundtrip_all_kernels(self, kind, scale):
+        rng = random.Random("img:7")
+        lines, breaks, ptexts = corpus._make_image_lines(rng, 3)
+        golden = "\n\n".join(ptexts)
+        img = glyphs.render_text(lines, scale=scale, margin=4 * scale, para_breaks=breaks)
+        r = ie.extract_image(img, kind, max_dim=5000, do_deskew=False)
+        assert r["text"] == golden
+        assert 80.0 < r["confidence"] <= 100.0
+
+    def test_noise_removed(self):
+        rng = random.Random("img:8")
+        lines, breaks, ptexts = corpus._make_image_lines(rng, 2)
+        img = glyphs.add_noise(
+            glyphs.render_text(lines, scale=3, margin=12, para_breaks=breaks), 100, 5)
+        r = ie.extract_image(img, "balanced", max_dim=5000, do_deskew=False)
+        assert r["text"] == "\n\n".join(ptexts)
+
+    def test_resize_path_deterministic(self):
+        rng = random.Random("img:9")
+        lines, breaks, ptexts = corpus._make_image_lines(rng, 6)
+        img = glyphs.render_text(lines, scale=8, margin=32, para_breaks=breaks)
+        assert max(img.shape) > 1200  # crosses the medium-quality threshold
+        r1 = ie.extract_image(img, "balanced", max_dim=1200)
+        r2 = ie.extract_image(img, "balanced", max_dim=1200)
+        assert r1["text"] == r2["text"]
+
+    def test_optimize_formula(self):
+        # exact reference resize arithmetic (app2.py:228-233)
+        img = np.zeros((500, 2000), dtype=np.uint8)
+        out = ie.optimize_image(img, 1200)
+        assert out.shape == (int(500 * (1200 / 2000)), 1200)
+        assert ie.optimize_image(np.zeros((100, 100), np.uint8), 1200).shape == (100, 100)
+
+    def test_deskew_recovers_rotation(self):
+        rng = random.Random("img:10")
+        lines, breaks, ptexts = corpus._make_image_lines(rng, 4)
+        img = glyphs.render_text(lines, scale=6, margin=24, para_breaks=breaks)
+        rot = glyphs.rotate_nn(img, 1.5)
+        r = ie.extract_image(rot, "fast", max_dim=5000, do_deskew=True)
+        assert r["text"] == "\n\n".join(ptexts)
+
+    def test_otsu_separates_modes(self):
+        # perfect bimodal: any threshold between the modes is an argmax;
+        # what matters is that `<= t` separates ink from background
+        img = np.array([[0] * 50 + [200] * 30 + [255] * 20], dtype=np.uint8)
+        t = ie._otsu_threshold(img)
+        assert (img <= t).sum() == 50
+
+    def test_region_filter(self):  # M8 thresholds, app.py:867-883
+        assert ie.region_filter(0, 0, 100, 50, 1000, 1000)      # area .005, aspect 2
+        assert not ie.region_filter(0, 0, 2, 2, 1000, 1000)     # too small
+        assert not ie.region_filter(0, 0, 950, 900, 1000, 1000)  # too big
+        assert not ie.region_filter(0, 0, 110, 10, 1000, 1000)  # aspect 11
+
+    def test_column_detection(self):  # app.py:916-944
+        # two clusters of x positions, gap > 10% of width=1000
+        bounds = [(0, 0, 10, 10), (20, 50, 10, 10), (600, 0, 10, 10), (615, 50, 10, 10)]
+        cols = ie.detect_columns(bounds, 1000)
+        assert cols == [0, 0, 1, 1]
+        # no gap -> one column
+        assert ie.detect_columns([(0, 0, 1, 1), (50, 0, 1, 1)], 1000) == [0, 0]
+
+
+class TestPayloads:
+    def test_sniff(self):
+        assert sniff_kind(b"") == "empty"
+        assert sniff_kind(None) == "empty"
+        assert sniff_kind(b"<!DOCTYPE html><html>") == "html"
+        assert sniff_kind(b"  <html><body>") == "html"
+        assert sniff_kind(glyphs.IMGX_MAGIC + b"\x00\x01\x00\x01\x00") == "image"
+        assert sniff_kind(glyphs.PDFX_MAGIC + b"\x00\x00\x00\x00") == "pdf"
+        assert sniff_kind(b"GIF89a......") == "unknown"
+
+    def test_imgx_roundtrip(self):
+        img = (np.arange(12, dtype=np.uint8)).reshape(3, 4)
+        assert np.array_equal(glyphs.decode_imgx(glyphs.encode_imgx(img)), img)
+
+    def test_pdfx_roundtrip(self):
+        pages = [b"page-one", b"", b"page-three"]
+        assert glyphs.decode_pdfx(glyphs.encode_pdfx(pages)) == pages
+
+
+class TestStructure:
+    def test_spans_reconstruct_text(self):
+        rng = random.Random("s:1")
+        payload, golden, _ = corpus._make_html(rng, "eng")
+        ex = ExtractorActor()
+        row = ex.extract_row("u", payload, None, "eng")
+        text = row["extracted_text"]
+        assert text == golden
+        for span in row["spans"]:
+            seg = text[span["start"]:span["end"]]
+            if span["kind"] == "paragraph":
+                assert seg == row["paragraphs"][span["para_id"]]["text"]
+            else:
+                p = row["paragraphs"][span["para_id"]]
+                assert seg == p["sentences"][span["sent_id"]]["text"]
+
+    def test_column_membership_consistent(self):
+        rng = random.Random("s:2")
+        lines, breaks, ptexts = corpus._make_image_lines(rng, 3)
+        img = glyphs.render_text(lines, scale=3, margin=12, para_breaks=breaks)
+        ex = ExtractorActor()
+        row = ex.extract_row("u", glyphs.encode_imgx(img), None, "eng")
+        for col in row["columns"]:
+            for pid in col["paragraphs"]:
+                assert row["paragraphs"][pid]["column"] == col["id"]
+
+    def test_suggested_actions_from_structure(self):
+        _, paragraphs, columns, spans, actions = build_structure(
+            [{"text": "One. Two. Three. Four. Five. Six.", "column": 0}])
+        types = [a["type"] for a in actions]
+        assert "summarize" in types and "read_full" in types
+        assert "read_by_paragraph" not in types
