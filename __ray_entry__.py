@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data operators: dedup family, similarity
+search, text analysis, multimodal plumbing); ``oracle_sql()`` provides the
+DuckDB-equivalent SQL for every SQL-expressible query. Ray is initialised
+by the driver — nothing here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float parity notes (why the oracles match bit-for-bit):
+- currency sums use exact integer-cent accumulation on BOTH sides
+  (see pipelines/relational.py docstring);
+- per-row scalar expressions mirror the SQL expression tree exactly
+  (IEEE doubles are deterministic per op);
+- regex counts use RE2 on both sides (pyarrow.compute and DuckDB);
+- ANN emits (query_id, rank, vec_id) only — ranks, not floats.
 """
 
 from __future__ import annotations
@@ -18,27 +21,162 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from mobile_ocr_api_ray.stages.text_analysis import QUALITY_STOPWORDS, _alt_regex
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (read → actor-pool extract → summarize) on the
+    deterministic pages corpus sized for sf0.001."""
+    from mobile_ocr_api_ray.pipelines.analysis import extract_pages
+
+    return extract_pages("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mobile_ocr_api_ray.pipelines import analysis as a
+    from mobile_ocr_api_ray.pipelines import relational as r
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / windowed (SQL-checked)
+        "lineitem_pricing": r.lineitem_pricing,
+        "top_customers": r.top_customers,
+        "nation_order_stats": r.nation_order_stats,
+        "part_type_stats": r.part_type_stats,
+        "per_lang_doc_stats": r.per_lang_doc_stats,
+        "events_hourly": r.events_hourly,
+        "sessionize_events": r.sessionize_events,
+        # text analysis (SQL-checked)
+        "token_counts": a.token_counts_docs,
+        "quality_scores": a.quality_docs,
+        # dedup (SQL-checked where expressible)
+        "exact_dedup": a.exact_dedup_docs,
+        "exact_dedup_doubled": a.exact_dedup_doubled,
+        # similarity search (SQL-checked via list_cosine_similarity)
+        "ann_brute_topk": a.ann_brute_topk,
+        # non-SQL-expressible (rows-only checks)
+        "ann_lsh_topk": a.ann_lsh_topk,
+        "minhash_pairs_doubled": a.minhash_pairs_doubled,
+        "simhash_docs": a.simhash_docs,
+        "simhash_pairs_doubled": a.simhash_pairs_doubled,
+        "embedding_pairs_doubled": a.embedding_pairs_doubled,
+        "dup_clusters_doubled": a.dup_clusters_doubled,
+        "langid_docs": a.langid_docs,
+        "fingerprint_docs": a.fingerprint_docs,
+        "summarize_docs": a.summarize_docs,
+        "extract_pages": a.extract_pages,
+        "extract_pages_dedup": a.extract_pages_dedup,
+        "extract_lang_stats": a.extract_lang_stats,
+    }
+
+
+def _ann_query_values() -> str:
+    """The fixed query vectors as a SQL VALUES literal (full double repr)."""
+    from mobile_ocr_api_ray.stages.similarity import fixed_queries
+
+    q = fixed_queries(64, 4, seed=7)
+    rows = []
+    for i, vec in enumerate(q):
+        lit = ", ".join(repr(float(x)) for x in vec)
+        rows.append(f"({i}, [{lit}]::DOUBLE[])")
+    return ", ".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    alt = _alt_regex(QUALITY_STOPWORDS)
+    return {
+        "lineitem_pricing": r"""
+            SELECT l_returnflag, l_linestatus,
+                   sum(cast(round(l_quantity*100, 0) AS BIGINT))/100.0 AS sum_qty,
+                   sum(cast(round(l_extendedprice*100, 0) AS BIGINT))/100.0 AS sum_base_price,
+                   sum(cast(round(l_extendedprice*(1.0 - l_discount)*10000, 0) AS BIGINT))/10000.0 AS sum_disc_price,
+                   count(*) AS n_rows,
+                   sum(cast(round(l_quantity*100, 0) AS BIGINT))/(count(*)*100.0) AS avg_qty
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+        "top_customers": r"""
+            SELECT o.o_custkey AS c_custkey, c.c_name,
+                   sum(cast(round(o.o_totalprice*100, 0) AS BIGINT))/100.0 AS revenue,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""",
+        "nation_order_stats": r"""
+            SELECT n.n_name, count(*) AS n_orders,
+                   sum(cast(round(o.o_totalprice*100, 0) AS BIGINT))/100.0 AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1 ORDER BY 1""",
+        "part_type_stats": r"""
+            SELECT p_type, count(*) AS n_parts,
+                   sum(cast(round(p_retailprice*100, 0) AS BIGINT))/(count(*)*100.0) AS avg_retail
+            FROM part GROUP BY 1 ORDER BY 1""",
+        "per_lang_doc_stats": r"""
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+                   sum(n_chars)/(count(*)*1.0) AS avg_chars
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "events_hourly": r"""
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   sum(cast(round(value*100, 0) AS BIGINT))/100.0 AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "sessionize_events": r"""
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30' MINUTE
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events),
+            s AS (
+              SELECT *, cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM o)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts,
+                   sum(cast(round(value*100, 0) AS BIGINT))/100.0 AS sum_value
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+        "token_counts": r"""
+            WITH c AS (
+              SELECT doc_id, length(text) AS n_chars_m,
+                     length(regexp_extract_all(lower(text), '\w+')) AS n_tokens,
+                     length(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+                     length(text) - length(regexp_extract_all(lower(text), '[^\w]')) AS iw
+              FROM documents)
+            SELECT doc_id, n_chars_m, n_tokens, n_ws_tokens,
+                   (iw // 4) + (CASE WHEN iw % 4 <> 0 THEN 1 ELSE 0 END) AS n_subwords
+            FROM c ORDER BY doc_id""",
+        "quality_scores": rf"""
+            WITH c AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '\S+')) AS n_words,
+                     length(regexp_extract_all(lower(text), '\w+')) AS n_tokens,
+                     length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     length(regexp_extract_all(lower(text), '{alt}')) AS n_stop
+              FROM documents),
+            f AS (
+              SELECT doc_id, n_words,
+                     cast(n_stop AS DOUBLE) / greatest(cast(n_tokens AS DOUBLE), 1.0) AS stopword_frac,
+                     cast(n_punct AS DOUBLE) / greatest(cast(n_chars AS DOUBLE), 1.0) AS punct_frac
+              FROM c)
+            SELECT doc_id, n_words, stopword_frac, punct_frac,
+                   (least(cast(n_words AS DOUBLE)/50.0, 1.0)*0.4 + stopword_frac*0.3)
+                   + ((1.0 - least(punct_frac*5.0, 1.0))*0.3) AS quality_score
+            FROM f ORDER BY doc_id""",
+        "exact_dedup": r"""
+            SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
+            FROM documents GROUP BY 1 ORDER BY 1""",
+        "exact_dedup_doubled": r"""
+            WITH d AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT doc_id + 1000000, text FROM documents)
+            SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
+            FROM d GROUP BY 1 ORDER BY 1""",
+        "ann_brute_topk": f"""
+            WITH q(query_id, qv) AS (VALUES {_ann_query_values()})
+            SELECT query_id, rnk AS "rank", vec_id FROM (
+              SELECT q.query_id, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, cast(e.embedding AS DOUBLE[])) DESC,
+                                e.vec_id) AS rnk
+              FROM q CROSS JOIN embeddings e)
+            WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    }

@@ -1,0 +1,214 @@
+"""Training-data analysis pipelines over the driver tables (documents /
+embeddings) + extraction-derived analytics over the synthetic pages corpus.
+
+Each function takes ``sf_dir`` and returns a Dataset whose column names
+match the corresponding SQL oracle in ``__ray_entry__`` exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from .. import corpus
+from ..functions.textproc import compression_ratio, summarize
+from ..stages import dedup, similarity, text_analysis
+from .extract import extract_pipeline, extract_pipeline_dedup, read_pages
+
+DOUBLE_OFFSET = 1_000_000  # doc_id offset for the duplicated-corpus variants
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=columns)
+
+
+def _doubled_docs(sf_dir: str):
+    """documents ∪ (documents with doc_id + DOUBLE_OFFSET): every text is
+    duplicated exactly once — a guaranteed-positive dedup workload."""
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(batch["doc_id"], pa.scalar(DOUBLE_OFFSET, pa.int64())),
+            "text": batch["text"]})
+
+    return base.union(base.map_batches(shift, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------ text analysis
+
+def token_counts_docs(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text_analysis.token_counts, batch_format="pyarrow").sort("doc_id")
+
+
+def quality_docs(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text_analysis.quality_scores, batch_format="pyarrow").sort("doc_id")
+
+
+def langid_docs(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text_analysis.lang_id, batch_format="pyarrow").sort("doc_id")
+
+
+def fingerprint_docs(sf_dir: str):
+    def stats(batch: pa.Table) -> pa.Table:
+        fp = text_analysis.fingerprint(batch)
+        firsts = [f[0] if f else None for f in fp["fingerprints"].to_pylist()]
+        return pa.table({"doc_id": fp["doc_id"],
+                         "n_fingerprints": fp["n_fingerprints"],
+                         "first_fp": pa.array(firsts, pa.int64())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow").sort("doc_id")
+
+
+def summarize_docs(sf_dir: str):
+    """Extractive summary (F4, v2 semantics: ratio 0.3, max 5 sentences,
+    30-word gate app2.py:1336/1446) over every document."""
+    def s(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sums, ratios = [], []
+        for t in texts:
+            t = t or ""
+            out = t if len(t.split()) < 30 else summarize(t, 0.3, 5)
+            sums.append(out)
+            ratios.append(compression_ratio(out, t))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "summary": pa.array(sums, pa.string()),
+                         "compression_ratio": pa.array(ratios, pa.float64())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        s, batch_format="pyarrow").sort("doc_id")
+
+
+# ------------------------------------------------------------------- dedup
+
+def exact_dedup_docs(sf_dir: str):
+    return dedup.exact_dedup_stats(_docs(sf_dir, ["doc_id", "text"])).sort("digest")
+
+
+def exact_dedup_doubled(sf_dir: str):
+    return dedup.exact_dedup_stats(_doubled_docs(sf_dir)).sort("digest")
+
+
+def minhash_pairs_doubled(sf_dir: str):
+    return dedup.minhash_dedup_pairs(_doubled_docs(sf_dir), threshold=0.7).sort(
+        ["id_a", "id_b"])
+
+
+def simhash_pairs_doubled(sf_dir: str):
+    return dedup.simhash_near_pairs(_doubled_docs(sf_dir), max_hamming=3).sort(
+        ["id_a", "id_b"])
+
+
+def simhash_docs(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dedup.simhash_batch, batch_format="pyarrow").sort("doc_id")
+
+
+def dup_clusters_doubled(sf_dir: str):
+    pairs = dedup.minhash_dedup_pairs(_doubled_docs(sf_dir), threshold=0.7)
+    return dedup.dup_clusters(pairs).sort("src")
+
+
+def _embeddings(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
+
+
+def embedding_pairs_doubled(sf_dir: str):
+    base = _embeddings(sf_dir)
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": pc.add(batch["vec_id"], pa.scalar(DOUBLE_OFFSET, pa.int64())),
+                         "embedding": batch["embedding"]})
+
+    doubled = base.union(base.map_batches(shift, batch_format="pyarrow"))
+    pairs = dedup.embedding_near_pairs(doubled, threshold=0.999999)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["id_a", "id_b"])  # cosine==1.0 exact dup pairs
+
+    return pairs.map_batches(strip, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+# ------------------------------------------------------- similarity search
+
+ANN_K = 10
+ANN_N_QUERIES = 4
+
+
+def _query_matrix(sf_dir: str) -> np.ndarray:
+    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["embedding"]).slice(0, 1)["embedding"][0])
+    return similarity.fixed_queries(dim, ANN_N_QUERIES, seed=7)
+
+
+def ann_brute_topk(sf_dir: str):
+    """Exact cosine top-10 per fixed query; emits rank + vec_id (score kept
+    out of the compared columns — cross-engine float ordering only)."""
+    res = similarity.brute_topk(_embeddings(sf_dir), _query_matrix(sf_dir), k=ANN_K)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "rank", "vec_id"])
+
+    return res.map_batches(strip, batch_format="pyarrow").sort(["query_id", "rank"])
+
+
+def ann_lsh_topk(sf_dir: str):
+    res = similarity.lsh_topk(_embeddings(sf_dir), _query_matrix(sf_dir), k=ANN_K)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "rank", "vec_id"])
+
+    return res.map_batches(strip, batch_format="pyarrow").sort(["query_id", "rank"])
+
+
+# ----------------------------------------------------- extraction analytics
+
+def _pages_dir_for(sf_dir: str) -> str:
+    """Deterministic pages corpus sized by the tier's documents row count."""
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return corpus.ensure_corpus(n_rows=n_docs * 2, seed=42)
+
+
+def extract_pages(sf_dir: str):
+    d = _pages_dir_for(sf_dir)
+    out = extract_pipeline(read_pages(os.path.join(d, "pages.parquet")))
+    return out.select_columns(["url", "extracted_text", "confidence", "total_pages",
+                               "payload_kind", "source", "status", "summary",
+                               "compression_ratio", "lang", "quality"]).sort("url")
+
+
+def extract_pages_dedup(sf_dir: str):
+    d = _pages_dir_for(sf_dir)
+    out = extract_pipeline_dedup(read_pages(os.path.join(d, "pages.parquet")))
+    return out.select_columns(["url", "extracted_text", "confidence", "status",
+                               "dedup_source_url"]).sort("url")
+
+
+def extract_lang_stats(sf_dir: str):
+    """G6 — the one true wide aggregation over extraction output: per-lang
+    doc counts + mean confidence + mean extracted length."""
+    d = _pages_dir_for(sf_dir)
+    out = extract_pipeline(read_pages(os.path.join(d, "pages.parquet")),
+                           with_summary=False, build_spans=False)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"], "confidence": batch["confidence"],
+                         "n_chars": pc.cast(pc.utf8_length(batch["extracted_text"]), pa.int64()),
+                         "ok": pc.cast(pc.equal(batch["status"], pa.scalar("ok")), pa.int64())})
+
+    agg = (out.map_batches(project, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"), Mean("confidence", alias_name="avg_confidence"),
+                      Sum("n_chars", alias_name="total_chars"), Sum("ok", alias_name="n_ok")))
+    return agg.sort("lang")

@@ -71,6 +71,12 @@ def default_concurrency() -> int:
     return max(2, int(res.get("CPU", 4)))
 
 
+ACTOR_NUM_CPUS = 0.8  # pool of size <cluster CPUs> reserves 80% — the
+# remaining 20% keeps the read and summarize stages fed at ANY cluster size
+# (a num_cpus=1 pool sized to the cluster starves the read stage and the
+# pipeline deadlocks — observed empirically; SURVEY.md §4 pool-sizing rule).
+
+
 def extract_pipeline(ds: "ray.data.Dataset", quality: str = "medium",
                      concurrency: int | None = None, batch_size: int = 32,
                      with_summary: bool = True, build_spans: bool = True,
@@ -84,7 +90,7 @@ def extract_pipeline(ds: "ray.data.Dataset", quality: str = "medium",
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=ACTOR_NUM_CPUS,
     )
     if with_summary:
         out = out.map_batches(summarize_batch, batch_format="pyarrow")

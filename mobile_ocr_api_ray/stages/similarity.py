@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul of the batch's
+embedding block against a broadcast query matrix (``ray.put`` once, read in
+the actor's ``__init__``, never re-shipped per batch), local top-k per
+batch, then a tiny groupby(query_id) global top-k reduce. Scale path:
+sign-LSH (IVF-style) bucketing — vectors are bucketed once; a query probes
+only its own (multi-probe) buckets, turning the scan into a fraction of the
+corpus at a measured recall cost (tested against brute force).
+
+Deterministic: fixed hyperplanes from RandomState(42), stable tie-breaks
+(score desc, vec_id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class BruteTopKStage:
+    """Actor-pool stage: per-batch cosine vs broadcast queries → local top-k."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.queries = _normalize(np.asarray(q, dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        vecs = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        sims = vecs @ self.queries.T  # (n, q)
+        out_q, out_id, out_s = [], [], []
+        k = min(self.k, len(ids))
+        for qi in range(self.queries.shape[0]):
+            col = sims[:, qi]
+            # stable top-k: score desc, vec_id asc
+            order = np.lexsort((ids, -col))[:k]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+
+def _global_topk(candidates, k: int):
+    def reduce_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+    return candidates.groupby("query_id").map_groups(reduce_group, batch_format="pandas")
+
+
+def brute_topk(ds, queries: np.ndarray, k: int = 10, concurrency: int | None = None):
+    """Exact cosine top-k for each query vector. Returns
+    (query_id, vec_id, cosine, rank)."""
+    import ray
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    candidates = ds.map_batches(
+        BruteTopKStage,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency or 4, num_cpus=1)
+    return _global_topk(candidates, k)
+
+
+# ------------------------------------------------------- LSH-bucketed ANN
+
+N_PLANES = 8  # 256 buckets
+
+
+def _planes(dim: int) -> np.ndarray:
+    return np.random.RandomState(42).normal(size=(N_PLANES, dim))
+
+
+def _bucket_of(unit: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (unit @ planes.T) > 0
+    return (bits.astype(np.uint64) << np.arange(N_PLANES, dtype=np.uint64)).sum(axis=1).astype(np.int64)
+
+
+def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_probe_bits: int = 1):
+    """Approximate top-k: probe the query's bucket plus all buckets within
+    Hamming distance ``n_probe_bits`` of it (multi-probe). Bucketing is one
+    pass over the corpus; only probed buckets are scanned per query."""
+    queries = _normalize(np.asarray(queries, dtype=np.float64))
+    planes = _planes(queries.shape[1])
+    qbuckets = _bucket_of(queries, planes)
+    probe: dict[int, list[int]] = {}
+    for qi, b in enumerate(qbuckets):
+        cands = [int(b)]
+        if n_probe_bits >= 1:
+            cands += [int(b) ^ (1 << j) for j in range(N_PLANES)]
+        for c in cands:
+            probe.setdefault(c, []).append(qi)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        vecs = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        buckets = _bucket_of(vecs, planes)
+        out_q, out_id, out_s = [], [], []
+        for b in np.unique(buckets):
+            qids = probe.get(int(b))
+            if not qids:
+                continue
+            sel = buckets == b
+            sub_ids, sub = ids[sel], vecs[sel]
+            sims = sub @ queries[qids].T
+            for col, qi in enumerate(qids):
+                order = np.lexsort((sub_ids, -sims[:, col]))[:k]
+                out_q.extend([qi] * len(order))
+                out_id.extend(sub_ids[order].tolist())
+                out_s.extend(sims[order, col].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    candidates = ds.map_batches(scan, batch_format="pyarrow", batch_size=4096)
+    return _global_topk(candidates, k)
+
+
+def fixed_queries(dim: int, n_queries: int = 4, seed: int = 7) -> np.ndarray:
+    """Deterministic query matrix for benchmarks/oracles."""
+    return np.random.RandomState(seed).normal(size=(n_queries, dim))

@@ -1,0 +1,168 @@
+"""Text analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All batch functions are Arrow-native (``batch_format="pyarrow"``) and
+vectorized via pyarrow.compute's RE2 regex kernels wherever possible — the
+same regex engine DuckDB uses, so the SQL oracles in ``__ray_entry__`` match
+bit-for-bit on counts. Python loops appear only in the per-document
+winnowing fingerprint (inherently sequential per row, still O(len)).
+
+These extend the reference's text toolkit (tokenizer app.py:453, stopword
+scoring app.py:447-480) to the corpus-curation operations a 100 TB pipeline
+needs; they run over any table with a text column (e.g. the driver-provided
+``documents`` table).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# small fixed stopword subsets used by quality scoring / language ID —
+# deliberately small so the SQL oracle regex stays manageable.
+QUALITY_STOPWORDS = (
+    "the a an and or of to in on for with as at by from is are was were be "
+    "this that it not"
+).split()
+
+LANG_PROFILES: dict[str, list[str]] = {
+    # distinctive high-frequency function words (reference langs: README.md:98)
+    "eng": "the and of to in is that it with for was on are as this".split(),
+    "ind": "yang dan di ini itu dari dalam tidak dengan akan pada untuk adalah ke juga".split(),
+}
+
+_WORD_RE = r"\w+"
+_WS_TOKEN_RE = r"\S+"
+_PUNCT_RE = r"[^\w\s]"
+
+
+def _alt_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def _count(arr: pa.ChunkedArray | pa.Array, pattern: str) -> pa.Array:
+    return pc.count_substring_regex(arr, pattern)
+
+
+
+def _emit(batch: pa.Table, cols: dict) -> pa.Table:
+    """Build an output table: carry id columns (doc_id/url) + computed cols."""
+    data = {}
+    for name in ("doc_id", "url"):
+        if name in batch.column_names:
+            data[name] = batch[name]
+    data.update(cols)
+    return pa.table(data)
+
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Token counting: regex words (the reference tokenizer \\w+ on lowered
+    text, app.py:453), whitespace tokens, and a BPE-ish subword estimate
+    (word pieces of <=4 chars)."""
+    text = batch[text_col]
+    lower = pc.utf8_lower(text)
+    n_tokens = pc.cast(_count(lower, _WORD_RE), pa.int64())
+    n_ws = pc.cast(_count(text, _WS_TOKEN_RE), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    # BPE-ish subword estimate: total word-chars / 4, ceil — i.e. every word
+    # contributes roughly one piece per 4 characters
+    non_word = pc.cast(_count(lower, r"[^\w]"), pa.int64())
+    in_word_chars = pc.subtract(n_chars, non_word)
+    four = pa.scalar(4, pa.int64())
+    floor_div = pc.divide(in_word_chars, four)
+    remainder = pc.subtract(in_word_chars, pc.multiply(floor_div, four))
+    n_subwords = pc.add(floor_div, pc.cast(pc.not_equal(remainder, pa.scalar(0, pa.int64())), pa.int64()))
+    return _emit(batch, {"n_chars_m": n_chars, "n_tokens": n_tokens,
+                         "n_ws_tokens": n_ws, "n_subwords": n_subwords})
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality scoring: length/punctuation/stopword-ratio heuristics.
+
+    quality_score = 0.4*min(1, n_words/50) + 0.3*stopword_frac
+                  + 0.3*(1 - min(1, 5*punct_frac)).
+
+    The expression tree mirrors the SQL oracle exactly — IEEE double ops are
+    deterministic per-row, so the unrounded values are bit-identical to
+    DuckDB's (rounding would actually HURT parity: round() implementations
+    differ by 1 ulp between engines)."""
+    text = batch[text_col]
+    lower = pc.utf8_lower(text)
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_words = pc.cast(_count(text, _WS_TOKEN_RE), pa.float64())
+    n_tokens = pc.cast(_count(lower, _WORD_RE), pa.float64())
+    n_punct = pc.cast(_count(text, _PUNCT_RE), pa.float64())
+    n_stop = pc.cast(_count(lower, _alt_regex(QUALITY_STOPWORDS)), pa.float64())
+
+    n = batch.num_rows
+    one = pa.scalar(1.0)
+    stop_frac = pc.divide(n_stop, pc.max_element_wise(n_tokens, one))
+    punct_frac = pc.divide(n_punct, pc.max_element_wise(n_chars, one))
+    score = pc.add(
+        pc.add(
+            pc.multiply(pc.min_element_wise(pc.divide(n_words, pa.scalar(50.0)), one), pa.scalar(0.4)),
+            pc.multiply(stop_frac, pa.scalar(0.3)),
+        ),
+        pc.multiply(pc.subtract(one, pc.min_element_wise(pc.multiply(punct_frac, pa.scalar(5.0)), one)), pa.scalar(0.3)),
+    )
+    return _emit(batch, {"n_words": pc.cast(n_words, pa.int64()),
+                         "stopword_frac": stop_frac,
+                         "punct_frac": punct_frac,
+                         "quality_score": score})
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Language ID via function-word profile hits (n-gram heuristic).
+
+    predicted = argmax over LANG_PROFILES of per-profile hit counts;
+    ties and zero evidence → 'und'. Deterministic, vectorized: one RE2
+    count per profile."""
+    lower = pc.utf8_lower(batch[text_col])
+    counts = {
+        lang: _count(lower, _alt_regex(words)).to_numpy(zero_copy_only=False)
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = list(counts)
+    mat = np.stack([counts[l] for l in langs])  # (n_langs, n_rows)
+    best = np.argmax(mat, axis=0)
+    best_count = mat[best, np.arange(mat.shape[1])]
+    # tie detection: how many profiles reach the max
+    n_at_max = (mat == best_count[None, :]).sum(axis=0)
+    pred = np.where((best_count == 0) | (n_at_max > 1), "und",
+                    np.array(langs, dtype=object)[best])
+    return _emit(batch, {"lang_pred": pa.array(pred, pa.string()),
+                         "lang_evidence": pa.array(best_count.astype("int64"))})
+
+
+# --------------------------------------------------- winnowing fingerprints
+
+FP_K = 8       # char k-gram length
+FP_WINDOW = 4  # winnowing window
+
+
+def winnow_fingerprints(text: str, k: int = FP_K, w: int = FP_WINDOW) -> list[int]:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): crc32
+    rolling k-gram hashes, min per sliding window, deduped in order."""
+    t = text.lower()
+    if len(t) < k:
+        return [zlib.crc32(t.encode())] if t else []
+    hashes = [zlib.crc32(t[i:i + k].encode()) for i in range(len(t) - k + 1)]
+    out: list[int] = []
+    last = -1
+    for i in range(max(1, len(hashes) - w + 1)):
+        window = hashes[i:i + w]
+        m = min(window)
+        pos = i + window.index(m)
+        if pos != last:
+            out.append(m)
+            last = pos
+    return out
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    fps = [winnow_fingerprints(t or "") for t in texts]
+    return _emit(batch, {"fingerprints": pa.array(fps, pa.list_(pa.int64())),
+                         "n_fingerprints": pa.array([len(f) for f in fps], pa.int64())})

@@ -1,0 +1,164 @@
+"""Checkpointed partition outputs with lineage manifests (SURVEY.md §4).
+
+Re-expresses the reference's session/result cache (SESSION_CACHE
+app.py:235-314, results-by-task_id app2.py:933-965) as durable data: the
+input is split into deterministic url-hash partitions; each partition's
+extraction output is written atomically (temp dir → rename) together with a
+manifest row::
+
+    (partition_id, input_shard, row_range, content_digest, row_count,
+     bytes, wall_ms, docs_per_s)
+
+Resume = read the manifest directory, skip completed partitions, process
+the rest — exact recovery after preemption, which the reference's in-memory
+caches never survived (server restart loses everything, app.py:237).
+
+Partitioning is by ``crc32(url) % n_partitions`` — deterministic across
+runs and near-uniform (url-hash skew guidance, SURVEY.md §4) — so a resumed
+run reproduces byte-identical partition contents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+
+def partition_of(urls: list[str], n_partitions: int) -> list[int]:
+    return [zlib.crc32((u or "").encode()) % n_partitions for u in urls]
+
+
+def add_partition_column(batch: pa.Table, n_partitions: int) -> pa.Table:
+    parts = partition_of(batch["url"].to_pylist(), n_partitions)
+    return batch.append_column("partition_id", pa.array(parts, pa.int32()))
+
+
+def _manifest_path(out_dir: str, partition_id: int) -> str:
+    return os.path.join(out_dir, "_manifest", f"part-{partition_id:05d}.json")
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for f in os.listdir(mdir):
+        if f.startswith("part-") and f.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, f)) as fh:
+                    m = json.load(fh)
+                if m.get("status") == "complete":
+                    done.add(int(m["partition_id"]))
+            except (json.JSONDecodeError, KeyError, ValueError):
+                continue  # torn write → partition treated as incomplete
+    return done
+
+
+def write_partition(table: pa.Table, out_dir: str, partition_id: int,
+                    input_shard: str, wall_ms: float) -> dict:
+    """Atomic partition write + manifest: parquet to a temp name, fsync-free
+    rename, then the manifest row (the rename is the commit point; a crash
+    leaves either nothing or a complete pair)."""
+    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+    final = os.path.join(out_dir, f"part-{partition_id:05d}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+
+    urls = table["url"].to_pylist()
+    texts = table["extracted_text"].to_pylist() if "extracted_text" in table.column_names else []
+    h = hashlib.sha256()
+    for u, t in zip(urls, texts):
+        h.update((u or "").encode())
+        h.update(b"\x00")
+        h.update((t or "").encode())
+        h.update(b"\x01")
+    row_range = [min(urls), max(urls)] if urls else [None, None]
+    nbytes = os.path.getsize(final)
+    manifest = {
+        "partition_id": partition_id,
+        "input_shard": input_shard,
+        "row_range": row_range,
+        "content_digest": h.hexdigest(),
+        "row_count": len(urls),
+        "bytes": nbytes,
+        "wall_ms": wall_ms,
+        "docs_per_s": (len(urls) / (wall_ms / 1e3)) if wall_ms > 0 else None,
+        "status": "complete",
+    }
+    mpath = _manifest_path(out_dir, partition_id)
+    tmpm = mpath + ".tmp"
+    with open(tmpm, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmpm, mpath)
+    return manifest
+
+
+def run_partitioned_extract(pages_path: str, out_dir: str, n_partitions: int = 64,
+                            quality: str = "medium", concurrency: int | None = None,
+                            batch_size: int = 32, max_partitions: int | None = None) -> dict:
+    """Checkpointed flagship run: url-hash partition → skip completed →
+    extract remaining partitions → atomic write + manifest each.
+
+    ``max_partitions`` processes only that many incomplete partitions (used
+    by the kill/resume test to simulate preemption). Returns a summary
+    {completed_before, completed_now, skipped}.
+    """
+    from ..pipelines.extract import extract_pipeline, read_pages
+
+    done = completed_partitions(out_dir)
+    ds = read_pages(pages_path)
+    ds = ds.map_batches(lambda b: add_partition_column(b, n_partitions),
+                        batch_format="pyarrow")
+    if done:
+        done_list = sorted(done)
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch["partition_id"],
+                                      value_set=pa.array(done_list, pa.int32())))
+            return batch.filter(mask)
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    extracted = extract_pipeline(ds, quality=quality, concurrency=concurrency,
+                                 batch_size=batch_size)
+
+    # group rows by partition and write each atomically. The groupby gives
+    # one task per partition — partition count bounds write parallelism.
+    t0 = time.time()
+    n_new = 0
+    limit = max_partitions if max_partitions is not None else n_partitions
+
+    def write_group(group: pa.Table) -> pa.Table:
+        pid = int(group["partition_id"][0].as_py())
+        table = group.drop_columns(["partition_id"]).sort_by("url")
+        wall_ms = (time.time() - t0) * 1e3
+        m = write_partition(table, out_dir, pid, pages_path, wall_ms)
+        return pa.table({"partition_id": pa.array([pid], pa.int32()),
+                         "row_count": pa.array([m["row_count"]], pa.int64())})
+
+    incomplete = extracted.groupby("partition_id")
+    written = incomplete.map_groups(write_group, batch_format="pyarrow")
+    if max_partitions is not None:
+        results = written.limit(limit).take_all()
+    else:
+        results = written.take_all()
+    n_new = len(results)
+    return {"completed_before": len(done), "completed_now": n_new,
+            "out_dir": out_dir, "n_partitions": n_partitions}
+
+
+def read_output(out_dir: str):
+    """Read back all completed partitions as one Dataset."""
+    files = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".parquet")]
+    return ray.data.read_parquet(files)
