@@ -76,31 +76,46 @@ def brute_topk(ds, queries: np.ndarray, k: int = 10, concurrency: int | None = N
 
 # ------------------------------------------------------- LSH-bucketed ANN
 
-N_PLANES = 8  # 256 buckets
+N_PLANES = 8  # default: 256 buckets
 
 
-def _planes(dim: int) -> np.ndarray:
-    return np.random.RandomState(42).normal(size=(N_PLANES, dim))
+def _planes(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+    return np.random.RandomState(42).normal(size=(n_planes, dim))
 
 
 def _bucket_of(unit: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    n_planes = planes.shape[0]
     bits = (unit @ planes.T) > 0
-    return (bits.astype(np.uint64) << np.arange(N_PLANES, dtype=np.uint64)).sum(axis=1).astype(np.int64)
+    return (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1).astype(np.int64)
 
 
-def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_probe_bits: int = 1):
+def _probe_set(bucket: int, n_planes: int, n_probe_bits: int) -> list[int]:
+    """All buckets within Hamming distance n_probe_bits of ``bucket``."""
+    import itertools
+    out = [bucket]
+    for r in range(1, n_probe_bits + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            flip = 0
+            for j in bits:
+                flip |= 1 << j
+            out.append(bucket ^ flip)
+    return out
+
+
+def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_probe_bits: int = 2,
+             n_planes: int = N_PLANES):
     """Approximate top-k: probe the query's bucket plus all buckets within
     Hamming distance ``n_probe_bits`` of it (multi-probe). Bucketing is one
-    pass over the corpus; only probed buckets are scanned per query."""
+    pass over the corpus; only probed buckets are scanned per query.
+    Recall/scan-fraction tradeoff: probed share ≈ Σ_{r<=p} C(n_planes,r) /
+    2^n_planes — size n_planes to the corpus (more planes + more probes at
+    scale)."""
     queries = _normalize(np.asarray(queries, dtype=np.float64))
-    planes = _planes(queries.shape[1])
+    planes = _planes(queries.shape[1], n_planes)
     qbuckets = _bucket_of(queries, planes)
     probe: dict[int, list[int]] = {}
     for qi, b in enumerate(qbuckets):
-        cands = [int(b)]
-        if n_probe_bits >= 1:
-            cands += [int(b) ^ (1 << j) for j in range(N_PLANES)]
-        for c in cands:
+        for c in _probe_set(int(b), n_planes, n_probe_bits):
             probe.setdefault(c, []).append(qi)
 
     def scan(batch: pa.Table) -> pa.Table:

@@ -131,6 +131,11 @@ def run_partitioned_extract(pages_path: str, out_dir: str, n_partitions: int = 6
 
     extracted = extract_pipeline(ds, quality=quality, concurrency=concurrency,
                                  batch_size=batch_size)
+    # the extractor emits the fixed EXTRACTED_SCHEMA; re-derive the partition
+    # column from the url (crc32 is deterministic, so pre- and post-extraction
+    # assignments agree)
+    extracted = extracted.map_batches(lambda b: add_partition_column(b, n_partitions),
+                                      batch_format="pyarrow")
 
     # group rows by partition and write each atomically. The groupby gives
     # one task per partition — partition count bounds write parallelism.

@@ -1,0 +1,243 @@
+"""Tests for the training-data operator suite: dedup family, similarity
+search, text analysis, multimodal plumbing, page explode/reassemble."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mobile_ocr_api_ray.stages import dedup, multimodal, similarity, text_analysis
+from mobile_ocr_api_ray.stages import glyphs
+from mobile_ocr_api_ray.stages.pages_ops import explode_pdf_pages, reassemble_docs
+
+
+def _docs_table(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+class TestTextAnalysis:
+    def test_token_counts_values(self):
+        t = _docs_table(["Hello world, it's 2-part!", ""])
+        out = text_analysis.token_counts(t).to_pandas()
+        # tokens: hello, world, it, s, 2, part
+        assert out.n_tokens.tolist() == [6, 0]
+        assert out.n_ws_tokens.tolist() == [4, 0]
+
+    def test_quality_monotone(self):
+        good = "the quick brown fox jumps over the lazy dog and runs to a tree " * 5
+        bad = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+        out = text_analysis.quality_scores(_docs_table([good, bad])).to_pandas()
+        assert out.quality_score[0] > out.quality_score[1]
+
+    def test_lang_id(self):
+        en = "the cat and the dog are in the house with a ball"
+        ind = "yang penting adalah data ini dan itu dari dalam sistem dengan cepat"
+        out = text_analysis.lang_id(_docs_table([en, ind, "zzz qqq"])).to_pandas()
+        assert out.lang_pred.tolist() == ["eng", "ind", "und"]
+
+    def test_fingerprint_deterministic_and_shift_invariant(self):
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        fa = text_analysis.winnow_fingerprints(a)
+        fb = text_analysis.winnow_fingerprints("PREFIX " + a)
+        assert fa == text_analysis.winnow_fingerprints(a)
+        # winnowing guarantees shared fingerprints for long shared substrings
+        assert len(set(fa) & set(fb)) / len(set(fa)) > 0.6
+
+
+class TestDedupKernels:
+    def test_minhash_jaccard_estimate(self):
+        a = "the quick brown fox jumps over the lazy dog " * 4
+        b = "the quick brown fox jumps over the lazy cat " * 4
+        sa = dedup.minhash_signature(dedup.shingle_hashes(a))
+        sb = dedup.minhash_signature(dedup.shingle_hashes(b))
+        est = dedup.estimated_jaccard(sa, sb)
+        true = dedup.ngram_jaccard(a, b)
+        assert abs(est - true) < 0.25
+        assert dedup.estimated_jaccard(sa, sa) == 1.0
+
+    def test_simhash_properties(self):
+        a = dedup.simhash64("alpha beta gamma delta epsilon zeta eta theta")
+        b = dedup.simhash64("alpha beta gamma delta epsilon zeta eta iota")
+        c = dedup.simhash64("completely different words entirely unrelated text here now")
+        ham = lambda x, y: bin(int(np.uint64(x) ^ np.uint64(y))).count("1")
+        assert ham(a, a) == 0
+        assert ham(a, b) < ham(a, c)
+        assert dedup.simhash64("") == 0
+
+    def test_shingles_deterministic(self):
+        s1 = dedup.shingle_hashes("a b c d e")
+        s2 = dedup.shingle_hashes("a b c d e")
+        assert np.array_equal(s1, s2)
+        assert len(s1) == 3  # 3-grams of 5 words
+
+
+class TestDedupPipelines:
+    @pytest.fixture(scope="class")
+    def doc_ds(self, ray_session):
+        import ray.data
+        texts = [f"unique document number {i} with content words alpha beta gamma {i}"
+                 for i in range(40)]
+        texts += texts[:10]  # 10 exact dups
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_exact_dedup(self, ray_session, doc_ds):
+        stats = dedup.exact_dedup_stats(doc_ds).to_pandas()
+        assert len(stats) == 40
+        assert (stats.dup_count.sort_values().tail(10) == 2).all()
+        kept = dedup.exact_dedup(doc_ds).to_pandas()
+        assert len(kept) == 40
+        assert (kept.doc_id < 40).all()  # representative = min doc_id
+
+    def test_minhash_finds_exact_dups(self, ray_session, doc_ds):
+        pairs = dedup.minhash_dedup_pairs(doc_ds, threshold=0.9).to_pandas()
+        expected = {(i, i + 40) for i in range(10)}
+        got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert expected <= got
+        assert (pairs.est_jaccard >= 0.9).all()
+
+    def test_dup_clusters(self, ray_session, doc_ds):
+        pairs = dedup.minhash_dedup_pairs(doc_ds, threshold=0.9)
+        clusters = dedup.dup_clusters(pairs).to_pandas()
+        m = dict(zip(clusters.src, clusters.label))
+        for i in range(10):
+            assert m.get(i + 40) == i  # dup labeled by its representative
+
+    def test_embedding_near_pairs(self, ray_session):
+        import ray.data
+        rs = np.random.RandomState(3)
+        vecs = rs.normal(size=(30, 16))
+        vecs = np.vstack([vecs, vecs[:5] * 2.0])  # scaled copies: cosine 1.0
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64()))}))
+        pairs = dedup.embedding_near_pairs(ds, threshold=0.999).to_pandas()
+        got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert {(i, i + 30) for i in range(5)} <= got
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data
+        rs = np.random.RandomState(11)
+        vecs = rs.normal(size=(200, 32))
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64()))}))
+
+    def test_brute_topk_exact(self, ray_session, emb_ds):
+        rs = np.random.RandomState(5)
+        queries = rs.normal(size=(3, 32))
+        res = similarity.brute_topk(emb_ds, queries, k=5).to_pandas()
+        assert len(res) == 15
+        # verify vs plain numpy
+        vecs = np.array(emb_ds.to_pandas().embedding.tolist())
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = vn @ qn.T
+        for qi in range(3):
+            expected = np.lexsort((np.arange(200), -sims[:, qi]))[:5]
+            got = res[res.query_id == qi].sort_values("rank").vec_id.to_numpy()
+            assert np.array_equal(got, expected)
+
+    def test_lsh_recall(self, ray_session, emb_ds):
+        rs = np.random.RandomState(5)
+        queries = rs.normal(size=(3, 32))
+        brute = similarity.brute_topk(emb_ds, queries, k=5).to_pandas()
+        approx = similarity.lsh_topk(emb_ds, queries, k=5, n_probe_bits=2,
+                                     n_planes=6).to_pandas()
+        b = {(q, v) for q, v in zip(brute.query_id, brute.vec_id)}
+        a = {(q, v) for q, v in zip(approx.query_id, approx.vec_id)}
+        recall = len(a & b) / len(b)
+        assert recall >= 0.5  # ~34% scan fraction at (6 planes, probe<=2)
+
+
+class TestMultimodal:
+    def test_image_decode(self, ray_session):
+        img = glyphs.render_text(["HELLO WORLD"], scale=3, margin=12)
+        batch = pa.table({"url": pa.array(["u1", "u2"], pa.string()),
+                          "payload": pa.array([glyphs.encode_imgx(img), b"junk"], pa.binary())})
+        out = multimodal.ImageDecodeStage()(batch).to_pandas()
+        assert out.status.tolist()[0] == "ok"
+        assert out.codec[0] == "imgx"
+        assert out.width[0] == img.shape[1]
+        assert out.status[1] == "error"
+
+    def test_resize_stage(self):
+        img = np.zeros((100, 3000), dtype=np.uint8)
+        batch = pa.table({"url": pa.array(["u"], pa.string()),
+                          "payload": pa.array([glyphs.encode_imgx(img)], pa.binary())})
+        out = multimodal.ImageResizeStage(max_dim=1200)(batch).to_pandas()
+        assert out.width[0] == 1200
+        assert out.height[0] == int(100 * (1200 / 3000))
+
+    def test_frame_sampling(self):
+        frames = [b"f0", b"f1", b"f2", b"f3", b"f4"]
+        batch = pa.table({"url": pa.array(["v"], pa.string()),
+                          "payload": pa.array([glyphs.encode_pdfx(frames)], pa.binary())})
+        out = multimodal.sample_frames(batch, every_nth=2).to_pandas()
+        assert out.frame_idx.tolist() == [0, 2, 4]
+        assert out.frame.tolist() == [b"f0", b"f2", b"f4"]
+
+    def test_audio_features(self):
+        sr = 8000
+        t = np.arange(sr) / sr
+        wave = (10000 * np.sin(2 * np.pi * 440 * t))
+        batch = pa.table({"url": pa.array(["a"], pa.string()),
+                          "payload": pa.array([multimodal.encode_audx(wave, sr)], pa.binary())})
+        out = multimodal.AudioFeatureStage()(batch).to_pandas()
+        assert abs(out.duration_s[0] - 1.0) < 1e-9
+        assert abs(out.zero_crossings[0] - 880) <= 2
+        assert out.rms[0] > 5000
+
+
+class TestPagesOps:
+    def test_explode_reassemble_matches_inline(self, ray_session, small_corpus):
+        """The distributed explode → per-page extract → groupby reassembly
+        must equal the flagship's inline per-row page loop (M6/G3)."""
+        import os
+        import ray.data
+        from mobile_ocr_api_ray.pipelines.extract import extract_pipeline, read_pages
+        from mobile_ocr_api_ray.stages.extractor import ExtractorActor
+
+        pages_path = os.path.join(small_corpus, "pages.parquet")
+        # inline path, pdf rows only
+        full = extract_pipeline(read_pages(pages_path), with_summary=False,
+                                concurrency=2).to_pandas()
+        inline = full[(full.payload_kind == "pdf") & (full.source == "kernel")]
+        if len(inline) == 0:
+            pytest.skip("no pdf kernel rows in corpus tier")
+
+        # distributed path
+        ds = read_pages(pages_path)
+        pdf_urls = set(inline.url)
+
+        def only_pdfs(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.is_in(batch["url"], value_set=pa.array(list(pdf_urls)))
+            return batch.filter(mask)
+
+        exploded = ds.map_batches(only_pdfs, batch_format="pyarrow").map_batches(
+            explode_pdf_pages, batch_format="pyarrow")
+
+        def extract_page(batch: pa.Table) -> pa.Table:
+            ex = ExtractorActor(build_spans=False)
+            rows = []
+            for u, p, pg, tp in zip(batch["url"].to_pylist(), batch["html"].to_pylist(),
+                                    batch["page"].to_pylist(), batch["total_pages"].to_pylist()):
+                r = ex.extract_row(u, p, None, None)
+                rows.append({"url": u, "page": pg, "total_pages": tp,
+                             "page_text": r["extracted_text"],
+                             "page_confidence": r["confidence"]})
+            return pa.Table.from_pylist(rows)
+
+        pages = exploded.map_batches(extract_page, batch_format="pyarrow")
+        docs = reassemble_docs(pages).to_pandas()
+        m = docs.merge(inline, on="url", suffixes=("_d", "_i"))
+        assert len(m) == len(inline)
+        assert (m.extracted_text_d == m.extracted_text_i).all()
+        assert np.allclose(m.confidence_d, m.confidence_i)
+        assert (m.total_pages_d == m.total_pages_i).all()
