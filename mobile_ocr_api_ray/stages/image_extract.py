@@ -89,21 +89,22 @@ def _box_mean(img: np.ndarray, k: int) -> np.ndarray:
     return s / (k * k)
 
 
-def binarize(img: np.ndarray, kind: str = "balanced") -> np.ndarray:
-    """Return boolean ink mask (True = text pixel). Kinds per app2.py:284-302."""
+def binarize(img: np.ndarray, kind: str = "balanced",
+             blurred: np.ndarray | None = None) -> np.ndarray:
+    """Return boolean ink mask (True = text pixel). Kinds per app2.py:284-302.
+
+    ``blurred`` lets callers share the 3x3 Gaussian across kernels (the blur
+    is identical in balanced/quality/default — computed once per image)."""
     if kind == "fast":
         return img < 128
-    if kind == "quality":
+    if blurred is None:
         blurred = _gaussian_blur3(img)
-        t = _otsu_threshold(blurred)
-        return blurred <= t  # morph-close with (1,1) kernel is identity
-    if kind == "default":
-        blurred = _gaussian_blur3(img)
+    if kind in ("quality", "default"):
+        # quality's morph-close with a (1,1) kernel is the identity
         t = _otsu_threshold(blurred)
         return blurred <= t
     # balanced: Gaussian blur + adaptive threshold(blockSize=11, C=2):
     # pixel is background iff value > local_mean - 2 (cv2 THRESH_BINARY)
-    blurred = _gaussian_blur3(img)
     local = _box_mean(blurred, 11)
     return blurred <= (local - 2.0)
 
@@ -161,14 +162,28 @@ def _bands(profile: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts, stops))
 
 
+_TEMPLATE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _templates_for(ch: int, cw: int) -> np.ndarray:
+    """Glyph template stack floor-mapped to cell size (cached per size —
+    a handful of sizes occur per image, so this amortizes to ~zero)."""
+    key = (ch, cw)
+    t = _TEMPLATE_CACHE.get(key)
+    if t is None:
+        ys = (np.arange(ch) * GLYPH_H // ch).astype(np.int64)
+        xs = (np.arange(cw) * GLYPH_W // cw).astype(np.int64)
+        t = np.ascontiguousarray(FONT_STACK[:, ys][:, :, xs])  # (n_glyphs, ch, cw)
+        _TEMPLATE_CACHE[key] = t
+    return t
+
+
 def _match_cell(cell: np.ndarray) -> tuple[str, float]:
     """Best glyph for a boolean cell by template agreement (floor-mapped NN)."""
     ch, cw = cell.shape
     if ch == 0 or cw == 0 or not cell.any():
         return " ", 1.0
-    ys = (np.arange(ch) * GLYPH_H // ch).astype(np.int64)
-    xs = (np.arange(cw) * GLYPH_W // cw).astype(np.int64)
-    templates = FONT_STACK[:, ys][:, :, xs]  # (n_glyphs, ch, cw)
+    templates = _templates_for(ch, cw)
     agree = (templates == cell[None, :, :]).reshape(len(FONT_CHARS), -1).mean(axis=1)
     idx = int(np.argmax(agree))
     return FONT_CHARS[idx], float(agree[idx])
@@ -179,10 +194,35 @@ def _score_cell(cell: np.ndarray, glyph_idx: int) -> float:
     ch, cw = cell.shape
     if ch == 0 or cw == 0:
         return 0.0
-    ys = (np.arange(ch) * GLYPH_H // ch).astype(np.int64)
-    xs = (np.arange(cw) * GLYPH_W // cw).astype(np.int64)
-    template = FONT_STACK[glyph_idx][ys][:, xs]
+    template = _templates_for(ch, cw)[glyph_idx]
     return float((template == cell).mean())
+
+
+def _match_cells_batch(cells: np.ndarray, conf_cells: np.ndarray
+                       ) -> tuple[list[str], list[float]]:
+    """Vectorized recognition of equal-size cells: (n, ch, cw) bool stack vs
+    the full template stack in one boolean reduce. Same argmax tie-break as
+    _match_cell (first max wins). Returns (chars, per-glyph conf scores for
+    non-space cells, in order)."""
+    n, ch, cw = cells.shape
+    templates = _templates_for(ch, cw)            # (g, ch, cw)
+    nonempty = cells.reshape(n, -1).any(axis=1)
+    chars = [" "] * n
+    scores: list[float] = []
+    if nonempty.any():
+        sub = cells[nonempty]                     # (m, ch, cw)
+        eq = sub[:, None, :, :] == templates[None, :, :, :]
+        agree = eq.reshape(sub.shape[0], templates.shape[0], -1).mean(axis=2)
+        best = np.argmax(agree, axis=1)
+        csub = conf_cells[nonempty]
+        conf_eq = (csub == templates[best]).reshape(csub.shape[0], -1).mean(axis=1)
+        j = 0
+        for i in range(n):
+            if nonempty[i]:
+                chars[i] = FONT_CHARS[int(best[j])]
+                scores.append(float(conf_eq[j]))
+                j += 1
+    return chars, scores
 
 
 def recognize_lines(mask: np.ndarray, conf_mask: np.ndarray | None = None
@@ -217,15 +257,28 @@ def recognize_lines(mask: np.ndarray, conf_mask: np.ndarray | None = None
         pitch = 6.0 * s_f               # char pitch: 5s glyph + 1s gap
         span = right - left + 1
         n_chars = max(1, int(round((span + s_f) / pitch)))
-        chars = []
+        bounds = []
         for i in range(n_chars):
             x0 = left + int(round(i * pitch))
             x1 = min(left + int(round(i * pitch + 5.0 * s_f)), w)
-            cell = band[:, x0:x1]
-            c, _ = _match_cell(cell)
-            chars.append(c)
-            if c != " ":
-                scores.append(_score_cell(conf_band[:, x0:x1], FONT_CHARS.index(c)))
+            bounds.append((x0, x1))
+        # batch cells by width (rounding makes widths differ by ±1) and
+        # recognize each width-group in one vectorized template reduce
+        chars = [" "] * n_chars
+        by_width: dict[int, list[int]] = {}
+        for i, (x0, x1) in enumerate(bounds):
+            by_width.setdefault(x1 - x0, []).append(i)
+        line_scores: list[float] = []
+        for cw, idxs in by_width.items():
+            if cw <= 0:
+                continue
+            cells = np.stack([band[:, bounds[i][0]:bounds[i][1]] for i in idxs])
+            conf_cells = np.stack([conf_band[:, bounds[i][0]:bounds[i][1]] for i in idxs])
+            got, sc = _match_cells_batch(cells, conf_cells)
+            for i, c in zip(idxs, got):
+                chars[i] = c
+            line_scores.extend(sc)
+        scores.extend(line_scores)
         text = "".join(chars).rstrip()
         lines.append({"text": text, "x": left, "y": int(y0),
                       "width": span, "height": int(line_h)})
@@ -289,9 +342,12 @@ def extract_image(img: np.ndarray, preprocess_kind: str = "balanced",
     if do_deskew:
         img, _ = deskew(img)
     # Layout + decisions on the engine's own Otsu mask; the routed preprocess
-    # kernel contributes the confidence evidence (see recognize_lines).
-    layout_mask = binarize(img, "default")
-    conf_mask = layout_mask if preprocess_kind == "default" else binarize(img, preprocess_kind)
+    # kernel contributes the confidence evidence (see recognize_lines). The
+    # 3x3 Gaussian is shared between the two binarizations.
+    blurred = _gaussian_blur3(img)
+    layout_mask = binarize(img, "default", blurred=blurred)
+    conf_mask = (layout_mask if preprocess_kind == "default"
+                 else binarize(img, preprocess_kind, blurred=blurred))
     h, w = layout_mask.shape
     lines, scores = recognize_lines(layout_mask, conf_mask)
     paras_lines = group_paragraphs(lines)
