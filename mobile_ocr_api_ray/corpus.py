@@ -7,11 +7,13 @@ main content (NOT by running the extractor: tests meet at byte equality
 through independent code paths).
 
 Payload mix mirrors the reference's accepted upload kinds (extension
-whitelist app.py:229): HTML pages (~80%, the dominant Common-Crawl-style
-path), IMGX bitmap-text images (~12%, exercising the binarize→deskew→
-segment→recognize kernels), PDFX multi-page containers (~5%, exercising
-doc→page explode + ordered reassembly app.py:755-791), and degenerates
-(~3%: empty payloads, unknown magic → S2 rejection app.py:317-320).
+whitelist app.py:229) at Common-Crawl-realistic proportions: HTML pages
+(~90% — the overwhelmingly dominant path in a web crawl, and the dominant
+path per BASELINE.json's north_star), IMGX bitmap-text images (~6%,
+exercising the binarize→deskew→segment→recognize kernels), PDFX multi-page
+containers (~2%, exercising doc→page explode + ordered reassembly
+app.py:755-791), and degenerates (~2%: empty payloads, unknown magic → S2
+rejection app.py:317-320).
 
 Distribution requirements from FIXTURES.md: ~30% of rows carry a direct
 ``text`` layer > 50 stripped chars (cheap path, app.py:640); ~10% duplicate
@@ -40,7 +42,7 @@ import pyarrow.parquet as pq
 from .stages import glyphs
 from .stages.html_extract import MIN_BLOCK_CHARS
 
-CORPUS_VERSION = 3
+CORPUS_VERSION = 5
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 EN_WORDS = (
@@ -254,10 +256,10 @@ def generate_pages(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
             g_pages.append(1)
             dup_pool.append(i)
             continue
-        if kind_r < 0.80:
+        if kind_r < 0.90:
             payload, golden, nb = _make_html(rng, lang)
             kind, npages = "html", 1
-        elif kind_r < 0.92:
+        elif kind_r < 0.96:
             scale = rng.choice([2, 3, 3, 4])
             n_paras = rng.randint(2, 4)
             noise = rng.choice([0, 0, 30, 80])
@@ -271,7 +273,7 @@ def generate_pages(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
                 golden_exact = False
             else:
                 golden_exact = True
-        elif kind_r < 0.97:
+        elif kind_r < 0.98:
             payload, golden, npages = _make_pdf(rng, rng.randint(1, 4))
             nb = None
             kind = "pdf"
@@ -353,8 +355,13 @@ def ensure_corpus(n_rows: int, seed: int = 42,
                   base: str = "/tmp/mobile_ocr_corpus") -> str:
     """Generate (once) and cache a corpus tier on disk; returns its dir.
 
-    Pages are written as multiple row groups so ray.data can split the read
-    into many blocks (>= 4 x 32 partitions guidance, SURVEY.md §4).
+    Pages are sharded across many parquet FILES (not just row groups):
+    ray.data parallelizes reads per file, so a single monolithic file
+    serializes the read stage and starves the extraction actor pool
+    (observed: 1 read task bottlenecked a 32-actor pipeline at ~300 docs/s).
+    Shard count targets >= 4 blocks per CPU at 32 CPUs (SURVEY.md §4).
+    ``pages.parquet`` is a directory of shards; ``read_pages`` and plain
+    pyarrow both read it transparently.
     """
     d = os.path.join(base, f"v{CORPUS_VERSION}_n{n_rows}_s{seed}")
     marker = os.path.join(d, "_DONE")
@@ -362,9 +369,17 @@ def ensure_corpus(n_rows: int, seed: int = 42,
         return d
     os.makedirs(d, exist_ok=True)
     pages, golden = generate_pages(n_rows, seed)
-    row_group = max(16, n_rows // 256)
-    pq.write_table(pages, os.path.join(d, "pages.parquet"), row_group_size=row_group)
-    pq.write_table(golden, os.path.join(d, "golden.parquet"), row_group_size=row_group)
+    pages_dir = os.path.join(d, "pages.parquet")
+    os.makedirs(pages_dir, exist_ok=True)
+    n_shards = min(128, max(8, n_rows // 64))
+    per = (n_rows + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        shard = pages.slice(s * per, per)
+        if shard.num_rows == 0:
+            break
+        pq.write_table(shard, os.path.join(pages_dir, f"shard-{s:04d}.parquet"))
+    pq.write_table(golden, os.path.join(d, "golden.parquet"),
+                   row_group_size=max(16, n_rows // 64))
     with open(marker, "w") as f:
         f.write("ok")
     return d

@@ -56,12 +56,15 @@ def optimize_image(img: np.ndarray, max_dim: int) -> np.ndarray:
 # ------------------------------------------------------------- M2 binarizers
 
 def _gaussian_blur3(img: np.ndarray) -> np.ndarray:
-    """Separable 3x3 Gaussian ([1,2,1]/4), reflect borders (cv2 default)."""
-    f = img.astype(np.float64)
-    p = np.pad(f, 1, mode="reflect")
-    horiz = (p[1:-1, :-2] + 2.0 * p[1:-1, 1:-1] + p[1:-1, 2:]) / 4.0
+    """Separable 3x3 Gaussian ([1,2,1]/4 each axis), reflect borders,
+    rounded back to uint8 — integer arithmetic throughout (cv2's
+    GaussianBlur likewise produces uint8; float64 passes here saturate
+    memory bandwidth at high process counts and kill scaling)."""
+    p = np.pad(img, 1, mode="reflect").astype(np.uint16)
+    horiz = p[1:-1, :-2] + 2 * p[1:-1, 1:-1] + p[1:-1, 2:]          # <= 1020
     p2 = np.pad(horiz, ((1, 1), (0, 0)), mode="reflect")
-    return (p2[:-2] + 2.0 * p2[1:-1] + p2[2:]) / 4.0
+    total = p2[:-2] + 2 * p2[1:-1] + p2[2:]                          # <= 4080
+    return ((total + 8) >> 4).astype(np.uint8)                       # /16 rounded
 
 
 def _otsu_threshold(img: np.ndarray) -> float:
@@ -78,15 +81,16 @@ def _otsu_threshold(img: np.ndarray) -> float:
     return float(np.nanargmax(sigma_b))
 
 
-def _box_mean(img: np.ndarray, k: int) -> np.ndarray:
-    """k x k local mean via integral image, edge-replicated borders."""
+def _box_sum(img: np.ndarray, k: int) -> np.ndarray:
+    """k x k local SUM via int64 integral image, edge-replicated borders —
+    integer-exact (mean comparisons are done cross-multiplied by k*k)."""
     pad = k // 2
-    p = np.pad(img.astype(np.float64), pad, mode="edge")
+    p = np.pad(img, pad, mode="edge").astype(np.int64)
     ii = np.cumsum(np.cumsum(p, axis=0), axis=1)
     ii = np.pad(ii, ((1, 0), (1, 0)))
     h, w = img.shape
-    s = (ii[k:k + h, k:k + w] - ii[:h, k:k + w] - ii[k:k + h, :w] + ii[:h, :w])
-    return s / (k * k)
+    s = ii[k:k + h, k:k + w] - ii[:h, k:k + w] - ii[k:k + h, :w] + ii[:h, :w]
+    return s.astype(np.int32)  # k*k*255 fits comfortably
 
 
 def binarize(img: np.ndarray, kind: str = "balanced",
@@ -104,9 +108,10 @@ def binarize(img: np.ndarray, kind: str = "balanced",
         t = _otsu_threshold(blurred)
         return blurred <= t
     # balanced: Gaussian blur + adaptive threshold(blockSize=11, C=2):
-    # pixel is background iff value > local_mean - 2 (cv2 THRESH_BINARY)
-    local = _box_mean(blurred, 11)
-    return blurred <= (local - 2.0)
+    # ink iff blurred <= local_mean - 2, evaluated integer-exact as
+    # (blurred + 2) * k^2 <= local box SUM (no float pass)
+    local_sum = _box_sum(blurred, 11)
+    return (blurred.astype(np.int32) + 2) * 121 <= local_sum
 
 
 # ----------------------------------------------------------------- deskew
@@ -225,16 +230,20 @@ def _match_cells_batch(cells: np.ndarray, conf_cells: np.ndarray
     return chars, scores
 
 
-def recognize_lines(mask: np.ndarray, conf_mask: np.ndarray | None = None
-                    ) -> tuple[list[dict], list[float]]:
+def recognize_lines(mask: np.ndarray, conf_img: np.ndarray | None = None,
+                    conf_kind: str | None = None) -> tuple[list[dict], list[float]]:
     """Segment ink mask into lines and recognize each via the glyph grid.
 
     ``mask`` drives layout analysis and glyph decisions (the engine's own
     Otsu binarization — Tesseract likewise runs page layout analysis on its
-    own global binarization regardless of user preprocessing); ``conf_mask``
-    is the routed preprocess kernel's mask (M2), sampled at the same cells
-    to produce the per-glyph confidence evidence (M4). When None, ``mask``
-    scores itself. Returns (lines, glyph_scores); each line dict:
+    own global binarization regardless of user preprocessing). The routed
+    preprocess kernel (M2) supplies the per-glyph confidence evidence (M4):
+    it is applied BAND-LOCALLY — ``binarize(conf_img[band], conf_kind)`` per
+    text band — so the expensive adaptive-threshold box sums run only over
+    text rows, never the full page (margins/gaps are skipped; local-window
+    statistics at band edges see the band only, a documented deviation worth
+    ~2x less memory traffic). When conf_img is None the layout mask scores
+    itself. Returns (lines, glyph_scores); each line dict:
     {text, x, y, width, height}.
     """
     h, w = mask.shape
@@ -246,7 +255,10 @@ def recognize_lines(mask: np.ndarray, conf_mask: np.ndarray | None = None
         if y1 - y0 < MIN_BAND_PX:
             continue
         band = mask[y0:y1]
-        conf_band = conf_mask[y0:y1] if conf_mask is not None else band
+        if conf_img is not None and conf_kind is not None:
+            conf_band = binarize(conf_img[y0:y1], conf_kind)
+        else:
+            conf_band = band
         col_profile = band.sum(axis=0)
         cols = np.where(col_profile > 0)[0]
         if len(cols) == 0:
@@ -342,14 +354,13 @@ def extract_image(img: np.ndarray, preprocess_kind: str = "balanced",
     if do_deskew:
         img, _ = deskew(img)
     # Layout + decisions on the engine's own Otsu mask; the routed preprocess
-    # kernel contributes the confidence evidence (see recognize_lines). The
-    # 3x3 Gaussian is shared between the two binarizations.
-    blurred = _gaussian_blur3(img)
-    layout_mask = binarize(img, "default", blurred=blurred)
-    conf_mask = (layout_mask if preprocess_kind == "default"
-                 else binarize(img, preprocess_kind, blurred=blurred))
+    # kernel contributes band-local confidence evidence (see recognize_lines).
+    layout_mask = binarize(img, "default")
     h, w = layout_mask.shape
-    lines, scores = recognize_lines(layout_mask, conf_mask)
+    if preprocess_kind == "default":
+        lines, scores = recognize_lines(layout_mask)
+    else:
+        lines, scores = recognize_lines(layout_mask, img, preprocess_kind)
     paras_lines = group_paragraphs(lines)
     paragraphs: list[dict] = []
     for group in paras_lines:

@@ -35,7 +35,7 @@ class TestManifest:
         assert r2["completed_before"] == 8
         assert r2["completed_now"] == 0
         # output covers every input row exactly once
-        total = pq.read_metadata(pages).num_rows
+        total = pq.read_table(pages, columns=["url"]).num_rows
         out = manifest.read_output(out_dir).to_pandas()
         assert len(out) == total
         assert out.url.is_unique
