@@ -51,11 +51,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup (SQL-checked where expressible)
         "exact_dedup": a.exact_dedup_docs,
         "exact_dedup_doubled": a.exact_dedup_doubled,
+        "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
         # similarity search (SQL-checked via list_cosine_similarity)
         "ann_brute_topk": a.ann_brute_topk,
         # non-SQL-expressible (rows-only checks)
         "ann_lsh_topk": a.ann_lsh_topk,
         "minhash_pairs_doubled": a.minhash_pairs_doubled,
+        "minhash_verified_pairs_doubled": a.minhash_verified_pairs_doubled,
         "simhash_docs": a.simhash_docs,
         "simhash_pairs_doubled": a.simhash_pairs_doubled,
         "embedding_pairs_doubled": a.embedding_pairs_doubled,
@@ -169,6 +171,29 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT doc_id + 1000000, text FROM documents)
             SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
             FROM d GROUP BY 1 ORDER BY 1""",
+        # exact word-3-gram Jaccard between adjacent doc_ids; gram semantics
+        # mirror dedup.ngram_set: lowercase, whitespace split, <3 words →
+        # single joined gram, empty text → empty set (pair of empties → 1.0)
+        "ngram_jaccard_adjacent": r"""
+            WITH words AS (
+              SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
+                     length(trim(text)) AS nt
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN nt = 0 THEN []::VARCHAR[]
+                          WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              FOR i IN range(1, len(w) - 1)])
+                     END AS g
+              FROM words)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+                        ELSE cast(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                             / cast(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)
+                   END AS jaccard
+            FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a""",
         "ann_brute_topk": f"""
             WITH q(query_id, qv) AS (VALUES {_ann_query_values()})
             SELECT query_id, rnk AS "rank", vec_id FROM (

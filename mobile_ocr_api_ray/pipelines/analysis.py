@@ -114,6 +114,28 @@ def simhash_docs(sf_dir: str):
         dedup.simhash_batch, batch_format="pyarrow").sort("doc_id")
 
 
+def ngram_jaccard_adjacent(sf_dir: str):
+    """Exact 3-gram Jaccard between every (doc_id, doc_id+1) pair — the
+    n-gram Jaccard dedup kernel exercised as a distributed pairwise op with
+    a full SQL oracle (gram sets reproduced verbatim in DuckDB)."""
+    return dedup.adjacent_ngram_jaccard(
+        _docs(sf_dir, ["doc_id", "text"])).sort("id_a")
+
+
+def minhash_verified_pairs_doubled(sf_dir: str):
+    """MinHash candidates verified by exact n-gram Jaccard ≥ 0.7 — the
+    candidate→verify composition (LSH recall, exact precision) via the
+    two-shuffle repartition join in dedup.verify_pairs_ngram."""
+    docs = _doubled_docs(sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.7)
+    verified = dedup.verify_pairs_ngram(pairs, docs)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["jaccard"], pa.scalar(0.7)))
+
+    return verified.map_batches(keep, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
 def dup_clusters_doubled(sf_dir: str):
     pairs = dedup.minhash_dedup_pairs(_doubled_docs(sf_dir), threshold=0.7)
     return dedup.dup_clusters(pairs).sort("src")

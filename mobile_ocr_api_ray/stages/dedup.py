@@ -257,6 +257,125 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = SHINGLE_N) -> float:
     return len(a & b) / len(a | b)
 
 
+def ngram_set(text: str, n: int = SHINGLE_N) -> set[str]:
+    """Distinct word n-gram STRINGS (exact — no hashing, so results are
+    collision-free and reproducible in SQL for the oracle)."""
+    words = (text or "").lower().split()
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+
+def ngram_jaccard_exact(text_a: str, text_b: str, n: int = SHINGLE_N) -> float:
+    a, b = ngram_set(text_a, n), ngram_set(text_b, n)
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
+                           n: int = SHINGLE_N):
+    """Exact n-gram Jaccard between each (id, id+1) document pair.
+
+    Pairwise ops over a Dataset need co-location, not a driver loop: each row
+    fans out to at most two pair groups — as the LEFT member of pair ``id``
+    and the RIGHT member of pair ``id-1`` — then ``groupby(pair_id)`` brings
+    both texts of a pair to one task. The shuffle moves each text exactly
+    twice regardless of corpus size (no broadcast, no N² join).
+    Returns (id_a, id_b = id_a+1, jaccard) for pairs where both ids exist.
+    """
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        pid, role, txt = [], [], []
+        for i, t in zip(ids, texts):
+            pid.append(i); role.append("a"); txt.append(t)
+            if i > 0:
+                pid.append(i - 1); role.append("b"); txt.append(t)
+        return pa.table({"pair_id": pa.array(pid, pa.int64()),
+                         "role": pa.array(role, pa.string()),
+                         "text": pa.array(txt, pa.string())})
+
+    def pair_jaccard(group: pd.DataFrame) -> pd.DataFrame:
+        roles = dict(zip(group["role"], group["text"]))
+        if "a" not in roles or "b" not in roles:
+            return pd.DataFrame(columns=["id_a", "id_b", "jaccard"]).astype(
+                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+        p = int(group["pair_id"].iloc[0])
+        return pd.DataFrame({"id_a": [p], "id_b": [p + 1],
+                             "jaccard": [ngram_jaccard_exact(roles["a"], roles["b"], n)]})
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow")
+    return fanned.groupby("pair_id").map_groups(pair_jaccard, batch_format="pandas")
+
+
+def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = SHINGLE_N):
+    """Attach exact n-gram Jaccard to candidate pairs, fully distributed.
+
+    Two-shuffle repartition join (no driver materialization, no broadcast —
+    the documents side may be the whole corpus):
+      1. pairs explode to per-member refs (id, pid, side); union with the
+         documents rows (id, text); groupby(id) stamps the text onto every
+         ref of that document;
+      2. groupby(pid) reunites the two stamped sides and computes the exact
+         Jaccard.
+    Returns (id_a, id_b, est_jaccard, jaccard).
+    """
+    def pair_refs(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        est = (batch["est_jaccard"].to_pylist()
+               if "est_jaccard" in batch.column_names else [None] * len(a))
+        rid, pid, side, txt, ej = [], [], [], [], []
+        for x, y, e in zip(a, b, est):
+            key = f"{x}_{y}"
+            rid += [x, y]; pid += [key, key]; side += ["a", "b"]
+            txt += [None, None]; ej += [e, None]
+        return pa.table({"id": pa.array(rid, pa.int64()),
+                         "pid": pa.array(pid, pa.string()),
+                         "side": pa.array(side, pa.string()),
+                         "text": pa.array(txt, pa.string()),
+                         "est_jaccard": pa.array(ej, pa.float64())})
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        nn = batch.num_rows
+        return pa.table({"id": pc.cast(batch[id_col], pa.int64()),
+                         "pid": pa.array([None] * nn, pa.string()),
+                         "side": pa.array(["t"] * nn, pa.string()),
+                         "text": pc.cast(batch[text_col], pa.string()),
+                         "est_jaccard": pa.array([None] * nn, pa.float64())})
+
+    def stamp_text(group: pd.DataFrame) -> pd.DataFrame:
+        t_rows = group[group["side"] == "t"]
+        refs = group[group["side"] != "t"]
+        if t_rows.empty or refs.empty:
+            return pd.DataFrame(columns=["pid", "side", "text", "est_jaccard"]).astype(
+                {"pid": "object", "side": "object", "text": "object",
+                 "est_jaccard": "float64"})
+        out = refs[["pid", "side", "est_jaccard"]].copy()
+        out["text"] = t_rows["text"].iloc[0]
+        return out[["pid", "side", "text", "est_jaccard"]]
+
+    def pair_verify(group: pd.DataFrame) -> pd.DataFrame:
+        sides = {r["side"]: r for _, r in group.iterrows()}
+        if "a" not in sides or "b" not in sides:
+            return pd.DataFrame(columns=["id_a", "id_b", "est_jaccard", "jaccard"]).astype(
+                {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64",
+                 "jaccard": "float64"})
+        x, y = group["pid"].iloc[0].split("_")
+        jac = ngram_jaccard_exact(sides["a"]["text"], sides["b"]["text"], n)
+        est = sides["a"]["est_jaccard"]
+        return pd.DataFrame({"id_a": [int(x)], "id_b": [int(y)],
+                             "est_jaccard": [est], "jaccard": [jac]})
+
+    refs = pairs_ds.map_batches(pair_refs, batch_format="pyarrow")
+    docs = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
+    stamped = refs.union(docs).groupby("id").map_groups(
+        stamp_text, batch_format="pandas")
+    return stamped.groupby("pid").map_groups(pair_verify, batch_format="pandas")
+
+
 # ------------------------------------------------- embedding near-dup (LSH)
 
 N_PLANES = 16

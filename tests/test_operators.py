@@ -98,6 +98,30 @@ class TestDedupPipelines:
         assert expected <= got
         assert (pairs.est_jaccard >= 0.9).all()
 
+    def test_adjacent_ngram_jaccard(self, ray_session, doc_ds):
+        out = dedup.adjacent_ngram_jaccard(doc_ds).to_pandas().sort_values(
+            "id_a").reset_index(drop=True)
+        docs = doc_ds.to_pandas().sort_values("doc_id")
+        texts = docs.text.tolist()
+        assert len(out) == len(texts) - 1
+        for _, row in out.iterrows():
+            expect = dedup.ngram_jaccard_exact(texts[int(row.id_a)],
+                                               texts[int(row.id_b)])
+            assert row.jaccard == expect
+            assert row.id_b == row.id_a + 1
+        # doc 39 and 40 are exact dups (texts[40] == texts[0]? no: 40==0+40 dup
+        # of doc 0) — the adjacent pair (39, 40) compares doc 39 vs clone of 0
+        assert out.jaccard.between(0, 1).all()
+
+    def test_verify_pairs_ngram(self, ray_session, doc_ds):
+        pairs = dedup.minhash_dedup_pairs(doc_ds, threshold=0.9)
+        verified = dedup.verify_pairs_ngram(pairs, doc_ds).to_pandas()
+        got = {(a, b): j for a, b, j in
+               zip(verified.id_a, verified.id_b, verified.jaccard)}
+        for i in range(10):  # exact dup pairs verify at jaccard exactly 1.0
+            assert got.get((i, i + 40)) == 1.0
+        assert verified.est_jaccard.notna().all()
+
     def test_dup_clusters(self, ray_session, doc_ds):
         pairs = dedup.minhash_dedup_pairs(doc_ds, threshold=0.9)
         clusters = dedup.dup_clusters(pairs).to_pandas()
