@@ -58,15 +58,21 @@ def exact_dedup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep one representative row (min id) per distinct content —
-    hash-partition + per-group first (SURVEY.md §2.7 D1)."""
-    def first_by_id(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+    hash-partition + per-group first (SURVEY.md §2.7 D1). Shuffles on a
+    coarse prefix of the digest; representatives resolved vectorized inside
+    each coarse group (one Ray group per partition, not per digest)."""
+    def add_keys(batch: pa.Table) -> pa.Table:
+        t = add_md5_digest(batch, text_col)
+        coarse = [int(d[:4], 16) % N_COARSE for d in t["digest"].to_pylist()]
+        return t.append_column("coarse", pa.array(coarse, pa.int32()))
 
-    with_digest = ds.map_batches(lambda b: add_md5_digest(b, text_col),
-                                 batch_format="pyarrow")
-    return (with_digest.groupby("digest")
-            .map_groups(first_by_id, batch_format="pandas")
-            .drop_columns(["digest"]))
+    def first_per_digest(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([id_col]).drop_duplicates("digest", keep="first")
+                .drop(columns=["digest", "coarse"]))
+
+    with_keys = ds.map_batches(add_keys, batch_format="pyarrow")
+    return with_keys.groupby("coarse").map_groups(
+        first_per_digest, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- MinHash
@@ -141,35 +147,109 @@ def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 MAX_BUCKET = 64  # salt guard: skip degenerate buckets larger than this
 
 
+N_COARSE = 256  # coarse shuffle partitions for tiny-group workloads
+
+
+def _bucket_pairs(df: pd.DataFrame, key_cols: list[str], id_col: str,
+                  pair_fn, pair_fn_vec) -> tuple[list, list, list]:
+    """Shared bucket-walk for banded LSH pair generation, vectorized.
+
+    Sorts rows by bucket, handles the dominant size-2 buckets in one numpy
+    pass (``pair_fn_vec`` over stacked adjacent rows) and the rare larger
+    buckets (3..MAX_BUCKET) with an explicit combinations loop (``pair_fn``
+    per pair). Buckets of size 1 (the vast majority at corpus scale) and
+    degenerate buckets > MAX_BUCKET cost one vectorized mask, no Python.
+    Returns (id_a[], id_b[], value[]) with id_a < id_b.
+    """
+    if len(df) == 0:
+        return [], [], []
+    code = df.groupby(key_cols, sort=False).ngroup().to_numpy()
+    order = np.argsort(code, kind="stable")
+    code = code[order]
+    ids = df[id_col].to_numpy()[order]
+    payload = df["_payload"].to_numpy()[order]
+    sizes = np.bincount(code)[code]
+    ida, idb, vals = [], [], []
+    mask2 = sizes == 2
+    if mask2.any():
+        idx = np.where(mask2)[0].reshape(-1, 2)  # adjacent after stable sort
+        a_i, b_i = idx[:, 0], idx[:, 1]
+        e = pair_fn_vec(payload[a_i], payload[b_i])
+        A, B = ids[a_i], ids[b_i]
+        lo, hi = np.minimum(A, B), np.maximum(A, B)
+        keep = e[0]
+        ida.extend(lo[keep].tolist()); idb.extend(hi[keep].tolist())
+        vals.extend(e[1][keep].tolist())
+    big = (sizes >= 3) & (sizes <= MAX_BUCKET)
+    if big.any():
+        for c in np.unique(code[big]):
+            rows = np.where(code == c)[0]
+            recs = sorted(zip(ids[rows].tolist(), payload[rows]), key=lambda r: r[0])
+            for (xa, pa_), (xb, pb) in itertools.combinations(recs, 2):
+                v = pair_fn(pa_, pb)
+                if v is not None:
+                    ida.append(xa); idb.append(xb); vals.append(v)
+    return ida, idb, vals
+
+
+def _dedup_pairs_coarse(pairs_ds, val_col: str):
+    """Global pair dedup: coarse shuffle on a hash of the pair key, then a
+    vectorized drop_duplicates per partition. A pair found by several bands
+    carries an identical value (it is a function of the two full
+    signatures), so keep-first is exact. Cheaper than a native Aggregate
+    here: the pair set is small but block counts are high, and Aggregate's
+    per-block fixed costs dominate (measured 12s vs ~1s on 95k rows)."""
+    def drop_dup(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.drop_duplicates(["id_a", "id_b"])
+                [["id_a", "id_b", val_col]])
+
+    return pairs_ds.groupby("pcoarse").map_groups(drop_dup, batch_format="pandas")
+
+
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = 0.7):
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
-    shingle→minhash per batch → band explode → groupby(band_id, band_hash)
-    → within-group pairs → global pair dedup (groupby pair key, first).
-    Buckets larger than MAX_BUCKET are dropped (degenerate content — e.g.
-    empty docs); logged via the dropped_bucket count in pair provenance.
+    shingle→minhash per batch → band explode → COARSE groupby on a hash
+    prefix of (band_id, band_hash) → vectorized bucket walk emits pairs →
+    coarse pair-key shuffle dedups pairs found in several bands. Grouping
+    by the coarse key instead of the exact bucket key cuts Ray's per-group
+    dispatch from one call per bucket (~16k tiny groups) to one per coarse
+    partition (256), with identical results — a full bucket always lands in
+    one coarse group. Buckets larger than MAX_BUCKET are dropped
+    (degenerate content — e.g. empty docs).
     """
-    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        if 2 <= len(group) <= MAX_BUCKET:
-            recs = group[[id_col, "signature"]].drop_duplicates(id_col).to_dict("records")
-            for a, b in itertools.combinations(sorted(recs, key=lambda r: r[id_col]), 2):
-                ej = estimated_jaccard(a["signature"], b["signature"])
-                if ej >= threshold:
-                    rows.append({"id_a": a[id_col], "id_b": b[id_col], "est_jaccard": ej})
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"])
+    def pairs_in_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"signature": "_payload"})
 
-    def first_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+        def vec(sa, sb):
+            e = (np.vstack(sa) == np.vstack(sb)).mean(axis=1)
+            return e >= threshold, e
+
+        def one(sa, sb):
+            e = float(np.mean(np.asarray(sa) == np.asarray(sb)))
+            return e if e >= threshold else None
+
+        ida, idb, est = _bucket_pairs(df, ["band_id", "band_hash"], id_col, one, vec)
+        out = pd.DataFrame({"id_a": pd.array(ida, "int64"),
+                            "id_b": pd.array(idb, "int64"),
+                            "est_jaccard": pd.array(est, "float64")})
+        out = out.drop_duplicates(["id_a", "id_b"])  # partial (within-coarse)
+        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % N_COARSE).astype("int32")
+        return out
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        coarse = [(zlib.crc32(h.encode()) ^ b) % N_COARSE for b, h in
+                  zip(batch["band_id"].to_pylist(), batch["band_hash"].to_pylist())]
+        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
 
     sigs = ds.map_batches(lambda b: minhash_batch(b, id_col, text_col),
                           batch_format="pyarrow")
     bands = sigs.map_batches(lambda b: lsh_band_rows(b, id_col),
                              batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_group, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first_pair, batch_format="pandas")
+    pairs = (bands.map_batches(add_coarse, batch_format="pyarrow")
+             .groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))
+    return _dedup_pairs_coarse(pairs, "est_jaccard")
 
 
 # ---------------------------------------------------------------- SimHash
@@ -225,26 +305,42 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                          "band_val": pa.array(oh, pa.int64()),
                          "simhash": pa.array(osim, pa.int64())})
 
-    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        if 2 <= len(group) <= MAX_BUCKET:
-            recs = group[[id_col, "simhash"]].drop_duplicates(id_col).to_dict("records")
-            for a, b in itertools.combinations(sorted(recs, key=lambda r: r[id_col]), 2):
-                x = np.uint64(np.int64(a["simhash"])) ^ np.uint64(np.int64(b["simhash"]))
-                ham = bin(int(x)).count("1")
-                if ham <= max_hamming:
-                    rows.append({"id_a": a[id_col], "id_b": b[id_col], "hamming": ham})
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+    def pairs_in_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"simhash": "_payload"})
 
-    def first_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+        def vec(sa, sb):
+            x = (sa.astype(np.int64).astype(np.uint64)
+                 ^ sb.astype(np.int64).astype(np.uint64))
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            return ham <= max_hamming, ham
+
+        def one(sa, sb):
+            x = np.uint64(np.int64(sa)) ^ np.uint64(np.int64(sb))
+            ham = bin(int(x)).count("1")
+            return ham if ham <= max_hamming else None
+
+        ida, idb, ham = _bucket_pairs(df, ["band_id", "band_val"], id_col, one, vec)
+        out = pd.DataFrame({"id_a": pd.array(ida, "int64"),
+                            "id_b": pd.array(idb, "int64"),
+                            "hamming": pd.array(ham, "int64")})
+        out = out.drop_duplicates(["id_a", "id_b"])
+        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % N_COARSE).astype("int32")
+        return out
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        # coarse partition of the (band_id, band_val) key space (see the
+        # minhash variant for rationale: 256 dispatches instead of ~256k)
+        bid = np.asarray(batch["band_id"])
+        bval = np.asarray(batch["band_val"])
+        coarse = ((bval * np.int64(2654435761) + bid) % N_COARSE).astype(np.int32)
+        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
 
     sims = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
                           batch_format="pyarrow")
     bands = sims.map_batches(band_rows, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_val"]).map_groups(
-        pairs_in_group, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first_pair, batch_format="pandas")
+    pairs = (bands.map_batches(add_coarse, batch_format="pyarrow")
+             .groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))
+    return _dedup_pairs_coarse(pairs, "hamming")
 
 
 # ---------------------------------------------------- exact n-gram Jaccard
@@ -292,21 +388,25 @@ def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
             pid.append(i); role.append("a"); txt.append(t)
             if i > 0:
                 pid.append(i - 1); role.append("b"); txt.append(t)
+        coarse = [p % N_COARSE for p in pid]
         return pa.table({"pair_id": pa.array(pid, pa.int64()),
+                         "coarse": pa.array(coarse, pa.int32()),
                          "role": pa.array(role, pa.string()),
                          "text": pa.array(txt, pa.string())})
 
-    def pair_jaccard(group: pd.DataFrame) -> pd.DataFrame:
-        roles = dict(zip(group["role"], group["text"]))
-        if "a" not in roles or "b" not in roles:
-            return pd.DataFrame(columns=["id_a", "id_b", "jaccard"]).astype(
-                {"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
-        p = int(group["pair_id"].iloc[0])
-        return pd.DataFrame({"id_a": [p], "id_b": [p + 1],
-                             "jaccard": [ngram_jaccard_exact(roles["a"], roles["b"], n)]})
+    def pairs_in_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        ida, idb, jac = [], [], []
+        for p, group in df.groupby("pair_id", sort=False):
+            roles = dict(zip(group["role"], group["text"]))
+            if "a" in roles and "b" in roles:
+                ida.append(int(p)); idb.append(int(p) + 1)
+                jac.append(ngram_jaccard_exact(roles["a"], roles["b"], n))
+        return pd.DataFrame({"id_a": pd.array(ida, "int64"),
+                             "id_b": pd.array(idb, "int64"),
+                             "jaccard": pd.array(jac, "float64")})
 
     fanned = ds.map_batches(fan_out, batch_format="pyarrow")
-    return fanned.groupby("pair_id").map_groups(pair_jaccard, batch_format="pandas")
+    return fanned.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas")
 
 
 def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
@@ -320,6 +420,10 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
          ref of that document;
       2. groupby(pid) reunites the two stamped sides and computes the exact
          Jaccard.
+    Both shuffles group on a COARSE partition of their key (id % N_COARSE,
+    crc32(pid) % N_COARSE) and resolve exact keys with a vectorized pandas
+    merge/join inside the group fn — Ray dispatches 256 groups instead of
+    one per document/pair (see minhash_dedup_pairs rationale).
     Returns (id_a, id_b, est_jaccard, jaccard).
     """
     def pair_refs(batch: pa.Table) -> pa.Table:
@@ -333,6 +437,7 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
             rid += [x, y]; pid += [key, key]; side += ["a", "b"]
             txt += [None, None]; ej += [e, None]
         return pa.table({"id": pa.array(rid, pa.int64()),
+                         "coarse": pa.array([i % N_COARSE for i in rid], pa.int32()),
                          "pid": pa.array(pid, pa.string()),
                          "side": pa.array(side, pa.string()),
                          "text": pa.array(txt, pa.string()),
@@ -340,40 +445,43 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
 
     def doc_rows(batch: pa.Table) -> pa.Table:
         nn = batch.num_rows
-        return pa.table({"id": pc.cast(batch[id_col], pa.int64()),
+        ids = batch[id_col].to_pylist()
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "coarse": pa.array([i % N_COARSE for i in ids], pa.int32()),
                          "pid": pa.array([None] * nn, pa.string()),
                          "side": pa.array(["t"] * nn, pa.string()),
                          "text": pc.cast(batch[text_col], pa.string()),
                          "est_jaccard": pa.array([None] * nn, pa.float64())})
 
-    def stamp_text(group: pd.DataFrame) -> pd.DataFrame:
-        t_rows = group[group["side"] == "t"]
-        refs = group[group["side"] != "t"]
-        if t_rows.empty or refs.empty:
-            return pd.DataFrame(columns=["pid", "side", "text", "est_jaccard"]).astype(
-                {"pid": "object", "side": "object", "text": "object",
-                 "est_jaccard": "float64"})
-        out = refs[["pid", "side", "est_jaccard"]].copy()
-        out["text"] = t_rows["text"].iloc[0]
-        return out[["pid", "side", "text", "est_jaccard"]]
+    def stamp_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        texts = (df[df["side"] == "t"][["id", "text"]]
+                 .drop_duplicates("id").rename(columns={"text": "doc_text"}))
+        refs = df[df["side"] != "t"][["id", "pid", "side", "est_jaccard"]]
+        out = refs.merge(texts, on="id", how="inner")
+        out["pcoarse"] = out["pid"].map(
+            lambda p: zlib.crc32(p.encode()) % N_COARSE).astype("int32")
+        return out[["pid", "pcoarse", "side", "doc_text", "est_jaccard"]]
 
-    def pair_verify(group: pd.DataFrame) -> pd.DataFrame:
-        sides = {r["side"]: r for _, r in group.iterrows()}
-        if "a" not in sides or "b" not in sides:
-            return pd.DataFrame(columns=["id_a", "id_b", "est_jaccard", "jaccard"]).astype(
-                {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64",
-                 "jaccard": "float64"})
-        x, y = group["pid"].iloc[0].split("_")
-        jac = ngram_jaccard_exact(sides["a"]["text"], sides["b"]["text"], n)
-        est = sides["a"]["est_jaccard"]
-        return pd.DataFrame({"id_a": [int(x)], "id_b": [int(y)],
-                             "est_jaccard": [est], "jaccard": [jac]})
+    def verify_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        a_side = df[df["side"] == "a"].set_index("pid")
+        b_side = df[df["side"] == "b"].set_index("pid")
+        joined = a_side.join(b_side, how="inner", lsuffix="_a", rsuffix="_b")
+        ida, idb, est, jac = [], [], [], []
+        for p, row in joined.iterrows():
+            x, y = p.split("_")
+            ida.append(int(x)); idb.append(int(y))
+            est.append(row["est_jaccard_a"])
+            jac.append(ngram_jaccard_exact(row["doc_text_a"], row["doc_text_b"], n))
+        return pd.DataFrame({"id_a": pd.array(ida, "int64"),
+                             "id_b": pd.array(idb, "int64"),
+                             "est_jaccard": pd.array(est, "float64"),
+                             "jaccard": pd.array(jac, "float64")})
 
     refs = pairs_ds.map_batches(pair_refs, batch_format="pyarrow")
     docs = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
-    stamped = refs.union(docs).groupby("id").map_groups(
-        stamp_text, batch_format="pandas")
-    return stamped.groupby("pid").map_groups(pair_verify, batch_format="pandas")
+    stamped = refs.union(docs).groupby("coarse").map_groups(
+        stamp_coarse, batch_format="pandas")
+    return stamped.groupby("pcoarse").map_groups(verify_coarse, batch_format="pandas")
 
 
 # ------------------------------------------------- embedding near-dup (LSH)
@@ -408,12 +516,15 @@ def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             bits = (unit @ planes.T) > 0
             buckets = (bits.astype(np.uint64) << np.arange(N_PLANES, dtype=np.uint64)).sum(axis=1).astype(np.int64)
         return pa.table({id_col: pa.array(ids), "bucket": pa.array(buckets, pa.int64()),
+                         "coarse": pa.array(buckets % N_COARSE, pa.int32()),
                          "unit": pa.array([u for u in unit], pa.list_(pa.float64()))})
 
-    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_coarse(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) >= 2:
+        for _, group in df.groupby("bucket", sort=False):
+            g = group.drop_duplicates(id_col).sort_values(id_col)
+            if len(g) < 2:
+                continue
             ids = g[id_col].to_numpy()
             mat = np.array(g["unit"].tolist(), dtype=np.float64)
             sims = mat @ mat.T
@@ -422,10 +533,11 @@ def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             for i, j, s in zip(ii[keep], jj[keep], sims[ii, jj][keep]):
                 rows.append({"id_a": int(ids[i]), "id_b": int(ids[j]),
                              "cosine": float(s)})
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
 
     buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
-    return buckets.groupby("bucket").map_groups(pairs_in_group, batch_format="pandas")
+    return buckets.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas")
 
 
 # -------------------------------------------- duplicate-cluster assignment
@@ -443,29 +555,43 @@ def dup_clusters(pairs_ds, n_iter: int = 4):
     Returns (id, cluster_id = min id reachable within n_iter hops).
     """
     import ray
-    from ray.data.aggregate import Min
 
     # edges both directions + self edges (so singletons in pairs keep labels)
     def explode(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_pylist()
         b = batch["id_b"].to_pylist()
-        return pa.table({"src": pa.array(a + b + a + b),
-                         "dst": pa.array(b + a + a + b)})
+        src = a + b + a + b
+        return pa.table({"src": pa.array(src),
+                         "dst": pa.array(b + a + a + b),
+                         "coarse": pa.array([s % N_COARSE for s in src], pa.int32())})
+
+    def min_per_src(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("src", as_index=False)["dst"].min()
+                .rename(columns={"dst": "label"}))
+
+    def min_labels(edge_ds):
+        # coarse shuffle + vectorized per-partition groupby-min (native
+        # Aggregate's per-block fixed cost dominates at these edge counts)
+        return edge_ds.groupby("coarse").map_groups(
+            min_per_src, batch_format="pandas")
 
     edges = pairs_ds.map_batches(explode, batch_format="pyarrow")
     edges = edges.materialize()  # pair graph only; reused every round
 
-    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    labels = min_labels(edges)
     for _ in range(n_iter - 1):
-        lbl_ref = ray.put({r["src"]: r["label"] for r in labels.take_all()})
+        # label map to the driver via columnar to_pandas (NOT take_all: its
+        # per-row dict conversion costs ~10s on 10k rows / 128 tiny blocks)
+        lf = labels.to_pandas()
+        lbl_ref = ray.put(dict(zip(lf["src"], lf["label"])))
 
         def relabel(batch: pa.Table, lbl_ref=lbl_ref) -> pa.Table:
             lbl = ray.get(lbl_ref)
             src = batch["src"].to_pylist()
             dst = batch["dst"].to_pylist()
             return pa.table({"src": pa.array(src),
-                             "dst": pa.array([lbl.get(d, d) for d in dst])})
+                             "dst": pa.array([lbl.get(d, d) for d in dst]),
+                             "coarse": batch["coarse"]})
 
-        labels = (edges.map_batches(relabel, batch_format="pyarrow")
-                  .groupby("src").aggregate(Min("dst", alias_name="label")))
+        labels = min_labels(edges.map_batches(relabel, batch_format="pyarrow"))
     return labels
