@@ -68,6 +68,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": a.extract_pages,
         "extract_pages_dedup": a.extract_pages_dedup,
         "extract_lang_stats": a.extract_lang_stats,
+        # pages / structure / multimodal (rows-only checks)
+        "pdf_page_rows": a.pdf_page_rows,
+        "doc_structure_stats": a.doc_structure_stats,
+        "image_meta": a.image_meta,
+        "frame_samples": a.frame_samples,
+        "audio_features": a.audio_features,
     }
 
 

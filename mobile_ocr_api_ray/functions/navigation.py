@@ -111,3 +111,28 @@ class NavigationView:
             by_id = {p["id"]: p for p in self.paragraphs}
             return "\n\n".join(by_id[i]["text"] for i in ids if i in by_id)
         raise ValueError(f"unknown navigation axis: {axis!r}")
+
+
+def scope_text(paragraphs, columns, scope: str, index: int = 0) -> str:
+    """Summarize-scope text selection (app.py:1893-2011).
+
+    'full' → all paragraph texts joined with blank lines (app.py:1905-1906);
+    'paragraph' → paragraphs[index] text (clamped, app.py:1950-1960);
+    'column' → that column's paragraph texts joined (app.py:1996-2005).
+    The reference's 'page' scope addresses one page of a multi-page doc —
+    in the engine that is a per-page row (pages_ops.explode_pdf_pages), so
+    page scope is row selection, not an in-row walk.
+    """
+    view = NavigationView(paragraphs, columns)
+    if scope == "full":
+        return "\n\n".join(p["text"] for p in view.paragraphs)
+    if scope == "paragraph":
+        if not view.paragraphs:
+            return ""
+        return view.paragraphs[clamp_index(index, len(view.paragraphs))]["text"]
+    if scope == "column":
+        if not view.columns:
+            return ""
+        view.cursor["column"] = clamp_index(index, len(view.columns))
+        return view.current_text("column")
+    raise ValueError(f"unknown summarize scope: {scope!r}")

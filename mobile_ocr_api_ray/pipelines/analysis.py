@@ -217,6 +217,105 @@ def extract_pages_dedup(sf_dir: str):
                                "dedup_source_url"]).sort("url")
 
 
+def pdf_page_rows(sf_dir: str):
+    """M6 doc→pages explode over the pages corpus: one row per PDF page
+    (non-PDF rows pass through as page 0). Payload bytes are dropped from
+    the result — only (url, page, total_pages, page_bytes) metadata."""
+    from ..stages.pages_ops import explode_pdf_pages
+
+    d = _pages_dir_for(sf_dir)
+    ds = read_pages(os.path.join(d, "pages.parquet"))
+
+    def meta(batch: pa.Table) -> pa.Table:
+        exploded = explode_pdf_pages(batch)
+        sizes = [len(p) if p is not None else 0 for p in exploded["html"].to_pylist()]
+        return pa.table({"url": exploded["url"], "page": exploded["page"],
+                         "total_pages": exploded["total_pages"],
+                         "page_bytes": pa.array(sizes, pa.int64())})
+
+    return ds.map_batches(meta, batch_format="pyarrow").sort(["url", "page"])
+
+
+def doc_structure_stats(sf_dir: str):
+    """M8 structure analysis rollup: per-document paragraph/column/sentence/
+    span counts from the nested structure columns the extractor emits."""
+    d = _pages_dir_for(sf_dir)
+    out = extract_pipeline(read_pages(os.path.join(d, "pages.parquet")),
+                           with_summary=False, build_spans=True)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        paras = batch["paragraphs"].to_pylist()
+        cols = batch["columns"].to_pylist()
+        spans = batch["spans"].to_pylist()
+        n_sent = [sum(len(p["sentences"]) for p in ps) if ps else 0 for ps in paras]
+        return pa.table({
+            "url": batch["url"],
+            "n_paragraphs": pa.array([len(p) if p else 0 for p in paras], pa.int64()),
+            "n_columns": pa.array([len(c) if c else 0 for c in cols], pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "n_spans": pa.array([len(s) if s else 0 for s in spans], pa.int64()),
+            "status": batch["status"],
+        })
+
+    return out.map_batches(stats, batch_format="pyarrow").sort("url")
+
+
+def image_meta(sf_dir: str):
+    """Multimodal decode stage (actor pool) over the pages corpus: every
+    payload through ImageDecodeStage; non-image payloads surface as
+    status='error' rows (M11 row-level isolation), IMGX decodes natively."""
+    from ..stages.multimodal import ImageDecodeStage
+
+    d = _pages_dir_for(sf_dir)
+    ds = read_pages(os.path.join(d, "pages.parquet"))
+    # fractional num_cpus: a pool of 4 × 1.0 CPUs would monopolize a small
+    # session and starve the read stage into deadlock (ACTOR_NUM_CPUS rule,
+    # pipelines/extract.py)
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=4, num_cpus=0.5)
+    return out.sort("url")
+
+
+def frame_samples(sf_dir: str):
+    """Frame sampling over PDFX multi-frame containers (video stand-in):
+    every 2nd frame, metadata only."""
+    from ..stages.multimodal import sample_frames
+
+    d = _pages_dir_for(sf_dir)
+    ds = read_pages(os.path.join(d, "pages.parquet"))
+
+    def meta(batch: pa.Table) -> pa.Table:
+        s = sample_frames(batch, every_nth=2)
+        sizes = [len(f) if f is not None else 0 for f in s["frame"].to_pylist()]
+        return pa.table({"url": s["url"], "frame_idx": s["frame_idx"],
+                         "total_frames": s["total_frames"],
+                         "frame_bytes": pa.array(sizes, pa.int64())})
+
+    return ds.map_batches(meta, batch_format="pyarrow").sort(["url", "frame_idx"])
+
+
+def audio_features(sf_dir: str):
+    """Audio feature extraction over deterministic AUDX payloads synthesized
+    from the embeddings table (vec_id-keyed sine waves) — exercises the
+    decode → DSP actor stage end-to-end with no external codecs."""
+    from ..stages.multimodal import AudioFeatureStage, encode_audx
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            freq = 100.0 + (i % 400)
+            t = np.arange(0, 4000) / 16000.0
+            payloads.append(encode_audx(10000.0 * np.sin(2 * np.pi * freq * t)))
+        return pa.table({"url": pa.array([f"audx://{i}" for i in ids], pa.string()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    ds = _embeddings(sf_dir).map_batches(synth, batch_format="pyarrow")
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=128, concurrency=4, num_cpus=0.5)
+    return out.sort("url")
+
+
 def extract_lang_stats(sf_dir: str):
     """G6 — the one true wide aggregation over extraction output: per-lang
     doc counts + mean confidence + mean extracted length."""

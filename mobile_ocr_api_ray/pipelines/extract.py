@@ -80,7 +80,8 @@ EXTRACT_BATCH_SIZE = 128
 
 
 def extract_batch(batch: pa.Table, quality: str = "medium",
-                  build_spans: bool = True, do_deskew: bool = False) -> pa.Table:
+                  build_spans: bool = True, do_deskew: bool = False,
+                  with_visualization: bool = False) -> pa.Table:
     """Task-form extraction stage: same kernels/state as ExtractorActor, with
     the warm engine held per WORKER PROCESS (lru_cache singleton) instead of
     per actor. The engine's state (compiled regexes + glyph template stack)
@@ -90,21 +91,23 @@ def extract_batch(batch: pa.Table, quality: str = "medium",
     host at 32 CPUs). The ExtractorActor actor-pool path remains available
     (use_actors=True) for kernels with genuinely expensive state (model
     weights), where per-actor initialization is the right amortization."""
-    return _worker_extractor(quality, build_spans, do_deskew)(batch)
+    return _worker_extractor(quality, build_spans, do_deskew,
+                             with_visualization)(batch)
 
 
 def extract_pipeline(ds: "ray.data.Dataset", quality: str = "medium",
                      concurrency: int | None = None,
                      batch_size: int = EXTRACT_BATCH_SIZE,
                      with_summary: bool = True, build_spans: bool = True,
-                     do_deskew: bool = False,
+                     do_deskew: bool = False, with_visualization: bool = False,
                      use_actors: bool = False) -> "ray.data.Dataset":
     """Direct (no-dedup) path: warm-state extraction + summary, fully lazy."""
     if use_actors:
         out = ds.map_batches(
             ExtractorActor,
             fn_constructor_kwargs={"quality": quality, "build_spans": build_spans,
-                                   "do_deskew": do_deskew},
+                                   "do_deskew": do_deskew,
+                                   "build_visualization": with_visualization},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency or default_concurrency(),
@@ -114,7 +117,8 @@ def extract_pipeline(ds: "ray.data.Dataset", quality: str = "medium",
         out = ds.map_batches(
             extract_batch,
             fn_kwargs={"quality": quality, "build_spans": build_spans,
-                       "do_deskew": do_deskew},
+                       "do_deskew": do_deskew,
+                       "with_visualization": with_visualization},
             batch_format="pyarrow",
             batch_size=batch_size,
         )
@@ -143,10 +147,16 @@ def add_digest(batch: pa.Table, quality: str) -> pa.Table:
 
 
 @functools.lru_cache(maxsize=8)
-def _worker_extractor(quality: str, build_spans: bool, do_deskew: bool) -> ExtractorActor:
+def _worker_extractor(quality: str, build_spans: bool, do_deskew: bool,
+                      with_visualization: bool = False) -> ExtractorActor:
     """One warm extractor per worker process for the grouped dedup stage —
     the map_groups analog of actor-pool __init__ state."""
-    return ExtractorActor(quality=quality, build_spans=build_spans, do_deskew=do_deskew)
+    return ExtractorActor(quality=quality, build_spans=build_spans,
+                          do_deskew=do_deskew,
+                          build_visualization=with_visualization)
+
+
+N_DEDUP_COARSE = 256
 
 
 def extract_pipeline_dedup(ds: "ray.data.Dataset", quality: str = "medium",
@@ -154,30 +164,44 @@ def extract_pipeline_dedup(ds: "ray.data.Dataset", quality: str = "medium",
                            do_deskew: bool = False) -> "ray.data.Dataset":
     """Dedup path: one kernel invocation per content digest, replicated to
     every duplicate row (D1). Output rows additionally carry
-    ``dedup_source_url`` = the representative url for true duplicates."""
+    ``dedup_source_url`` = the representative url for true duplicates.
 
-    def extract_group(group: pa.Table) -> pa.Table:
+    The shuffle groups on a coarse digest prefix (256 partitions), and the
+    group fn walks the exact digests inside — one Ray group dispatch per
+    partition instead of per distinct document (see dedup.py rationale).
+    """
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        t = add_digest(batch, quality)
+        coarse = [int(d[:4], 16) % N_DEDUP_COARSE for d in t["digest"].to_pylist()]
+        return t.append_column("coarse", pa.array(coarse, pa.int32()))
+
+    def extract_coarse(group: pa.Table) -> pa.Table:
         ex = _worker_extractor(quality, build_spans, do_deskew)
+        digests = group["digest"].to_pylist()
         urls = group["url"].to_pylist()
         langs = group["lang"].to_pylist()
         texts = group["text"].to_pylist()
         payloads = group["html"].to_pylist()
-        # one kernel run on the representative (first row, stable by url sort)
-        order = sorted(range(len(urls)), key=lambda i: urls[i])
-        rep = order[0]
-        rep_row = ex.extract_row(urls[rep], payloads[rep], texts[rep], langs[rep])
+        by_digest: dict[str, list[int]] = {}
+        for i, d in enumerate(digests):
+            by_digest.setdefault(d, []).append(i)
         rows = []
-        for i in order:
-            r = dict(rep_row)
-            r["url"] = urls[i]
-            if i != rep:
-                r["dedup_source_url"] = urls[rep]
-                r["source"] = "dedup" if r["source"] == "kernel" else r["source"]
-            rows.append(r)
+        for d, members in by_digest.items():
+            order = sorted(members, key=lambda i: urls[i])
+            rep = order[0]
+            rep_row = ex.extract_row(urls[rep], payloads[rep], texts[rep], langs[rep])
+            for i in order:
+                r = dict(rep_row)
+                r["url"] = urls[i]
+                if i != rep:
+                    r["dedup_source_url"] = urls[rep]
+                    r["source"] = "dedup" if r["source"] == "kernel" else r["source"]
+                rows.append(r)
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)
 
-    with_digest = ds.map_batches(lambda b: add_digest(b, quality), batch_format="pyarrow")
-    out = with_digest.groupby("digest").map_groups(extract_group, batch_format="pyarrow")
+    with_keys = ds.map_batches(add_keys, batch_format="pyarrow")
+    out = with_keys.groupby("coarse").map_groups(extract_coarse, batch_format="pyarrow")
     if with_summary:
         out = out.map_batches(summarize_batch, batch_format="pyarrow")
     return out

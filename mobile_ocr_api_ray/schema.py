@@ -74,6 +74,7 @@ EXTRACTED_SCHEMA = pa.schema(
         pa.field("payload_kind", pa.string()),     # html|image|pdf|empty|unknown (is_pdf branch, app.py:1224)
         pa.field("source", pa.string()),           # direct_text|kernel|dedup (confidence ladder provenance)
         pa.field("dedup_source_url", pa.string()), # reference OCR_CACHE 'from_cache' analog (app2.py:330-336)
+        pa.field("visualization", pa.binary()),    # S6 annotated-structure IMGX; null unless enabled (app.py:954-966)
         pa.field("status", pa.string()),           # ok|rejected|error (M11)
         pa.field("error", pa.string()),
     ]

@@ -44,6 +44,7 @@ from ..schema import EXTRACTED_SCHEMA
 from . import glyphs
 from .html_extract import extract_html
 from .image_extract import extract_image
+from .registry import register_kernel, resolve_kernel
 
 DIRECT_TEXT_MIN_CHARS = 50      # app.py:640: len(text.strip()) > 50
 DIRECT_TEXT_CONFIDENCE = 90.0   # app.py:642
@@ -125,42 +126,77 @@ def html_paragraph_dicts(kept_blocks: list[dict]) -> list[dict]:
     return out
 
 
+# ---- default kernels (registry-dispatched; SURVEY.md §2.10) ------------
+# Kernel contract: fn(payload, ctx) -> (text, confidence, paragraph_dicts,
+# total_pages); ctx carries the routed params.
+
+def html_kernel(payload: bytes, ctx: dict) -> tuple[str, float, list[dict], int]:
+    text, conf, kept = extract_html(payload)
+    return text, conf, html_paragraph_dicts(kept), 1
+
+
+def image_kernel(payload: bytes, ctx: dict) -> tuple[str, float, list[dict], int]:
+    img = glyphs.decode_imgx(payload)
+    r = extract_image(img, ctx["preprocess_kind"], ctx["max_dim"], ctx["do_deskew"])
+    return r["text"], r["confidence"], r["paragraphs"], 1
+
+
+def pdf_kernel(payload: bytes, ctx: dict) -> tuple[str, float, list[dict], int]:
+    # per-page image kernel, ordered join (app.py:755-791); page confidences
+    # averaged with zero-exclusion (app.py:756-792 G2 semantics)
+    page_payloads = glyphs.decode_pdfx(payload)
+    page_texts, paragraphs, confs = [], [], []
+    for page_payload in page_payloads:
+        img = glyphs.decode_imgx(page_payload)
+        r = extract_image(img, ctx["preprocess_kind"], ctx["max_dim"], ctx["do_deskew"])
+        page_texts.append(r["text"])
+        paragraphs.extend(r["paragraphs"])
+        if r["confidence"] > 0:
+            confs.append(r["confidence"])
+    conf = sum(confs) / len(confs) if confs else 0.0
+    return PAGE_JOIN.join(page_texts), conf, paragraphs, len(page_payloads)
+
+
+register_kernel("html", "default", html_kernel)
+register_kernel("image", "default", image_kernel)
+register_kernel("pdf", "default", pdf_kernel)
+
+
 class ExtractorActor:
-    """Stateful extraction stage; one instance per actor in the pool."""
+    """Stateful extraction stage; one instance per actor in the pool.
+
+    ``kernels`` optionally overrides the extraction kernel per payload kind:
+    a registry name (resolved in the worker at init — see registry.py for
+    the distribution caveat) or the callable itself (serialized with the
+    constructor args; the distribution-safe path for user kernels)."""
 
     def __init__(self, quality: str = "medium", do_deskew: bool = False,
-                 build_spans: bool = True):
+                 build_spans: bool = True,
+                 kernels: dict[str, str | object] | None = None,
+                 build_visualization: bool = False):
+        self.build_visualization = build_visualization
         self.quality = quality if quality in ("low", "medium", "high") else "medium"
         (self.preprocess_kind, self.ocr_mode,
          self.max_dim, self.jpeg_quality) = route_quality(self.quality)
         self.do_deskew = do_deskew
         self.build_spans = build_spans
         self.kernel_invocations = 0  # dedup-property observability (A2)
+        self._ctx = {"preprocess_kind": self.preprocess_kind,
+                     "ocr_mode": self.ocr_mode, "max_dim": self.max_dim,
+                     "jpeg_quality": self.jpeg_quality, "do_deskew": self.do_deskew,
+                     "quality": self.quality}
+        overrides = kernels or {}
+        self._kernels = {}
+        for kind in ("html", "image", "pdf"):
+            ov = overrides.get(kind, "default")
+            self._kernels[kind] = (ov if callable(ov)
+                                   else resolve_kernel(kind, ov))
 
     # ---- per-kind kernels ----------------------------------------------
 
     def _extract_payload(self, payload: bytes, kind: str) -> tuple[str, float, list[dict], int]:
         """Returns (text, confidence, paragraph_dicts, total_pages)."""
-        if kind == "html":
-            text, conf, kept = extract_html(payload)
-            return text, conf, html_paragraph_dicts(kept), 1
-        if kind == "image":
-            img = glyphs.decode_imgx(payload)
-            r = extract_image(img, self.preprocess_kind, self.max_dim, self.do_deskew)
-            return r["text"], r["confidence"], r["paragraphs"], 1
-        # pdf: per-page kernel, ordered join (app.py:755-791); page confidences
-        # averaged with zero-exclusion (app.py:756-792 G2 semantics)
-        page_payloads = glyphs.decode_pdfx(payload)
-        page_texts, paragraphs, confs = [], [], []
-        for page_payload in page_payloads:
-            img = glyphs.decode_imgx(page_payload)
-            r = extract_image(img, self.preprocess_kind, self.max_dim, self.do_deskew)
-            page_texts.append(r["text"])
-            paragraphs.extend(r["paragraphs"])
-            if r["confidence"] > 0:
-                confs.append(r["confidence"])
-        conf = sum(confs) / len(confs) if confs else 0.0
-        return PAGE_JOIN.join(page_texts), conf, paragraphs, len(page_payloads)
+        return self._kernels[kind](payload, self._ctx)
 
     def extract_row(self, url: str, payload: bytes | None, text_layer: str | None,
                     lang: str | None) -> dict:
@@ -171,7 +207,8 @@ class ExtractorActor:
             "confidence": 0.0, "processing_time_ms": 0.0, "summary": None,
             "compression_ratio": None, "lang": lang or "eng",
             "quality": self.quality, "payload_kind": "unknown", "source": "kernel",
-            "dedup_source_url": None, "status": "ok", "error": None,
+            "dedup_source_url": None, "visualization": None,
+            "status": "ok", "error": None,
         }
         try:
             kind = sniff_kind(payload)
@@ -204,6 +241,14 @@ class ExtractorActor:
                 row["extracted_text"] = text
             row["confidence"] = conf
             row["total_pages"] = total_pages
+            if self.build_visualization and kind in ("image", "pdf"):
+                # S6: re-decode the (first) page, draw paragraph rects /
+                # column separators; off by default — it inflates rows
+                from .image_extract import draw_structure, optimize_image
+                page0 = payload if kind == "image" else glyphs.decode_pdfx(payload)[0]
+                img = optimize_image(glyphs.decode_imgx(page0), self.max_dim)
+                row["visualization"] = glyphs.encode_imgx(
+                    draw_structure(img, para_dicts))
         except Exception as e:  # M11: row-level degradation, never batch-fatal
             row["extracted_text"] = str(e)
             row["confidence"] = 0.0

@@ -114,6 +114,38 @@ def binarize(img: np.ndarray, kind: str = "balanced",
     return (blurred.astype(np.int32) + 2) * 121 <= local_sum
 
 
+# ----------------------------------------------------- S6 visualization
+
+def draw_structure(img: np.ndarray, paragraphs: list[dict]) -> np.ndarray:
+    """Annotated structure visualization (S6, app.py:871-966): 2px paragraph
+    bounding rectangles (ink, app.py:913-914) and — with multiple columns —
+    1px vertical column separators at the paragraph-gap midlines
+    (app.py:946-950), drawn on a copy of the page raster. The reference
+    base64-encodes a JPEG into the response (app.py:954-966); here the
+    annotated raster is IMGX bytes in an optional binary column."""
+    out = img.copy()
+    h, w = out.shape
+    t = 2
+    col_edges: dict[int, list[int]] = {}
+    for p in paragraphs:
+        x, y = int(p.get("x", 0)), int(p.get("y", 0))
+        pw, ph = int(p.get("width", 0)), int(p.get("height", 0))
+        x0, y0 = max(0, x), max(0, y)
+        x1, y1 = min(w, x + pw), min(h, y + ph)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        out[y0:min(y0 + t, y1), x0:x1] = 0
+        out[max(y1 - t, y0):y1, x0:x1] = 0
+        out[y0:y1, x0:min(x0 + t, x1)] = 0
+        out[y0:y1, max(x1 - t, x0):x1] = 0
+        col_edges.setdefault(int(p.get("column", 0)), []).append(x1)
+    if len(col_edges) > 1:
+        for c in sorted(col_edges)[:-1]:
+            sep = min(w - 1, max(col_edges[c]) + t)
+            out[:, sep] = 128
+    return out
+
+
 # ----------------------------------------------------------------- deskew
 
 DESKEW_ANGLES = np.arange(-3.0, 3.01, 0.5)

@@ -1,0 +1,76 @@
+"""Smoke + shape checks for the driver-contract queries added beyond the
+SQL-oracled set: pages explode, structure rollup, multimodal stages.
+
+These are the rows-only-checked entries — the tests pin their schemas and
+the invariants the driver can't see (page coverage, frame stride, decode
+status mix, DSP values on known signals).
+"""
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries(ray_session):
+    import __ray_entry__ as e
+    return e.queries()
+
+
+class TestPagesQueries:
+    def test_pdf_page_rows(self, queries):
+        df = queries["pdf_page_rows"](SF).to_pandas()
+        assert list(df.columns) == ["url", "page", "total_pages", "page_bytes"]
+        # every multi-page doc contributes exactly total_pages rows, 0..n-1
+        multi = df[df.total_pages > 1]
+        assert len(multi) > 0
+        for url, g in multi.groupby("url"):
+            assert sorted(g.page.tolist()) == list(range(int(g.total_pages.iloc[0])))
+        # single-page passthrough keeps page 0
+        single = df[df.total_pages == 1]
+        assert (single.page == 0).all()
+
+    def test_doc_structure_stats(self, queries):
+        df = queries["doc_structure_stats"](SF).to_pandas()
+        ok = df[df.status == "ok"]
+        assert len(ok) > 0
+        # spans cover paragraphs + sentences for rows that have structure
+        has = ok[ok.n_paragraphs > 0]
+        assert (has.n_spans == has.n_paragraphs + has.n_sentences).all()
+        assert (has.n_columns >= 1).all()
+        assert (has.n_sentences >= has.n_paragraphs).all()
+
+
+class TestMultimodalQueries:
+    def test_image_meta(self, queries):
+        df = queries["image_meta"](SF).to_pandas()
+        ok = df[df.status == "ok"]
+        bad = df[df.status != "ok"]
+        assert len(ok) > 0 and len(bad) > 0  # mixed corpus → row isolation
+        assert (ok.codec == "imgx").all()
+        assert (ok.width > 0).all() and (ok.height > 0).all()
+        assert ok.mean_intensity.between(0, 255).all()
+
+    def test_frame_samples(self, queries):
+        df = queries["frame_samples"](SF).to_pandas()
+        assert len(df) > 0
+        assert (df.frame_idx % 2 == 0).all()  # every_nth=2 stride
+        assert (df.frame_bytes > 0).all()
+        for url, g in df.groupby("url"):
+            total = int(g.total_frames.iloc[0])
+            assert sorted(g.frame_idx.tolist()) == list(range(0, total, 2))
+
+    def test_audio_features(self, queries):
+        df = queries["audio_features"](SF).to_pandas()
+        assert (df.status == "ok").all()
+        assert np.allclose(df.duration_s, 0.25)  # 4000 samples @ 16 kHz
+        # full-scale sine → rms ≈ amplitude/sqrt(2) (int16 quantized)
+        assert np.allclose(df.rms, 10000 / math.sqrt(2), rtol=0.02)
+        assert (df.zero_crossings > 0).all()

@@ -265,3 +265,70 @@ class TestPagesOps:
         assert (m.extracted_text_d == m.extracted_text_i).all()
         assert np.allclose(m.confidence_d, m.confidence_i)
         assert (m.total_pages_d == m.total_pages_i).all()
+
+
+class TestRegistryAndVisualization:
+    def _image_batch(self):
+        import random
+        from mobile_ocr_api_ray import corpus
+        rng = random.Random("reg:1")
+        lines, breaks, ptexts = corpus._make_image_lines(rng, 3)
+        img = glyphs.render_text(lines, scale=3, margin=16, para_breaks=breaks)
+        payload = glyphs.encode_imgx(img)
+        html = b"<html><body><p>" + b"Content sentence here. " * 20 + b"</p></body></html>"
+        return pa.table({
+            "url": pa.array(["imgx://a", "html://b"], pa.string()),
+            "html": pa.array([payload, html], pa.binary()),
+            "text": pa.array([None, None], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string())}), ptexts
+
+    def test_custom_kernel_callable(self):
+        from mobile_ocr_api_ray.stages.extractor import ExtractorActor
+
+        def shouty(payload, ctx):
+            return "CUSTOM KERNEL OUTPUT", 42.0, [
+                {"text": "CUSTOM KERNEL OUTPUT", "x": 0, "y": 0,
+                 "width": 20, "height": 1, "column": 0}], 1
+
+        batch, _ = self._image_batch()
+        out = ExtractorActor(kernels={"html": shouty})(batch).to_pandas()
+        row = out[out.url == "html://b"].iloc[0]
+        assert row.extracted_text == "CUSTOM KERNEL OUTPUT"
+        assert row.confidence == 42.0
+        # image kind untouched by the html override
+        assert out[out.url == "imgx://a"].iloc[0].status == "ok"
+
+    def test_registry_name_fallback(self):
+        from mobile_ocr_api_ray.stages import extractor
+        from mobile_ocr_api_ray.stages.registry import (register_kernel,
+                                                        registered_kernels,
+                                                        resolve_kernel)
+        assert ("html", "default") in registered_kernels()
+        # unknown name falls back to the kind's default (app2.py:844-845)
+        assert resolve_kernel("html", "nonexistent") is extractor.html_kernel
+
+        def k(payload, ctx):
+            return "", 0.0, [], 1
+
+        register_kernel("html", "test_variant", k)
+        assert resolve_kernel("html", "test_variant") is k
+
+    def test_visualization_column(self):
+        from mobile_ocr_api_ray.stages.extractor import ExtractorActor
+        from mobile_ocr_api_ray.stages.image_extract import optimize_image
+
+        batch, _ = self._image_batch()
+        out = ExtractorActor(build_visualization=True)(batch).to_pandas()
+        img_row = out[out.url == "imgx://a"].iloc[0]
+        html_row = out[out.url == "html://b"].iloc[0]
+        assert html_row.visualization is None  # no pixel geometry for DOM path
+        viz = glyphs.decode_imgx(img_row.visualization)
+        orig = optimize_image(glyphs.decode_imgx(batch["html"][0].as_py()), 1200)
+        assert viz.shape == orig.shape
+        # rectangles drawn: first paragraph's top border row is all ink
+        p0 = img_row.paragraphs[0]["bounds"]
+        assert (viz[p0["y"], p0["x"]:p0["x"] + p0["width"]] == 0).all()
+        assert (viz != orig).any()
+        # off by default
+        out2 = ExtractorActor()(batch).to_pandas()
+        assert out2.visualization.isna().all()

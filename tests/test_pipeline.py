@@ -113,6 +113,19 @@ class TestNavigation:
         sent = nav.current_text("sentence")
         assert sent == row.paragraphs[0]["sentences"][0]["text"]
 
+    def test_scope_text(self, extracted):
+        from mobile_ocr_api_ray.functions.navigation import scope_text
+        rows = extracted[(extracted.status == "ok") & (extracted.source == "kernel")]
+        row = rows[rows.paragraphs.map(len) > 1].iloc[0]
+        paras, cols = list(row.paragraphs), list(row.columns)
+        # full scope reproduces extracted_text (paragraph join invariant)
+        assert scope_text(paras, cols, "full") == row.extracted_text
+        assert scope_text(paras, cols, "paragraph", 1) == row.paragraphs[1]["text"]
+        assert scope_text(paras, cols, "paragraph", 9999) == row.paragraphs[-1]["text"]
+        col0 = scope_text(paras, cols, "column", 0)
+        ids = row.columns[0]["paragraphs"]
+        assert col0 == "\n\n".join(row.paragraphs[i]["text"] for i in ids)
+
 
 class TestSummarizeStage:
     def test_non_ok_rows_null_summary(self, extracted):
