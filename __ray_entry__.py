@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": a.ann_brute_topk,
         # non-SQL-expressible (rows-only checks)
         "ann_lsh_topk": a.ann_lsh_topk,
+        "ann_ivf_topk": a.ann_ivf_topk,
         "minhash_pairs_doubled": a.minhash_pairs_doubled,
         "minhash_verified_pairs_doubled": a.minhash_verified_pairs_doubled,
         "simhash_docs": a.simhash_docs,

@@ -194,6 +194,16 @@ def ann_lsh_topk(sf_dir: str):
     return res.map_batches(strip, batch_format="pyarrow").sort(["query_id", "rank"])
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN (k-means coarse quantizer, n_probe nearest lists)."""
+    res = similarity.ivf_topk(_embeddings(sf_dir), _query_matrix(sf_dir), k=ANN_K)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "rank", "vec_id"])
+
+    return res.map_batches(strip, batch_format="pyarrow").sort(["query_id", "rank"])
+
+
 # ----------------------------------------------------- extraction analytics
 
 def _pages_dir_for(sf_dir: str) -> str:

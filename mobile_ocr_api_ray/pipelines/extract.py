@@ -207,10 +207,35 @@ def extract_pipeline_dedup(ds: "ray.data.Dataset", quality: str = "medium",
     return out
 
 
-def read_pages(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    """Column-pruned read of a pages table (file or directory).
+SMALL_SHARD_BYTES = 32 << 20
+
+
+def read_pages(path: str | list[str], columns: list[str] | None = None,
+               override_num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Column-pruned read of a pages table (file, directory, or file list).
 
     ``warc_ts`` is carried as data but unused by extraction (SURVEY.md §2.9),
     so the default projection drops it at the read — only needed columns
-    leave storage."""
-    return ray.data.read_parquet(path, columns=columns or ["url", "html", "text", "lang"])
+    leave storage.
+
+    For many SMALL shards, the block count is pinned to the file count:
+    Ray's default block sizing otherwise appends a SplitBlocks stage that
+    copies every raw payload through the object store once more and worsens
+    stage overlap (measured: 8.6k → 12.9k docs/s on the flagship at 32
+    CPUs just from this). Big shards (≥32 MB avg) keep Ray's dynamic
+    splitting, which is what bounds block size at real corpus scale."""
+    import os
+
+    if override_num_blocks is None:
+        files: list[str] | None = None
+        if isinstance(path, (list, tuple)):
+            files = [p for p in path if str(p).endswith(".parquet")]
+        elif isinstance(path, str) and os.path.isdir(path):
+            files = [os.path.join(path, f) for f in os.listdir(path)
+                     if f.endswith(".parquet")]
+        if files:
+            total = sum(os.path.getsize(f) for f in files)
+            if total / len(files) < SMALL_SHARD_BYTES:
+                override_num_blocks = len(files)
+    return ray.data.read_parquet(path, columns=columns or ["url", "html", "text", "lang"],
+                                 override_num_blocks=override_num_blocks)

@@ -143,6 +143,77 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_probe_bits: int = 2,
     return _global_topk(candidates, k)
 
 
+# --------------------------------------------------------------- IVF ANN
+
+def train_centroids(ds, n_centroids: int = 16, sample: int = 2048,
+                    n_iter: int = 10, seed: int = 42) -> np.ndarray:
+    """IVF coarse quantizer: spherical k-means on a deterministic sample.
+
+    Standard IVF practice: the training set is a tiny sample of the corpus
+    (``limit(sample)`` — the one deliberate driver-side materialization,
+    bounded by ``sample`` regardless of corpus size); the trained centroid
+    matrix is the small broadcast side for the assignment pass. Lloyd
+    iterations on unit vectors with cosine assignment; empty clusters are
+    re-seeded deterministically."""
+    samp = ds.limit(sample).to_pandas()
+    X = _normalize(np.array(samp["embedding"].tolist(), dtype=np.float64))
+    rs = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(X))
+    C = X[rs.choice(len(X), size=n_centroids, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                C[c] = v / (n if n > 0 else 1.0)
+            else:
+                C[c] = X[rs.randint(len(X))]
+    return C
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, sample: int = 2048):
+    """IVF approximate top-k: one assignment pass buckets every vector to
+    its nearest centroid (centroid matrix broadcast in the closure — tiny);
+    each query scans only its ``n_probe`` nearest centroids' lists. The
+    probed corpus fraction ≈ n_probe / n_centroids; recall is tested
+    against brute force. Returns (query_id, vec_id, cosine, rank)."""
+    queries = _normalize(np.asarray(queries, dtype=np.float64))
+    C = train_centroids(ds, n_centroids=n_centroids, sample=sample)
+    qsims = queries @ C.T                              # (q, c)
+    probe: dict[int, list[int]] = {}
+    for qi in range(queries.shape[0]):
+        top = np.argsort(-qsims[qi], kind="stable")[:n_probe]
+        for c in top:
+            probe.setdefault(int(c), []).append(qi)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        vecs = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        assign = np.argmax(vecs @ C.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for c in np.unique(assign):
+            qids = probe.get(int(c))
+            if not qids:
+                continue
+            sel = assign == c
+            sub_ids, sub = ids[sel], vecs[sel]
+            sims = sub @ queries[qids].T
+            for col, qi in enumerate(qids):
+                order = np.lexsort((sub_ids, -sims[:, col]))[:k]
+                out_q.extend([qi] * len(order))
+                out_id.extend(sub_ids[order].tolist())
+                out_s.extend(sims[order, col].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    candidates = ds.map_batches(scan, batch_format="pyarrow", batch_size=4096)
+    return _global_topk(candidates, k)
+
+
 def fixed_queries(dim: int, n_queries: int = 4, seed: int = 7) -> np.ndarray:
     """Deterministic query matrix for benchmarks/oracles."""
     return np.random.RandomState(seed).normal(size=(n_queries, dim))

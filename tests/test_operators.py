@@ -167,6 +167,26 @@ class TestSimilarity:
             got = res[res.query_id == qi].sort_values("rank").vec_id.to_numpy()
             assert np.array_equal(got, expected)
 
+    def test_ivf_recall(self, ray_session, emb_ds):
+        rs = np.random.RandomState(5)
+        queries = rs.normal(size=(3, 32))
+        brute = similarity.brute_topk(emb_ds, queries, k=5).to_pandas()
+        approx = similarity.ivf_topk(emb_ds, queries, k=5, n_centroids=8,
+                                     n_probe=4).to_pandas()
+        # probing half the centroid lists must recover most of the true top-k
+        hits = 0
+        for qi in range(3):
+            t = set(brute[brute.query_id == qi].vec_id)
+            a = set(approx[approx.query_id == qi].vec_id)
+            hits += len(t & a)
+        assert hits / 15 >= 0.6
+        # determinism: same call → same result
+        again = similarity.ivf_topk(emb_ds, queries, k=5, n_centroids=8,
+                                    n_probe=4).to_pandas()
+        pd.testing.assert_frame_equal(
+            approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
+            again.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
     def test_lsh_recall(self, ray_session, emb_ds):
         rs = np.random.RandomState(5)
         queries = rs.normal(size=(3, 32))
