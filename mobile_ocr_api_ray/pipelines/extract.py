@@ -95,6 +95,47 @@ def extract_batch(batch: pa.Table, quality: str = "medium",
                              with_visualization)(batch)
 
 
+BIG_ROW_BYTES = 2 << 20  # skew threshold; reference upload cap bounds the
+# worst row at 16 MB (app.py:230)
+BIG_ROW_BATCH = 2
+
+
+def _payload_len(batch: pa.Table) -> "pa.Array":
+    import pyarrow.compute as pc
+    return pc.if_else(pc.is_null(batch["html"]),
+                      pa.scalar(0, pa.int64()),
+                      pc.cast(pc.binary_length(batch["html"]), pa.int64()))
+
+
+def extract_pipeline_skew_aware(ds: "ray.data.Dataset", quality: str = "medium",
+                                big_row_bytes: int = BIG_ROW_BYTES,
+                                **kwargs) -> "ray.data.Dataset":
+    """Skew-aware variant (SURVEY.md §4, north-star requirement): oversized
+    payload rows are isolated into their own tiny batches so one 16 MB blob
+    never rides in a 128-row batch (bounding per-task memory to
+    ~big_row_bytes × BIG_ROW_BATCH) and never makes a whole batch a
+    straggler. Both branches are vectorized mask filters pushed directly
+    after the read; the small-row branch keeps the default batch size. The
+    input is read by both branches — cheap relative to extraction, and at
+    real scale the filter fuses into the read tasks."""
+    import pyarrow.compute as pc
+
+    def keep_small(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(_payload_len(batch),
+                                          pa.scalar(big_row_bytes, pa.int64())))
+
+    def keep_big(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(_payload_len(batch),
+                                       pa.scalar(big_row_bytes, pa.int64())))
+
+    small = ds.map_batches(keep_small, batch_format="pyarrow")
+    big = ds.map_batches(keep_big, batch_format="pyarrow")
+    out_small = extract_pipeline(small, quality=quality, **kwargs)
+    out_big = extract_pipeline(big, quality=quality,
+                               batch_size=BIG_ROW_BATCH, **kwargs)
+    return out_small.union(out_big)
+
+
 def extract_pipeline(ds: "ray.data.Dataset", quality: str = "medium",
                      concurrency: int | None = None,
                      batch_size: int = EXTRACT_BATCH_SIZE,

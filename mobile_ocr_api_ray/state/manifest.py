@@ -119,15 +119,21 @@ def run_partitioned_extract(pages_path: str, out_dir: str, n_partitions: int = 6
     ds = read_pages(pages_path)
     ds = ds.map_batches(lambda b: add_partition_column(b, n_partitions),
                         batch_format="pyarrow")
-    if done:
-        done_list = sorted(done)
+    # preemption simulation (max_partitions) selects WHICH incomplete
+    # partitions run by filtering ids before extraction — a limit() on the
+    # write results would not stop already-scheduled write tasks' side
+    # effects (observed: limit(6) still wrote all 16 partitions)
+    todo = sorted(set(range(n_partitions)) - done)
+    if max_partitions is not None:
+        todo = todo[:max_partitions]
+    if len(todo) < n_partitions:
+        todo_arr = pa.array(todo, pa.int32())
 
-        def drop_done(batch: pa.Table) -> pa.Table:
-            mask = pc.invert(pc.is_in(batch["partition_id"],
-                                      value_set=pa.array(done_list, pa.int32())))
-            return batch.filter(mask)
+        def keep_todo(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["partition_id"],
+                                         value_set=todo_arr))
 
-        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+        ds = ds.map_batches(keep_todo, batch_format="pyarrow")
 
     extracted = extract_pipeline(ds, quality=quality, concurrency=concurrency,
                                  batch_size=batch_size)
@@ -140,8 +146,6 @@ def run_partitioned_extract(pages_path: str, out_dir: str, n_partitions: int = 6
     # group rows by partition and write each atomically. The groupby gives
     # one task per partition — partition count bounds write parallelism.
     t0 = time.time()
-    n_new = 0
-    limit = max_partitions if max_partitions is not None else n_partitions
 
     def write_group(group: pa.Table) -> pa.Table:
         pid = int(group["partition_id"][0].as_py())
@@ -153,11 +157,7 @@ def run_partitioned_extract(pages_path: str, out_dir: str, n_partitions: int = 6
 
     incomplete = extracted.groupby("partition_id")
     written = incomplete.map_groups(write_group, batch_format="pyarrow")
-    if max_partitions is not None:
-        results = written.limit(limit).take_all()
-    else:
-        results = written.take_all()
-    n_new = len(results)
+    n_new = len(written.to_pandas())
     return {"completed_before": len(done), "completed_now": n_new,
             "out_dir": out_dir, "n_partitions": n_partitions}
 

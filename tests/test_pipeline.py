@@ -3,6 +3,7 @@ dedup semantics, navigation over output rows (SURVEY.md §5 items 2-4)."""
 
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -125,6 +126,30 @@ class TestNavigation:
         col0 = scope_text(paras, cols, "column", 0)
         ids = row.columns[0]["paragraphs"]
         assert col0 == "\n\n".join(row.paragraphs[i]["text"] for i in ids)
+
+
+class TestSkewAware:
+    def test_big_rows_isolated_same_results(self, ray_session, small_corpus):
+        import ray.data
+        from mobile_ocr_api_ray.pipelines.extract import (
+            extract_pipeline, extract_pipeline_skew_aware)
+        ds = read_pages(os.path.join(small_corpus, "pages.parquet")).limit(64)
+        base = ds.to_pandas()
+        # graft one oversized html row (3 MB of real page structure)
+        big_html = (b"<html><body>" + b"<p>Huge page sentence here. </p>" * 100000
+                    + b"</body></html>")
+        big = pa.table({"url": pa.array(["big://1"], pa.string()),
+                        "html": pa.array([big_html], pa.binary()),
+                        "text": pa.array([None], pa.string()),
+                        "lang": pa.array(["en"], pa.string())})
+        mixed = ray.data.from_arrow(
+            pa.Table.from_pandas(base, preserve_index=False)).union(
+            ray.data.from_arrow(big))
+        plain = extract_pipeline(mixed).to_pandas().sort_values("url").reset_index(drop=True)
+        skew = extract_pipeline_skew_aware(mixed).to_pandas().sort_values("url").reset_index(drop=True)
+        assert plain.url.tolist() == skew.url.tolist()
+        assert plain.extracted_text.tolist() == skew.extracted_text.tolist()
+        assert skew[skew.url == "big://1"].status.iloc[0] == "ok"
 
 
 class TestSummarizeStage:
