@@ -94,7 +94,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("quality_scores", lambda: a.quality_docs(sf_dir).to_pandas())
     timed("exact_dedup", lambda: a.exact_dedup_docs(sf_dir).to_pandas())
     timed("minhash_pairs_doubled", lambda: a.minhash_pairs_doubled(sf_dir).to_pandas())
+    timed("simhash_pairs_doubled", lambda: a.simhash_pairs_doubled(sf_dir).to_pandas())
+    timed("ngram_jaccard_adjacent", lambda: a.ngram_jaccard_adjacent(sf_dir).to_pandas())
+    timed("dup_clusters_doubled", lambda: a.dup_clusters_doubled(sf_dir).to_pandas())
     timed("ann_brute_topk", lambda: a.ann_brute_topk(sf_dir).to_pandas())
+    timed("ann_ivf_topk", lambda: a.ann_ivf_topk(sf_dir).to_pandas())
+    timed("image_meta", lambda: a.image_meta(sf_dir).to_pandas())
+    timed("pdf_page_rows", lambda: a.pdf_page_rows(sf_dir).to_pandas())
 
     result = {
         "metric": "flagship extraction wall time (docs -> extracted+summary), "
