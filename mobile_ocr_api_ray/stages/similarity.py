@@ -70,7 +70,9 @@ def brute_topk(ds, queries: np.ndarray, k: int = 10, concurrency: int | None = N
         BruteTopKStage,
         fn_constructor_kwargs={"queries_ref": qref, "k": k},
         batch_format="pyarrow", batch_size=4096,
-        concurrency=concurrency or 4, num_cpus=1)
+        # fractional num_cpus: a pool reserving every session CPU starves
+        # upstream stages into deadlock (pipelines/extract.py pool rule)
+        concurrency=concurrency or 4, num_cpus=0.5)
     return _global_topk(candidates, k)
 
 

@@ -352,3 +352,53 @@ class TestRegistryAndVisualization:
         # off by default
         out2 = ExtractorActor()(batch).to_pandas()
         assert out2.visualization.isna().all()
+
+
+class TestOperatorInvariance:
+    """Operator results must not depend on block layout (SURVEY.md §5 item 3):
+    same values under repartition(1) vs repartition(13)."""
+
+    @pytest.fixture(scope="class")
+    def docs_ds(self, ray_session):
+        import ray.data
+        texts = [f"document {i} content words alpha beta gamma delta {i % 7} tail {i}"
+                 for i in range(60)]
+        texts += texts[:15]
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def _cmp(self, mk, ds, sort_cols):
+        a = mk(ds.repartition(1)).to_pandas()
+        b = mk(ds.repartition(13)).to_pandas()
+        a = a.sort_values(sort_cols).reset_index(drop=True)
+        b = b.sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_minhash_pairs_invariant(self, ray_session, docs_ds):
+        self._cmp(lambda d: dedup.minhash_dedup_pairs(d, threshold=0.8),
+                  docs_ds, ["id_a", "id_b"])
+
+    def test_simhash_pairs_invariant(self, ray_session, docs_ds):
+        self._cmp(lambda d: dedup.simhash_near_pairs(d, max_hamming=3),
+                  docs_ds, ["id_a", "id_b"])
+
+    def test_adjacent_jaccard_invariant(self, ray_session, docs_ds):
+        self._cmp(dedup.adjacent_ngram_jaccard, docs_ds, ["id_a"])
+
+    def test_exact_dedup_invariant(self, ray_session, docs_ds):
+        self._cmp(dedup.exact_dedup_stats, docs_ds, ["digest"])
+
+    def test_ann_invariant(self, ray_session):
+        import ray.data
+        rs = np.random.RandomState(9)
+        vecs = rs.normal(size=(150, 24))
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(150), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64()))}))
+        queries = rs.normal(size=(2, 24))
+        self._cmp(lambda d: similarity.brute_topk(d, queries, k=7),
+                  ds, ["query_id", "rank"])
+        self._cmp(lambda d: similarity.ivf_topk(d, queries, k=7, n_centroids=6,
+                                                n_probe=3),
+                  ds, ["query_id", "rank"])
