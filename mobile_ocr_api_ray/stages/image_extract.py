@@ -235,29 +235,53 @@ def _score_cell(cell: np.ndarray, glyph_idx: int) -> float:
     return float((template == cell).mean())
 
 
+_PACKED_CACHE: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def _packed_templates_for(ch: int, cw: int) -> tuple[np.ndarray, int]:
+    """Bit-packed glyph template stack for a cell size: (g, ceil(ch*cw/8))
+    uint8 rows + the unpacked bit count. packbits pads the trailing byte
+    with zeros on BOTH sides of a comparison, so padding never contributes
+    to a hamming distance."""
+    key = (ch, cw)
+    hit = _PACKED_CACHE.get(key)
+    if hit is None:
+        t = _templates_for(ch, cw)
+        flat = t.reshape(t.shape[0], -1)
+        hit = (np.packbits(flat, axis=1), flat.shape[1])
+        _PACKED_CACHE[key] = hit
+    return hit
+
+
 def _match_cells_batch(cells: np.ndarray, conf_cells: np.ndarray
                        ) -> tuple[list[str], list[float]]:
-    """Vectorized recognition of equal-size cells: (n, ch, cw) bool stack vs
-    the full template stack in one boolean reduce. Same argmax tie-break as
-    _match_cell (first max wins). Returns (chars, per-glyph conf scores for
-    non-space cells, in order)."""
+    """Vectorized recognition of equal-size cells via bit-packed XOR +
+    popcount: hamming distance to every template in (m, g, bytes) uint8 ops
+    — ~8x less memory traffic than the boolean (m, g, ch*cw) equality
+    tensor. argmin(hamming) ≡ argmax(agreement) with the same first-wins
+    tie-break; confidence = equal_bits/total_bits, bit-identical to the
+    boolean mean. Returns (chars, per-glyph conf scores for non-space
+    cells, in order)."""
     n, ch, cw = cells.shape
-    templates = _templates_for(ch, cw)            # (g, ch, cw)
+    packed_t, nbits = _packed_templates_for(ch, cw)   # (g, W), bits
     nonempty = cells.reshape(n, -1).any(axis=1)
     chars = [" "] * n
     scores: list[float] = []
     if nonempty.any():
-        sub = cells[nonempty]                     # (m, ch, cw)
-        eq = sub[:, None, :, :] == templates[None, :, :, :]
-        agree = eq.reshape(sub.shape[0], templates.shape[0], -1).mean(axis=2)
-        best = np.argmax(agree, axis=1)
-        csub = conf_cells[nonempty]
-        conf_eq = (csub == templates[best]).reshape(csub.shape[0], -1).mean(axis=1)
+        sub = cells[nonempty].reshape(-1, ch * cw)    # (m, bits)
+        sub_p = np.packbits(sub, axis=1)              # (m, W)
+        ham = _POPCNT[sub_p[:, None, :] ^ packed_t[None, :, :]].sum(
+            axis=2, dtype=np.int64)                   # (m, g)
+        best = np.argmin(ham, axis=1)
+        csub_p = np.packbits(conf_cells[nonempty].reshape(-1, ch * cw), axis=1)
+        conf_ham = _POPCNT[csub_p ^ packed_t[best]].sum(axis=1, dtype=np.int64)
+        conf = (nbits - conf_ham) / float(nbits)
         j = 0
         for i in range(n):
             if nonempty[i]:
                 chars[i] = FONT_CHARS[int(best[j])]
-                scores.append(float(conf_eq[j]))
+                scores.append(float(conf[j]))
                 j += 1
     return chars, scores
 
