@@ -21,7 +21,9 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from mobile_ocr_api_ray.stages.text_analysis import QUALITY_STOPWORDS, _alt_regex
+from mobile_ocr_api_ray.stages.text_analysis import (LANG_PROFILES,
+                                                     QUALITY_STOPWORDS,
+                                                     _alt_regex)
 
 
 def entry() -> Any:
@@ -92,7 +94,30 @@ def _ann_query_values() -> str:
 
 def oracle_sql() -> dict[str, str]:
     alt = _alt_regex(QUALITY_STOPWORDS)
+    alt_eng = _alt_regex(LANG_PROFILES["eng"])
+    alt_ind = _alt_regex(LANG_PROFILES["ind"])
     return {
+        # language-ID heuristic: profile hit counts via the same RE2 engine
+        # on both sides; argmax order is irrelevant because ties → 'und'
+        "langid_docs": rf"""
+            WITH c AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(lower(text), '{alt_eng}')) AS c_eng,
+                     length(regexp_extract_all(lower(text), '{alt_ind}')) AS c_ind
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(c_eng, c_ind) = 0 OR c_eng = c_ind THEN 'und'
+                        WHEN c_eng > c_ind THEN 'eng' ELSE 'ind' END AS lang_pred,
+                   cast(greatest(c_eng, c_ind) AS BIGINT) AS lang_evidence
+            FROM c ORDER BY doc_id""",
+        # doubled-corpus embedding near-dups: the only pairs with cosine ≥
+        # 0.999999 among gaussian vectors are the exact clones → list equality
+        "embedding_pairs_doubled": r"""
+            WITH d AS (SELECT vec_id, embedding FROM embeddings
+                       UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM d a JOIN d b ON a.vec_id < b.vec_id AND a.embedding = b.embedding
+            ORDER BY 1, 2""",
         "lineitem_pricing": r"""
             SELECT l_returnflag, l_linestatus,
                    sum(cast(round(l_quantity*100, 0) AS BIGINT))/100.0 AS sum_qty,
