@@ -75,7 +75,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # headline: flagship extraction at pipeline defaults
+    # headline: flagship extraction at pipeline defaults. An untimed warmup
+    # over a slice first starts the worker pool + imports, so the timed run
+    # measures compute + exchange (same methodology as --scaling).
+    warm = extract_pipeline(read_pages(
+        [os.path.join(pages_path, s)
+         for s in sorted(os.listdir(pages_path))[:2 * num_cpus]]))
+    for _ in warm.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        pass
+
     def headline():
         ds = read_pages(pages_path)
         out = extract_pipeline(ds)
