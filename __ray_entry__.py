@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_lang_doc_stats": r.per_lang_doc_stats,
         "events_hourly": r.events_hourly,
         "sessionize_events": r.sessionize_events,
+        "user_moving_avg": r.user_moving_avg,
         # text analysis (SQL-checked)
         "token_counts": a.token_counts_docs,
         "quality_scores": a.quality_docs,
@@ -167,6 +168,15 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    sum(cast(round(value*100, 0) AS BIGINT))/100.0 AS sum_value
             FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+        # sliding-window frame avg, integer-cent numerator on both sides
+        "user_moving_avg": r"""
+            SELECT user_id, event_id, ts,
+                   sum(cast(round(value*100, 0) AS BIGINT)) OVER w
+                     / (count(*) OVER w * 100.0) AS avg_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts, event_id""",
         "token_counts": r"""
             WITH c AS (
               SELECT doc_id, length(text) AS n_chars_m,

@@ -254,3 +254,28 @@ def sessionize_events(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
             .groupby("user_id")
             .map_groups(sessions, batch_format="pandas")
             .sort(["user_id", "session_id"]))
+
+
+def user_moving_avg(sf_dir: str, window: int = 3):
+    """Sliding-window aggregate: per user, ordered by (ts, event_id), the
+    mean of the last ``window`` values (SQL frame ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW). Windowing runs inside groupby(user_id) over
+    the explicitly sorted group (never block order); the rolling sum is an
+    integer-cent cumsum so the division matches the SQL frame avg
+    bit-for-bit (see lineitem_pricing float-parity note)."""
+
+    def mov(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        c = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        cs = np.concatenate([[0], np.cumsum(c)])
+        idx = np.arange(len(c))
+        starts = np.maximum(0, idx - (window - 1))
+        sums = cs[idx + 1] - cs[starts]
+        counts = idx + 1 - starts
+        g["avg_value"] = sums / (counts * 100.0)
+        return g[["user_id", "event_id", "ts", "avg_value"]]
+
+    return (_pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+            .groupby("user_id")
+            .map_groups(mov, batch_format="pandas")
+            .sort(["user_id", "ts", "event_id"]))
