@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": a.exact_dedup_docs,
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
+        "sample_docs": a.sample_docs,
         # similarity search (SQL-checked via list_cosine_similarity)
         "ann_brute_topk": a.ann_brute_topk,
         # non-SQL-expressible (rows-only checks)
@@ -208,6 +209,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": r"""
             SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
             FROM documents GROUP BY 1 ORDER BY 1""",
+        # deterministic hash sampling: md5(doc_id) first 8 hex digits under
+        # 10% of the 32-bit space — identical md5 on both sides
+        "sample_docs": r"""
+            SELECT doc_id, text FROM documents
+            WHERE cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  < cast(4294967296 * 10 // 100 AS UBIGINT)
+            ORDER BY doc_id""",
         "exact_dedup_doubled": r"""
             WITH d AS (SELECT doc_id, text FROM documents
                        UNION ALL SELECT doc_id + 1000000, text FROM documents)

@@ -343,3 +343,24 @@ def extract_lang_stats(sf_dir: str):
            .aggregate(Count(alias_name="n_docs"), Mean("confidence", alias_name="avg_confidence"),
                       Sum("n_chars", alias_name="total_chars"), Sum("ok", alias_name="n_ok")))
     return agg.sort("lang")
+
+
+def sample_docs(sf_dir: str, pct: int = 10):
+    """Deterministic hash sampling — reproducible corpus subsampling for
+    training-data curation: keep a row iff the first 8 hex digits of
+    md5(doc_id) fall under pct% of the 32-bit space. Unlike random_shuffle
+    or seeded sampling, membership is a pure function of the key: stable
+    across runs, partitionings and cluster sizes, and reproducible in SQL
+    (md5 available in DuckDB) for the oracle."""
+    import hashlib
+
+    bound = (1 << 32) * pct // 100
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        mask = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < bound
+                for i in ids]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(keep, batch_format="pyarrow").sort("doc_id"))
