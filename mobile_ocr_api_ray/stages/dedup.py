@@ -578,12 +578,19 @@ def dup_clusters(pairs_ds, n_iter: int = 4):
     edges = pairs_ds.map_batches(explode, batch_format="pyarrow")
     edges = edges.materialize()  # pair graph only; reused every round
 
-    labels = min_labels(edges)
+    # the label table is proportional to the DUPLICATE PAIR set (docstring
+    # above), so each round's labels come to the driver columnar — both for
+    # the broadcast map and the convergence check (to_pandas, NOT take_all:
+    # its per-row dict conversion costs ~10s on 10k rows / 128 tiny blocks)
+    lf = min_labels(edges).to_pandas()
+    prev_map: dict | None = None
     for _ in range(n_iter - 1):
-        # label map to the driver via columnar to_pandas (NOT take_all: its
-        # per-row dict conversion costs ~10s on 10k rows / 128 tiny blocks)
-        lf = labels.to_pandas()
-        lbl_ref = ray.put(dict(zip(lf["src"], lf["label"])))
+        lbl_map = dict(zip(lf["src"], lf["label"]))
+        if lbl_map == prev_map:
+            break  # converged — typical duplicate graphs (pairs, small
+            # clusters) stabilize after one round; skip remaining shuffles
+        prev_map = lbl_map
+        lbl_ref = ray.put(lbl_map)
 
         def relabel(batch: pa.Table, lbl_ref=lbl_ref) -> pa.Table:
             lbl = ray.get(lbl_ref)
@@ -593,5 +600,9 @@ def dup_clusters(pairs_ds, n_iter: int = 4):
                              "dst": pa.array([lbl.get(d, d) for d in dst]),
                              "coarse": batch["coarse"]})
 
-        labels = min_labels(edges.map_batches(relabel, batch_format="pyarrow"))
-    return labels
+        lf = min_labels(
+            edges.map_batches(relabel, batch_format="pyarrow")).to_pandas()
+    import ray.data
+    # return the materialized final round — a lazy return would re-execute
+    # the whole per-round lineage on first consumption
+    return ray.data.from_pandas(lf.reset_index(drop=True))
