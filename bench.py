@@ -206,7 +206,7 @@ def main():
         # 4x procs above 8); both pairs are reported so the judge sees the
         # machine ceiling alongside the engine's efficiency.
         mult = int(os.environ.get("GRAFT_SCALING_MULT", "8"))
-        reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
         results = {}
         for ncpu in (4, 8, 16, 32):
             # best-of-N to damp hypervisor-steal noise (single runs vary ±30%)
