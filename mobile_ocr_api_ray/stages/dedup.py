@@ -192,18 +192,29 @@ def _bucket_pairs(df: pd.DataFrame, key_cols: list[str], id_col: str,
     return ida, idb, vals
 
 
-def _dedup_pairs_coarse(pairs_ds, val_col: str):
+def _dedup_pairs_coarse(pairs_ds, val_col: str, val_type: "pa.DataType"):
     """Global pair dedup: coarse shuffle on a hash of the pair key, then a
     vectorized drop_duplicates per partition. A pair found by several bands
     carries an identical value (it is a function of the two full
     signatures), so keep-first is exact. Cheaper than a native Aggregate
     here: the pair set is small but block counts are high, and Aggregate's
-    per-block fixed costs dominate (measured 12s vs ~1s on 95k rows)."""
+    per-block fixed costs dominate (measured 12s vs ~1s on 95k rows).
+
+    A typed empty table is unioned in so a duplicate-free corpus still
+    yields a dataset with the pair schema — map_groups over zero rows
+    otherwise returns a schema-less empty dataset that breaks downstream
+    sorts and column references."""
+    import ray.data
+
     def drop_dup(df: pd.DataFrame) -> pd.DataFrame:
         return (df.drop_duplicates(["id_a", "id_b"])
                 [["id_a", "id_b", val_col]])
 
-    return pairs_ds.groupby("pcoarse").map_groups(drop_dup, batch_format="pandas")
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        val_col: pa.array([], val_type)}))
+    deduped = pairs_ds.groupby("pcoarse").map_groups(drop_dup, batch_format="pandas")
+    return empty.union(deduped)
 
 
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -249,7 +260,7 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                              batch_format="pyarrow")
     pairs = (bands.map_batches(add_coarse, batch_format="pyarrow")
              .groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))
-    return _dedup_pairs_coarse(pairs, "est_jaccard")
+    return _dedup_pairs_coarse(pairs, "est_jaccard", pa.float64())
 
 
 # ---------------------------------------------------------------- SimHash
@@ -340,7 +351,7 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     bands = sims.map_batches(band_rows, batch_format="pyarrow")
     pairs = (bands.map_batches(add_coarse, batch_format="pyarrow")
              .groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))
-    return _dedup_pairs_coarse(pairs, "hamming")
+    return _dedup_pairs_coarse(pairs, "hamming", pa.int64())
 
 
 # ---------------------------------------------------- exact n-gram Jaccard
@@ -583,6 +594,12 @@ def dup_clusters(pairs_ds, n_iter: int = 4):
     # the broadcast map and the convergence check (to_pandas, NOT take_all:
     # its per-row dict conversion costs ~10s on 10k rows / 128 tiny blocks)
     lf = min_labels(edges).to_pandas()
+    if lf.empty or "src" not in lf.columns:
+        # duplicate-free corpus → empty pair graph; keep the (src, label)
+        # schema so downstream sorts/selects still work
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}))
     prev_map: dict | None = None
     for _ in range(n_iter - 1):
         lbl_map = dict(zip(lf["src"], lf["label"]))

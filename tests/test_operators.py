@@ -402,3 +402,35 @@ class TestOperatorInvariance:
         self._cmp(lambda d: similarity.ivf_topk(d, queries, k=7, n_centroids=6,
                                                 n_probe=3),
                   ds, ["query_id", "rank"])
+
+
+class TestEmptyResults:
+    """A duplicate-free corpus must yield empty-but-typed results — not
+    schema-less datasets that break downstream sorts (regression: map_groups
+    over zero rows returns an untyped empty dataset)."""
+
+    @pytest.fixture(scope="class")
+    def unique_ds(self, ray_session):
+        import ray.data
+        texts = [f"totally unique document number {i} about topic {i*7} "
+                 f"and subject {i*13} end" for i in range(30)]
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_pair_ops_keep_schema(self, ray_session, unique_ds):
+        # Dataset-level schema must survive the empty result so sorts and
+        # column references work. (Ray's to_pandas drops columns on
+        # all-empty datasets — assert on ds.schema(), the real contract.)
+        mh = dedup.minhash_dedup_pairs(unique_ds, threshold=0.95)
+        assert mh.schema().names == ["id_a", "id_b", "est_jaccard"]
+        assert mh.sort(["id_a", "id_b"]).count() == 0  # sort needs the schema
+        sh = dedup.simhash_near_pairs(unique_ds, max_hamming=1)
+        assert sh.schema().names == ["id_a", "id_b", "hamming"]
+        assert sh.sort(["id_a", "id_b"]).count() == 0
+
+    def test_clusters_from_empty_pairs(self, ray_session, unique_ds):
+        pairs = dedup.minhash_dedup_pairs(unique_ds, threshold=0.99)
+        out = dedup.dup_clusters(pairs)
+        assert out.schema().names == ["src", "label"]
+        assert out.sort("src").count() == 0  # sort works on the typed empty
