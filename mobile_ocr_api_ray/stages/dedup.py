@@ -417,7 +417,12 @@ def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
                              "jaccard": pd.array(jac, "float64")})
 
     fanned = ds.map_batches(fan_out, batch_format="pyarrow")
-    return fanned.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas")
+    import ray.data
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())}))
+    return empty.union(
+        fanned.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))
 
 
 def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
@@ -492,7 +497,13 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
     docs = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
     stamped = refs.union(docs).groupby("coarse").map_groups(
         stamp_coarse, batch_format="pandas")
-    return stamped.groupby("pcoarse").map_groups(verify_coarse, batch_format="pandas")
+    import ray.data
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "est_jaccard": pa.array([], pa.float64()),
+        "jaccard": pa.array([], pa.float64())}))
+    return empty.union(
+        stamped.groupby("pcoarse").map_groups(verify_coarse, batch_format="pandas"))
 
 
 # ------------------------------------------------- embedding near-dup (LSH)
@@ -548,7 +559,12 @@ def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
 
     buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
-    return buckets.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas")
+    import ray.data
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64())}))
+    return empty.union(
+        buckets.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))
 
 
 # -------------------------------------------- duplicate-cluster assignment
