@@ -22,3 +22,33 @@ Nothing in this package calls ``ray.init()`` — the caller owns the session.
 """
 
 __version__ = "0.1.0"
+
+
+def health() -> dict:
+    """Engine health snapshot — the batch analog of the reference's /health
+    endpoint probing tesseract/poppler availability and versions
+    (app.py:1036-1067, app2.py:746-780). Reports library versions, the
+    registered extraction kernels, and supported languages; never raises."""
+    import numpy
+    import pyarrow
+
+    from .functions.routing import supported_languages
+    from .stages import extractor  # noqa: F401 - registers default kernels
+    from .stages.registry import registered_kernels
+
+    try:
+        import ray
+        ray_version = ray.__version__
+        ray_initialized = ray.is_initialized()
+    except Exception:  # pragma: no cover - ray is a hard dep in practice
+        ray_version, ray_initialized = None, False
+    return {
+        "status": "ok",
+        "engine_version": __version__,
+        "ray": ray_version,
+        "ray_initialized": ray_initialized,
+        "pyarrow": pyarrow.__version__,
+        "numpy": numpy.__version__,
+        "kernels": ["/".join(k) for k in registered_kernels()],
+        "languages": supported_languages(),
+    }

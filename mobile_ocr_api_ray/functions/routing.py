@@ -50,3 +50,14 @@ def add_routing_columns(batch: pa.Table, quality_col: str = "quality") -> pa.Tab
     batch = batch.append_column("max_dim", pa.array(md, type=pa.int32()))
     batch = batch.append_column("jpeg_quality", pa.array(jq, type=pa.int32()))
     return batch
+
+
+def supported_languages() -> list[str]:
+    """S8 — the languages source. The reference shells out
+    ``tesseract --list-langs`` and strips the header (app.py:2130-2153);
+    the engine's supported set is static config: the language-ID profiles
+    plus the reference's documented default ('eng') and mixed mode
+    ('eng+ind', README.md:98)."""
+    from ..stages.text_analysis import LANG_PROFILES
+
+    return sorted(set(LANG_PROFILES) | {"eng+ind"})

@@ -147,3 +147,20 @@ class TestMisc:
         assert route_quality("medium") == ("balanced", "standard", 1200, 85)
         assert route_quality("high") == ("quality", "accurate", 2000, 90)
         assert route_quality("bogus") == route_quality("medium")  # app2.py:844-845
+
+
+class TestHealthAndLanguages:
+    def test_health_snapshot(self):
+        import mobile_ocr_api_ray as m
+        h = m.health()
+        assert h["status"] == "ok"
+        assert h["pyarrow"] and h["numpy"] and h["ray"]
+        assert "html/default" in h["kernels"]
+        assert "image/default" in h["kernels"]
+        assert "pdf/default" in h["kernels"]
+
+    def test_supported_languages(self):
+        from mobile_ocr_api_ray.functions.routing import supported_languages
+        langs = supported_languages()
+        assert "eng" in langs and "ind" in langs and "eng+ind" in langs
+        assert langs == sorted(langs)
