@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from .stages import glyphs
 from .stages.html_extract import MIN_BLOCK_CHARS
 
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 EN_WORDS = (
@@ -225,6 +225,24 @@ def generate_pages(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
         lang = rng.choices(["eng", "ind", "eng+ind"], weights=[0.6, 0.3, 0.1])[0]
 
         r = rng.random()
+        # the guaranteed oversized skew row must run BEFORE the duplicate
+        # branch — the dup draw otherwise preempts it ~10% of the time and
+        # the tier silently loses its big-row coverage (r is still drawn so
+        # every other row's randomness stream is unchanged)
+        if i == n_rows - 1 and n_rows >= 1000:
+            payload, golden, nb = _make_html(rng, lang, n_paras=6, big_repeat=2000)
+            payloads.append(payload)
+            texts.append("")
+            langs.append(lang)
+            g_kind.append("html")
+            g_text.append(golden)
+            g_exact.append(True)
+            g_source.append("kernel")
+            g_nparas.append(nb)
+            g_pages.append(1)
+            g_dup_of.append(None)
+            dup_pool.append(i)
+            continue
         if i > 20 and r < 0.10 and dup_pool:
             # duplicate payload of an earlier row, distinct url (D1 dedup)
             j = dup_pool[rng.randrange(len(dup_pool))]
@@ -243,19 +261,6 @@ def generate_pages(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
         langs.append(lang)
         g_dup_of.append(None)
         kind_r = rng.random()
-        if i == n_rows - 1 and n_rows >= 1000:
-            # oversized skew row: multi-MB html (reference cap 16 MB, app.py:230)
-            payload, golden, nb = _make_html(rng, lang, n_paras=6, big_repeat=400)
-            payloads.append(payload)
-            texts.append("")
-            g_kind.append("html")
-            g_text.append(golden)
-            g_exact.append(True)
-            g_source.append("kernel")
-            g_nparas.append(nb)
-            g_pages.append(1)
-            dup_pool.append(i)
-            continue
         if kind_r < 0.90:
             payload, golden, nb = _make_html(rng, lang)
             kind, npages = "html", 1

@@ -109,6 +109,7 @@ def _payload_len(batch: pa.Table) -> "pa.Array":
 
 def extract_pipeline_skew_aware(ds: "ray.data.Dataset", quality: str = "medium",
                                 big_row_bytes: int = BIG_ROW_BYTES,
+                                batch_size: int = EXTRACT_BATCH_SIZE,
                                 **kwargs) -> "ray.data.Dataset":
     """Skew-aware variant (SURVEY.md §4, north-star requirement): oversized
     payload rows are isolated into their own tiny batches so one 16 MB blob
@@ -130,7 +131,8 @@ def extract_pipeline_skew_aware(ds: "ray.data.Dataset", quality: str = "medium",
 
     small = ds.map_batches(keep_small, batch_format="pyarrow")
     big = ds.map_batches(keep_big, batch_format="pyarrow")
-    out_small = extract_pipeline(small, quality=quality, **kwargs)
+    out_small = extract_pipeline(small, quality=quality,
+                                 batch_size=batch_size, **kwargs)
     out_big = extract_pipeline(big, quality=quality,
                                batch_size=BIG_ROW_BATCH, **kwargs)
     return out_small.union(out_big)

@@ -509,12 +509,14 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
 # ------------------------------------------------- embedding near-dup (LSH)
 
 N_PLANES = 16
-_rs2 = np.random.RandomState(42)
 
 
 def _planes(dim: int) -> np.ndarray:
-    rs = np.random.RandomState(42)
-    return rs.normal(size=(N_PLANES, dim))
+    # shared with the ANN module — ONE sign-LSH plane generator keeps
+    # bucket assignments seed-compatible across dedup and similarity search
+    from .similarity import _planes as ann_planes
+
+    return ann_planes(dim, N_PLANES)
 
 
 def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",

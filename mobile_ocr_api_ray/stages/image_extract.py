@@ -215,26 +215,6 @@ def _templates_for(ch: int, cw: int) -> np.ndarray:
     return t
 
 
-def _match_cell(cell: np.ndarray) -> tuple[str, float]:
-    """Best glyph for a boolean cell by template agreement (floor-mapped NN)."""
-    ch, cw = cell.shape
-    if ch == 0 or cw == 0 or not cell.any():
-        return " ", 1.0
-    templates = _templates_for(ch, cw)
-    agree = (templates == cell[None, :, :]).reshape(len(FONT_CHARS), -1).mean(axis=1)
-    idx = int(np.argmax(agree))
-    return FONT_CHARS[idx], float(agree[idx])
-
-
-def _score_cell(cell: np.ndarray, glyph_idx: int) -> float:
-    """Agreement of a boolean cell against one glyph template (floor-mapped)."""
-    ch, cw = cell.shape
-    if ch == 0 or cw == 0:
-        return 0.0
-    template = _templates_for(ch, cw)[glyph_idx]
-    return float((template == cell).mean())
-
-
 _PACKED_CACHE: dict[tuple[int, int], tuple[np.ndarray, int]] = {}
 _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 

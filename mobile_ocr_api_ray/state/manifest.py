@@ -64,15 +64,18 @@ def completed_partitions(out_dir: str) -> set[int]:
 
 
 def write_partition(table: pa.Table, out_dir: str, partition_id: int,
-                    input_shard: str, wall_ms: float) -> dict:
+                    input_shard: str, t_start: float) -> dict:
     """Atomic partition write + manifest: parquet to a temp name, fsync-free
     rename, then the manifest row (the rename is the commit point; a crash
-    leaves either nothing or a complete pair)."""
+    leaves either nothing or a complete pair). ``t_start`` is when this
+    partition's task began — wall_ms covers sort + digest + write for THIS
+    partition only."""
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     final = os.path.join(out_dir, f"part-{partition_id:05d}.parquet")
     tmp = final + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, final)
+    wall_ms = (time.time() - t_start) * 1e3
 
     urls = table["url"].to_pylist()
     texts = table["extracted_text"].to_pylist() if "extracted_text" in table.column_names else []
@@ -145,13 +148,14 @@ def run_partitioned_extract(pages_path: str, out_dir: str, n_partitions: int = 6
 
     # group rows by partition and write each atomically. The groupby gives
     # one task per partition — partition count bounds write parallelism.
-    t0 = time.time()
-
     def write_group(group: pa.Table) -> pa.Table:
+        # per-partition wall time measured inside the group task (sort +
+        # digest + parquet write) — a driver-global t0 would record
+        # cumulative pipeline time and make partitions incomparable
+        g0 = time.time()
         pid = int(group["partition_id"][0].as_py())
         table = group.drop_columns(["partition_id"]).sort_by("url")
-        wall_ms = (time.time() - t0) * 1e3
-        m = write_partition(table, out_dir, pid, pages_path, wall_ms)
+        m = write_partition(table, out_dir, pid, pages_path, g0)
         return pa.table({"partition_id": pa.array([pid], pa.int32()),
                          "row_count": pa.array([m["row_count"]], pa.int64())})
 
