@@ -199,12 +199,12 @@ def main():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
-        # identical job, fresh ray sessions, two N-vs-4N parallelism pairs on
-        # a corpus sized so per-worker work dominates fixed costs. The host
-        # is a virtualized 32-vCPU box with measurable hypervisor steal at
-        # high occupancy (even a pure-python busy loop scales only ~3.3x per
-        # 4x procs above 8); both pairs are reported so the judge sees the
-        # machine ceiling alongside the engine's efficiency.
+        # identical job, fresh ray sessions, three N-vs-4N parallelism
+        # pairs (2->8, 4->16, 8->32) on a corpus sized so per-worker work
+        # dominates fixed costs. The host is a virtualized 32-vCPU box with
+        # measurable hypervisor steal at high occupancy; all pairs are
+        # reported next to the machine's own busy-loop ceiling so the
+        # engine's efficiency is distinguishable from the box's.
         mult = int(os.environ.get("GRAFT_SCALING_MULT", "8"))
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
         results = {}

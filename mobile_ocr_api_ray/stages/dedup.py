@@ -150,6 +150,18 @@ MAX_BUCKET = 64  # salt guard: skip degenerate buckets larger than this
 N_COARSE = 256  # coarse shuffle partitions for tiny-group workloads
 
 
+
+def _typed_empty_union(ds, cols: "dict[str, pa.DataType]"):
+    """Union a typed empty table into ``ds`` so an all-empty result keeps
+    its documented schema (groupby().map_groups over zero rows otherwise
+    returns a schema-less dataset that breaks downstream sorts)."""
+    import ray.data
+
+    empty = ray.data.from_arrow(pa.table(
+        {name: pa.array([], ty) for name, ty in cols.items()}))
+    return empty.union(ds)
+
+
 def _bucket_pairs(df: pd.DataFrame, key_cols: list[str], id_col: str,
                   pair_fn, pair_fn_vec) -> tuple[list, list, list]:
     """Shared bucket-walk for banded LSH pair generation, vectorized.
@@ -204,17 +216,13 @@ def _dedup_pairs_coarse(pairs_ds, val_col: str, val_type: "pa.DataType"):
     yields a dataset with the pair schema — map_groups over zero rows
     otherwise returns a schema-less empty dataset that breaks downstream
     sorts and column references."""
-    import ray.data
-
     def drop_dup(df: pd.DataFrame) -> pd.DataFrame:
         return (df.drop_duplicates(["id_a", "id_b"])
                 [["id_a", "id_b", val_col]])
 
-    empty = ray.data.from_arrow(pa.table({
-        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-        val_col: pa.array([], val_type)}))
     deduped = pairs_ds.groupby("pcoarse").map_groups(drop_dup, batch_format="pandas")
-    return empty.union(deduped)
+    return _typed_empty_union(deduped, {"id_a": pa.int64(), "id_b": pa.int64(),
+                                        val_col: val_type})
 
 
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -417,12 +425,9 @@ def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
                              "jaccard": pd.array(jac, "float64")})
 
     fanned = ds.map_batches(fan_out, batch_format="pyarrow")
-    import ray.data
-    empty = ray.data.from_arrow(pa.table({
-        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-        "jaccard": pa.array([], pa.float64())}))
-    return empty.union(
-        fanned.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))
+    return _typed_empty_union(
+        fanned.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"),
+        {"id_a": pa.int64(), "id_b": pa.int64(), "jaccard": pa.float64()})
 
 
 def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
@@ -497,13 +502,10 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
     docs = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
     stamped = refs.union(docs).groupby("coarse").map_groups(
         stamp_coarse, batch_format="pandas")
-    import ray.data
-    empty = ray.data.from_arrow(pa.table({
-        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-        "est_jaccard": pa.array([], pa.float64()),
-        "jaccard": pa.array([], pa.float64())}))
-    return empty.union(
-        stamped.groupby("pcoarse").map_groups(verify_coarse, batch_format="pandas"))
+    return _typed_empty_union(
+        stamped.groupby("pcoarse").map_groups(verify_coarse, batch_format="pandas"),
+        {"id_a": pa.int64(), "id_b": pa.int64(), "est_jaccard": pa.float64(),
+         "jaccard": pa.float64()})
 
 
 # ------------------------------------------------- embedding near-dup (LSH)
@@ -561,12 +563,9 @@ def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
 
     buckets = ds.map_batches(bucket_rows, batch_format="pyarrow")
-    import ray.data
-    empty = ray.data.from_arrow(pa.table({
-        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-        "cosine": pa.array([], pa.float64())}))
-    return empty.union(
-        buckets.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))
+    return _typed_empty_union(
+        buckets.groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"),
+        {"id_a": pa.int64(), "id_b": pa.int64(), "cosine": pa.float64()})
 
 
 # -------------------------------------------- duplicate-cluster assignment

@@ -75,7 +75,6 @@ def write_partition(table: pa.Table, out_dir: str, partition_id: int,
     tmp = final + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, final)
-    wall_ms = (time.time() - t_start) * 1e3
 
     urls = table["url"].to_pylist()
     texts = table["extracted_text"].to_pylist() if "extracted_text" in table.column_names else []
@@ -87,6 +86,7 @@ def write_partition(table: pa.Table, out_dir: str, partition_id: int,
         h.update(b"\x01")
     row_range = [min(urls), max(urls)] if urls else [None, None]
     nbytes = os.path.getsize(final)
+    wall_ms = (time.time() - t_start) * 1e3  # sort + write + digest, as documented
     manifest = {
         "partition_id": partition_id,
         "input_shard": input_shard,
