@@ -83,10 +83,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def _ann_query_values() -> str:
-    """The fixed query vectors as a SQL VALUES literal (full double repr)."""
+    """The fixed query vectors as a SQL VALUES literal (full double repr).
+
+    Dim is derived from the oracle tier's embeddings table (same derivation
+    as pipelines.analysis._query_matrix) so the oracle compares the SAME
+    query vectors as the engine on any tier, not a hardcoded dim=64."""
+    import os
+
+    import pyarrow.parquet as pq
+
     from mobile_ocr_api_ray.stages.similarity import fixed_queries
 
-    q = fixed_queries(64, 4, seed=7)
+    dim = 64
+    emb_path = os.path.join(
+        os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet")
+    try:
+        dim = len(pq.read_table(emb_path, columns=["embedding"])
+                  .slice(0, 1)["embedding"][0])
+    except Exception:
+        pass
+    q = fixed_queries(dim, 4, seed=7)
     rows = []
     for i, vec in enumerate(q):
         lit = ", ".join(repr(float(x)) for x in vec)
@@ -146,7 +163,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(cast(round(p_retailprice*100, 0) AS BIGINT))/(count(*)*100.0) AS avg_retail
             FROM part GROUP BY 1 ORDER BY 1""",
         "per_lang_doc_stats": r"""
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(n_chars) AS BIGINT) AS total_chars,
                    sum(n_chars)/(count(*)*1.0) AS avg_chars
             FROM documents GROUP BY 1 ORDER BY 1""",
         "events_hourly": r"""
@@ -226,12 +244,13 @@ def oracle_sql() -> dict[str, str]:
         # single joined gram, empty text → empty set (pair of empties → 1.0)
         "ngram_jaccard_adjacent": r"""
             WITH words AS (
-              SELECT doc_id, string_split(lower(trim(text)), ' ') AS w,
-                     length(trim(text)) AS nt
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
               FROM documents),
             grams AS (
               SELECT doc_id,
-                     CASE WHEN nt = 0 THEN []::VARCHAR[]
+                     CASE WHEN len(w) = 0 THEN []::VARCHAR[]
                           WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
                           ELSE list_distinct([array_to_string(w[i:i+2], ' ')
                                               FOR i IN range(1, len(w) - 1)])

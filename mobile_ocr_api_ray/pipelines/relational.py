@@ -100,20 +100,16 @@ def top_customers(sf_dir: str, k: int = 10):
     import pyarrow.parquet as pq
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_name", "c_mktsegment"])
-    cust_ref = ray.put({k_: (n, s) for k_, n, s in zip(
-        cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist(),
-        cust["c_mktsegment"].to_pylist())})
+                         columns=["c_custkey", "c_name"])
+    cust_ref = ray.put(cust.combine_chunks())
 
     def join_orders(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(cust_ref)
-        keys = batch["o_custkey"].to_pylist()
-        names = [lookup.get(k_, (None, None))[0] for k_ in keys]
-        return pa.table({
-            "c_custkey": batch["o_custkey"],
-            "c_name": pa.array(names, pa.string()),
-            "price_c": _cents(batch["o_totalprice"]),
-        })
+        # Vectorized probe: Arrow acero hash join against the broadcast
+        # dimension table (read from the object store, never re-shipped).
+        probe = pa.table({"c_custkey": batch["o_custkey"],
+                          "price_c": _cents(batch["o_totalprice"])})
+        return probe.join(ray.get(cust_ref), keys=["c_custkey"],
+                          join_type="inner")
 
     per_cust = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
                 .map_batches(join_orders, batch_format="pyarrow")
@@ -138,19 +134,21 @@ def nation_order_stats(sf_dir: str):
     nation name: n_orders + revenue."""
     import pyarrow.parquet as pq
 
-    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_nationkey"])
-    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    cmap = {c: nmap.get(nk) for c, nk in zip(cust["c_custkey"].to_pylist(),
-                                             cust["c_nationkey"].to_pylist())}
-    ref = ray.put(cmap)
+    # Pre-join the two dimension tables on the driver (both tiny), broadcast
+    # the composed (c_custkey → n_name) Arrow table once.
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"],
+                    join_type="inner").select(["c_custkey", "n_name"])
+    ref = ray.put(dim.combine_chunks())
 
     def tag(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        nations = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
-        return pa.table({"n_name": pa.array(nations, pa.string()),
-                         "price_c": _cents(batch["o_totalprice"])})
+        probe = pa.table({"c_custkey": batch["o_custkey"],
+                          "price_c": _cents(batch["o_totalprice"])})
+        return (probe.join(ray.get(ref), keys=["c_custkey"], join_type="inner")
+                .select(["n_name", "price_c"]))
 
     agg = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
            .map_batches(tag, batch_format="pyarrow")
