@@ -572,71 +572,121 @@ def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 
 def dup_clusters(pairs_ds, n_iter: int = 4):
     """Connected components over the dup-PAIR graph by iterative min-label
-    propagation: per round, label(src) ← min over neighbors' labels via a
-    groupby-min, with the current label map broadcast (ray.put) into the
-    relabel stage. The graph contains only docs that appear in some pair —
-    proportional to the duplicate set, not the corpus — so the broadcast map
-    stays small even at 100 TB corpus scale (isolated docs are trivially
-    their own cluster and never enter the graph). For adversarially huge
-    duplicate graphs, swap the broadcast for a partitioned hash join on dst.
+    propagation — FULLY DISTRIBUTED (no driver-side label materialization).
 
-    Returns (id, cluster_id = min id reachable within n_iter hops).
+    Per round, label(src) ← min over neighbors' labels. The relabel step is
+    a dst-partitioned hash join: edges (keyed by dst) and the current label
+    table (keyed by node) are co-partitioned by ``key % N_COARSE`` via a
+    tagged union + groupby(coarse).map_groups, and merged with a vectorized
+    pandas merge inside each partition. A partial min per src inside the
+    join partition (combiner) shrinks the second shuffle; a src-partitioned
+    groupby finishes the min and compares against the previous label.
+
+    Convergence is a distributed sum over a per-row ``changed`` flag:
+    propagation is monotone (labels only decrease; the self-edge keeps the
+    current label as a candidate), so changed == 0 ⇔ fixpoint. Each round's
+    label table is materialized (proportional to the duplicate set, never
+    the corpus) so rounds don't re-execute prior lineage.
+
+    Node ids must be non-negative: -1 is the null sentinel in the tagged
+    union (doc ids here are always >= 0).
+
+    The coarse partition count adapts to the edge count (~100k edges per
+    partition, capped at N_COARSE) so tiny graphs don't pay 256-way shuffle
+    fixed costs while 100 TB-scale graphs still spread across the cluster.
+
+    Returns (src, label = min id reachable within n_iter hops).
     """
-    import ray
+    import ray.data
 
-    # edges both directions + self edges (so singletons in pairs keep labels)
     def explode(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        src = a + b + a + b
-        return pa.table({"src": pa.array(src),
-                         "dst": pa.array(b + a + a + b),
-                         "coarse": pa.array([s % N_COARSE for s in src], pa.int32())})
-
-    def min_per_src(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby("src", as_index=False)["dst"].min()
-                .rename(columns={"dst": "label"}))
-
-    def min_labels(edge_ds):
-        # coarse shuffle + vectorized per-partition groupby-min (native
-        # Aggregate's per-block fixed cost dominates at these edge counts)
-        return edge_ds.groupby("coarse").map_groups(
-            min_per_src, batch_format="pandas")
+        # edges both directions + self edges (self edge ⇒ every node is its
+        # own label candidate and appears as a join key in its partition)
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b, a, b])
+        dst = np.concatenate([b, a, a, b])
+        return pa.table({
+            "kind": pa.array(np.zeros(len(src), np.int8)),
+            "src": pa.array(src),
+            "key": pa.array(dst),  # join/partition key = dst
+            "label": pa.array(np.full(len(src), -1, np.int64))})
 
     edges = pairs_ds.map_batches(explode, batch_format="pyarrow")
     edges = edges.materialize()  # pair graph only; reused every round
-
-    # the label table is proportional to the DUPLICATE PAIR set (docstring
-    # above), so each round's labels come to the driver columnar — both for
-    # the broadcast map and the convergence check (to_pandas, NOT take_all:
-    # its per-row dict conversion costs ~10s on 10k rows / 128 tiny blocks)
-    lf = min_labels(edges).to_pandas()
-    if lf.empty or "src" not in lf.columns:
+    n_edges = edges.count()
+    if n_edges == 0:
         # duplicate-free corpus → empty pair graph; keep the (src, label)
         # schema so downstream sorts/selects still work
-        import ray.data
         return ray.data.from_arrow(pa.table({
             "src": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}))
-    prev_map: dict | None = None
-    for _ in range(n_iter - 1):
-        lbl_map = dict(zip(lf["src"], lf["label"]))
-        if lbl_map == prev_map:
-            break  # converged — typical duplicate graphs (pairs, small
-            # clusters) stabilize after one round; skip remaining shuffles
-        prev_map = lbl_map
-        lbl_ref = ray.put(lbl_map)
+    n_coarse = min(N_COARSE, n_edges // 100_000 + 1)
+    if edges.num_blocks() > 4 * n_coarse:
+        # upstream pair generators emit one tiny block per coarse shuffle
+        # partition; every later execution pays a per-block fixed cost
+        # (~10 ms/block × rounds), so coalesce once to the round block count
+        edges = edges.repartition(n_coarse).materialize()
 
-        def relabel(batch: pa.Table, lbl_ref=lbl_ref) -> pa.Table:
-            lbl = ray.get(lbl_ref)
-            src = batch["src"].to_pylist()
-            dst = batch["dst"].to_pylist()
-            return pa.table({"src": pa.array(src),
-                             "dst": pa.array([lbl.get(d, d) for d in dst]),
-                             "coarse": batch["coarse"]})
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "coarse", pa.array((key % n_coarse).astype(np.int32)))
 
-        lf = min_labels(
-            edges.map_batches(relabel, batch_format="pyarrow")).to_pandas()
-    import ray.data
-    # return the materialized final round — a lazy return would re-execute
-    # the whole per-round lineage on first consumption
-    return ray.data.from_pandas(lf.reset_index(drop=True))
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        node = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "kind": pa.array(np.ones(len(node), np.int8)),
+            "src": pa.array(np.full(len(node), -1, np.int64)),
+            "key": pa.array(node),
+            "label": pa.array(lbl)})
+
+    def join_relabel(df: pd.DataFrame) -> pd.DataFrame:
+        # one coarse partition: edges (kind 0) ⨝ labels (kind 1) on key.
+        # Round 1 has no label rows — the fillna(key) fallback makes the
+        # identity labeling implicit, so no separate initial pass is needed.
+        edg = df[df["kind"] == 0]
+        lbl = df[df["kind"] == 1]
+        if edg.empty:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64"),
+                                 "is_old": pd.Series([], dtype="int8"),
+                                 "coarse2": pd.Series([], dtype="int32")})
+        m = edg[["src", "key"]].merge(
+            lbl[["key", "label"]], on="key", how="left")
+        m["label"] = m["label"].fillna(m["key"]).astype("int64")
+        # combiner: partial min per src inside the join partition shrinks
+        # the second shuffle to ≤ one row per (src, partition)
+        part = m.groupby("src", as_index=False)["label"].min()
+        part["is_old"] = np.int8(0)
+        # self-edge rows carry the PREVIOUS label of src (identity in r1)
+        old = m.loc[m["src"] == m["key"], ["src", "label"]].drop_duplicates("src")
+        old["is_old"] = np.int8(1)
+        out = pd.concat([part, old], ignore_index=True)
+        out["coarse2"] = (out["src"] % n_coarse).astype("int32")
+        return out
+
+    def finalize_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("src")
+        new = g["label"].min()  # old label is among candidates (self-edge)
+        old = df[df["is_old"] == 1].groupby("src")["label"].first()
+        out = new.reset_index()
+        out["changed"] = (new.to_numpy() < old.reindex(new.index).to_numpy()
+                          ).astype("int64")
+        return out[["src", "label", "changed"]]
+
+    labels = None
+    for _ in range(n_iter):
+        tagged = edges if labels is None else edges.union(
+            labels.map_batches(tag_labels, batch_format="pyarrow"))
+        labels = (tagged.map_batches(add_coarse, batch_format="pyarrow")
+                  .groupby("coarse")
+                  .map_groups(join_relabel, batch_format="pandas")
+                  .groupby("coarse2")
+                  .map_groups(finalize_min, batch_format="pandas")
+                  .materialize())
+        changed = labels.sum("changed", ignore_nulls=True) or 0
+        if changed == 0:
+            break  # fixpoint — typical dup graphs (pairs, small clusters)
+            # stabilize after round 2; skip remaining shuffles
+    return labels.drop_columns(["changed"])
