@@ -274,15 +274,28 @@ def image_meta(sf_dir: str):
     """Multimodal decode stage (actor pool) over the pages corpus: every
     payload through ImageDecodeStage; non-image payloads surface as
     status='error' rows (M11 row-level isolation), IMGX decodes natively."""
-    from ..stages.multimodal import ImageDecodeStage
+    from ..stages.multimodal import ImageDecodeStage, image_payload_mask
 
     d = _pages_dir_for(sf_dir)
     ds = read_pages(os.path.join(d, "pages.parquet"))
+
+    def strip_non_images(batch: pa.Table) -> pa.Table:
+        # vectorized magic-byte prefilter (cheap task stage): non-image
+        # payloads (the ~90% HTML majority) are nulled out so multi-MB blobs
+        # never ship into the actor pool; the stage's own mask then routes
+        # null rows straight to the vectorized error-row path
+        pcol = batch["html"] if "html" in batch.column_names else batch["payload"]
+        mask = image_payload_mask(pcol)
+        return pa.table({"url": batch["url"],
+                         "payload": pc.if_else(mask, pcol,
+                                               pa.scalar(None, pa.binary()))})
+
     # fractional num_cpus: a pool of 4 × 1.0 CPUs would monopolize a small
     # session and starve the read stage into deadlock (ACTOR_NUM_CPUS rule,
     # pipelines/extract.py)
-    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                         batch_size=64, concurrency=4, num_cpus=0.5)
+    out = (ds.map_batches(strip_non_images, batch_format="pyarrow")
+           .map_batches(ImageDecodeStage, batch_format="pyarrow",
+                        batch_size=256, concurrency=4, num_cpus=0.5))
     return out.sort("url")
 
 

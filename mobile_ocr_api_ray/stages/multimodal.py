@@ -29,6 +29,27 @@ from .image_extract import optimize_image
 
 AUDX_MAGIC = b"AUDX"
 
+JPEG_MAGIC = b"\xff\xd8\xff"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def image_payload_mask(payload) -> pa.ChunkedArray:
+    """Vectorized magic-byte prefilter: True where the binary payload starts
+    with a known image signature (IMGX / JPEG / PNG). Null → False.
+
+    Lets pipelines skip the decode actor pool (and its per-row exception
+    cost, plus shipping multi-MB HTML blobs into the pool) for the ~90% of
+    corpus rows that are not images."""
+    import pyarrow.compute as pc
+
+    is_imgx = pc.equal(pc.binary_slice(payload, 0, 4),
+                       pa.scalar(glyphs.IMGX_MAGIC, pa.binary()))
+    is_jpeg = pc.equal(pc.binary_slice(payload, 0, 3),
+                       pa.scalar(JPEG_MAGIC, pa.binary()))
+    is_png = pc.equal(pc.binary_slice(payload, 0, 8),
+                      pa.scalar(PNG_MAGIC, pa.binary()))
+    return pc.fill_null(pc.or_(pc.or_(is_imgx, is_jpeg), is_png), False)
+
 
 def encode_audx(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     s16 = np.clip(samples, -32768, 32767).astype("<i2")
@@ -69,24 +90,35 @@ class ImageDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        payloads = batch["html"].to_pylist() if "html" in batch.column_names else batch["payload"].to_pylist()
-        rows = []
-        for u, p in zip(urls, payloads):
-            row = {"url": u, "codec": None, "width": None, "height": None,
-                   "mean_intensity": None, "status": "ok", "error": None}
+        pcol = batch["html"] if "html" in batch.column_names else batch["payload"]
+        # vectorized magic-byte mask: the Python decode loop touches ONLY
+        # image rows; everything else gets the 'unknown image codec' error
+        # row without raising/catching a per-row exception
+        mask = image_payload_mask(pcol).to_numpy(zero_copy_only=False)
+        n = len(urls)
+        codec: list = [None] * n
+        width: list = [None] * n
+        height: list = [None] * n
+        mean: list = [None] * n
+        status = ["ok" if m else "error" for m in mask]
+        error = [None if m else "unknown image codec" for m in mask]
+        for i in np.nonzero(mask)[0]:
             try:
-                codec, img = self._decode(p or b"")
-                row.update(codec=codec, width=img.shape[1], height=img.shape[0],
-                           mean_intensity=float(img.mean()))
+                c, img = self._decode(pcol[int(i)].as_py() or b"")
+                codec[i], width[i], height[i] = c, img.shape[1], img.shape[0]
+                mean[i] = float(img.mean())
             except NotImplementedError as e:
-                row.update(status="stub_unavailable", error=str(e))
+                status[i], error[i] = "stub_unavailable", str(e)
             except Exception as e:
-                row.update(status="error", error=str(e))
-            rows.append(row)
-        return pa.Table.from_pylist(rows, schema=pa.schema([
-            ("url", pa.string()), ("codec", pa.string()), ("width", pa.int32()),
-            ("height", pa.int32()), ("mean_intensity", pa.float64()),
-            ("status", pa.string()), ("error", pa.string())]))
+                status[i], error[i] = "error", str(e)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "codec": pa.array(codec, pa.string()),
+            "width": pa.array(width, pa.int32()),
+            "height": pa.array(height, pa.int32()),
+            "mean_intensity": pa.array(mean, pa.float64()),
+            "status": pa.array(status, pa.string()),
+            "error": pa.array(error, pa.string())})
 
 
 class ImageResizeStage:
