@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": a.ann_lsh_topk,
         "ann_ivf_topk": a.ann_ivf_topk,
         "minhash_pairs_doubled": a.minhash_pairs_doubled,
+        "minhash_pairs_two_pass_doubled": a.minhash_pairs_two_pass_doubled,
         "minhash_verified_pairs_doubled": a.minhash_verified_pairs_doubled,
         "simhash_docs": a.simhash_docs,
         "simhash_pairs_doubled": a.simhash_pairs_doubled,

@@ -25,9 +25,33 @@ from .extract import extract_pipeline, extract_pipeline_dedup, read_pages
 DOUBLE_OFFSET = 1_000_000  # doc_id offset for the duplicated-corpus variants
 
 
+def _read_small_aware(path: str, columns=None, rows_per_block: int = 250):
+    """read_parquet with a block override for SMALL files: Ray's default
+    SplitBlocks turns a 0.2 MB table into 64 near-empty blocks, and every
+    downstream shuffle then pays a per-block fixed cost (~10 ms/block/pass —
+    the SplitBlocks trap from pipelines/extract.py, measured again here:
+    the dedup family spent more time iterating empty blocks than hashing).
+    Files ≥ 32 MB keep Ray's own sizing (the 100 TB path)."""
+    if os.path.getsize(path) < 32 * 1024 * 1024:
+        n = pq.ParquetFile(path).metadata.num_rows
+        return ray.data.read_parquet(
+            path, columns=columns,
+            override_num_blocks=min(64, max(1, n // rows_per_block)))
+    return ray.data.read_parquet(path, columns=columns)
+
+
 def _docs(sf_dir: str, columns=None):
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=columns)
+    return _read_small_aware(os.path.join(sf_dir, "documents.parquet"),
+                             columns=columns)
+
+
+def _docs_coarse_hint(sf_dir: str, mult: int = 1) -> int:
+    """Coarse shuffle-partition hint sized to the documents table (~50k rows
+    per partition, capped at dedup.N_COARSE) — parquet METADATA row count,
+    no scan. Tiny tiers then don't pay 256-way per-block fixed costs while
+    100 TB corpora still spread across the full cluster."""
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return min(dedup.N_COARSE, (n * mult) // 50_000 + 1)
 
 
 def _doubled_docs(sf_dir: str):
@@ -100,8 +124,18 @@ def exact_dedup_doubled(sf_dir: str):
 
 
 def minhash_pairs_doubled(sf_dir: str):
-    return dedup.minhash_dedup_pairs(_doubled_docs(sf_dir), threshold=0.7).sort(
-        ["id_a", "id_b"])
+    return dedup.minhash_dedup_pairs(
+        _doubled_docs(sf_dir), threshold=0.7,
+        n_coarse=_docs_coarse_hint(sf_dir, 2)).sort(["id_a", "id_b"])
+
+
+def minhash_pairs_two_pass_doubled(sf_dir: str):
+    """Two-pass MinHash LSH (bands shuffle without signatures; signatures
+    re-attached by partitioned joins) — the 100 TB shuffle-volume path;
+    output identical to minhash_pairs_doubled."""
+    return dedup.minhash_dedup_pairs(
+        _doubled_docs(sf_dir), threshold=0.7, two_pass=True,
+        n_coarse=_docs_coarse_hint(sf_dir, 2)).sort(["id_a", "id_b"])
 
 
 def simhash_pairs_doubled(sf_dir: str):
@@ -127,7 +161,8 @@ def minhash_verified_pairs_doubled(sf_dir: str):
     candidate→verify composition (LSH recall, exact precision) via the
     two-shuffle repartition join in dedup.verify_pairs_ngram."""
     docs = _doubled_docs(sf_dir)
-    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.7)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.7,
+                                      n_coarse=_docs_coarse_hint(sf_dir, 2))
     verified = dedup.verify_pairs_ngram(pairs, docs)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -137,13 +172,14 @@ def minhash_verified_pairs_doubled(sf_dir: str):
 
 
 def dup_clusters_doubled(sf_dir: str):
-    pairs = dedup.minhash_dedup_pairs(_doubled_docs(sf_dir), threshold=0.7)
+    pairs = dedup.minhash_dedup_pairs(_doubled_docs(sf_dir), threshold=0.7,
+                                      n_coarse=_docs_coarse_hint(sf_dir, 2))
     return dedup.dup_clusters(pairs).sort("src")
 
 
 def _embeddings(sf_dir: str):
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                 columns=["vec_id", "embedding"])
+    return _read_small_aware(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
 
 
 def embedding_pairs_doubled(sf_dir: str):

@@ -117,8 +117,14 @@ def minhash_batch(batch: pa.Table, id_col: str = "doc_id",
     })
 
 
-def lsh_band_rows(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """Explode signatures to (id, band_id, band_hash, signature) rows."""
+def lsh_band_rows(batch: pa.Table, id_col: str = "doc_id",
+                  include_signature: bool = True) -> pa.Table:
+    """Explode signatures to (id, band_id, band_hash[, signature]) rows.
+
+    ``include_signature=False`` is the lean two-pass form: band rows carry
+    only ~24 B each instead of duplicating the full 64×int64 signature 16×
+    (~8 KB/doc shuffle amplification); the signature is re-attached later
+    by a partitioned join."""
     ids = batch[id_col].to_pylist()
     sigs = batch["signature"].to_pylist()
     out_id, out_band, out_hash, out_sig = [], [], [], []
@@ -131,13 +137,16 @@ def lsh_band_rows(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
             out_id.append(i)
             out_band.append(b)
             out_hash.append(h)
-            out_sig.append(sig)
-    return pa.table({
+            if include_signature:
+                out_sig.append(sig)
+    cols = {
         id_col: pa.array(out_id),
         "band_id": pa.array(out_band, pa.int32()),
         "band_hash": pa.array(out_hash, pa.string()),
-        "signature": pa.array(out_sig, pa.list_(pa.int64())),
-    })
+    }
+    if include_signature:
+        cols["signature"] = pa.array(out_sig, pa.list_(pa.int64()))
+    return pa.table(cols)
 
 
 def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -226,7 +235,8 @@ def _dedup_pairs_coarse(pairs_ds, val_col: str, val_type: "pa.DataType"):
 
 
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                        threshold: float = 0.7):
+                        threshold: float = 0.7, two_pass: bool = False,
+                        n_coarse: int | None = None):
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
     shingle→minhash per batch → band explode → COARSE groupby on a hash
@@ -237,7 +247,17 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     partition (256), with identical results — a full bucket always lands in
     one coarse group. Buckets larger than MAX_BUCKET are dropped
     (degenerate content — e.g. empty docs).
+
+    ``two_pass=True`` selects the 100 TB-scale variant: band rows shuffle
+    WITHOUT the signature (≈24 B vs ≈8 KB per row, a ~16× signature-traffic
+    cut), candidate pairs are deduped first, then each pair's two signatures
+    are re-attached by two partitioned hash joins against the (materialized)
+    signature table and the estimate is computed once per pair. Identical
+    output; trades one extra shuffle per side for the 16× amplification.
     """
+    nc = n_coarse or N_COARSE
+    if two_pass:
+        return _minhash_pairs_two_pass(ds, id_col, text_col, threshold, nc)
     def pairs_in_coarse(df: pd.DataFrame) -> pd.DataFrame:
         df = df.rename(columns={"signature": "_payload"})
 
@@ -254,13 +274,11 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             "id_b": pd.array(idb, "int64"),
                             "est_jaccard": pd.array(est, "float64")})
         out = out.drop_duplicates(["id_a", "id_b"])  # partial (within-coarse)
-        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % N_COARSE).astype("int32")
+        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % nc).astype("int32")
         return out
 
     def add_coarse(batch: pa.Table) -> pa.Table:
-        coarse = [(zlib.crc32(h.encode()) ^ b) % N_COARSE for b, h in
-                  zip(batch["band_id"].to_pylist(), batch["band_hash"].to_pylist())]
-        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+        return _band_coarse(batch, nc)
 
     sigs = ds.map_batches(lambda b: minhash_batch(b, id_col, text_col),
                           batch_format="pyarrow")
@@ -269,6 +287,128 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     pairs = (bands.map_batches(add_coarse, batch_format="pyarrow")
              .groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))
     return _dedup_pairs_coarse(pairs, "est_jaccard", pa.float64())
+
+
+def _band_coarse(batch: pa.Table, nc: int = N_COARSE) -> pa.Table:
+    coarse = [(zlib.crc32(h.encode()) ^ b) % nc for b, h in
+              zip(batch["band_id"].to_pylist(), batch["band_hash"].to_pylist())]
+    return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+
+
+def _minhash_pairs_two_pass(ds, id_col: str, text_col: str, threshold: float,
+                            nc: int = N_COARSE):
+    """Two-pass MinHash LSH (see minhash_dedup_pairs two_pass flag).
+
+    Pass 1: lean band rows (no signature) → coarse bucket groupby → all
+    within-bucket candidate pairs → pair-key dedup. Pass 2: two partitioned
+    hash joins (tagged union + coarse groupby + pandas merge, the same join
+    shape as dup_clusters) attach sig_a then sig_b; the Jaccard estimate is
+    computed vectorized once per distinct pair and thresholded. Output is
+    identical to the one-pass path: est is a pure function of the two full
+    signatures, so WHERE a pair was found never changes its value."""
+    import ray.data
+
+    sigs = ds.map_batches(lambda b: minhash_batch(b, id_col, text_col),
+                          batch_format="pyarrow").materialize()
+
+    bands = sigs.map_batches(
+        lambda b: lsh_band_rows(b, id_col, include_signature=False),
+        batch_format="pyarrow")
+
+    def cands_in_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_payload=np.int8(0))  # bucket walk without payloads
+        ida, idb, _ = _bucket_pairs(
+            df, ["band_id", "band_hash"], id_col,
+            lambda a, b: 0.0,
+            lambda sa, sb: (np.ones(len(sa), dtype=bool),
+                            np.zeros(len(sa), dtype=np.float64)))
+        out = pd.DataFrame({"id_a": pd.array(ida, "int64"),
+                            "id_b": pd.array(idb, "int64")})
+        out = out.drop_duplicates(["id_a", "id_b"])  # partial (within-coarse)
+        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % nc).astype("int32")
+        return out
+
+    def drop_dup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
+
+    cands = (bands.map_batches(lambda b: _band_coarse(b, nc),
+                               batch_format="pyarrow")
+             .groupby("coarse").map_groups(cands_in_coarse, batch_format="pandas")
+             .groupby("pcoarse").map_groups(drop_dup, batch_format="pandas"))
+
+    def tag_sigs(batch: pa.Table) -> pa.Table:
+        node = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(node)
+        return pa.table({
+            "kind": pa.array(np.ones(n, np.int8)),
+            "id_a": pa.array(np.full(n, -1, np.int64)),
+            "id_b": pa.array(np.full(n, -1, np.int64)),
+            "sig_a": pa.array([None] * n, pa.list_(pa.int64())),
+            "key": pa.array(node),
+            "sig": batch["signature"],
+            "jcoarse": pa.array((node % nc).astype(np.int32))})
+
+    def tag_pairs(batch: pa.Table, key_col: str) -> pa.Table:
+        key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(key)
+        sig_a = (batch["sig_a"] if "sig_a" in batch.column_names
+                 else pa.array([None] * n, pa.list_(pa.int64())))
+        return pa.table({
+            "kind": pa.array(np.zeros(n, np.int8)),
+            "id_a": batch["id_a"], "id_b": batch["id_b"],
+            "sig_a": sig_a,
+            "key": pa.array(key),
+            "sig": pa.array([None] * n, pa.list_(pa.int64())),
+            "jcoarse": pa.array((key % nc).astype(np.int32))})
+
+    def join_a(df: pd.DataFrame) -> pa.Table:
+        # returns ARROW with an explicit list<int64> sig column — a pandas
+        # return would make Ray re-encode the numpy-array column as a tensor
+        # extension type, which cannot mix with the arrow list blocks of the
+        # next union during its shuffle
+        edg, lbl = df[df["kind"] == 0], df[df["kind"] == 1]
+        if edg.empty:
+            m = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "sig": pd.Series([], dtype="object")})
+        else:
+            m = edg[["id_a", "id_b", "key"]].merge(
+                lbl[["key", "sig"]], on="key", how="inner")
+        return pa.table({
+            "id_a": pa.array(m["id_a"].to_numpy(), pa.int64()),
+            "id_b": pa.array(m["id_b"].to_numpy(), pa.int64()),
+            "sig_a": pa.array([np.asarray(s, dtype=np.int64) for s in m["sig"]],
+                              pa.list_(pa.int64()))})
+
+    def join_b_estimate(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "est_jaccard": pd.Series([], dtype="float64")})
+        edg, lbl = df[df["kind"] == 0], df[df["kind"] == 1]
+        if edg.empty:
+            return empty
+        m = edg[["id_a", "id_b", "sig_a", "key"]].merge(
+            lbl[["key", "sig"]], on="key", how="inner")
+        if m.empty:
+            return empty
+        est = (np.vstack(m["sig_a"].to_numpy()) ==
+               np.vstack(m["sig"].to_numpy())).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({"id_a": m["id_a"].to_numpy()[keep],
+                             "id_b": m["id_b"].to_numpy()[keep],
+                             "est_jaccard": est[keep]})
+
+    with_a = (cands.map_batches(lambda b: tag_pairs(b, "id_a"),
+                                batch_format="pyarrow")
+              .union(sigs.map_batches(tag_sigs, batch_format="pyarrow"))
+              .groupby("jcoarse").map_groups(join_a, batch_format="pandas"))
+    pairs = (with_a.map_batches(lambda b: tag_pairs(b, "id_b"),
+                                batch_format="pyarrow")
+             .union(sigs.map_batches(tag_sigs, batch_format="pyarrow"))
+             .groupby("jcoarse").map_groups(join_b_estimate,
+                                            batch_format="pandas"))
+    return _typed_empty_union(pairs, {"id_a": pa.int64(), "id_b": pa.int64(),
+                                      "est_jaccard": pa.float64()})
 
 
 # ---------------------------------------------------------------- SimHash

@@ -379,6 +379,22 @@ class TestOperatorInvariance:
         self._cmp(lambda d: dedup.minhash_dedup_pairs(d, threshold=0.8),
                   docs_ds, ["id_a", "id_b"])
 
+    def test_minhash_two_pass_invariant(self, ray_session, docs_ds):
+        self._cmp(lambda d: dedup.minhash_dedup_pairs(d, threshold=0.8,
+                                                      two_pass=True),
+                  docs_ds, ["id_a", "id_b"])
+
+    def test_minhash_two_pass_equals_one_pass(self, ray_session, docs_ds):
+        """The lean two-pass (bands-only shuffle + signature re-join) path
+        must emit exactly the one-pass pair set — est is a pure function of
+        the two full signatures."""
+        a = (dedup.minhash_dedup_pairs(docs_ds, threshold=0.8).to_pandas()
+             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        b = (dedup.minhash_dedup_pairs(docs_ds, threshold=0.8, two_pass=True)
+             .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
+
     def test_simhash_pairs_invariant(self, ray_session, docs_ds):
         self._cmp(lambda d: dedup.simhash_near_pairs(d, max_hamming=3),
                   docs_ds, ["id_a", "id_b"])
