@@ -137,7 +137,9 @@ def html_kernel(payload: bytes, ctx: dict) -> tuple[str, float, list[dict], int]
 
 def image_kernel(payload: bytes, ctx: dict) -> tuple[str, float, list[dict], int]:
     img = glyphs.decode_imgx(payload)
-    r = extract_image(img, ctx["preprocess_kind"], ctx["max_dim"], ctx["do_deskew"])
+    r = extract_image(img, ctx["preprocess_kind"], ctx["max_dim"],
+                      ctx["do_deskew"], ctx.get("ocr_mode", "standard"),
+                      ctx.get("lang"))
     return r["text"], r["confidence"], r["paragraphs"], 1
 
 
@@ -148,7 +150,9 @@ def pdf_kernel(payload: bytes, ctx: dict) -> tuple[str, float, list[dict], int]:
     page_texts, paragraphs, confs = [], [], []
     for page_payload in page_payloads:
         img = glyphs.decode_imgx(page_payload)
-        r = extract_image(img, ctx["preprocess_kind"], ctx["max_dim"], ctx["do_deskew"])
+        r = extract_image(img, ctx["preprocess_kind"], ctx["max_dim"],
+                          ctx["do_deskew"], ctx.get("ocr_mode", "standard"),
+                          ctx.get("lang"))
         page_texts.append(r["text"])
         paragraphs.extend(r["paragraphs"])
         if r["confidence"] > 0:
@@ -173,8 +177,16 @@ class ExtractorActor:
     def __init__(self, quality: str = "medium", do_deskew: bool = False,
                  build_spans: bool = True,
                  kernels: dict[str, str | object] | None = None,
-                 build_visualization: bool = False):
+                 build_visualization: bool = False,
+                 lru_size: int = 512):
+        from collections import OrderedDict
         self.build_visualization = build_visualization
+        # A2b: per-actor LRU keyed by (kind, lang, payload digest) — repeats
+        # WITHIN an actor's stream skip the kernel entirely (the reference's
+        # v2 result cache, app2.py:46-48, as warm actor state); cross-cluster
+        # dedup is the separate D1 digest pipeline. lru_size=0 disables.
+        self.lru_size = lru_size
+        self._lru: "OrderedDict[tuple, tuple]" = OrderedDict()
         self.quality = quality if quality in ("low", "medium", "high") else "medium"
         (self.preprocess_kind, self.ocr_mode,
          self.max_dim, self.jpeg_quality) = route_quality(self.quality)
@@ -194,9 +206,30 @@ class ExtractorActor:
 
     # ---- per-kind kernels ----------------------------------------------
 
-    def _extract_payload(self, payload: bytes, kind: str) -> tuple[str, float, list[dict], int]:
-        """Returns (text, confidence, paragraph_dicts, total_pages)."""
-        return self._kernels[kind](payload, self._ctx)
+    def _extract_payload(self, payload: bytes, kind: str,
+                         lang: str | None) -> tuple[str, float, list[dict], int]:
+        """Returns (text, confidence, paragraph_dicts, total_pages); counts a
+        kernel invocation on LRU miss only."""
+        import hashlib
+
+        lang = lang or "eng"
+        key = None
+        if self.lru_size:
+            key = (kind, lang,
+                   hashlib.blake2b(payload, digest_size=16).digest())
+            hit = self._lru.get(key)
+            if hit is not None:
+                self._lru.move_to_end(key)
+                return hit
+        self.kernel_invocations += 1
+        ctx = dict(self._ctx)
+        ctx["lang"] = lang  # per-row -l routing (app.py:567,1127)
+        result = self._kernels[kind](payload, ctx)
+        if key is not None:
+            self._lru[key] = result
+            if len(self._lru) > self.lru_size:
+                self._lru.popitem(last=False)
+        return result
 
     def extract_row(self, url: str, payload: bytes | None, text_layer: str | None,
                     lang: str | None) -> dict:
@@ -226,8 +259,8 @@ class ExtractorActor:
                 row["total_pages"] = 1
                 row["processing_time_ms"] = (time.perf_counter() - t0) * 1e3
                 return row
-            self.kernel_invocations += 1
-            text, conf, para_dicts, total_pages = self._extract_payload(payload, kind)
+            text, conf, para_dicts, total_pages = self._extract_payload(
+                payload, kind, lang)
             if self.build_spans:
                 text2, paragraphs, columns, spans, actions = build_structure(para_dicts)
                 # structure text and kernel text agree by construction (every

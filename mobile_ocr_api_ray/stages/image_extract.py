@@ -234,15 +234,47 @@ def _packed_templates_for(ch: int, cw: int) -> tuple[np.ndarray, int]:
     return hit
 
 
-def _match_cells_batch(cells: np.ndarray, conf_cells: np.ndarray
+LANG_TIEBREAK: dict[str, str] = {
+    # M9/-l routing (app.py:567,580,1127): the engine's "language pack" is a
+    # per-language template PRIORITY order used to break exact template-score
+    # ties. 'eng' is the identity order (FONT_CHARS itself, matching the
+    # reference's default -l eng), so default behavior is byte-identical;
+    # 'ind' prefers Indonesian letter-frequency order, so an ambiguous glyph
+    # resolves differently — observable, tested lang routing.
+    "eng": "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.!?,'-",
+    "ind": "ANEITRSKDMUGPLBOHYCJFWVZXQ0123456789.!?,'-",
+}
+
+_LANG_PERM_CACHE: dict[str, np.ndarray] = {}
+
+
+def _lang_perm(lang: str | None) -> np.ndarray | None:
+    """Template priority permutation for a language ('eng+ind' → primary
+    'eng'); None ⇔ identity (no reordering work in the hot loop)."""
+    key = (lang or "eng").split("+")[0]
+    order = LANG_TIEBREAK.get(key)
+    if order is None or order == FONT_CHARS:
+        return None
+    perm = _LANG_PERM_CACHE.get(key)
+    if perm is None:
+        idx = {c: i for i, c in enumerate(FONT_CHARS)}
+        head = [idx[c] for c in order if c in idx]
+        rest = [i for i in range(len(FONT_CHARS)) if i not in set(head)]
+        perm = np.array(head + rest, dtype=np.int64)
+        _LANG_PERM_CACHE[key] = perm
+    return perm
+
+
+def _match_cells_batch(cells: np.ndarray, conf_cells: np.ndarray,
+                       lang: str | None = None
                        ) -> tuple[list[str], list[float]]:
     """Vectorized recognition of equal-size cells via bit-packed XOR +
     popcount: hamming distance to every template in (m, g, bytes) uint8 ops
     — ~8x less memory traffic than the boolean (m, g, ch*cw) equality
-    tensor. argmin(hamming) ≡ argmax(agreement) with the same first-wins
-    tie-break; confidence = equal_bits/total_bits, bit-identical to the
-    boolean mean. Returns (chars, per-glyph conf scores for non-space
-    cells, in order)."""
+    tensor. argmin(hamming) ≡ argmax(agreement) with a first-wins tie-break
+    in the LANGUAGE PACK's priority order (identity for 'eng'/default);
+    confidence = equal_bits/total_bits, bit-identical to the boolean mean.
+    Returns (chars, per-glyph conf scores for non-space cells, in order)."""
     n, ch, cw = cells.shape
     packed_t, nbits = _packed_templates_for(ch, cw)   # (g, W), bits
     nonempty = cells.reshape(n, -1).any(axis=1)
@@ -253,7 +285,13 @@ def _match_cells_batch(cells: np.ndarray, conf_cells: np.ndarray
         sub_p = np.packbits(sub, axis=1)              # (m, W)
         ham = _POPCNT[sub_p[:, None, :] ^ packed_t[None, :, :]].sum(
             axis=2, dtype=np.int64)                   # (m, g)
-        best = np.argmin(ham, axis=1)
+        perm = _lang_perm(lang)
+        if perm is None:
+            best = np.argmin(ham, axis=1)
+        else:
+            # argmin over pack-ordered columns → first max-agreement template
+            # in the language's priority order
+            best = perm[np.argmin(ham[:, perm], axis=1)]
         csub_p = np.packbits(conf_cells[nonempty].reshape(-1, ch * cw), axis=1)
         conf_ham = _POPCNT[csub_p ^ packed_t[best]].sum(axis=1, dtype=np.int64)
         conf = (nbits - conf_ham) / float(nbits)
@@ -267,7 +305,9 @@ def _match_cells_batch(cells: np.ndarray, conf_cells: np.ndarray
 
 
 def recognize_lines(mask: np.ndarray, conf_img: np.ndarray | None = None,
-                    conf_kind: str | None = None) -> tuple[list[dict], list[float]]:
+                    conf_kind: str | None = None,
+                    despeckle_conf: bool = False,
+                    lang: str | None = None) -> tuple[list[dict], list[float]]:
     """Segment ink mask into lines and recognize each via the glyph grid.
 
     ``mask`` drives layout analysis and glyph decisions (the engine's own
@@ -293,6 +333,10 @@ def recognize_lines(mask: np.ndarray, conf_img: np.ndarray | None = None,
         band = mask[y0:y1]
         if conf_img is not None and conf_kind is not None:
             conf_band = binarize(conf_img[y0:y1], conf_kind)
+            if despeckle_conf:
+                # 'accurate' mode (app2.py:353 tessedit_do_invert=0 analog):
+                # clean the confidence evidence mask before scoring
+                conf_band = despeckle(conf_band)
         else:
             conf_band = band
         col_profile = band.sum(axis=0)
@@ -322,7 +366,7 @@ def recognize_lines(mask: np.ndarray, conf_img: np.ndarray | None = None,
                 continue
             cells = np.stack([band[:, bounds[i][0]:bounds[i][1]] for i in idxs])
             conf_cells = np.stack([conf_band[:, bounds[i][0]:bounds[i][1]] for i in idxs])
-            got, sc = _match_cells_batch(cells, conf_cells)
+            got, sc = _match_cells_batch(cells, conf_cells, lang)
             for i, c in zip(idxs, got):
                 chars[i] = c
             line_scores.extend(sc)
@@ -381,22 +425,41 @@ def detect_columns(paragraph_bounds: list[tuple[int, int, int, int]], img_w: int
 
 
 def extract_image(img: np.ndarray, preprocess_kind: str = "balanced",
-                  max_dim: int = 1200, do_deskew: bool = True) -> dict:
+                  max_dim: int = 1200, do_deskew: bool = True,
+                  ocr_mode: str = "standard", lang: str | None = None) -> dict:
     """Full image pipeline. Returns
     {text, confidence, paragraphs:[{text,x,y,width,height,column}], width, height}.
     Paragraph text = its lines joined with a single space; document text =
-    paragraph texts joined with "\\n\\n" (app.py:791 separator)."""
+    paragraph texts joined with "\\n\\n" (app.py:791 separator).
+
+    ``ocr_mode`` is the M3 engine-config routing (app2.py:345-353):
+    - fast ('--oem 0 --psm 6'): no deskew search, and confidence evidence is
+      the layout mask itself — the routed preprocess kernel is skipped;
+    - standard ('--oem 1 --psm 3'): deskew iff ``do_deskew``, band-local
+      confidence evidence from the routed kernel (round-1 behavior);
+    - accurate (adds tessedit_do_invert=0): deskew always, and the
+      confidence evidence mask is despeckled before scoring.
+    ``lang`` routes the recognizer's language pack (tie-break priority;
+    'eng' default is the identity order — see LANG_TIEBREAK)."""
     img = optimize_image(img, max_dim)
-    if do_deskew:
+    if ocr_mode == "fast":
+        eff_deskew = False
+    elif ocr_mode == "accurate":
+        eff_deskew = True
+    else:
+        eff_deskew = do_deskew
+    if eff_deskew:
         img, _ = deskew(img)
     # Layout + decisions on the engine's own Otsu mask; the routed preprocess
     # kernel contributes band-local confidence evidence (see recognize_lines).
     layout_mask = binarize(img, "default")
     h, w = layout_mask.shape
-    if preprocess_kind == "default":
-        lines, scores = recognize_lines(layout_mask)
+    if ocr_mode == "fast" or preprocess_kind == "default":
+        lines, scores = recognize_lines(layout_mask, lang=lang)
     else:
-        lines, scores = recognize_lines(layout_mask, img, preprocess_kind)
+        lines, scores = recognize_lines(
+            layout_mask, img, preprocess_kind,
+            despeckle_conf=(ocr_mode == "accurate"), lang=lang)
     paras_lines = group_paragraphs(lines)
     paragraphs: list[dict] = []
     for group in paras_lines:
