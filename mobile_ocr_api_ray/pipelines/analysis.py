@@ -45,13 +45,17 @@ def _docs(sf_dir: str, columns=None):
                              columns=columns)
 
 
-def _docs_coarse_hint(sf_dir: str, mult: int = 1) -> int:
-    """Coarse shuffle-partition hint sized to the documents table (~50k rows
-    per partition, capped at dedup.N_COARSE) — parquet METADATA row count,
-    no scan. Tiny tiers then don't pay 256-way per-block fixed costs while
+def _coarse_hint_for(path: str, mult: int = 1) -> int:
+    """Coarse shuffle-partition hint sized to a parquet table (~50k rows per
+    partition, capped at dedup.N_COARSE) — parquet METADATA row count, no
+    scan. Tiny tiers then don't pay 256-way per-block fixed costs while
     100 TB corpora still spread across the full cluster."""
-    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n = pq.ParquetFile(path).metadata.num_rows
     return min(dedup.N_COARSE, (n * mult) // 50_000 + 1)
+
+
+def _docs_coarse_hint(sf_dir: str, mult: int = 1) -> int:
+    return _coarse_hint_for(os.path.join(sf_dir, "documents.parquet"), mult)
 
 
 def _doubled_docs(sf_dir: str):
@@ -139,8 +143,9 @@ def minhash_pairs_two_pass_doubled(sf_dir: str):
 
 
 def simhash_pairs_doubled(sf_dir: str):
-    return dedup.simhash_near_pairs(_doubled_docs(sf_dir), max_hamming=3).sort(
-        ["id_a", "id_b"])
+    return dedup.simhash_near_pairs(
+        _doubled_docs(sf_dir), max_hamming=3,
+        n_coarse=_docs_coarse_hint(sf_dir, 2)).sort(["id_a", "id_b"])
 
 
 def simhash_docs(sf_dir: str):
@@ -153,7 +158,8 @@ def ngram_jaccard_adjacent(sf_dir: str):
     n-gram Jaccard dedup kernel exercised as a distributed pairwise op with
     a full SQL oracle (gram sets reproduced verbatim in DuckDB)."""
     return dedup.adjacent_ngram_jaccard(
-        _docs(sf_dir, ["doc_id", "text"])).sort("id_a")
+        _docs(sf_dir, ["doc_id", "text"]),
+        n_coarse=_docs_coarse_hint(sf_dir)).sort("id_a")
 
 
 def minhash_verified_pairs_doubled(sf_dir: str):
@@ -161,9 +167,9 @@ def minhash_verified_pairs_doubled(sf_dir: str):
     candidate→verify composition (LSH recall, exact precision) via the
     two-shuffle repartition join in dedup.verify_pairs_ngram."""
     docs = _doubled_docs(sf_dir)
-    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.7,
-                                      n_coarse=_docs_coarse_hint(sf_dir, 2))
-    verified = dedup.verify_pairs_ngram(pairs, docs)
+    hint = _docs_coarse_hint(sf_dir, 2)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.7, n_coarse=hint)
+    verified = dedup.verify_pairs_ngram(pairs, docs, n_coarse=hint)
 
     def keep(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["jaccard"], pa.scalar(0.7)))
@@ -190,7 +196,9 @@ def embedding_pairs_doubled(sf_dir: str):
                          "embedding": batch["embedding"]})
 
     doubled = base.union(base.map_batches(shift, batch_format="pyarrow"))
-    pairs = dedup.embedding_near_pairs(doubled, threshold=0.999999)
+    pairs = dedup.embedding_near_pairs(
+        doubled, threshold=0.999999,
+        n_coarse=_coarse_hint_for(os.path.join(sf_dir, "embeddings.parquet"), 2))
 
     def strip(batch: pa.Table) -> pa.Table:
         return batch.select(["id_a", "id_b"])  # cosine==1.0 exact dup pairs

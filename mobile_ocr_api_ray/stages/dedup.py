@@ -446,9 +446,10 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
 
 
 def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                       max_hamming: int = 3):
+                       max_hamming: int = 3, n_coarse: int | None = None):
     """Near-dup pairs by simhash banding: 4 bands × 16 bits; docs sharing any
     band collide, verified by full Hamming distance ≤ max_hamming."""
+    nc = n_coarse or N_COARSE
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         hashes = batch["simhash"].to_pylist()
@@ -483,15 +484,15 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             "id_b": pd.array(idb, "int64"),
                             "hamming": pd.array(ham, "int64")})
         out = out.drop_duplicates(["id_a", "id_b"])
-        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % N_COARSE).astype("int32")
+        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % nc).astype("int32")
         return out
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         # coarse partition of the (band_id, band_val) key space (see the
-        # minhash variant for rationale: 256 dispatches instead of ~256k)
+        # minhash variant for rationale: nc dispatches instead of ~256k)
         bid = np.asarray(batch["band_id"])
         bval = np.asarray(batch["band_val"])
-        coarse = ((bval * np.int64(2654435761) + bid) % N_COARSE).astype(np.int32)
+        coarse = ((bval * np.int64(2654435761) + bid) % nc).astype(np.int32)
         return batch.append_column("coarse", pa.array(coarse, pa.int32()))
 
     sims = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
@@ -529,7 +530,7 @@ def ngram_jaccard_exact(text_a: str, text_b: str, n: int = SHINGLE_N) -> float:
 
 
 def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
-                           n: int = SHINGLE_N):
+                           n: int = SHINGLE_N, n_coarse: int | None = None):
     """Exact n-gram Jaccard between each (id, id+1) document pair.
 
     Pairwise ops over a Dataset need co-location, not a driver loop: each row
@@ -539,6 +540,8 @@ def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
     twice regardless of corpus size (no broadcast, no N² join).
     Returns (id_a, id_b = id_a+1, jaccard) for pairs where both ids exist.
     """
+    nc = n_coarse or N_COARSE
+
     def fan_out(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
@@ -547,7 +550,7 @@ def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
             pid.append(i); role.append("a"); txt.append(t)
             if i > 0:
                 pid.append(i - 1); role.append("b"); txt.append(t)
-        coarse = [p % N_COARSE for p in pid]
+        coarse = [p % nc for p in pid]
         return pa.table({"pair_id": pa.array(pid, pa.int64()),
                          "coarse": pa.array(coarse, pa.int32()),
                          "role": pa.array(role, pa.string()),
@@ -571,7 +574,8 @@ def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = SHINGLE_N):
+                       text_col: str = "text", n: int = SHINGLE_N,
+                       n_coarse: int | None = None):
     """Attach exact n-gram Jaccard to candidate pairs, fully distributed.
 
     Two-shuffle repartition join (no driver materialization, no broadcast —
@@ -587,6 +591,8 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
     one per document/pair (see minhash_dedup_pairs rationale).
     Returns (id_a, id_b, est_jaccard, jaccard).
     """
+    nc = n_coarse or N_COARSE
+
     def pair_refs(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_pylist()
         b = batch["id_b"].to_pylist()
@@ -598,7 +604,7 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
             rid += [x, y]; pid += [key, key]; side += ["a", "b"]
             txt += [None, None]; ej += [e, None]
         return pa.table({"id": pa.array(rid, pa.int64()),
-                         "coarse": pa.array([i % N_COARSE for i in rid], pa.int32()),
+                         "coarse": pa.array([i % nc for i in rid], pa.int32()),
                          "pid": pa.array(pid, pa.string()),
                          "side": pa.array(side, pa.string()),
                          "text": pa.array(txt, pa.string()),
@@ -608,7 +614,7 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
         nn = batch.num_rows
         ids = batch[id_col].to_pylist()
         return pa.table({"id": pa.array(ids, pa.int64()),
-                         "coarse": pa.array([i % N_COARSE for i in ids], pa.int32()),
+                         "coarse": pa.array([i % nc for i in ids], pa.int32()),
                          "pid": pa.array([None] * nn, pa.string()),
                          "side": pa.array(["t"] * nn, pa.string()),
                          "text": pc.cast(batch[text_col], pa.string()),
@@ -620,7 +626,7 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
         refs = df[df["side"] != "t"][["id", "pid", "side", "est_jaccard"]]
         out = refs.merge(texts, on="id", how="inner")
         out["pcoarse"] = out["pid"].map(
-            lambda p: zlib.crc32(p.encode()) % N_COARSE).astype("int32")
+            lambda p: zlib.crc32(p.encode()) % nc).astype("int32")
         return out[["pid", "pcoarse", "side", "doc_text", "est_jaccard"]]
 
     def verify_coarse(df: pd.DataFrame) -> pd.DataFrame:
@@ -662,13 +668,16 @@ def _planes(dim: int) -> np.ndarray:
 
 
 def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
-                         threshold: float = 0.95, brute: bool = False):
+                         threshold: float = 0.95, brute: bool = False,
+                         n_coarse: int | None = None):
     """Embedding-cosine near-dup pairs.
 
     Scale path: sign-LSH over 16 fixed hyperplanes → bucket groupby →
     within-bucket pairwise cosine. Brute path (oracle-sized inputs): single
     pairwise pass per group of everything (bucket = 0).
     """
+    nc = n_coarse or N_COARSE
+
     def bucket_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
@@ -682,7 +691,7 @@ def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             bits = (unit @ planes.T) > 0
             buckets = (bits.astype(np.uint64) << np.arange(N_PLANES, dtype=np.uint64)).sum(axis=1).astype(np.int64)
         return pa.table({id_col: pa.array(ids), "bucket": pa.array(buckets, pa.int64()),
-                         "coarse": pa.array(buckets % N_COARSE, pa.int32()),
+                         "coarse": pa.array(buckets % nc, pa.int32()),
                          "unit": pa.array([u for u in unit], pa.list_(pa.float64()))})
 
     def pairs_in_coarse(df: pd.DataFrame) -> pd.DataFrame:
