@@ -15,10 +15,13 @@ import pyarrow as pa
 
 # quality -> (preprocess_kind, ocr_mode, max_dim, jpeg_quality)
 # preprocess/mode: app2.py:551-558; max_dim/jpeg_quality: app2.py:215-223.
+# 'v1' is the v1 API's single default tier: Gaussian+Otsu preprocess
+# (app.py:550-556), 1500 px cap / q85 (app.py:323) — D3 parity.
 QUALITY_PARAMS: dict[str, tuple[str, str, int, int]] = {
     "low": ("fast", "fast", 800, 75),
     "medium": ("balanced", "standard", 1200, 85),
     "high": ("quality", "accurate", 2000, 90),
+    "v1": ("default", "standard", 1500, 85),
 }
 
 _VALID = frozenset(QUALITY_PARAMS)

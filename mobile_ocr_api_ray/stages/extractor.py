@@ -187,7 +187,8 @@ class ExtractorActor:
         # dedup is the separate D1 digest pipeline. lru_size=0 disables.
         self.lru_size = lru_size
         self._lru: "OrderedDict[tuple, tuple]" = OrderedDict()
-        self.quality = quality if quality in ("low", "medium", "high") else "medium"
+        from ..functions.routing import QUALITY_PARAMS
+        self.quality = quality if quality in QUALITY_PARAMS else "medium"
         (self.preprocess_kind, self.ocr_mode,
          self.max_dim, self.jpeg_quality) = route_quality(self.quality)
         self.do_deskew = do_deskew

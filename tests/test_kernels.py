@@ -316,3 +316,23 @@ class TestPerActorLru:
         actor = ExtractorActor(lru_size=0)
         actor(batch)
         assert actor.kernel_invocations == 2
+
+
+class TestV1Tier:
+    """D3 parity: the v1 API's single default tier (1500 px cap, q85,
+    Gaussian+Otsu preprocess — app.py:323,550-556) is an exposed quality."""
+
+    def test_v1_routing(self):
+        from mobile_ocr_api_ray.functions.routing import route_quality
+        assert route_quality("v1") == ("default", "standard", 1500, 85)
+
+    def test_v1_actor(self):
+        from mobile_ocr_api_ray.stages import glyphs
+        from mobile_ocr_api_ray.stages.extractor import ExtractorActor
+        payload = glyphs.encode_imgx(
+            glyphs.render_text(["HELLO WORLD"], scale=3, margin=12))
+        batch = pa.table({"url": pa.array(["u"], pa.string()),
+                          "html": pa.array([payload], pa.binary())})
+        out = ExtractorActor(quality="v1")(batch).to_pandas()
+        assert out.extracted_text[0] == "HELLO WORLD"
+        assert out.quality[0] == "v1"
