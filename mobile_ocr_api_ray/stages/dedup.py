@@ -10,10 +10,11 @@ as Dataset transforms:
             oracle) → groupby(digest) → representative per group.
 - MinHash:  word-shingle → 64-perm minhash → 16 bands × 4 rows → explode to
             (band_id, band_hash) rows → groupby band → candidate pairs with
-            signature-estimated Jaccard → global pair dedup. Signatures ride
-            inside band rows (16× duplication ≈ 8 KB/doc) so pair generation
-            needs no second join; the two-pass variant (bands only, then a
-            signature join) trades that for an extra shuffle at 100 TB.
+            signature-estimated Jaccard → global pair dedup. One-pass default
+            rides signatures inside band rows (16× duplication ≈ 8 KB/doc,
+            no second join); two_pass=True shuffles lean band rows (~24 B)
+            and re-attaches signatures via partitioned joins — identical
+            output, the 100 TB shuffle-volume path.
 - SimHash:  64-bit token-frequency simhash; near-dups via 4×16-bit band
             blocking + Hamming distance ≤ 3.
 - n-gram Jaccard: exact verification kernel (used standalone on candidate
