@@ -450,3 +450,17 @@ class TestEmptyResults:
         out = dedup.dup_clusters(pairs)
         assert out.schema().names == ["src", "label"]
         assert out.sort("src").count() == 0  # sort works on the typed empty
+
+
+def test_minhash_two_pass_empty(ray_session):
+    """Duplicate-free corpus through the two-pass path keeps the typed pair
+    schema at the Dataset level (the all-empty to_pandas() column drop is a
+    known Ray artifact; Dataset.schema() is the contract)."""
+    import ray.data
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array([f"unique document {i} words {i*7} {i*13}"
+                          for i in range(30)], pa.string())}))
+    out = dedup.minhash_dedup_pairs(docs, threshold=0.7, two_pass=True)
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b", "est_jaccard"]
