@@ -51,8 +51,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (SQL-checked)
         "token_counts": a.token_counts_docs,
         "quality_scores": a.quality_docs,
+        "quality_filtered": a.quality_filtered,
+        "word_freq_top": a.word_freq_top,
         # dedup (SQL-checked where expressible)
         "exact_dedup": a.exact_dedup_docs,
+        "exact_dedup_kept": a.exact_dedup_kept,
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
         "sample_docs": a.sample_docs,
@@ -228,6 +231,39 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": r"""
             SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
             FROM documents GROUP BY 1 ORDER BY 1""",
+        "exact_dedup_kept": r"""
+            SELECT min(doc_id) AS doc_id, text
+            FROM documents GROUP BY text ORDER BY 1""",
+        # distributed wordcount: \w+ on lowered text (same RE2 tokenizer as
+        # token_counts), global counts, top-100 by (count desc, word asc)
+        "word_freq_top": r"""
+            SELECT word, cast(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS word
+                  FROM documents)
+            GROUP BY 1 ORDER BY n DESC, word LIMIT 100""",
+        # quality gate over the quality_scores expression tree (bit-exact
+        # per-row doubles on both sides, so the >= comparisons agree)
+        "quality_filtered": rf"""
+            WITH c AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '\S+')) AS n_words,
+                     length(regexp_extract_all(lower(text), '\w+')) AS n_tokens,
+                     length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     length(regexp_extract_all(lower(text), '{alt}')) AS n_stop
+              FROM documents),
+            f AS (
+              SELECT doc_id, n_words,
+                     cast(n_stop AS DOUBLE) / greatest(cast(n_tokens AS DOUBLE), 1.0) AS stopword_frac,
+                     cast(n_punct AS DOUBLE) / greatest(cast(n_chars AS DOUBLE), 1.0) AS punct_frac
+              FROM c),
+            q AS (
+              SELECT doc_id, n_words,
+                     (least(cast(n_words AS DOUBLE)/50.0, 1.0)*0.4 + stopword_frac*0.3)
+                     + ((1.0 - least(punct_frac*5.0, 1.0))*0.3) AS quality_score
+              FROM f)
+            SELECT doc_id, n_words, quality_score FROM q
+            WHERE quality_score >= 0.5 AND n_words >= 20 ORDER BY doc_id""",
         # deterministic hash sampling: md5(doc_id) first 8 hex digits under
         # 10% of the 32-bit space — identical md5 on both sides
         "sample_docs": r"""

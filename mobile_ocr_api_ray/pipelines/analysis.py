@@ -117,6 +117,52 @@ def summarize_docs(sf_dir: str):
         s, batch_format="pyarrow").sort("doc_id")
 
 
+def word_freq_top(sf_dir: str, k: int = 100):
+    """G4 as a distributed wordcount: per-batch partial Counter (combiner)
+    → groupby(word) Sum → global top-k by (count desc, word asc). The
+    partial pre-aggregation bounds the shuffle by per-batch VOCABULARY, not
+    token count — the classic combiner pattern at corpus scale."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"\w+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(word_re.findall((t or "").lower()))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = (_docs(sf_dir, ["text"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("n", alias_name="n")))
+    return agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+def exact_dedup_kept(sf_dir: str):
+    """D1's keep-side: one representative row (min doc_id) per distinct
+    text — the corpus-filtering form of exact dedup (vs the stats form)."""
+    return (dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+            .sort("doc_id"))
+
+
+def quality_filtered(sf_dir: str, min_score: float = 0.5, min_words: int = 20):
+    """Quality gate: keep documents with quality_score ≥ min_score and
+    ≥ min_words whitespace words — the filter every training-data pipeline
+    runs after scoring. Bit-exact vs SQL (same expression tree per row)."""
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text_analysis.quality_scores, batch_format="pyarrow")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["quality_score"], pa.scalar(min_score)),
+                    pc.greater_equal(batch["n_words"],
+                                     pa.scalar(min_words, pa.int64())))
+        return batch.filter(m).select(["doc_id", "n_words", "quality_score"])
+
+    return scored.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 # ------------------------------------------------------------------- dedup
 
 def exact_dedup_docs(sf_dir: str):
