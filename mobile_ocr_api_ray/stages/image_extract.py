@@ -55,14 +55,38 @@ def optimize_image(img: np.ndarray, max_dim: int) -> np.ndarray:
 
 # ------------------------------------------------------------- M2 binarizers
 
+def _pad1_reflect_u16(img: np.ndarray) -> np.ndarray:
+    """1-px reflect pad into a uint16 buffer — identical values to
+    ``np.pad(img, 1, mode='reflect').astype(np.uint16)`` but without the
+    generic arraypad wrapper, which costs more than the copy itself on the
+    small per-band arrays this runs on (~15% of kernel CPU, profiled)."""
+    h, w = img.shape
+    if h < 2 or w < 2:
+        return np.pad(img, 1, mode="reflect").astype(np.uint16)
+    p = np.empty((h + 2, w + 2), dtype=np.uint16)
+    p[1:-1, 1:-1] = img
+    p[0, 1:-1] = img[1]
+    p[-1, 1:-1] = img[-2]
+    p[:, 0] = p[:, 2]
+    p[:, -1] = p[:, -3]
+    return p
+
+
 def _gaussian_blur3(img: np.ndarray) -> np.ndarray:
     """Separable 3x3 Gaussian ([1,2,1]/4 each axis), reflect borders,
     rounded back to uint8 — integer arithmetic throughout (cv2's
     GaussianBlur likewise produces uint8; float64 passes here saturate
     memory bandwidth at high process counts and kill scaling)."""
-    p = np.pad(img, 1, mode="reflect").astype(np.uint16)
+    p = _pad1_reflect_u16(img)
     horiz = p[1:-1, :-2] + 2 * p[1:-1, 1:-1] + p[1:-1, 2:]          # <= 1020
-    p2 = np.pad(horiz, ((1, 1), (0, 0)), mode="reflect")
+    h = horiz.shape[0]
+    if h < 2:
+        p2 = np.pad(horiz, ((1, 1), (0, 0)), mode="reflect")
+    else:
+        p2 = np.empty((h + 2, horiz.shape[1]), dtype=np.uint16)
+        p2[1:-1] = horiz
+        p2[0] = horiz[1]
+        p2[-1] = horiz[-2]
     total = p2[:-2] + 2 * p2[1:-1] + p2[2:]                          # <= 4080
     return ((total + 8) >> 4).astype(np.uint8)                       # /16 rounded
 
@@ -85,7 +109,13 @@ def _box_sum(img: np.ndarray, k: int) -> np.ndarray:
     """k x k local SUM via int64 integral image, edge-replicated borders —
     integer-exact (mean comparisons are done cross-multiplied by k*k)."""
     pad = k // 2
-    p = np.pad(img, pad, mode="edge").astype(np.int64)
+    h0, w0 = img.shape
+    p = np.empty((h0 + 2 * pad, w0 + 2 * pad), dtype=np.int64)
+    p[pad:-pad, pad:-pad] = img
+    p[:pad, pad:-pad] = img[0]
+    p[-pad:, pad:-pad] = img[-1]
+    p[:, :pad] = p[:, pad:pad + 1]
+    p[:, -pad:] = p[:, -pad - 1:-pad]
     ii = np.cumsum(np.cumsum(p, axis=0), axis=1)
     ii = np.pad(ii, ((1, 0), (1, 0)))
     h, w = img.shape
@@ -172,7 +202,8 @@ def despeckle(mask: np.ndarray) -> np.ndarray:
     (app2.py:291-294); glyph strokes at scale >= 2 are always >= 2x2 blocks,
     so only noise specks are affected — deterministic."""
     m = mask.astype(np.uint8)
-    p = np.pad(m, 1)
+    p = np.zeros((m.shape[0] + 2, m.shape[1] + 2), dtype=np.uint8)
+    p[1:-1, 1:-1] = m
     neigh = (
         p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
         + p[1:-1, :-2] + p[1:-1, 2:]
