@@ -576,7 +576,8 @@ def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
                        text_col: str = "text", n: int = SHINGLE_N,
-                       n_coarse: int | None = None):
+                       n_coarse: int | None = None,
+                       semi_join_max_ids: int = 5_000_000):
     """Attach exact n-gram Jaccard to candidate pairs, fully distributed.
 
     Two-shuffle repartition join (no driver materialization, no broadcast —
@@ -590,9 +591,33 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
     crc32(pid) % N_COARSE) and resolve exact keys with a vectorized pandas
     merge/join inside the group fn — Ray dispatches 256 groups instead of
     one per document/pair (see minhash_dedup_pairs rationale).
+
+    SEMI-JOIN REDUCTION: only docs that appear in some pair need to enter
+    the stamp shuffle, and that id set is proportional to the DUPLICATE
+    set, not the corpus. When the pair count is small enough that the
+    distinct-id array fits a broadcast (≤ ``semi_join_max_ids``), the ids
+    are collected once (bounded by the guard, unlike an unbounded label
+    loop), broadcast via ray.put, and the corpus side is mask-filtered with
+    a vectorized np.isin BEFORE the shuffle — at a 20-30% dup rate this
+    keeps 70-80% of a 100 TB corpus's text bytes out of the exchange.
+    Larger pair sets fall back to the full-corpus repartition join.
     Returns (id_a, id_b, est_jaccard, jaccard).
     """
+    import ray
+
     nc = n_coarse or N_COARSE
+
+    pairs_mat = pairs_ds.materialize()
+    ids_ref = None
+    if pairs_mat.count() * 2 <= semi_join_max_ids:
+        member_ids: set = set()
+        for b in pairs_mat.select_columns(["id_a", "id_b"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"):
+            member_ids.update(b["id_a"].to_pylist())
+            member_ids.update(b["id_b"].to_pylist())
+        ids_ref = ray.put(np.fromiter(member_ids, dtype=np.int64,
+                                      count=len(member_ids)))
+    pairs_ds = pairs_mat
 
     def pair_refs(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_pylist()
@@ -645,7 +670,14 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
                              "est_jaccard": pd.array(est, "float64"),
                              "jaccard": pd.array(jac, "float64")})
 
+    def filter_members(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False),
+                       ray.get(ids_ref))
+        return batch.filter(pa.array(mask))
+
     refs = pairs_ds.map_batches(pair_refs, batch_format="pyarrow")
+    if ids_ref is not None:
+        docs_ds = docs_ds.map_batches(filter_members, batch_format="pyarrow")
     docs = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
     stamped = refs.union(docs).groupby("coarse").map_groups(
         stamp_coarse, batch_format="pandas")

@@ -464,3 +464,22 @@ def test_minhash_two_pass_empty(ray_session):
     out = dedup.minhash_dedup_pairs(docs, threshold=0.7, two_pass=True)
     assert out.count() == 0
     assert out.schema().names == ["id_a", "id_b", "est_jaccard"]
+
+
+def test_verify_pairs_semi_join_fallback(ray_session):
+    """The semi-join broadcast path and the full-corpus fallback
+    (semi_join_max_ids=0) produce identical verified pairs."""
+    import ray.data
+    texts = [f"unique document number {i} content words alpha beta gamma {i}"
+             for i in range(40)]
+    texts += texts[:10]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    pairs = dedup.minhash_dedup_pairs(ds, threshold=0.9)
+    a = (dedup.verify_pairs_ngram(pairs, ds).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    b = (dedup.verify_pairs_ngram(pairs, ds, semi_join_max_ids=0).to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
