@@ -94,19 +94,16 @@ def _ann_query_values() -> str:
     query vectors as the engine on any tier, not a hardcoded dim=64."""
     import os
 
-    import pyarrow.parquet as pq
-
+    from mobile_ocr_api_ray.pipelines.reads import embedding_dim
     from mobile_ocr_api_ray.stages.similarity import fixed_queries
 
-    dim = 64
     emb_path = os.path.join(
         os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01"),
         "embeddings.parquet")
     try:
-        dim = len(pq.read_table(emb_path, columns=["embedding"])
-                  .slice(0, 1)["embedding"][0])
+        dim = embedding_dim(emb_path)
     except Exception:
-        pass
+        dim = 64
     q = fixed_queries(dim, 4, seed=7)
     rows = []
     for i, vec in enumerate(q):

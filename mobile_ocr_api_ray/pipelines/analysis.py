@@ -20,29 +20,15 @@ from ray.data.aggregate import Count, Mean, Sum
 from .. import corpus
 from ..functions.textproc import compression_ratio, summarize
 from ..stages import dedup, similarity, text_analysis
+from . import reads
 from .extract import extract_pipeline, extract_pipeline_dedup, read_pages
 
 DOUBLE_OFFSET = 1_000_000  # doc_id offset for the duplicated-corpus variants
 
 
-def _read_small_aware(path: str, columns=None, rows_per_block: int = 250):
-    """read_parquet with a block override for SMALL files: Ray's default
-    SplitBlocks turns a 0.2 MB table into 64 near-empty blocks, and every
-    downstream shuffle then pays a per-block fixed cost (~10 ms/block/pass —
-    the SplitBlocks trap from pipelines/extract.py, measured again here:
-    the dedup family spent more time iterating empty blocks than hashing).
-    Files ≥ 32 MB keep Ray's own sizing (the 100 TB path)."""
-    if os.path.getsize(path) < 32 * 1024 * 1024:
-        n = pq.ParquetFile(path).metadata.num_rows
-        return ray.data.read_parquet(
-            path, columns=columns,
-            override_num_blocks=min(64, max(1, n // rows_per_block)))
-    return ray.data.read_parquet(path, columns=columns)
-
-
 def _docs(sf_dir: str, columns=None):
-    return _read_small_aware(os.path.join(sf_dir, "documents.parquet"),
-                             columns=columns)
+    return reads.read_small_aware(os.path.join(sf_dir, "documents.parquet"),
+                                  columns=columns)
 
 
 def _coarse_hint_for(path: str, mult: int = 1) -> int:
@@ -128,7 +114,11 @@ def word_freq_top(sf_dir: str, k: int = 100):
     import re
     from collections import Counter
 
-    word_re = re.compile(r"\w+")
+    # re.ASCII so \w ≡ [A-Za-z0-9_] — the SAME token class as the RE2
+    # engines on both oracle sides (DuckDB regexp_extract_all and Arrow's
+    # pc count); Python's default unicode \w would diverge on any
+    # non-ASCII word character ('café' → 'café' vs RE2's 'caf')
+    word_re = re.compile(r"\w+", re.ASCII)
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -233,8 +223,8 @@ def dup_clusters_doubled(sf_dir: str):
 
 
 def _embeddings(sf_dir: str):
-    return _read_small_aware(os.path.join(sf_dir, "embeddings.parquet"),
-                             columns=["vec_id", "embedding"])
+    return reads.read_small_aware(os.path.join(sf_dir, "embeddings.parquet"),
+                                  columns=["vec_id", "embedding"])
 
 
 def embedding_pairs_doubled(sf_dir: str):
@@ -262,8 +252,7 @@ ANN_N_QUERIES = 4
 
 
 def _query_matrix(sf_dir: str) -> np.ndarray:
-    dim = len(pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                            columns=["embedding"]).slice(0, 1)["embedding"][0])
+    dim = reads.embedding_dim(os.path.join(sf_dir, "embeddings.parquet"))
     return similarity.fixed_queries(dim, ANN_N_QUERIES, seed=7)
 
 

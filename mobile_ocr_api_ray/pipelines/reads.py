@@ -1,0 +1,40 @@
+"""Shared parquet-read helpers for the pipeline modules.
+
+One home for the size-aware small-file block override (used by the
+documents/embeddings/relational reads) and cheap metadata probes, so the
+32 MB threshold and block-count shape can't drift between sibling modules.
+`pipelines/extract.py:read_pages` keeps its own shard-matched variant (it
+reads DIRECTORIES of shards and row-targets against CPU count).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import ray.data
+
+SMALL_FILE_BYTES = 32 * 1024 * 1024
+
+
+def read_small_aware(path: str, columns=None, rows_per_block: int = 250):
+    """read_parquet with a block override for SMALL files: Ray's default
+    SplitBlocks turns a 0.2 MB table into 64 near-empty blocks, and every
+    downstream shuffle then pays a per-block fixed cost (~10 ms/block/pass —
+    the SplitBlocks trap from pipelines/extract.py, measured again on the
+    dedup family: more time iterating empty blocks than hashing). Files
+    ≥ 32 MB keep Ray's own sizing (the 100 TB path)."""
+    if os.path.getsize(path) < SMALL_FILE_BYTES:
+        n = pq.ParquetFile(path).metadata.num_rows
+        return ray.data.read_parquet(
+            path, columns=columns,
+            override_num_blocks=min(64, max(1, n // rows_per_block)))
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def embedding_dim(path: str) -> int:
+    """Dimension of the list<float> `embedding` column — reads ONE row via
+    the parquet batch iterator, never the whole column."""
+    batch = next(pq.ParquetFile(path).iter_batches(batch_size=1,
+                                                   columns=["embedding"]))
+    return len(batch["embedding"][0])

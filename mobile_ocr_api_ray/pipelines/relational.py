@@ -32,6 +32,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from . import reads
+
 
 def _cents(arr, scale: int = 100) -> pa.Array:
     """Exact integer units: int64(round(x * scale)) per row."""
@@ -39,18 +41,11 @@ def _cents(arr, scale: int = 100) -> pa.Array:
 
 
 def _pq(sf_dir: str, name: str, columns=None):
-    # size-aware block override for small files (same rationale as
-    # analysis._read_small_aware): Ray's SplitBlocks shreds a 2 MB events
-    # table into 64 near-empty blocks and every groupby/sort then pays a
-    # per-block fixed cost. Large files keep Ray's own sizing.
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.getsize(path) < 32 * 1024 * 1024:
-        import pyarrow.parquet as pq
-        n = pq.ParquetFile(path).metadata.num_rows
-        return ray.data.read_parquet(
-            path, columns=columns,
-            override_num_blocks=min(64, max(1, n // 4000)))
-    return ray.data.read_parquet(path, columns=columns)
+    # size-aware block override for small files (shared heuristic —
+    # see pipelines/reads.py); relational tables get coarser 4k-row blocks
+    # since their per-row kernels are lighter than text extraction
+    return reads.read_small_aware(os.path.join(sf_dir, f"{name}.parquet"),
+                                  columns=columns, rows_per_block=4000)
 
 
 def lineitem_pricing(sf_dir: str):

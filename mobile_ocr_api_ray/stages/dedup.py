@@ -610,13 +610,16 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
     pairs_mat = pairs_ds.materialize()
     ids_ref = None
     if pairs_mat.count() * 2 <= semi_join_max_ids:
-        member_ids: set = set()
-        for b in pairs_mat.select_columns(["id_a", "id_b"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"):
-            member_ids.update(b["id_a"].to_pylist())
-            member_ids.update(b["id_b"].to_pylist())
-        ids_ref = ray.put(np.fromiter(member_ids, dtype=np.int64,
-                                      count=len(member_ids)))
+        # numpy-native unique over the arrow columns (no Python int boxing),
+        # sorted once here so the probe side can binary-search per batch
+        chunks = [
+            np.concatenate([b["id_a"].to_numpy(zero_copy_only=False),
+                            b["id_b"].to_numpy(zero_copy_only=False)])
+            for b in pairs_mat.select_columns(["id_a", "id_b"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow")]
+        ids_sorted = (np.unique(np.concatenate(chunks).astype(np.int64))
+                      if chunks else np.array([], dtype=np.int64))
+        ids_ref = ray.put(ids_sorted)
     pairs_ds = pairs_mat
 
     def pair_refs(batch: pa.Table) -> pa.Table:
@@ -671,8 +674,15 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
                              "jaccard": pd.array(jac, "float64")})
 
     def filter_members(batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch[id_col].to_numpy(zero_copy_only=False),
-                       ray.get(ids_ref))
+        # membership via binary search against the PRE-SORTED broadcast ids
+        # (np.isin would re-sort the whole id array per batch)
+        ids_sorted = ray.get(ids_ref)
+        keys = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids_sorted) == 0:
+            return batch.slice(0, 0)
+        pos = np.searchsorted(ids_sorted, keys)
+        pos_c = np.minimum(pos, len(ids_sorted) - 1)
+        mask = ids_sorted[pos_c] == keys
         return batch.filter(pa.array(mask))
 
     refs = pairs_ds.map_batches(pair_refs, batch_format="pyarrow")

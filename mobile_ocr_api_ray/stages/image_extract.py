@@ -109,6 +109,8 @@ def _box_sum(img: np.ndarray, k: int) -> np.ndarray:
     """k x k local SUM via int64 integral image, edge-replicated borders —
     integer-exact (mean comparisons are done cross-multiplied by k*k)."""
     pad = k // 2
+    if pad == 0:  # k == 1 → the 1x1 box sum is the image itself
+        return img.astype(np.int32)
     h0, w0 = img.shape
     p = np.empty((h0 + 2 * pad, w0 + 2 * pad), dtype=np.int64)
     p[pad:-pad, pad:-pad] = img
