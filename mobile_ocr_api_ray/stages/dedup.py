@@ -325,17 +325,14 @@ def _minhash_pairs_two_pass(ds, id_col: str, text_col: str, threshold: float,
                             np.zeros(len(sa), dtype=np.float64)))
         out = pd.DataFrame({"id_a": pd.array(ida, "int64"),
                             "id_b": pd.array(idb, "int64")})
-        out = out.drop_duplicates(["id_a", "id_b"])  # partial (within-coarse)
-        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % nc).astype("int32")
-        return out
+        return out.drop_duplicates(["id_a", "id_b"])  # partial (within-coarse)
 
-    def drop_dup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b"]]
-
+    # NO separate pair-dedup shuffle: every copy of a pair (found in several
+    # bands/coarse buckets) lands in the same join_a partition — it is keyed
+    # by id_a — so the global dedup folds into join_a's drop_duplicates
     cands = (bands.map_batches(lambda b: _band_coarse(b, nc),
                                batch_format="pyarrow")
-             .groupby("coarse").map_groups(cands_in_coarse, batch_format="pandas")
-             .groupby("pcoarse").map_groups(drop_dup, batch_format="pandas"))
+             .groupby("coarse").map_groups(cands_in_coarse, batch_format="pandas"))
 
     def tag_sigs(batch: pa.Table) -> pa.Table:
         node = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -373,8 +370,11 @@ def _minhash_pairs_two_pass(ds, id_col: str, text_col: str, threshold: float,
                               "id_b": pd.Series([], dtype="int64"),
                               "sig": pd.Series([], dtype="object")})
         else:
-            m = edg[["id_a", "id_b", "key"]].merge(
-                lbl[["key", "sig"]], on="key", how="inner")
+            # global pair dedup happens HERE (all copies of a pair share
+            # id_a, the partition key of this join)
+            m = (edg[["id_a", "id_b", "key"]]
+                 .drop_duplicates(["id_a", "id_b"])
+                 .merge(lbl[["key", "sig"]], on="key", how="inner"))
         return pa.table({
             "id_a": pa.array(m["id_a"].to_numpy(), pa.int64()),
             "id_b": pa.array(m["id_b"].to_numpy(), pa.int64()),
