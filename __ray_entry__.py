@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": r.events_hourly,
         "sessionize_events": r.sessionize_events,
         "user_moving_avg": r.user_moving_avg,
+        "top_events_per_user": r.top_events_per_user,
         # text analysis (SQL-checked)
         "token_counts": a.token_counts_docs,
         "quality_scores": a.quality_docs,
@@ -188,6 +189,15 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS start_ts, max(ts) AS end_ts,
                    sum(cast(round(value*100, 0) AS BIGINT))/100.0 AS sum_value
             FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+        # windowed rank: top-3 per user by (value desc, event_id); raw
+        # doubles pass through untouched on both sides
+        "top_events_per_user": r"""
+            SELECT user_id, rnk, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM events)
+            WHERE rnk <= 3 ORDER BY user_id, rnk""",
         # sliding-window frame avg, integer-cent numerator on both sides
         "user_moving_avg": r"""
             SELECT user_id, event_id, ts,

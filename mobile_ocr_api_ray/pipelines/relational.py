@@ -283,3 +283,37 @@ def user_moving_avg(sf_dir: str, window: int = 3):
             .groupby("user_id")
             .map_groups(mov, batch_format="pandas")
             .sort(["user_id", "ts", "event_id"]))
+
+
+def top_events_per_user(sf_dir: str, k: int = 3):
+    """Windowed rank: the top-k events per user by (value desc, event_id) —
+    SQL row_number() OVER (PARTITION BY user ORDER BY ...) <= k.
+
+    Grouping is COARSE (user_id % nc, nc sized from table metadata) with a
+    vectorized pandas rank inside each partition — one Ray group per
+    partition instead of one per user (the tiny-groups dispatch trap), and
+    the per-partition sort+cumcount is the standard top-k-per-key shape at
+    scale. Values pass through untouched, so the float hash matches SQL.
+    """
+    import pyarrow.parquet as pqm
+
+    n = pqm.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    nc = min(256, n // 4000 + 1)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("coarse",
+                                   pa.array((u % nc).astype(np.int32)))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "value", "event_id"],
+                           ascending=[True, False, True])
+        d = d.assign(rnk=d.groupby("user_id").cumcount() + 1)
+        d = d[d["rnk"] <= k]
+        return d[["user_id", "rnk", "event_id", "value"]]
+
+    return (_pq(sf_dir, "events", ["event_id", "user_id", "value"])
+            .map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse")
+            .map_groups(topk, batch_format="pandas")
+            .sort(["user_id", "rnk"]))
