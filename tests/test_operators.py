@@ -483,3 +483,54 @@ def test_verify_pairs_semi_join_fallback(ray_session):
          .sort_values(["id_a", "id_b"]).reset_index(drop=True))
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+class TestNewQueryKernels:
+    """Invariance + semantics for the round-2 query additions."""
+
+    def test_word_freq_partial_combiner(self, ray_session):
+        import ray.data
+        texts = ["the cat the dog", "the CAT runs", ""]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        import re
+        from collections import Counter
+        word_re = re.compile(r"\w+", re.ASCII)
+
+        def partial(batch):
+            c = Counter()
+            for t in batch["text"].to_pylist():
+                c.update(word_re.findall((t or "").lower()))
+            return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                             "n": pa.array(list(c.values()), pa.int64())})
+
+        from ray.data.aggregate import Sum
+        for parts in (1, 3):
+            out = (ds.repartition(parts)
+                   .map_batches(partial, batch_format="pyarrow")
+                   .groupby("word").aggregate(Sum("n", alias_name="n"))
+                   .to_pandas().sort_values("word").reset_index(drop=True))
+            assert dict(zip(out.word, out.n)) == {
+                "cat": 2, "dog": 1, "runs": 1, "the": 3}
+
+    def test_top_k_per_key_invariant(self, ray_session):
+        import ray.data
+        rs = np.random.RandomState(2)
+        n = 500
+        t = pa.table({"event_id": pa.array(range(n), pa.int64()),
+                      "user_id": pa.array(rs.randint(0, 20, n), pa.int64()),
+                      "value": pa.array(rs.normal(size=n), pa.float64())})
+
+        def run(parts):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            df = ds.to_pandas()
+            d = df.sort_values(["user_id", "value", "event_id"],
+                               ascending=[True, False, True])
+            d = d.assign(rnk=d.groupby("user_id").cumcount() + 1)
+            return d[d.rnk <= 3].reset_index(drop=True)
+
+        a, b = run(1), run(7)
+        pd.testing.assert_frame_equal(
+            a.sort_values(["user_id", "rnk"]).reset_index(drop=True),
+            b.sort_values(["user_id", "rnk"]).reset_index(drop=True))
