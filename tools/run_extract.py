@@ -30,7 +30,7 @@ def main() -> int:
                     help="url-hash partition count (sets resume granularity "
                          "and write parallelism)")
     ap.add_argument("--quality", default="medium",
-                    choices=["low", "medium", "high"])
+                    choices=["low", "medium", "high", "v1"])
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-partitions", type=int, default=None,
                     help="process at most N incomplete partitions (smoke runs)")
