@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": a.quality_docs,
         "quality_filtered": a.quality_filtered,
         "word_freq_top": a.word_freq_top,
+        "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
         "exact_dedup": a.exact_dedup_docs,
         "exact_dedup_kept": a.exact_dedup_kept,
@@ -238,6 +239,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": r"""
             SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
             FROM documents GROUP BY 1 ORDER BY 1""",
+        # distributed hash join of two large tables (no broadcast side)
+        "docs_with_embeddings": r"""
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   cast(len(e.embedding) AS BIGINT) AS emb_dim
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ORDER BY d.doc_id""",
         "exact_dedup_kept": r"""
             SELECT min(doc_id) AS doc_id, text
             FROM documents GROUP BY text ORDER BY 1""",

@@ -156,6 +156,29 @@ def quality_filtered(sf_dir: str, min_score: float = 0.5, min_words: int = 20):
     return scored.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+def docs_with_embeddings(sf_dir: str):
+    """Distributed hash join of two large tables (documents ⨝ embeddings on
+    doc_id = vec_id) via the general stages/joins.py operator — both sides
+    shuffle once, co-partitioned on the key; no broadcast. Emits the joined
+    row plus the embedding dim (deterministic int, so the oracle hash is
+    exact without comparing floats)."""
+    from ..stages.joins import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    embs = _embeddings(sf_dir)
+    joined = hash_join(docs, embs, "doc_id", "vec_id", how="inner",
+                       n_coarse=_docs_coarse_hint(sf_dir))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"], "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+            "emb_dim": pc.cast(pc.list_value_length(batch["embedding"]),
+                               pa.int64())})
+
+    return joined.map_batches(finalize, batch_format="pyarrow").sort("doc_id")
+
+
 # ------------------------------------------------------------------- dedup
 
 def exact_dedup_docs(sf_dir: str):

@@ -1,0 +1,138 @@
+"""Distributed hash join as a first-class Dataset operator.
+
+Ray Data 2.49 has no general join; the engine's pattern (used by
+dup_clusters' label relabeling, the two-pass MinHash signature joins and
+verify_pairs_ngram's text stamping — see stages/dedup.py) is factored here
+as a public operator:
+
+    tagged union of both sides  →  groupby(hash(key) % n_coarse)  →
+    pure-arrow merge inside each partition (numpy searchsorted key match +
+    arrow take — works for any payload type, including list columns that
+    acero joins reject, and never round-trips through pandas dtypes)
+
+Both sides shuffle exactly once, co-partitioned by the join key; no
+broadcast, so either side may be corpus-sized. For a SMALL right side
+prefer a broadcast join instead (ray.put + Arrow acero probe inside
+map_batches — see pipelines/relational.py:top_customers); this operator is
+the both-sides-large path.
+
+Column handling: output = left columns + right columns (minus the right
+key). Name collisions raise. Key must be integer-typed (the partition hash
+is ``key % n_coarse``); extend with a crc32 pre-hash for string keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+N_COARSE_DEFAULT = 256
+
+
+def hash_join(left, right, left_key: str, right_key: str,
+              how: str = "inner", n_coarse: int | None = None):
+    """Join two Datasets on integer key columns; returns a Dataset.
+
+    ``how``: 'inner' or 'left' (left-outer: unmatched left rows keep nulls
+    for right columns)."""
+    import ray.data  # noqa: F401  (Dataset ops)
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how}")
+    nc = n_coarse or N_COARSE_DEFAULT
+
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = [c for c in right_schema.names if c != right_key]
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"column collision between join sides: {overlap}")
+    right_types = {c: right_schema.types[right_schema.names.index(c)]
+                   for c in right_cols}
+
+    # tagged union: one uniform schema; each side contributes nulls for the
+    # other side's columns. kind 0 = left (probe), kind 1 = right (build).
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"__kind": pa.array(np.zeros(n, np.int8)),
+                "__key": pa.array(key),
+                "__coarse": pa.array((key % nc).astype(np.int32))}
+        for c in left_cols:
+            cols[c] = batch[c]
+        for c in right_cols:
+            cols[c] = pa.array([None] * n, right_types[c])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"__kind": pa.array(np.ones(n, np.int8)),
+                "__key": pa.array(key),
+                "__coarse": pa.array((key % nc).astype(np.int32))}
+        for c in left_cols:
+            cols[c] = pa.array(
+                [None] * n,
+                left_schema.types[left_schema.names.index(c)])
+        for c in right_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    out_cols = left_cols + right_cols
+
+    def merge_partition(tbl: pa.Table) -> pa.Table:
+        # PURE-ARROW merge: a pandas round-trip would corrupt types (the
+        # union's typed-null int columns become float64, list columns become
+        # tensor extensions), and acero's Table.join rejects list payloads —
+        # so match keys with numpy searchsorted and materialize rows with
+        # arrow take (any payload type, many-to-many expansion).
+        import pyarrow.compute as pc
+
+        kind = tbl["__kind"]
+        lhs = tbl.filter(pc.equal(kind, 0))
+        rhs = tbl.filter(pc.equal(kind, 1))
+        lkeys = lhs["__key"].to_numpy(zero_copy_only=False)
+        rkeys = rhs["__key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(rkeys, kind="stable")
+        rs = rkeys[order]
+        lo = np.searchsorted(rs, lkeys, side="left")
+        hi = np.searchsorted(rs, lkeys, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        l_idx = np.repeat(np.arange(len(lkeys)), counts)
+        starts = np.repeat(lo, counts)
+        within = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                              counts)
+        r_idx = order[starts + within]
+
+        matched_l = lhs.select(left_cols).take(pa.array(l_idx, pa.int64()))
+        matched_r = rhs.select(right_cols).take(pa.array(r_idx, pa.int64()))
+        cols = {c: matched_l[c] for c in left_cols}
+        cols.update({c: matched_r[c] for c in right_cols})
+        out = pa.table(cols)
+        if how == "left" and (counts == 0).any():
+            miss = lhs.select(left_cols).take(
+                pa.array(np.nonzero(counts == 0)[0], pa.int64()))
+            n_miss = miss.num_rows
+            mcols = {c: miss[c] for c in left_cols}
+            mcols.update({c: pa.array([None] * n_miss, right_types[c])
+                          for c in right_cols})
+            out = pa.concat_tables([out, pa.table(mcols)])
+        return out
+
+    tagged = (left.map_batches(tag_left, batch_format="pyarrow")
+              .union(right.map_batches(tag_right, batch_format="pyarrow")))
+    joined = tagged.groupby("__coarse").map_groups(
+        merge_partition, batch_format="pyarrow")
+
+    # typed-empty union: keep the output schema even when every partition
+    # is empty (the map_groups schema-erosion trap, see dedup.py)
+    empty_cols = {}
+    for c in left_cols:
+        empty_cols[c] = pa.array(
+            [], left_schema.types[left_schema.names.index(c)])
+    for c in right_cols:
+        empty_cols[c] = pa.array([], right_types[c])
+    import ray.data as rd
+    return rd.from_arrow(pa.table(empty_cols)).union(joined)

@@ -534,3 +534,82 @@ class TestNewQueryKernels:
         pd.testing.assert_frame_equal(
             a.sort_values(["user_id", "rnk"]).reset_index(drop=True),
             b.sort_values(["user_id", "rnk"]).reset_index(drop=True))
+
+
+class TestHashJoin:
+    """stages/joins.py — the general co-partitioned hash-join operator."""
+
+    def _sides(self):
+        import ray.data
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 3, 9], pa.int64()),
+            "a": pa.array(["p", "q", "r", "s", "t"], pa.string())}))
+        right = ray.data.from_arrow(pa.table({
+            "rk": pa.array([2, 3, 3, 4], pa.int64()),
+            "v": pa.array([[1.0], [2.0, 3.0], [4.0], [5.0]],
+                          pa.list_(pa.float64()))}))
+        return left, right
+
+    def test_inner_many_to_many(self, ray_session):
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        left, right = self._sides()
+        df = (hash_join(left, right, "k", "rk").to_pandas()
+              .sort_values(["k", "a"]).reset_index(drop=True))
+        # k=2 → 1 match; k=3 (two left rows) × 2 right rows → 4; k=1,9 drop
+        assert len(df) == 5
+        assert sorted(df.k.tolist()) == [2, 3, 3, 3, 3]
+        got = {(r.k, r.a, tuple(r.v)) for r in df.itertuples()}
+        assert (2, "q", (1.0,)) in got
+        assert (3, "r", (2.0, 3.0)) in got and (3, "r", (4.0,)) in got
+        assert (3, "s", (2.0, 3.0)) in got and (3, "s", (4.0,)) in got
+
+    def test_left_outer(self, ray_session):
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        left, right = self._sides()
+        out = hash_join(left, right, "k", "rk", how="left")
+        df = out.to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+        assert len(df) == 7  # 5 matches + unmatched k=1, k=9
+        unmatched = df[df.k.isin([1, 9])]
+        assert unmatched.v.isna().all()
+        assert out.schema().names == ["k", "a", "v"]
+
+    def test_collision_raises(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        l = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                          "x": pa.array([1], pa.int64())}))
+        r = ray.data.from_arrow(pa.table({"rk": pa.array([1], pa.int64()),
+                                          "x": pa.array([2], pa.int64())}))
+        with pytest.raises(ValueError, match="collision"):
+            hash_join(l, r, "k", "rk")
+
+    def test_empty_result_keeps_schema(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        l = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                          "a": pa.array(["x"], pa.string())}))
+        r = ray.data.from_arrow(pa.table({"rk": pa.array([2], pa.int64()),
+                                          "v": pa.array([9], pa.int64())}))
+        out = hash_join(l, r, "k", "rk")
+        assert out.count() == 0
+        assert out.schema().names == ["k", "a", "v"]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        rs = np.random.RandomState(4)
+        lk = rs.randint(0, 50, 300)
+        rk = rs.randint(0, 50, 200)
+        lt = pa.table({"k": pa.array(lk, pa.int64()),
+                       "a": pa.array(np.arange(300), pa.int64())})
+        rt = pa.table({"rk": pa.array(rk, pa.int64()),
+                       "b": pa.array(np.arange(200), pa.int64())})
+
+        def run(parts):
+            return (hash_join(ray.data.from_arrow(lt).repartition(parts),
+                              ray.data.from_arrow(rt).repartition(parts),
+                              "k", "rk", n_coarse=parts)
+                    .to_pandas().sort_values(["k", "a", "b"])
+                    .reset_index(drop=True))
+
+        pd.testing.assert_frame_equal(run(1), run(13))
