@@ -316,7 +316,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a""",
         "ann_brute_topk": f"""
             WITH q(query_id, qv) AS (VALUES {_ann_query_values()})
-            SELECT query_id, rnk AS "rank", vec_id FROM (
+            SELECT cast(query_id AS BIGINT) AS query_id, rnk AS "rank", vec_id FROM (
               SELECT q.query_id, e.vec_id,
                      row_number() OVER (
                        PARTITION BY q.query_id

@@ -218,7 +218,10 @@ def events_hourly(sf_dir: str):
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "hour": batch["hour"], "event_type": batch["event_type"],
+            # microsecond resolution — DuckDB date_trunc emits timestamp[us],
+            # and the driver hash is dtype-sensitive
+            "hour": pc.cast(batch["hour"], pa.timestamp("us")),
+            "event_type": batch["event_type"],
             "n_events": batch["n_events"],
             "sum_value": pc.divide(pc.cast(batch["value_c"], pa.float64()), 100.0)})
 
