@@ -36,9 +36,19 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from mobile_ocr_api_ray.pipelines import analysis as a
+    from mobile_ocr_api_ray.pipelines import analytics as x
     from mobile_ocr_api_ray.pipelines import relational as r
 
     return {
+        # join / window / quantile families (SQL-checked)
+        "unshipped_orders_topk": x.unshipped_orders_topk,
+        "regional_revenue": x.regional_revenue,
+        "clicks_last_view": x.clicks_last_view,
+        "quantity_band_stats": x.quantity_band_stats,
+        "event_value_quantiles": x.event_value_quantiles,
+        "distinct_users_hourly": x.distinct_users_hourly,
+        "user_event_gaps": x.user_event_gaps,
+        "quiet_customers": x.quiet_customers,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
         "top_customers": r.top_customers,
@@ -314,6 +324,82 @@ def oracle_sql() -> dict[str, str]:
                    END AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
             ORDER BY id_a""",
+        # Q3-shape: large-large hash join + filtered scans on both sides
+        "unshipped_orders_topk": r"""
+            SELECT l_orderkey AS o_orderkey, o_orderdate, o_orderpriority,
+                   sum(cast(round(l_extendedprice*(1.0 - l_discount)*10000, 0) AS BIGINT))/10000.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        # Q5-shape: fact ⨝ composed dimension chain
+        "regional_revenue": r"""
+            SELECT r.r_name, count(*) AS n_items,
+                   sum(cast(round(l.l_extendedprice*(1.0 - l.l_discount)*10000, 0) AS BIGINT))/10000.0 AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1 ORDER BY 1""",
+        # backward as-of join via last_value IGNORE NULLS over (ts, event_id)
+        "clicks_last_view": r"""
+            WITH t AS (
+              SELECT event_id, user_id, ts, event_type,
+                     CASE WHEN event_type = 'view' THEN ts END AS vts,
+                     CASE WHEN event_type = 'view' THEN cast(event_id AS DOUBLE) END AS vid
+              FROM events WHERE event_type IN ('view', 'click')),
+            f AS (
+              SELECT event_id, user_id, ts, event_type,
+                     last_value(vts IGNORE NULLS) OVER w AS last_view_ts,
+                     last_value(vid IGNORE NULLS) OVER w AS last_view_event_id
+              FROM t
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT event_id, user_id, ts, last_view_ts, last_view_event_id
+            FROM f WHERE event_type = 'click' ORDER BY user_id, ts, event_id""",
+        # range join against the inline band interval table
+        "quantity_band_stats": r"""
+            WITH bands(lo, hi, band) AS (VALUES
+              (1.0, 10.0, 'XS'), (10.0, 20.0, 'S'), (20.0, 30.0, 'M'),
+              (30.0, 40.0, 'L'), (40.0, 51.0, 'XL'))
+            SELECT b.band, count(*) AS n_items,
+                   sum(cast(round(l_extendedprice*(1.0 - l_discount)*10000, 0) AS BIGINT))/10000.0 AS revenue
+            FROM lineitem l JOIN bands b
+              ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+            GROUP BY 1 ORDER BY 1""",
+        # discrete quantiles: actual elements, no interpolation — exact
+        "event_value_quantiles": r"""
+            SELECT event_type, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.75) AS p75,
+                   quantile_disc(value, 0.9) AS p90
+            FROM events GROUP BY 1 ORDER BY 1""",
+        "distinct_users_hourly": r"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1""",
+        # lag window: exact µs gap sums divided to seconds once
+        "user_event_gaps": r"""
+            WITH g AS (
+              SELECT user_id,
+                     date_diff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                               ts) AS gap_us
+              FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   count(gap_us) AS n_gaps,
+                   sum(gap_us)/(count(gap_us)*1000000.0) AS avg_gap_s,
+                   max(gap_us)/1000000.0 AS max_gap_s
+            FROM g GROUP BY 1 ORDER BY 1""",
+        # anti-join: no qualifying fact row
+        "quiet_customers": r"""
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000.0)
+            ORDER BY c_custkey""",
         "ann_brute_topk": f"""
             WITH q(query_id, qv) AS (VALUES {_ann_query_values()})
             SELECT cast(query_id AS BIGINT) AS query_id, rnk AS "rank", vec_id FROM (

@@ -59,6 +59,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from mobile_ocr_api_ray import corpus
     from mobile_ocr_api_ray.pipelines import analysis as a
+    from mobile_ocr_api_ray.pipelines import analytics as x
     from mobile_ocr_api_ray.pipelines import relational as r
     from mobile_ocr_api_ray.pipelines.extract import extract_pipeline, read_pages
 
@@ -114,6 +115,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("simhash_pairs_doubled", lambda: a.simhash_pairs_doubled(sf_dir).to_pandas())
     timed("ngram_jaccard_adjacent", lambda: a.ngram_jaccard_adjacent(sf_dir).to_pandas())
     timed("dup_clusters_doubled", lambda: a.dup_clusters_doubled(sf_dir).to_pandas())
+    timed("unshipped_orders_topk",
+          lambda: x.unshipped_orders_topk(sf_dir).to_pandas())
+    timed("clicks_last_view", lambda: x.clicks_last_view(sf_dir).to_pandas())
+    timed("quantity_band_stats",
+          lambda: x.quantity_band_stats(sf_dir).to_pandas())
+    timed("distinct_users_hourly",
+          lambda: x.distinct_users_hourly(sf_dir).to_pandas())
     timed("ann_brute_topk", lambda: a.ann_brute_topk(sf_dir).to_pandas())
     timed("ann_ivf_topk", lambda: a.ann_ivf_topk(sf_dir).to_pandas())
     timed("image_meta", lambda: a.image_meta(sf_dir).to_pandas())

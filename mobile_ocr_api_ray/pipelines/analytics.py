@@ -1,0 +1,388 @@
+"""Advanced relational operators: multi-way joins, as-of / range joins,
+exact quantiles, distinct counts, lag windows, anti-joins.
+
+Extends pipelines/relational.py with the join/window families a
+training-data warehouse runs daily. Same float-parity discipline (integer
+sub-unit accumulation for currency sums — see relational.py docstring) and
+the same scale patterns:
+
+- large ⨝ large goes through stages/joins.hash_join (both sides shuffle
+  once, co-partitioned on the key; nothing broadcast) with a per-batch
+  combiner BEFORE the join so only pre-aggregated rows hit the shuffle;
+- dimension chains (supplier→nation→region) compose on the driver and
+  broadcast ONCE via ray.put — never re-shipped per batch, never shuffled;
+- predicates push into the parquet scan (pyarrow dataset filter →
+  row-group pruning) rather than filtering after the read;
+- order-dependent windows (as-of fill, lag gaps) run inside coarse
+  hash-partitioned groups sorted by the explicit key (ts, event_id) —
+  one Ray group per partition, vectorized pandas within (the tiny-groups
+  dispatch trap, see memory/relational.py:top_events_per_user);
+- exact quantiles use the discrete rule sorted[ceil(q*n)-1] (DuckDB
+  quantile_disc semantics, verified element-identical) so the oracle hash
+  matches bit-for-bit; at 100 TB swap the per-group sort for a t-digest /
+  distributed-sort sketch — the group fn is the seam.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from . import reads
+from .relational import _cents
+
+
+def _pq(sf_dir: str, name: str, columns=None, filter=None):
+    return reads.read_small_aware(os.path.join(sf_dir, f"{name}.parquet"),
+                                  columns=columns, rows_per_block=4000,
+                                  filter=filter)
+
+
+def _coarse_events(sf_dir: str) -> int:
+    n = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    return min(256, n // 4000 + 1)
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: large ⨝ large via the distributed hash join
+
+UNSHIPPED_CUTOFF = np.datetime64("1998-06-01")
+
+
+def unshipped_orders_topk(sf_dir: str, k: int = 10):
+    """Top-k revenue among orders placed before the cutoff whose lineitems
+    ship after it (TPC-H Q3 shape, adapted to the driver schema).
+
+    Both sides are corpus-sized at 100 TB, so this goes through
+    stages/joins.hash_join (one co-partitioned shuffle each). The lineitem
+    side is pre-aggregated per (batch, orderkey) BEFORE the join — the
+    combiner pattern — so the shuffle carries one row per orderkey per
+    block instead of every lineitem. Predicates push into both parquet
+    scans (row-group pruning at scale)."""
+    from ..stages.joins import hash_join
+    import pyarrow.dataset as pds
+
+    cutoff = pa.scalar(UNSHIPPED_CUTOFF.astype("datetime64[us]").item(),
+                       pa.timestamp("us"))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev_c = _cents(pc.multiply(
+            pc.cast(batch["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(batch["l_discount"], pa.float64()))),
+            10000)
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev_c": rev_c})
+        g = t.group_by("l_orderkey").aggregate([("rev_c", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "rev_c": g["rev_c_sum"]})
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"],
+             filter=(pds.field("l_shipdate") > cutoff)).map_batches(
+        li_partial, batch_format="pyarrow", batch_size=65536)
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"],
+                 filter=(pds.field("o_orderdate") < cutoff))
+
+    joined = hash_join(li, orders, "l_orderkey", "o_orderkey", how="inner")
+    agg = joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+        Sum("rev_c", alias_name="rev_c"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "o_orderdate": pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+            "o_orderpriority": batch["o_orderpriority"],
+            "revenue": pc.divide(pc.cast(batch["rev_c"], pa.float64()), 10000.0)})
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["revenue", "o_orderkey"], descending=[True, False])
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Q5-style: fact table ⨝ composed dimension chain (broadcast once)
+
+
+def regional_revenue(sf_dir: str):
+    """Revenue per region: lineitem ⨝ supplier ⨝ nation ⨝ region.
+
+    The three dimension tables are tiny at any scale (suppliers ≪ facts);
+    they compose into one (s_suppkey → r_name) Arrow table on the driver
+    and broadcast via ray.put ONCE. The fact scan probes it with an acero
+    hash join inside map_batches — the fact table never shuffles."""
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    dim = (sup.join(nat, keys=["s_nationkey"], right_keys=["n_nationkey"])
+           .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
+           .select(["s_suppkey", "r_name"]))
+    ref = ray.put(dim.combine_chunks())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        rev_c = _cents(pc.multiply(
+            pc.cast(batch["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(batch["l_discount"], pa.float64()))),
+            10000)
+        probe = pa.table({"s_suppkey": batch["l_suppkey"], "rev_c": rev_c})
+        return (probe.join(ray.get(ref), keys=["s_suppkey"], join_type="inner")
+                .select(["r_name", "rev_c"]))
+
+    agg = (_pq(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+           .map_batches(tag, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_items"), Sum("rev_c", alias_name="rev_c")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"r_name": batch["r_name"], "n_items": batch["n_items"],
+                         "revenue": pc.divide(pc.cast(batch["rev_c"], pa.float64()),
+                                              10000.0)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("r_name")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each click gets the latest preceding view by the same user
+
+
+def clicks_last_view(sf_dir: str):
+    """Backward as-of join, expressed as a forward-fill window: for every
+    'click' event, the most recent 'view' event by the same user at or
+    before it in the (ts, event_id) total order.
+
+    Partitioning assumption: rows for one user fit one partition (true for
+    event streams keyed by user — the group is one user's history).
+    Grouping is COARSE (user_id % nc) with a vectorized per-user ffill
+    inside the partition; the as-of match itself is the pandas groupby
+    ffill, not a per-row loop. Nullable outputs (clicks before any view)
+    stay float64/NaT on both engine and oracle sides so the dtype-sensitive
+    driver hash agrees."""
+    nc = _coarse_events(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["view", "click"]))
+        t = batch.filter(m)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("coarse", pa.array((u % nc).astype(np.int32)))
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        is_view = d["event_type"].to_numpy() == "view"
+        d["vts"] = d["ts"].where(is_view)
+        d["vid"] = d["event_id"].astype("float64").where(is_view)
+        filled = d.groupby("user_id")[["vts", "vid"]].ffill()
+        d["last_view_ts"] = filled["vts"]
+        d["last_view_event_id"] = filled["vid"]
+        out = d[d["event_type"].to_numpy() == "click"]
+        return out[["event_id", "user_id", "ts",
+                    "last_view_ts", "last_view_event_id"]]
+
+    return (_pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+            .map_batches(keep, batch_format="pyarrow")
+            .groupby("coarse")
+            .map_groups(asof, batch_format="pandas")
+            .sort(["user_id", "ts", "event_id"]))
+
+
+# ---------------------------------------------------------------------------
+# Range join: fact values bucketed into a small interval table
+
+QUANTITY_BANDS = [(1.0, 10.0, "XS"), (10.0, 20.0, "S"), (20.0, 30.0, "M"),
+                  (30.0, 40.0, "L"), (40.0, 51.0, "XL")]
+
+
+def quantity_band_stats(sf_dir: str):
+    """Range join lineitem.l_quantity into half-open bands [lo, hi) —
+    the broadcast-interval pattern: the interval table is tiny, so the
+    join is an np.searchsorted against the sorted band edges inside
+    map_batches (O(log B) per row, no shuffle), not a pairwise range
+    predicate. Output: per-band item count and discounted revenue."""
+    edges = np.array([b[0] for b in QUANTITY_BANDS] + [QUANTITY_BANDS[-1][1]])
+    labels = np.array([b[2] for b in QUANTITY_BANDS])
+
+    def band(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, qty, side="right") - 1
+        idx = np.clip(idx, 0, len(labels) - 1)
+        rev_c = _cents(pc.multiply(
+            pc.cast(batch["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(batch["l_discount"], pa.float64()))),
+            10000)
+        return pa.table({"band": pa.array(labels[idx]), "rev_c": rev_c})
+
+    agg = (_pq(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+           .map_batches(band, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Count(alias_name="n_items"), Sum("rev_c", alias_name="rev_c")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"band": batch["band"], "n_items": batch["n_items"],
+                         "revenue": pc.divide(pc.cast(batch["rev_c"], pa.float64()),
+                                              10000.0)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("band")
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles per group (discrete rule — element-identical to SQL)
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def event_value_quantiles(sf_dir: str):
+    """Per event_type discrete quantiles of value: sorted[ceil(q*n)-1]
+    (DuckDB quantile_disc semantics — returns an ACTUAL element, no
+    interpolation, so engine and oracle agree bit-for-bit).
+
+    map_groups sorts one type's values per group; event_type cardinality
+    is tiny so groups are corpus-sized slices at 100 TB — the documented
+    scale path is replacing the group fn with a distributed sort or a
+    t-digest sketch; the operator seam (group fn returning one row per
+    group) stays the same."""
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy())
+        n = len(v)
+        row = {"event_type": df["event_type"].iloc[0], "n_events": n,
+               "min_value": v[0], "max_value": v[-1]}
+        for q in QUANTILES:
+            idx = max(int(np.ceil(q * n)) - 1, 0)
+            row[f"p{int(q * 100)}"] = v[idx]
+        return pd.DataFrame([row])
+
+    return (_pq(sf_dir, "events", ["event_type", "value"])
+            .groupby("event_type")
+            .map_groups(quant, batch_format="pandas")
+            .sort("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Distinct count per window (dedupe shuffle bounded by true cardinality)
+
+
+def distinct_users_hourly(sf_dir: str):
+    """count(DISTINCT user_id) per hour — two-level aggregate: per-batch
+    drop-duplicates combiner, (hour, user) dedupe groupby (shuffle volume
+    bounded by the TRUE pair cardinality, not the event count), then a tiny
+    per-hour count."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                       pa.timestamp("us"))
+        t = pa.table({"hour": hour, "user_id": batch["user_id"]})
+        return t.group_by(["hour", "user_id"]).aggregate([])
+
+    dedup = (_pq(sf_dir, "events", ["ts", "user_id"])
+             .map_batches(pairs, batch_format="pyarrow")
+             .groupby(["hour", "user_id"])
+             .aggregate(Count(alias_name="_n")))
+    agg = dedup.groupby("hour").aggregate(Count(alias_name="n_users"))
+    return (agg.map_batches(
+        lambda b: pa.table({"hour": pc.cast(b["hour"], pa.timestamp("us")),
+                            "n_users": b["n_users"]}),
+        batch_format="pyarrow").sort("hour"))
+
+
+# ---------------------------------------------------------------------------
+# Lag window: inter-event gaps per user
+
+
+def user_event_gaps(sf_dir: str):
+    """Per-user inter-arrival stats over the (ts, event_id) order:
+    n_events, n_gaps, avg_gap_s, max_gap_s. Gaps accumulate as exact int64
+    microseconds (associative under any partitioning) and divide to seconds
+    once at the end — the timestamp analog of integer-cent sums."""
+    nc = _coarse_events(sf_dir)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("coarse", pa.array((u % nc).astype(np.int32)))
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        # normalize to µs explicitly (pandas may hold ns or µs depending on
+        # the arrow→pandas path) so the sums match the SQL
+        # date_diff('microsecond', ...) sums exactly
+        us = d["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = d["user_id"].to_numpy()
+        diff = np.diff(us)
+        same = uid[1:] == uid[:-1]
+        gap_uid = uid[1:][same]
+        gap_us = diff[same]
+        users, counts = np.unique(uid, return_counts=True)
+        n_gaps = np.zeros(len(users), np.int64)
+        sum_us = np.zeros(len(users), np.int64)
+        max_us = np.zeros(len(users), np.int64)
+        if len(gap_uid):
+            pos = np.searchsorted(users, gap_uid)
+            np.add.at(n_gaps, pos, 1)
+            np.add.at(sum_us, pos, gap_us)
+            np.maximum.at(max_us, pos, gap_us)
+        # single division matching the SQL expression sum/(n*1000000.0)
+        avg = np.where(n_gaps > 0, sum_us / (np.maximum(n_gaps, 1) * 1e6), np.nan)
+        mx = np.where(n_gaps > 0, max_us / 1e6, np.nan)
+        return pd.DataFrame({"user_id": users, "n_events": counts,
+                             "n_gaps": n_gaps, "avg_gap_s": avg,
+                             "max_gap_s": mx})
+
+    return (_pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+            .map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse")
+            .map_groups(gaps, batch_format="pandas")
+            .sort("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Anti-join: dimension rows with no qualifying fact row
+
+QUIET_THRESHOLD = 400000.0
+
+
+def quiet_customers(sf_dir: str, threshold: float = QUIET_THRESHOLD):
+    """Customers with NO order above ``threshold`` — distributed anti-join.
+
+    The fact side (orders) reduces to its DISTINCT qualifying keys first —
+    a shuffle bounded by the DIMENSION cardinality, not the fact count —
+    and that bounded key set broadcasts back as a sorted numpy array for a
+    vectorized np.isin anti-filter over customer. The only driver
+    materialization is the distinct key set (≤ |customer|, the same
+    bounded-set argument as the IVF training sample)."""
+    import pyarrow.dataset as pds
+
+    keys = (_pq(sf_dir, "orders", ["o_custkey"],
+                filter=(pds.field("o_totalprice") > threshold))
+            .groupby("o_custkey").aggregate(Count(alias_name="_n")))
+    key_arr = np.sort(np.concatenate(
+        [b["o_custkey"].to_numpy(zero_copy_only=False)
+         for b in keys.select_columns(["o_custkey"])
+                      .iter_batches(batch_format="pyarrow")] or
+        [np.array([], np.int64)]))
+    ref = ray.put(key_arr)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        have = ray.get(ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        mask = np.isin(ck, have, assume_unique=False, invert=True)
+        return batch.filter(pa.array(mask))
+
+    from ..stages.dedup import _typed_empty_union
+
+    filtered = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]) \
+        .map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+    # typed-empty union AFTER the sort: sort() on an all-empty dataset
+    # erases its schema (documented erosion trap); a 0-row prefix block
+    # keeps the schema without disturbing the sorted order
+    return _typed_empty_union(filtered, {
+        "c_custkey": pa.int64(), "c_name": pa.string(),
+        "c_acctbal": pa.float64()})

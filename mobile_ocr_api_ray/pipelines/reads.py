@@ -17,19 +17,26 @@ import ray.data
 SMALL_FILE_BYTES = 32 * 1024 * 1024
 
 
-def read_small_aware(path: str, columns=None, rows_per_block: int = 250):
+def read_small_aware(path: str, columns=None, rows_per_block: int = 250,
+                     filter=None):
     """read_parquet with a block override for SMALL files: Ray's default
     SplitBlocks turns a 0.2 MB table into 64 near-empty blocks, and every
     downstream shuffle then pays a per-block fixed cost (~10 ms/block/pass —
     the SplitBlocks trap from pipelines/extract.py, measured again on the
     dedup family: more time iterating empty blocks than hashing). Files
-    ≥ 32 MB keep Ray's own sizing (the 100 TB path)."""
+    ≥ 32 MB keep Ray's own sizing (the 100 TB path).
+
+    ``filter`` is a pyarrow.dataset expression pushed into the parquet scan
+    (row-group statistics pruning) — at 100 TB a predicate like
+    ``pc.field("l_shipdate") > cutoff`` skips whole row groups at the read
+    instead of shipping rows to a downstream filter."""
+    kw = {"filter": filter} if filter is not None else {}
     if os.path.getsize(path) < SMALL_FILE_BYTES:
         n = pq.ParquetFile(path).metadata.num_rows
         return ray.data.read_parquet(
             path, columns=columns,
-            override_num_blocks=min(64, max(1, n // rows_per_block)))
-    return ray.data.read_parquet(path, columns=columns)
+            override_num_blocks=min(64, max(1, n // rows_per_block)), **kw)
+    return ray.data.read_parquet(path, columns=columns, **kw)
 
 
 def embedding_dim(path: str) -> int:

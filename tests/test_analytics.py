@@ -1,0 +1,195 @@
+"""Unit + invariant tests for pipelines/analytics.py — the join / window /
+quantile families: semantics the oracle hash can't isolate (band boundary
+rules, as-of tie order, the discrete quantile index rule, anti-join
+emptiness cases) checked on hand-built inputs, plus sf0.001 runs against
+independent pandas recomputations.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestQuantityBands:
+    def test_boundaries_half_open(self, ray_session):
+        # 10.0 belongs to 'S' (>= lo), 9.999 to 'XS' (< hi)
+        from mobile_ocr_api_ray.pipelines.analytics import QUANTITY_BANDS
+        edges = np.array([b[0] for b in QUANTITY_BANDS] + [QUANTITY_BANDS[-1][1]])
+        labels = np.array([b[2] for b in QUANTITY_BANDS])
+        for qty, want in [(1.0, "XS"), (9.999, "XS"), (10.0, "S"),
+                          (39.999, "L"), (40.0, "XL"), (50.0, "XL")]:
+            idx = np.clip(np.searchsorted(edges, qty, side="right") - 1,
+                          0, len(labels) - 1)
+            assert labels[idx] == want, qty
+
+    def test_counts_cover_table(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import quantity_band_stats
+        import pyarrow.parquet as pq
+        df = quantity_band_stats(SF).to_pandas()
+        total = pq.ParquetFile(os.path.join(SF, "lineitem.parquet")).metadata.num_rows
+        assert df["n_items"].sum() == total
+        assert set(df["band"]) <= {"XS", "S", "M", "L", "XL"}
+
+
+class TestAsOfJoin:
+    def test_hand_built_fill(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.pipelines import analytics
+
+        # user 1: view@t1, click@t2, click@t3(same ts as view@t3 with
+        # LOWER event_id → that view counts), user 2: click before any view
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00:01", "2024-01-01 00:00:02",
+             "2024-01-01 00:00:03", "2024-01-01 00:00:03",
+             "2024-01-01 00:00:05"])
+        tbl = pa.table({
+            "event_id": pa.array([10, 11, 12, 13, 20], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "view", "click", "click"]),
+        })
+
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            import pyarrow.parquet as pqw
+            pqw.write_table(tbl, os.path.join(d, "events.parquet"))
+            res = analytics.clicks_last_view(d).to_pandas()
+        res = res.sort_values("event_id").reset_index(drop=True)
+        assert list(res["event_id"]) == [11, 13, 20]
+        # click 11 saw view 10; click 13 at equal ts saw view 12 (event_id
+        # 12 < 13 orders it before in the (ts, event_id) total order)
+        assert list(res["last_view_event_id"].fillna(-1)) == [10.0, 12.0, -1]
+        assert pd.isna(res.loc[2, "last_view_ts"])
+
+    def test_matches_pandas_recompute(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import clicks_last_view
+        import pyarrow.parquet as pq
+
+        res = clicks_last_view(SF).to_pandas().reset_index(drop=True)
+        ev = pq.read_table(os.path.join(SF, "events.parquet")).to_pandas()
+        ev = ev[ev["event_type"].isin(["view", "click"])].sort_values(
+            ["user_id", "ts", "event_id"]).reset_index(drop=True)
+        is_view = ev["event_type"] == "view"
+        ev["vts"] = ev["ts"].where(is_view)
+        ev["vid"] = ev["event_id"].astype("float64").where(is_view)
+        filled = ev.groupby("user_id")[["vts", "vid"]].ffill()
+        want = ev[ev["event_type"] == "click"].assign(
+            last_view_ts=filled["vts"], last_view_event_id=filled["vid"])[
+            ["event_id", "user_id", "ts", "last_view_ts",
+             "last_view_event_id"]].sort_values(
+            ["user_id", "ts", "event_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            res.astype({"last_view_event_id": "float64"}), want,
+            check_dtype=False)
+
+
+class TestQuantiles:
+    def test_discrete_rule_matches_duckdb(self, ray_session):
+        import duckdb
+        from mobile_ocr_api_ray.pipelines.analytics import event_value_quantiles
+        res = event_value_quantiles(SF).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{SF}/events.parquet')")
+        want = con.execute(
+            "SELECT event_type, quantile_disc(value, 0.5) AS p50 "
+            "FROM events GROUP BY 1 ORDER BY 1").df()
+        got = res.sort_values("event_type").reset_index(drop=True)
+        assert np.array_equal(got["p50"].to_numpy(),
+                              want["p50"].to_numpy())
+        # the quantile is an ACTUAL element of the group
+        ev = con.execute("SELECT event_type, value FROM events").df()
+        for _, row in got.iterrows():
+            vals = ev.loc[ev["event_type"] == row["event_type"], "value"]
+            for c in ("p25", "p50", "p75", "p90", "min_value", "max_value"):
+                assert (vals == row[c]).any(), (row["event_type"], c)
+
+
+class TestGapsAndDistinct:
+    def test_gaps_match_pandas(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import user_event_gaps
+        import pyarrow.parquet as pq
+
+        res = user_event_gaps(SF).to_pandas().set_index("user_id")
+        ev = pq.read_table(os.path.join(SF, "events.parquet")).to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        for uid, g in ev.groupby("user_id"):
+            us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            d = np.diff(us)
+            assert res.loc[uid, "n_events"] == len(g)
+            assert res.loc[uid, "n_gaps"] == len(d)
+            if len(d):
+                assert res.loc[uid, "avg_gap_s"] == d.sum() / (len(d) * 1e6)
+                assert res.loc[uid, "max_gap_s"] == d.max() / 1e6
+
+    def test_distinct_users_bounded(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import distinct_users_hourly
+        import pyarrow.parquet as pq
+        res = distinct_users_hourly(SF).to_pandas()
+        ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                           columns=["ts", "user_id"]).to_pandas()
+        want = (ev.assign(hour=ev["ts"].dt.floor("h"))
+                .groupby("hour")["user_id"].nunique())
+        assert len(res) == len(want)
+        got = res.set_index("hour")["n_users"]
+        assert (got.sort_index().to_numpy() ==
+                want.sort_index().to_numpy()).all()
+
+
+class TestAntiJoin:
+    def test_quiet_customers_none_qualify(self, ray_session):
+        # threshold above every order price → every customer is quiet
+        from mobile_ocr_api_ray.pipelines.analytics import quiet_customers
+        import pyarrow.parquet as pq
+        n_cust = pq.ParquetFile(
+            os.path.join(SF, "customer.parquet")).metadata.num_rows
+        res = quiet_customers(SF, threshold=1e12).to_pandas()
+        assert len(res) == n_cust
+
+    def test_quiet_customers_all_qualify(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import quiet_customers
+        ds = quiet_customers(SF, threshold=0.0)
+        # dataset schema is the contract (to_pandas on an all-empty dataset
+        # drops columns — the documented Ray erosion trap)
+        assert ds.schema().names == ["c_custkey", "c_name", "c_acctbal"]
+        assert ds.count() == 0
+
+
+class TestJoins:
+    def test_unshipped_matches_duckdb(self, ray_session):
+        import duckdb
+        from mobile_ocr_api_ray.pipelines.analytics import unshipped_orders_topk
+        res = unshipped_orders_topk(SF).to_pandas()
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{SF}/{t}.parquet')")
+        want = con.execute("""
+            SELECT l_orderkey AS o_orderkey,
+                   sum(cast(round(l_extendedprice*(1.0 - l_discount)*10000, 0)
+                       AS BIGINT))/10000.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""").df()
+        assert list(res["o_orderkey"]) == list(want["o_orderkey"])
+        assert np.array_equal(res["revenue"].to_numpy(),
+                              want["revenue"].to_numpy())
+
+    def test_regional_revenue_totals(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import regional_revenue
+        import pyarrow.parquet as pq
+        res = regional_revenue(SF).to_pandas()
+        n_li = pq.ParquetFile(
+            os.path.join(SF, "lineitem.parquet")).metadata.num_rows
+        assert res["n_items"].sum() == n_li  # every lineitem has a supplier
+        assert res["r_name"].is_monotonic_increasing
