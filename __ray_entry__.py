@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hourly": x.distinct_users_hourly,
         "user_event_gaps": x.user_event_gaps,
         "quiet_customers": x.quiet_customers,
+        "events_hourly_pivot": x.events_hourly_pivot,
+        "lang_source_rollup": x.lang_source_rollup,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
         "top_customers": r.top_customers,
@@ -83,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_doubled": a.simhash_pairs_doubled,
         "embedding_pairs_doubled": a.embedding_pairs_doubled,
         "dup_clusters_doubled": a.dup_clusters_doubled,
+        "exact_dup_clusters_doubled": a.exact_dup_clusters_doubled,
         "langid_docs": a.langid_docs,
         "fingerprint_docs": a.fingerprint_docs,
         "summarize_docs": a.summarize_docs,
@@ -393,6 +396,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(gap_us)/(count(gap_us)*1000000.0) AS avg_gap_s,
                    max(gap_us)/1000000.0 AS max_gap_s
             FROM g GROUP BY 1 ORDER BY 1""",
+        # pivot via conditional aggregation (count FILTER per category)
+        "events_hourly_pivot": r"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY 1 ORDER BY 1""",
+        # grouping sets: subtotal levels carry the '<all>' sentinel
+        "lang_source_rollup": r"""
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   count(*) AS n_docs,
+                   cast(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
+            ORDER BY 1, 2""",
+        # connected components over the exact-dup pair graph: the fixpoint
+        # label is min(doc_id) per text group — a value-exact oracle for
+        # the distributed label-propagation operator
+        "exact_dup_clusters_doubled": r"""
+            WITH d AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT doc_id + 1000000, text FROM documents),
+            m AS (SELECT text, min(doc_id) AS label, count(*) AS c
+                  FROM d GROUP BY text)
+            SELECT d.doc_id AS src, m.label
+            FROM d JOIN m ON d.text = m.text
+            WHERE m.c > 1 ORDER BY src""",
         # anti-join: no qualifying fact row
         "quiet_customers": r"""
             SELECT c_custkey, c_name, c_acctbal FROM customer c

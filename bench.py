@@ -115,6 +115,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("simhash_pairs_doubled", lambda: a.simhash_pairs_doubled(sf_dir).to_pandas())
     timed("ngram_jaccard_adjacent", lambda: a.ngram_jaccard_adjacent(sf_dir).to_pandas())
     timed("dup_clusters_doubled", lambda: a.dup_clusters_doubled(sf_dir).to_pandas())
+    timed("exact_dup_clusters_doubled",
+          lambda: a.exact_dup_clusters_doubled(sf_dir).to_pandas())
     timed("unshipped_orders_topk",
           lambda: x.unshipped_orders_topk(sf_dir).to_pandas())
     timed("clicks_last_view", lambda: x.clicks_last_view(sf_dir).to_pandas())

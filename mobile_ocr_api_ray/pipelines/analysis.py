@@ -245,6 +245,17 @@ def dup_clusters_doubled(sf_dir: str):
     return dedup.dup_clusters(pairs).sort("src")
 
 
+def exact_dup_clusters_doubled(sf_dir: str):
+    """Connected components over the EXACT-duplicate pair graph — the same
+    distributed label-propagation operator as dup_clusters_doubled, but fed
+    star pairs from content equality, so the fixpoint has a SQL-expressible
+    ground truth (label = min(doc_id) per text group) and the whole
+    propagation machinery is value-checked by the driver's oracle hash."""
+    pairs = dedup.exact_dup_pairs(_doubled_docs(sf_dir),
+                                  n_coarse=_docs_coarse_hint(sf_dir, 2))
+    return dedup.dup_clusters(pairs).sort("src")
+
+
 def _embeddings(sf_dir: str):
     return reads.read_small_aware(os.path.join(sf_dir, "embeddings.parquet"),
                                   columns=["vec_id", "embedding"])

@@ -91,7 +91,12 @@ def unshipped_orders_topk(sf_dir: str, k: int = 10):
                  ["o_orderkey", "o_orderdate", "o_orderpriority"],
                  filter=(pds.field("o_orderdate") < cutoff))
 
-    joined = hash_join(li, orders, "l_orderkey", "o_orderkey", how="inner")
+    # coarse partition count sized to the (unfiltered) fact table — tiny
+    # tiers don't pay 256-way per-partition fixed costs, 100 TB caps at 256
+    n_li = pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    joined = hash_join(li, orders, "l_orderkey", "o_orderkey", how="inner",
+                       n_coarse=min(256, n_li // 2_000 + 1))
     agg = joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
         Sum("rev_c", alias_name="rev_c"))
 
@@ -341,6 +346,82 @@ def user_event_gaps(sf_dir: str):
             .groupby("coarse")
             .map_groups(gaps, batch_format="pandas")
             .sort("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Pivot: one column per category via conditional aggregation
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_hourly_pivot(sf_dir: str):
+    """Hour × event-type pivot as conditional aggregation: per hour, one
+    count column per event type (SQL count(*) FILTER (WHERE ...)). The
+    per-batch combiner emits one partial row per hour per block — the
+    shuffle carries |hours| × |types| ints, never events."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                       pa.timestamp("us"))
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cols = {"hour": hour}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
+        t = pa.table(cols)
+        g = t.group_by("hour").aggregate(
+            [(f"n_{ty}", "sum") for ty in EVENT_TYPES])
+        return pa.table({"hour": g["hour"],
+                         **{f"n_{ty}": g[f"n_{ty}_sum"] for ty in EVENT_TYPES}})
+
+    agg = (_pq(sf_dir, "events", ["ts", "event_type"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("hour")
+           .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                        for t in EVENT_TYPES]))
+    return agg.sort("hour")
+
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping sets) over a bounded-cardinality base aggregate
+
+ROLLUP_ALL = "<all>"
+
+
+def lang_source_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): per-(lang, source) stats plus
+    per-lang subtotals plus the grand total, subtotal levels marked with
+    the '<all>' sentinel (not NULL — Ray sort and the driver hash stay on
+    non-null string keys).
+
+    The detail aggregate runs distributed once; the subtotal and total
+    levels re-aggregate the DETAIL rows (cardinality = |langs|×|sources|,
+    bounded at any corpus size), so the raw table is scanned exactly once."""
+    detail = (_pq(sf_dir, "documents", ["lang", "source", "n_chars"])
+              .groupby(["lang", "source"])
+              .aggregate(Count(alias_name="n_docs"),
+                         Sum("n_chars", alias_name="total_chars")))
+    detail_t = pa.concat_tables(
+        [b for b in detail.iter_batches(batch_format="pyarrow")])
+
+    lang_sub = detail_t.group_by("lang").aggregate(
+        [("n_docs", "sum"), ("total_chars", "sum")])
+    rows = [pa.table({
+        "lang": detail_t["lang"], "source": detail_t["source"],
+        "n_docs": detail_t["n_docs"], "total_chars": detail_t["total_chars"]})]
+    rows.append(pa.table({
+        "lang": lang_sub["lang"],
+        "source": pa.array([ROLLUP_ALL] * lang_sub.num_rows),
+        "n_docs": lang_sub["n_docs_sum"],
+        "total_chars": lang_sub["total_chars_sum"]}))
+    rows.append(pa.table({
+        "lang": pa.array([ROLLUP_ALL]), "source": pa.array([ROLLUP_ALL]),
+        "n_docs": pa.array([pc.sum(detail_t["n_docs"]).as_py() or 0],
+                           pa.int64()),
+        "total_chars": pa.array([pc.sum(detail_t["total_chars"]).as_py() or 0],
+                                pa.int64())}))
+    out = pa.concat_tables(rows)
+    import ray.data as rd
+    return rd.from_arrow(out).sort(["lang", "source"])
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,43 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         first_per_digest, batch_format="pandas")
 
 
+def exact_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                    n_coarse: int | None = None):
+    """Star-shaped duplicate-pair edges from EXACT content equality:
+    (id_a = min id of the digest group, id_b = each other member).
+
+    Same coarse digest-prefix shuffle as exact_dedup; inside each partition
+    the per-digest rep and members resolve vectorized (sort by digest+id,
+    group boundaries from digest change, rep broadcast via np.repeat — no
+    per-digest dispatch). Feeding these pairs to dup_clusters gives a
+    connected-components run whose ground truth is SQL-expressible
+    (min(doc_id) per text group), unlike the MinHash pair graph."""
+    nc = n_coarse or N_COARSE
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        t = add_md5_digest(batch, text_col).select([id_col, "digest"])
+        coarse = [int(d[:4], 16) % nc for d in t["digest"].to_pylist()]
+        return t.append_column("coarse", pa.array(coarse, pa.int32()))
+
+    def star_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["digest", id_col]).reset_index(drop=True)
+        dig = d["digest"].to_numpy()
+        ids = d[id_col].to_numpy()
+        new = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new[1:] = dig[1:] != dig[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, len(d)))
+        reps = np.repeat(ids[starts], sizes)
+        keep = reps != ids  # drop the self row → (rep, member) per dup
+        return pd.DataFrame({"id_a": pd.array(reps[keep], "int64"),
+                             "id_b": pd.array(ids[keep], "int64")})
+
+    pairs = (ds.map_batches(add_keys, batch_format="pyarrow")
+             .groupby("coarse").map_groups(star_pairs, batch_format="pandas"))
+    return _typed_empty_union(pairs, {"id_a": pa.int64(), "id_b": pa.int64()})
+
+
 # ---------------------------------------------------------------- MinHash
 
 NUM_PERM = 64

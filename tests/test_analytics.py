@@ -164,6 +164,59 @@ class TestAntiJoin:
         assert ds.count() == 0
 
 
+class TestPivotRollupClusters:
+    def test_pivot_row_sums_match_hourly_total(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import (EVENT_TYPES,
+                                                            events_hourly_pivot)
+        import pyarrow.parquet as pq
+        res = events_hourly_pivot(SF).to_pandas()
+        total = pq.ParquetFile(os.path.join(SF, "events.parquet")).metadata.num_rows
+        assert res[[f"n_{t}" for t in EVENT_TYPES]].to_numpy().sum() == total
+        assert res["hour"].is_monotonic_increasing
+
+    def test_rollup_levels_consistent(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import (ROLLUP_ALL,
+                                                            lang_source_rollup)
+        res = lang_source_rollup(SF).to_pandas()
+        detail = res[(res["lang"] != ROLLUP_ALL) & (res["source"] != ROLLUP_ALL)]
+        subs = res[(res["lang"] != ROLLUP_ALL) & (res["source"] == ROLLUP_ALL)]
+        grand = res[(res["lang"] == ROLLUP_ALL) & (res["source"] == ROLLUP_ALL)]
+        assert len(grand) == 1
+        assert grand["n_docs"].iloc[0] == detail["n_docs"].sum()
+        assert grand["total_chars"].iloc[0] == detail["total_chars"].sum()
+        for lang, g in detail.groupby("lang"):
+            row = subs[subs["lang"] == lang]
+            assert row["n_docs"].iloc[0] == g["n_docs"].sum()
+            assert row["total_chars"].iloc[0] == g["total_chars"].sum()
+
+    def test_exact_dup_clusters_ground_truth(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            DOUBLE_OFFSET, exact_dup_clusters_doubled)
+        import pyarrow.parquet as pq
+        res = exact_dup_clusters_doubled(SF).to_pandas()
+        docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                             columns=["doc_id", "text"]).to_pandas()
+        both = pd.concat([docs, docs.assign(doc_id=docs["doc_id"] + DOUBLE_OFFSET)])
+        want = (both.assign(label=both.groupby("text")["doc_id"].transform("min"))
+                .loc[lambda d: d.groupby("text")["doc_id"].transform("size") > 1,
+                     ["doc_id", "label"]]
+                .rename(columns={"doc_id": "src"})
+                .sort_values("src").reset_index(drop=True))
+        got = res.sort_values("src").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_exact_dup_pairs_star_shape(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.dedup import exact_dup_pairs
+        ds = ray.data.from_items([
+            {"doc_id": 3, "text": "aa"}, {"doc_id": 1, "text": "aa"},
+            {"doc_id": 2, "text": "aa"}, {"doc_id": 4, "text": "bb"},
+            {"doc_id": 5, "text": "cc"}, {"doc_id": 6, "text": "cc"}])
+        got = exact_dup_pairs(ds).to_pandas().sort_values(
+            ["id_a", "id_b"]).reset_index(drop=True)
+        assert list(map(tuple, got.to_numpy())) == [(1, 2), (1, 3), (5, 6)]
+
+
 class TestJoins:
     def test_unshipped_matches_duckdb(self, ray_session):
         import duckdb
