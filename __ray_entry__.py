@@ -417,8 +417,9 @@ def oracle_sql() -> dict[str, str]:
         # label is min(doc_id) per text group — a value-exact oracle for
         # the distributed label-propagation operator
         "exact_dup_clusters_doubled": r"""
-            WITH d AS (SELECT doc_id, text FROM documents
-                       UNION ALL SELECT doc_id + 1000000, text FROM documents),
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, coalesce(text, '') FROM documents),
             m AS (SELECT text, min(doc_id) AS label, count(*) AS c
                   FROM d GROUP BY text)
             SELECT d.doc_id AS src, m.label

@@ -36,14 +36,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from . import reads
-from .relational import _cents
-
-
-def _pq(sf_dir: str, name: str, columns=None, filter=None):
-    return reads.read_small_aware(os.path.join(sf_dir, f"{name}.parquet"),
-                                  columns=columns, rows_per_block=4000,
-                                  filter=filter)
+from .relational import _pq, _rev_cents
 
 
 def _coarse_events(sf_dir: str) -> int:
@@ -74,10 +67,7 @@ def unshipped_orders_topk(sf_dir: str, k: int = 10):
                        pa.timestamp("us"))
 
     def li_partial(batch: pa.Table) -> pa.Table:
-        rev_c = _cents(pc.multiply(
-            pc.cast(batch["l_extendedprice"], pa.float64()),
-            pc.subtract(pa.scalar(1.0), pc.cast(batch["l_discount"], pa.float64()))),
-            10000)
+        rev_c = _rev_cents(batch)
         t = pa.table({"l_orderkey": batch["l_orderkey"], "rev_c": rev_c})
         g = t.group_by("l_orderkey").aggregate([("rev_c", "sum")])
         return pa.table({"l_orderkey": g["l_orderkey"], "rev_c": g["rev_c_sum"]})
@@ -135,10 +125,7 @@ def regional_revenue(sf_dir: str):
     ref = ray.put(dim.combine_chunks())
 
     def tag(batch: pa.Table) -> pa.Table:
-        rev_c = _cents(pc.multiply(
-            pc.cast(batch["l_extendedprice"], pa.float64()),
-            pc.subtract(pa.scalar(1.0), pc.cast(batch["l_discount"], pa.float64()))),
-            10000)
+        rev_c = _rev_cents(batch)
         probe = pa.table({"s_suppkey": batch["l_suppkey"], "rev_c": rev_c})
         return (probe.join(ray.get(ref), keys=["s_suppkey"], join_type="inner")
                 .select(["r_name", "rev_c"]))
@@ -219,12 +206,12 @@ def quantity_band_stats(sf_dir: str):
     def band(batch: pa.Table) -> pa.Table:
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(edges, qty, side="right") - 1
-        idx = np.clip(idx, 0, len(labels) - 1)
-        rev_c = _cents(pc.multiply(
-            pc.cast(batch["l_extendedprice"], pa.float64()),
-            pc.subtract(pa.scalar(1.0), pc.cast(batch["l_discount"], pa.float64()))),
-            10000)
-        return pa.table({"band": pa.array(labels[idx]), "rev_c": rev_c})
+        # inner-join semantics: rows outside [first lo, last hi) DROP,
+        # exactly like the SQL range predicate — never clipped into a band
+        in_range = (idx >= 0) & (qty < edges[-1])
+        rev_c = _rev_cents(batch).to_numpy(zero_copy_only=False)
+        return pa.table({"band": pa.array(labels[idx[in_range]]),
+                         "rev_c": pa.array(rev_c[in_range])})
 
     agg = (_pq(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
            .map_batches(band, batch_format="pyarrow")
@@ -387,7 +374,15 @@ def events_hourly_pivot(sf_dir: str):
            .groupby("hour")
            .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
                         for t in EVENT_TYPES]))
-    return agg.sort("hour")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # Ray's native aggregate degrades the timestamp key to timestamp[s];
+        # cast back to µs — the oracle's date_trunc emits timestamp[us] and
+        # the driver hash is dtype-sensitive (same fix as events_hourly)
+        return batch.set_column(batch.schema.get_field_index("hour"), "hour",
+                                pc.cast(batch["hour"], pa.timestamp("us")))
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("hour")
 
 
 # ---------------------------------------------------------------------------
@@ -409,24 +404,29 @@ def lang_source_rollup(sf_dir: str):
               .groupby(["lang", "source"])
               .aggregate(Count(alias_name="n_docs"),
                          Sum("n_chars", alias_name="total_chars")))
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "total_chars": pa.array([], pa.int64())})
     detail_t = pa.concat_tables(
-        [b for b in detail.iter_batches(batch_format="pyarrow")])
+        [empty] + [b.select(empty.column_names)
+                   for b in detail.iter_batches(batch_format="pyarrow")])
 
     lang_sub = detail_t.group_by("lang").aggregate(
         [("n_docs", "sum"), ("total_chars", "sum")])
-    rows = [pa.table({
-        "lang": detail_t["lang"], "source": detail_t["source"],
-        "n_docs": detail_t["n_docs"], "total_chars": detail_t["total_chars"]})]
+    rows = [detail_t]
     rows.append(pa.table({
         "lang": lang_sub["lang"],
-        "source": pa.array([ROLLUP_ALL] * lang_sub.num_rows),
+        "source": pa.array([ROLLUP_ALL] * lang_sub.num_rows, pa.string()),
         "n_docs": lang_sub["n_docs_sum"],
         "total_chars": lang_sub["total_chars_sum"]}))
+    # grand total: SQL ROLLUP over an EMPTY table still emits one row with
+    # count(*) = 0 and sum(...) = NULL — keep the null, don't coerce to 0
     rows.append(pa.table({
         "lang": pa.array([ROLLUP_ALL]), "source": pa.array([ROLLUP_ALL]),
         "n_docs": pa.array([pc.sum(detail_t["n_docs"]).as_py() or 0],
                            pa.int64()),
-        "total_chars": pa.array([pc.sum(detail_t["total_chars"]).as_py() or 0],
+        "total_chars": pa.array([pc.sum(detail_t["total_chars"]).as_py()],
                                 pa.int64())}))
     out = pa.concat_tables(rows)
     import ray.data as rd

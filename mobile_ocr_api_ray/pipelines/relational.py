@@ -40,12 +40,26 @@ def _cents(arr, scale: int = 100) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(pc.cast(arr, pa.float64()), float(scale)), 0), pa.int64())
 
 
-def _pq(sf_dir: str, name: str, columns=None):
+def _pq(sf_dir: str, name: str, columns=None, filter=None):
     # size-aware block override for small files (shared heuristic —
     # see pipelines/reads.py); relational tables get coarser 4k-row blocks
-    # since their per-row kernels are lighter than text extraction
+    # since their per-row kernels are lighter than text extraction.
+    # ``filter`` pushes a pyarrow dataset expression into the scan
+    # (row-group pruning at scale); shared with pipelines/analytics.py.
     return reads.read_small_aware(os.path.join(sf_dir, f"{name}.parquet"),
-                                  columns=columns, rows_per_block=4000)
+                                  columns=columns, rows_per_block=4000,
+                                  filter=filter)
+
+
+def _rev_cents(batch: pa.Table, scale: int = 10000) -> pa.Array:
+    """Discounted revenue l_extendedprice*(1-l_discount) as exact integer
+    10^-4 units — ONE home for the float-parity-critical expression tree
+    mirrored by every revenue oracle's
+    sum(cast(round(l_extendedprice*(1.0-l_discount)*10000, 0) AS BIGINT))."""
+    return _cents(pc.multiply(
+        pc.cast(batch["l_extendedprice"], pa.float64()),
+        pc.subtract(pa.scalar(1.0), pc.cast(batch["l_discount"], pa.float64()))),
+        scale)
 
 
 def lineitem_pricing(sf_dir: str):

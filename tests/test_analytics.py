@@ -205,6 +205,47 @@ class TestPivotRollupClusters:
         got = res.sort_values("src").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
+    def test_pivot_hour_dtype_is_us(self, ray_session):
+        # Ray's native aggregate degrades timestamp keys to [s]; the driver
+        # hash is dtype-sensitive, so the finalize cast must restore µs
+        from mobile_ocr_api_ray.pipelines.analytics import events_hourly_pivot
+        schema = events_hourly_pivot(SF).schema()
+        assert str(schema.base_schema.field("hour").type) == "timestamp[us]"
+
+    def test_rollup_empty_table(self, ray_session):
+        # SQL ROLLUP over an empty table: one grand-total row,
+        # count(*) = 0, sum(...) = NULL
+        import tempfile
+        import pyarrow.parquet as pqw
+        from mobile_ocr_api_ray.pipelines.analytics import (ROLLUP_ALL,
+                                                            lang_source_rollup)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "lang": pa.array([], pa.string()),
+                          "source": pa.array([], pa.string()),
+                          "n_chars": pa.array([], pa.int64())})
+        with tempfile.TemporaryDirectory() as d:
+            pqw.write_table(empty, os.path.join(d, "documents.parquet"))
+            res = lang_source_rollup(d).to_pandas()
+        assert len(res) == 1
+        assert res["lang"].iloc[0] == ROLLUP_ALL
+        assert res["n_docs"].iloc[0] == 0
+        assert pd.isna(res["total_chars"].iloc[0])
+
+    def test_band_out_of_range_drops(self, ray_session):
+        # inner-join semantics: quantities outside [1, 51) drop entirely
+        import tempfile
+        import pyarrow.parquet as pqw
+        from mobile_ocr_api_ray.pipelines.analytics import quantity_band_stats
+        tbl = pa.table({"l_quantity": pa.array([0.5, 1.0, 51.0, 60.0],
+                                               pa.float64()),
+                        "l_extendedprice": pa.array([100.0] * 4, pa.float64()),
+                        "l_discount": pa.array([0.0] * 4, pa.float64())})
+        with tempfile.TemporaryDirectory() as d:
+            pqw.write_table(tbl, os.path.join(d, "lineitem.parquet"))
+            res = quantity_band_stats(d).to_pandas()
+        assert res["n_items"].sum() == 1  # only qty=1.0 lands in a band
+        assert list(res["band"]) == ["XS"]
+
     def test_exact_dup_pairs_star_shape(self, ray_session):
         import ray.data
         from mobile_ocr_api_ray.stages.dedup import exact_dup_pairs
