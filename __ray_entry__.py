@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_customers": x.quiet_customers,
         "events_hourly_pivot": x.events_hourly_pivot,
         "lang_source_rollup": x.lang_source_rollup,
+        "segment_order_priorities": x.segment_order_priorities,
+        "orders_late_items": x.orders_late_items,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
         "top_customers": r.top_customers,
@@ -396,6 +398,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(gap_us)/(count(gap_us)*1000000.0) AS avg_gap_s,
                    max(gap_us)/1000000.0 AS max_gap_s
             FROM g GROUP BY 1 ORDER BY 1""",
+        # broadcast semi-join: only the key set ships
+        "segment_order_priorities": r"""
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY 1 ORDER BY 1""",
+        # left-outer join with real null rows → count(col) semantics
+        "orders_late_items": r"""
+            SELECT o_orderkey, count(l_orderkey) AS n_late_items
+            FROM orders LEFT JOIN (
+              SELECT l_orderkey FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-06-01') l
+            ON o_orderkey = l.l_orderkey
+            GROUP BY 1 ORDER BY 1""",
         # pivot via conditional aggregation (count FILTER per category)
         "events_hourly_pivot": r"""
             SELECT date_trunc('hour', ts) AS hour,

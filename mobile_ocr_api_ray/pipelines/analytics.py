@@ -345,6 +345,79 @@ def user_event_gaps(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Semi-join: fact rows whose key appears in a filtered dimension
+
+
+def segment_order_priorities(sf_dir: str, segment: str = "BUILDING"):
+    """Order counts by priority, restricted to customers in one market
+    segment — a broadcast SEMI-join: only the qualifying custkey SET ships
+    (ray.put once, np.isin probe per batch); no dimension columns attach,
+    no shuffle of the fact table before the tiny groupby."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust.filter(
+        pc.equal(cust["c_mktsegment"], segment))["c_custkey"].to_numpy())
+    ref = ray.put(keys)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        have = ray.get(ref)
+        mask = np.isin(batch["o_custkey"].to_numpy(zero_copy_only=False), have)
+        return batch.filter(pa.array(mask)).select(["o_orderpriority"])
+
+    agg = (_pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+           .map_batches(semi, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_orders")))
+    return agg.sort("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Left-outer join with real null rows (hash_join how='left' end to end)
+
+
+def orders_late_items(sf_dir: str):
+    """Per order: the number of lineitems shipping after the cutoff —
+    LEFT-outer through stages/joins.hash_join, so orders with no late item
+    survive with a null count (finalized to 0, matching the SQL
+    count(l_orderkey) over a LEFT JOIN). The lineitem side pre-counts per
+    (batch, orderkey) before the join — the combiner pattern."""
+    from ..stages.joins import hash_join
+    import pyarrow.dataset as pds
+
+    cutoff = pa.scalar(UNSHIPPED_CUTOFF.astype("datetime64[us]").item(),
+                       pa.timestamp("us"))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "late": pa.array(
+                          np.ones(batch.num_rows, np.int64))})
+        g = t.group_by("l_orderkey").aggregate([("late", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"], "late": g["late_sum"]})
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey"],
+             filter=(pds.field("l_shipdate") > cutoff)).map_batches(
+        li_partial, batch_format="pyarrow", batch_size=65536)
+    orders = _pq(sf_dir, "orders", ["o_orderkey"])
+
+    n_li = pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+    joined = hash_join(orders, li, "o_orderkey", "l_orderkey", how="left",
+                       n_coarse=min(256, n_li // 2_000 + 1))
+    # one order may meet several partial-count rows (one per lineitem
+    # block); a second aggregate folds them and turns null → 0
+    agg = joined.groupby("o_orderkey").aggregate(
+        Sum("late", alias_name="late"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "n_late_items": pc.coalesce(pc.cast(batch["late"], pa.int64()),
+                                        pa.scalar(0, pa.int64()))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
 # Pivot: one column per category via conditional aggregation
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

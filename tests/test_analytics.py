@@ -258,6 +258,34 @@ class TestPivotRollupClusters:
         assert list(map(tuple, got.to_numpy())) == [(1, 2), (1, 3), (5, 6)]
 
 
+class TestSemiAndLeftJoin:
+    def test_segment_semi_join_matches_pandas(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import segment_order_priorities
+        import pyarrow.parquet as pq
+        res = segment_order_priorities(SF).to_pandas()
+        cust = pq.read_table(os.path.join(SF, "customer.parquet")).to_pandas()
+        orders = pq.read_table(os.path.join(SF, "orders.parquet")).to_pandas()
+        keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+        want = (orders[orders["o_custkey"].isin(keys)]
+                .groupby("o_orderpriority").size().sort_index())
+        got = res.set_index("o_orderpriority")["n_orders"].sort_index()
+        assert (got.to_numpy() == want.to_numpy()).all()
+
+    def test_late_items_zero_for_unmatched(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import orders_late_items
+        import pyarrow.parquet as pq
+        res = orders_late_items(SF).to_pandas()
+        n_orders = pq.ParquetFile(
+            os.path.join(SF, "orders.parquet")).metadata.num_rows
+        assert len(res) == n_orders  # left join keeps EVERY order
+        assert (res["n_late_items"] >= 0).all()
+        assert (res["n_late_items"] == 0).any()  # real null→0 rows exist
+        li = pq.read_table(os.path.join(SF, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_shipdate"]).to_pandas()
+        late = li[li["l_shipdate"] > pd.Timestamp("1998-06-01")]
+        assert res["n_late_items"].sum() == len(late)
+
+
 class TestJoins:
     def test_unshipped_matches_duckdb(self, ray_session):
         import duckdb
