@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": a.sample_docs,
         # similarity search (SQL-checked via list_cosine_similarity)
         "ann_brute_topk": a.ann_brute_topk,
+        "knn_graph_topk": a.knn_graph_topk,
         # non-SQL-expressible (rows-only checks)
         "ann_lsh_topk": a.ann_lsh_topk,
         "ann_ivf_topk": a.ann_ivf_topk,
@@ -86,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": a.simhash_docs,
         "simhash_pairs_doubled": a.simhash_pairs_doubled,
         "embedding_pairs_doubled": a.embedding_pairs_doubled,
+        "fingerprint_pairs_doubled": a.fingerprint_pairs_doubled,
         "dup_clusters_doubled": a.dup_clusters_doubled,
         "exact_dup_clusters_doubled": a.exact_dup_clusters_doubled,
         "langid_docs": a.langid_docs,
@@ -449,6 +451,18 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_totalprice > 400000.0)
             ORDER BY c_custkey""",
+        # exact corpus kNN graph — rank-only output, self excluded
+        "knn_graph_topk": r"""
+            SELECT vec_id, rnk AS "rank", nbr_id FROM (
+              SELECT a.vec_id, b.vec_id AS nbr_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  cast(a.embedding AS DOUBLE[]),
+                                  cast(b.embedding AS DOUBLE[])) DESC,
+                                b.vec_id) AS rnk
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            WHERE rnk <= 5 ORDER BY vec_id, rnk""",
         "ann_brute_topk": f"""
             WITH q(query_id, qv) AS (VALUES {_ann_query_values()})
             SELECT cast(query_id AS BIGINT) AS query_id, rnk AS "rank", vec_id FROM (

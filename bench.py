@@ -125,6 +125,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("distinct_users_hourly",
           lambda: x.distinct_users_hourly(sf_dir).to_pandas())
     timed("ann_brute_topk", lambda: a.ann_brute_topk(sf_dir).to_pandas())
+    timed("knn_graph_topk", lambda: a.knn_graph_topk(sf_dir).to_pandas())
+    timed("fingerprint_pairs_doubled",
+          lambda: a.fingerprint_pairs_doubled(sf_dir).to_pandas())
     timed("ann_ivf_topk", lambda: a.ann_ivf_topk(sf_dir).to_pandas())
     timed("image_meta", lambda: a.image_meta(sf_dir).to_pandas())
     timed("pdf_page_rows", lambda: a.pdf_page_rows(sf_dir).to_pandas())

@@ -245,6 +245,17 @@ def dup_clusters_doubled(sf_dir: str):
     return dedup.dup_clusters(pairs).sort("src")
 
 
+def fingerprint_pairs_doubled(sf_dir: str, threshold: float = 0.5):
+    """Winnowing fingerprint-collision near-dup pairs on the doubled corpus
+    (substring-overlap dedup — catches partially copied documents that
+    whole-document digests miss)."""
+    # hint multiplier 2×64: the shuffled table is the fp EXPLODE (~100
+    # fingerprints per doc), not the doc table — size partitions to it
+    return dedup.fingerprint_collision_pairs(
+        _doubled_docs(sf_dir), threshold=threshold,
+        n_coarse=_docs_coarse_hint(sf_dir, 2 * 64)).sort(["id_a", "id_b"])
+
+
 def exact_dup_clusters_doubled(sf_dir: str):
     """Connected components over the EXACT-duplicate pair graph — the same
     distributed label-propagation operator as dup_clusters_doubled, but fed
@@ -299,6 +310,19 @@ def ann_brute_topk(sf_dir: str):
         return batch.select(["query_id", "rank", "vec_id"])
 
     return res.map_batches(strip, batch_format="pyarrow").sort(["query_id", "rank"])
+
+
+def knn_graph_topk(sf_dir: str, k: int = 5):
+    """Exact cosine k-NN graph over the embeddings corpus (self excluded);
+    emits (vec_id, rank, nbr_id) — ranks only, same cross-engine float
+    discipline as ann_brute_topk. Corpus side broadcasts once as the index
+    (see stages/similarity.knn_graph for the scale-path note)."""
+    res = similarity.knn_graph(_embeddings(sf_dir), k=k)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["vec_id", "rank", "nbr_id"])
+
+    return res.map_batches(strip, batch_format="pyarrow").sort(["vec_id", "rank"])
 
 
 def ann_lsh_topk(sf_dir: str):

@@ -734,6 +734,147 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
          "jaccard": pa.float64()})
 
 
+# ------------------------------------- winnowing fingerprint collisions
+
+
+def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                threshold: float = 0.5,
+                                n_coarse: int | None = None):
+    """Substring-overlap near-dup candidates (MOSS-style): doc pairs whose
+    winnowing-fingerprint overlap coefficient
+    |A ∩ B| / min(|A|, |B|) ≥ ``threshold``
+    (text_analysis.winnow_fingerprints — Schleimer et al., SIGMOD'03).
+    The overlap coefficient, not a raw shared count, separates true
+    partial copies from templated boilerplate: on the synthetic corpus
+    random pairs peak at ~0.35 while clones sit at 1.0.
+
+    Fingerprints shared by > MAX_BUCKET docs are DISCRIMINATIVE-filtered
+    (ubiquitous boilerplate substrings — the usual salt guard), and the
+    overlap is computed consistently over the SURVIVING fingerprints on
+    both sides: each fp's full bucket lives in exactly one partition, so
+    per-doc effective fp counts are per-partition partials summed by a
+    doc-keyed aggregate, then re-attached to the pair table by two
+    partitioned hash joins (stages/joins.hash_join) — exact clones score
+    1.0 by construction regardless of how much boilerplate they carry.
+
+    Same coarse-bucket pair machinery as the LSH families: explode
+    (doc, fingerprint), shuffle on fp % nc, vectorized bucket walk,
+    within-partition pair-count combiner, one pair-key shuffle for the
+    final sum. Returns (id_a, id_b, n_shared, overlap) with id_a < id_b."""
+    import ray.data
+    from .joins import hash_join
+    from .text_analysis import winnow_fingerprints
+
+    nc = n_coarse or N_COARSE
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_fp = [], []
+        for i, t in zip(ids, texts):
+            for f in set(winnow_fingerprints(t or "")):
+                out_id.append(i)
+                out_fp.append(f)
+        fp = np.asarray(out_fp, np.int64) if out_fp else np.array([], np.int64)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "fp": pa.array(fp),
+                         "coarse": pa.array((fp % nc).astype(np.int32))})
+
+    def pairs_and_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # surviving buckets: fp doc-frequency <= MAX_BUCKET (the full
+        # bucket is in THIS partition — frequency is exact, not partial)
+        sizes = df.groupby("fp")["fp"].transform("size")
+        surv = df[sizes <= MAX_BUCKET]
+        # per-doc effective fp partial count (kind rows: id_b = -1)
+        eff = surv.groupby(id_col, as_index=False).size()
+        kind_rows = pd.DataFrame({
+            "id_a": pd.array(eff[id_col], "int64"),
+            "id_b": pd.array([-1] * len(eff), "int64"),
+            "n_shared": pd.array(eff["size"], "int64")})
+        ida, idb, _ = _bucket_pairs(
+            surv.assign(_payload=np.zeros(len(surv), np.int8)),
+            ["fp"], id_col, lambda a, b: 1.0,
+            lambda a, b: (np.ones(len(a), bool), np.ones(len(a), np.float64)))
+        pair_rows = pd.DataFrame({"id_a": pd.array(ida, "int64"),
+                                  "id_b": pd.array(idb, "int64")})
+        pair_rows = (pair_rows.groupby(["id_a", "id_b"], as_index=False)
+                     .size().rename(columns={"size": "n_shared"}))
+        out = pd.concat([pair_rows, kind_rows], ignore_index=True)
+        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"].clip(lower=0))
+                          % nc).astype("int32")
+        return out
+
+    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], as_index=False)["n_shared"].sum()
+        return g
+
+    merged = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("coarse").map_groups(pairs_and_counts,
+                                            batch_format="pandas")
+              .groupby("pcoarse").map_groups(final_sum,
+                                             batch_format="pandas"))
+    merged = _typed_empty_union(merged, {"id_a": pa.int64(),
+                                         "id_b": pa.int64(),
+                                         "n_shared": pa.int64()})
+    # merged feeds THREE consumers (counts, pairs, and the joins above
+    # them); materialize once so lineage doesn't re-run the explode +
+    # bucket walk per consumer. Size is the candidate-pair + per-doc-count
+    # set — proportional to the duplicate candidates, never the corpus
+    # (the same bounded-materialization argument as dup_clusters' rounds).
+    merged = merged.materialize()
+    empty_out = {"id_a": pa.int64(), "id_b": pa.int64(),
+                 "n_shared": pa.int64(), "overlap": pa.float64()}
+    if merged.count() == 0:
+        # fingerprint-free corpus: skip the joins (their schema probe can't
+        # see through an all-empty mapped lineage) — count() is free on the
+        # materialized table
+        return ray.data.from_arrow(pa.table(
+            {name: pa.array([], ty) for name, ty in empty_out.items()}))
+
+    def split_counts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["id_b"], -1))
+        return pa.table({"doc": t["id_a"], "eff_fp": t["n_shared"]})
+
+    def split_pairs(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["id_b"], 0))
+
+    counts = _typed_empty_union(
+        merged.map_batches(split_counts, batch_format="pyarrow"),
+        {"doc": pa.int64(), "eff_fp": pa.int64()})
+    pairs = _typed_empty_union(
+        merged.map_batches(split_pairs, batch_format="pyarrow"),
+        {"id_a": pa.int64(), "id_b": pa.int64(), "n_shared": pa.int64()})
+
+    # re-attach each side's effective fp count (doc-keyed partitioned joins)
+    j1 = hash_join(pairs, counts, "id_a", "doc", how="inner", n_coarse=nc)
+    j1 = j1.map_batches(
+        lambda b: b.rename_columns(
+            ["eff_a" if c == "eff_fp" else c for c in b.column_names]),
+        batch_format="pyarrow")
+    j2 = hash_join(
+        j1, counts.map_batches(
+            lambda b: b.rename_columns(["doc", "eff_b"]),
+            batch_format="pyarrow"),
+        "id_b", "doc", how="inner", n_coarse=nc)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        eff_min = np.minimum(
+            batch["eff_a"].to_numpy(zero_copy_only=False),
+            batch["eff_b"].to_numpy(zero_copy_only=False))
+        n = batch["n_shared"].to_numpy(zero_copy_only=False)
+        overlap = n / np.maximum(eff_min, 1)
+        t = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                      "n_shared": batch["n_shared"],
+                      "overlap": pa.array(overlap, pa.float64())})
+        return t.filter(pc.greater_equal(t["overlap"], threshold))
+
+    out = j2.map_batches(finalize, batch_format="pyarrow")
+    return _typed_empty_union(out, {"id_a": pa.int64(), "id_b": pa.int64(),
+                                    "n_shared": pa.int64(),
+                                    "overlap": pa.float64()})
+
+
 # ------------------------------------------------- embedding near-dup (LSH)
 
 N_PLANES = 16

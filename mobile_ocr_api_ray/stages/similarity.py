@@ -219,3 +219,66 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 def fixed_queries(dim: int, n_queries: int = 4, seed: int = 7) -> np.ndarray:
     """Deterministic query matrix for benchmarks/oracles."""
     return np.random.RandomState(seed).normal(size=(n_queries, dim))
+
+
+# ------------------------------------------------------------ kNN graph
+
+
+class KnnGraphStage:
+    """Actor-pool stage: each corpus block matmuls against the broadcast
+    index (ray.put once, loaded in __init__ — never re-shipped per batch)
+    and emits its rows' top-k neighbors.
+
+    The index side is assumed to fit one node's memory — the standard
+    ANN-index assumption (same as the IVF centroid/LSH bucket tables); for
+    corpora past that, swap the broadcast for the LSH/IVF-bucketed pair
+    path (stages/dedup.embedding near-pairs) which co-locates candidates by
+    bucket instead of scanning all-pairs."""
+
+    def __init__(self, index_ref, k: int):
+        import ray
+        ids, mat = ray.get(index_ref)
+        order = np.argsort(ids)           # ascending nbr_id → stable
+        self.index_ids = ids[order]       # argsort ties break to id asc
+        self.index = mat[order]
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist())
+        vecs = _normalize(np.array(batch["embedding"].to_pylist(),
+                                   dtype=np.float64))
+        sims = vecs @ self.index.T        # (n, corpus)
+        self_pos = ids[:, None] == self.index_ids[None, :]
+        sims[self_pos] = -np.inf          # a vector is not its own neighbor
+        # stable argsort of -sims: desc by cosine, ties → lower index
+        # position = lower nbr_id (index sorted ascending in __init__)
+        k = min(self.k, sims.shape[1] - 1)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        n = len(ids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+            "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), n)),
+            "nbr_id": pa.array(self.index_ids[order].ravel(), pa.int64()),
+            "cosine": pa.array(np.take_along_axis(sims, order, axis=1).ravel(),
+                               pa.float64())})
+
+
+def knn_graph(ds, k: int = 5, concurrency: int | None = None):
+    """Exact cosine k-nearest-neighbor graph over the corpus (self
+    excluded): (vec_id, rank, nbr_id, cosine). The corpus doubles as the
+    broadcast index; each block streams through the actor pool once."""
+    import ray
+
+    parts = [(np.asarray(b["vec_id"].to_pylist()),
+              np.array(b["embedding"].to_pylist(), dtype=np.float64))
+             for b in ds.iter_batches(batch_format="pyarrow")]
+    ids = np.concatenate([p[0] for p in parts]) if parts else np.array([], np.int64)
+    mat = (_normalize(np.concatenate([p[1] for p in parts]))
+           if parts else np.zeros((0, 1)))
+    index_ref = ray.put((ids, mat))
+
+    return ds.map_batches(
+        KnnGraphStage,
+        fn_constructor_kwargs={"index_ref": index_ref, "k": k},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency or 4, num_cpus=0.5)

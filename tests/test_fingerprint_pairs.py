@@ -1,0 +1,102 @@
+"""Tests for the winnowing fingerprint-collision pair operator and the kNN
+graph: exact shared-count semantics vs the pure function, clone coverage,
+partition invariance, kNN self-exclusion and brute-force agreement.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestFingerprintPairs:
+    def test_counts_exact_vs_pure_function(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.dedup import fingerprint_collision_pairs
+        from mobile_ocr_api_ray.stages.text_analysis import winnow_fingerprints
+
+        texts = ["the quick brown fox jumps over the lazy dog " * 3,
+                 "the quick brown fox jumps over the lazy cat " * 3,
+                 "completely different content about ray datasets here",
+                 "the quick brown fox jumps over the lazy dog " * 3]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+        res = fingerprint_collision_pairs(ds, threshold=0.0).to_pandas()
+        got = res.set_index(["id_a", "id_b"])["n_shared"].to_dict()
+        ovl = res.set_index(["id_a", "id_b"])["overlap"].to_dict()
+
+        fps = [set(winnow_fingerprints(t)) for t in texts]
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                shared = len(fps[a] & fps[b])
+                assert got.get((a, b), 0) == shared, (a, b)
+                if shared:
+                    want = shared / min(len(fps[a]), len(fps[b]))
+                    assert ovl[(a, b)] == want
+        # the exact clone pair has overlap 1.0
+        assert ovl[(0, 3)] == 1.0
+
+    def test_doubled_corpus_finds_clones(self, ray_session):
+        import pyarrow.parquet as pq
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            DOUBLE_OFFSET, fingerprint_pairs_doubled)
+        from mobile_ocr_api_ray.stages.text_analysis import winnow_fingerprints
+
+        res = fingerprint_pairs_doubled(SF).to_pandas()
+        pairs = set(zip(res["id_a"], res["id_b"]))
+        docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                             columns=["doc_id", "text"]).to_pandas()
+        for _, row in docs.iterrows():
+            n_fp = len(set(winnow_fingerprints(row["text"] or "")))
+            if n_fp >= 1:  # clone pair shares ALL fingerprints → overlap 1.0
+                assert (row["doc_id"], row["doc_id"] + DOUBLE_OFFSET) in pairs
+
+    def test_partition_invariance(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import fingerprint_pairs_doubled
+        a = fingerprint_pairs_doubled(SF).to_pandas().reset_index(drop=True)
+        b = fingerprint_pairs_doubled(SF).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_corpus_keeps_schema(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.dedup import fingerprint_collision_pairs
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string())}))
+        out = fingerprint_collision_pairs(ds)
+        assert out.schema().names == ["id_a", "id_b", "n_shared", "overlap"]
+        assert out.count() == 0
+
+
+class TestKnnGraph:
+    def test_matches_numpy_brute(self, ray_session):
+        import pyarrow.parquet as pq
+        from mobile_ocr_api_ray.pipelines.analysis import knn_graph_topk
+
+        res = knn_graph_topk(SF, k=5).to_pandas()
+        emb = pq.read_table(os.path.join(SF, "embeddings.parquet")).to_pandas()
+        ids = emb["vec_id"].to_numpy()
+        mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        sims = mat @ mat.T
+        np.fill_diagonal(sims, -np.inf)
+        want_nbrs = ids[np.argsort(-sims, axis=1, kind="stable")[:, :5]]
+        got = res.sort_values(["vec_id", "rank"])
+        got_nbrs = got["nbr_id"].to_numpy().reshape(len(ids), 5)
+        assert (got_nbrs == want_nbrs).all()
+
+    def test_no_self_edges(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import knn_graph_topk
+        res = knn_graph_topk(SF).to_pandas()
+        assert (res["vec_id"] != res["nbr_id"]).all()
+        assert res.groupby("vec_id")["rank"].apply(
+            lambda r: list(r) == list(range(1, len(r) + 1))).all()
