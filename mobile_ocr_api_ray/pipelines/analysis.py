@@ -249,11 +249,13 @@ def fingerprint_pairs_doubled(sf_dir: str, threshold: float = 0.5):
     """Winnowing fingerprint-collision near-dup pairs on the doubled corpus
     (substring-overlap dedup — catches partially copied documents that
     whole-document digests miss)."""
-    # hint multiplier 2×64: the shuffled table is the fp EXPLODE (~100
-    # fingerprints per doc), not the doc table — size partitions to it
+    # two hints: the fp EXPLODE (~100 fingerprints per doc) sizes the
+    # bucket shuffle; the much smaller pair/count table sizes its own
+    # shuffle and the two effective-count joins
     return dedup.fingerprint_collision_pairs(
         _doubled_docs(sf_dir), threshold=threshold,
-        n_coarse=_docs_coarse_hint(sf_dir, 2 * 64)).sort(["id_a", "id_b"])
+        n_coarse=_docs_coarse_hint(sf_dir, 2 * 64),
+        n_coarse_pairs=_docs_coarse_hint(sf_dir, 8)).sort(["id_a", "id_b"])
 
 
 def exact_dup_clusters_doubled(sf_dir: str):

@@ -740,7 +740,8 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
 def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
                                 text_col: str = "text",
                                 threshold: float = 0.5,
-                                n_coarse: int | None = None):
+                                n_coarse: int | None = None,
+                                n_coarse_pairs: int | None = None):
     """Substring-overlap near-dup candidates (MOSS-style): doc pairs whose
     winnowing-fingerprint overlap coefficient
     |A ∩ B| / min(|A|, |B|) ≥ ``threshold``
@@ -767,6 +768,10 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
     from .text_analysis import winnow_fingerprints
 
     nc = n_coarse or N_COARSE
+    # the pair/count table is ~100x smaller than the fp explode — size its
+    # shuffle (and the two joins) separately so they don't pay the explode
+    # tier's per-partition fixed costs
+    ncp = n_coarse_pairs or nc
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -792,17 +797,39 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
             "id_a": pd.array(eff[id_col], "int64"),
             "id_b": pd.array([-1] * len(eff), "int64"),
             "n_shared": pd.array(eff["size"], "int64")})
-        ida, idb, _ = _bucket_pairs(
-            surv.assign(_payload=np.zeros(len(surv), np.int8)),
-            ["fp"], id_col, lambda a, b: 1.0,
-            lambda a, b: (np.ones(len(a), bool), np.ones(len(a), np.float64)))
-        pair_rows = pd.DataFrame({"id_a": pd.array(ida, "int64"),
-                                  "id_b": pd.array(idb, "int64")})
-        pair_rows = (pair_rows.groupby(["id_a", "id_b"], as_index=False)
-                     .size().rename(columns={"size": "n_shared"}))
+        # all-pairs per bucket, fully vectorized BY SIZE CLASS: every bucket
+        # of size s contributes its C(s,2) triu pairs in one gather — no
+        # per-pair Python (the value here is the constant 1, so the generic
+        # _bucket_pairs payload walk isn't needed)
+        code = surv.groupby("fp", sort=False).ngroup().to_numpy()
+        order = np.argsort(code, kind="stable")
+        ids_sorted = surv[id_col].to_numpy()[order]
+        bsizes = np.bincount(code) if len(code) else np.array([], np.int64)
+        starts = np.concatenate([[0], np.cumsum(bsizes)])
+        out_a, out_b = [], []
+        for s in np.unique(bsizes):
+            if s < 2:
+                continue
+            bsel = np.where(bsizes == s)[0]
+            idx = starts[bsel][:, None] + np.arange(s)[None, :]
+            mat = ids_sorted[idx]                      # (n_buckets, s)
+            iu, ju = np.triu_indices(int(s), k=1)
+            A, B = mat[:, iu].ravel(), mat[:, ju].ravel()
+            out_a.append(np.minimum(A, B))
+            out_b.append(np.maximum(A, B))
+        if out_a:
+            pair_rows = pd.DataFrame({
+                "id_a": pd.array(np.concatenate(out_a), "int64"),
+                "id_b": pd.array(np.concatenate(out_b), "int64")})
+            pair_rows = (pair_rows.groupby(["id_a", "id_b"], as_index=False)
+                         .size().rename(columns={"size": "n_shared"}))
+        else:
+            pair_rows = pd.DataFrame({"id_a": pd.array([], "int64"),
+                                      "id_b": pd.array([], "int64"),
+                                      "n_shared": pd.array([], "int64")})
         out = pd.concat([pair_rows, kind_rows], ignore_index=True)
         out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"].clip(lower=0))
-                          % nc).astype("int32")
+                          % ncp).astype("int32")
         return out
 
     def final_sum(df: pd.DataFrame) -> pd.DataFrame:
@@ -836,18 +863,27 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
         t = batch.filter(pc.equal(batch["id_b"], -1))
         return pa.table({"doc": t["id_a"], "eff_fp": t["n_shared"]})
 
-    def split_pairs(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch["id_b"], 0))
-
     counts = _typed_empty_union(
         merged.map_batches(split_counts, batch_format="pyarrow"),
-        {"doc": pa.int64(), "eff_fp": pa.int64()})
+        {"doc": pa.int64(), "eff_fp": pa.int64()}).materialize()
+    # exact candidate pre-filter: overlap ≥ t needs
+    # n_shared ≥ t·min_eff ≥ t·(global min eff) — one tiny scalar aggregate
+    # over the per-doc counts prunes the hopeless pairs (most of a
+    # boilerplate-heavy corpus) BEFORE the two join shuffles
+    global_min = counts.min("eff_fp") or 0
+    floor = threshold * global_min
+
+    def split_pairs_pruned(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["id_b"], 0))
+        return t.filter(pc.greater_equal(
+            pc.cast(t["n_shared"], pa.float64()), floor))
+
     pairs = _typed_empty_union(
-        merged.map_batches(split_pairs, batch_format="pyarrow"),
+        merged.map_batches(split_pairs_pruned, batch_format="pyarrow"),
         {"id_a": pa.int64(), "id_b": pa.int64(), "n_shared": pa.int64()})
 
     # re-attach each side's effective fp count (doc-keyed partitioned joins)
-    j1 = hash_join(pairs, counts, "id_a", "doc", how="inner", n_coarse=nc)
+    j1 = hash_join(pairs, counts, "id_a", "doc", how="inner", n_coarse=ncp)
     j1 = j1.map_batches(
         lambda b: b.rename_columns(
             ["eff_a" if c == "eff_fp" else c for c in b.column_names]),
@@ -856,7 +892,7 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
         j1, counts.map_batches(
             lambda b: b.rename_columns(["doc", "eff_b"]),
             batch_format="pyarrow"),
-        "id_b", "doc", how="inner", n_coarse=nc)
+        "id_b", "doc", how="inner", n_coarse=ncp)
 
     def finalize(batch: pa.Table) -> pa.Table:
         eff_min = np.minimum(
