@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_rollup": x.lang_source_rollup,
         "segment_order_priorities": x.segment_order_priorities,
         "orders_late_items": x.orders_late_items,
+        "conversion_funnel": x.conversion_funnel,
+        "value_histogram": x.value_histogram,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
         "top_customers": r.top_customers,
@@ -415,6 +417,28 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate > TIMESTAMP '1998-06-01') l
             ON o_orderkey = l.l_orderkey
             GROUP BY 1 ORDER BY 1""",
+        # ordered-milestone funnel: conditional mins + null-aware stages
+        "conversion_funnel": r"""
+            WITH m AS (
+              SELECT user_id,
+                     min(ts) FILTER (event_type = 'view') AS t_view,
+                     min(ts) FILTER (event_type = 'click') AS t_click,
+                     min(ts) FILTER (event_type = 'purchase') AS t_purchase
+              FROM events GROUP BY 1)
+            SELECT user_id, t_view, t_click, t_purchase,
+                   (CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                           THEN 1 ELSE 0 END)
+                   + (CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                                AND t_purchase > t_click
+                           THEN 1 ELSE 0 END) AS stage
+            FROM m ORDER BY user_id""",
+        # fixed-width histogram: identical floor-divide on both sides
+        "value_histogram": r"""
+            SELECT event_type, cast(floor(value/50.0) AS BIGINT) AS bin,
+                   count(*) AS n_events,
+                   sum(cast(round(value*100, 0) AS BIGINT))/100.0 AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         # pivot via conditional aggregation (count FILTER per category)
         "events_hourly_pivot": r"""
             SELECT date_trunc('hour', ts) AS hour,

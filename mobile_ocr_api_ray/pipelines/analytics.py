@@ -36,6 +36,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from .relational import _cents as _cents_arr
 from .relational import _pq, _rev_cents
 
 
@@ -459,7 +460,96 @@ def events_hourly_pivot(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# Rollup (grouping sets) over a bounded-cardinality base aggregate
+# Funnel: ordered event milestones per user (conditional-min pivot)
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def conversion_funnel(sf_dir: str):
+    """Per-user conversion funnel over the (view → click → purchase) event
+    order: first timestamp of each step and the reached stage (a later
+    step counts only if it happens strictly AFTER the previous one).
+
+    Shape: conditional-min pivot — a per-batch combiner emits one partial
+    row per user per block with each step's min ts, a user-keyed groupby
+    finishes the mins, and the stage logic is a vectorized null-aware
+    comparison in finalize. Shuffle volume is |users| × |steps|
+    timestamps, never events."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cols = {"user_id": batch["user_id"]}
+        for s in FUNNEL_STEPS:
+            cols[f"t_{s}"] = pc.if_else(
+                pa.array(et == s), batch["ts"],
+                pa.scalar(None, pa.timestamp("us")))
+        t = pa.table(cols)
+        g = t.group_by("user_id").aggregate(
+            [(f"t_{s}", "min") for s in FUNNEL_STEPS])
+        return pa.table({"user_id": g["user_id"],
+                         **{f"t_{s}": g[f"t_{s}_min"] for s in FUNNEL_STEPS}})
+
+    agg = (_pq(sf_dir, "events", ["ts", "user_id", "event_type"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+           .groupby("user_id")
+           .aggregate(*[Min(f"t_{s}", alias_name=f"t_{s}")
+                        for s in FUNNEL_STEPS]))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tv = batch["t_view"].to_numpy(zero_copy_only=False)
+        tc = batch["t_click"].to_numpy(zero_copy_only=False)
+        tp = batch["t_purchase"].to_numpy(zero_copy_only=False)
+        s1 = ~pd.isna(tv)
+        s2 = s1 & ~pd.isna(tc) & (tc > tv)
+        s3 = s2 & ~pd.isna(tp) & (tp > tc)
+        stage = s1.astype(np.int64) + s2.astype(np.int64) + s3.astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            # Min-aggregate keys/values degrade to timestamp[s] like Sum
+            # (the dtype-sensitive driver hash rule) — cast back to µs
+            "t_view": pc.cast(batch["t_view"], pa.timestamp("us")),
+            "t_click": pc.cast(batch["t_click"], pa.timestamp("us")),
+            "t_purchase": pc.cast(batch["t_purchase"], pa.timestamp("us")),
+            "stage": pa.array(stage)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Histogram: fixed-width bins via vectorized floor-divide + groupby
+
+HIST_BIN_WIDTH = 50.0
+
+
+def value_histogram(sf_dir: str, width: float = HIST_BIN_WIDTH):
+    """Per-(event_type, bin) histogram of value with fixed-width bins:
+    bin = floor(value / width). One vectorized floor-divide per batch, one
+    tiny groupby — the float expression mirrors the SQL oracle exactly so
+    boundary values land in the same bin on both sides."""
+
+    def binned(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        b = np.floor(v / width).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "bin": pa.array(b),
+                         "value_c": _cents_arr(batch["value"])})
+
+    agg = (_pq(sf_dir, "events", ["event_type", "value"])
+           .map_batches(binned, batch_format="pyarrow")
+           .groupby(["event_type", "bin"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value_c", alias_name="value_c")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"], "bin": batch["bin"],
+            "n_events": batch["n_events"],
+            "sum_value": pc.divide(pc.cast(batch["value_c"], pa.float64()),
+                                   100.0)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["event_type", "bin"])
 
 ROLLUP_ALL = "<all>"
 

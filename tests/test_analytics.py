@@ -258,6 +258,41 @@ class TestPivotRollupClusters:
         assert list(map(tuple, got.to_numpy())) == [(1, 2), (1, 3), (5, 6)]
 
 
+class TestFunnelAndHistogram:
+    def test_funnel_stages_monotone(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import conversion_funnel
+        res = conversion_funnel(SF).to_pandas()
+        assert set(res["stage"]) <= {0, 1, 2, 3}
+        # stage semantics: each step requires the previous, strictly later
+        s2 = res[res["stage"] >= 2]
+        assert (s2["t_click"] > s2["t_view"]).all()
+        s3 = res[res["stage"] == 3]
+        assert (s3["t_purchase"] > s3["t_click"]).all()
+        # stage >= 1 iff the user has any view
+        assert ((res["stage"] >= 1) == res["t_view"].notna()).all()
+
+    def test_funnel_matches_pandas(self, ray_session):
+        import pyarrow.parquet as pq
+        from mobile_ocr_api_ray.pipelines.analytics import conversion_funnel
+        res = conversion_funnel(SF).to_pandas().set_index("user_id")
+        ev = pq.read_table(os.path.join(SF, "events.parquet")).to_pandas()
+        for step in ("view", "click", "purchase"):
+            want = ev[ev["event_type"] == step].groupby("user_id")["ts"].min()
+            got = res[f"t_{step}"].dropna()
+            common = want.index.intersection(got.index)
+            assert len(common) == len(want) == len(got)
+            assert (got.loc[common].to_numpy() ==
+                    want.loc[common].to_numpy()).all()
+
+    def test_histogram_covers_all_events(self, ray_session):
+        import pyarrow.parquet as pq
+        from mobile_ocr_api_ray.pipelines.analytics import value_histogram
+        res = value_histogram(SF).to_pandas()
+        total = pq.ParquetFile(os.path.join(SF, "events.parquet")).metadata.num_rows
+        assert res["n_events"].sum() == total
+        assert (res["bin"] >= 0).all()
+
+
 class TestSemiAndLeftJoin:
     def test_segment_semi_join_matches_pandas(self, ray_session):
         from mobile_ocr_api_ray.pipelines.analytics import segment_order_priorities
