@@ -87,3 +87,54 @@ class TestSentenceSplitProperties:
         text = ". ".join(parts) + "."
         expect = [s.strip() for s in re.split(r"(?<=[.!?])\s+", text) if s.strip()]
         assert split_into_sentences(text) == expect
+
+
+class TestAnalyticsProperties:
+    """Pure-function invariants of the new analytics kernels: the discrete
+    quantile index rule vs DuckDB, and the as-of forward-fill vs a per-row
+    brute force."""
+
+    @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                              allow_nan=False), min_size=1, max_size=200),
+           st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]))
+    @settings(max_examples=60, deadline=None)
+    def test_discrete_quantile_rule_matches_duckdb(self, vals, q):
+        import duckdb
+        import numpy as np
+        want = duckdb.connect().execute(
+            "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?::DOUBLE[]) x)",
+            [q, vals]).fetchone()[0]
+        n = len(vals)
+        idx = max(int(np.ceil(q * n)) - 1, 0)
+        assert float(np.sort(np.asarray(vals))[idx]) == float(want)
+
+    @given(st.lists(st.tuples(st.integers(0, 3),          # user
+                              st.integers(0, 50),         # ts (coarse, ties!)
+                              st.booleans()),              # is_view
+                    min_size=0, max_size=60))
+    @settings(max_examples=60, deadline=None)
+    def test_asof_ffill_matches_bruteforce(self, rows):
+        import numpy as np
+        import pandas as pd
+        df = pd.DataFrame({
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "user_id": np.array([r[0] for r in rows], np.int64),
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "event_type": ["view" if r[2] else "click" for r in rows]})
+        # vectorized path (mirrors analytics.clicks_last_view group fn)
+        d = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        is_view = d["event_type"].to_numpy() == "view"
+        d["vid"] = d["event_id"].astype("float64").where(is_view)
+        got = d.assign(lv=d.groupby("user_id")["vid"].ffill())
+        got = got[got["event_type"] == "click"].set_index("event_id")["lv"]
+        # brute force: latest view per click in the (ts, event_id) order
+        for _, click in df[df["event_type"] == "click"].iterrows():
+            cand = df[(df["event_type"] == "view")
+                      & (df["user_id"] == click["user_id"])
+                      & ((df["ts"] < click["ts"])
+                         | ((df["ts"] == click["ts"])
+                            & (df["event_id"] < click["event_id"])))]
+            want = (cand.sort_values(["ts", "event_id"])["event_id"].iloc[-1]
+                    if len(cand) else None)
+            g = got.loc[click["event_id"]]
+            assert (want is None and pd.isna(g)) or g == want
