@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters_doubled": a.exact_dup_clusters_doubled,
         "langid_docs": a.langid_docs,
         "fingerprint_docs": a.fingerprint_docs,
+        "tfidf_top_terms": a.tfidf_top_terms,
         "summarize_docs": a.summarize_docs,
         "extract_pages": a.extract_pages,
         "extract_pages_dedup": a.extract_pages_dedup,

@@ -133,6 +133,17 @@ def word_freq_top(sf_dir: str, k: int = 100):
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Per-doc top-k TF-IDF terms over the documents table (distributed df
+    count + word-keyed join back — no vocabulary broadcast). Rows-only
+    check: float log scores aren't cross-engine hashable; exactness is
+    pinned by the pandas recompute test instead."""
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    return text_analysis.tfidf_top_terms(
+        _docs(sf_dir, ["doc_id", "text"]), n_docs=n, k=k,
+        n_coarse=_docs_coarse_hint(sf_dir, 8)).sort(["doc_id", "rank"])
+
+
 def exact_dedup_kept(sf_dir: str):
     """D1's keep-side: one representative row (min doc_id) per distinct
     text — the corpus-filtering form of exact dedup (vs the stats form)."""

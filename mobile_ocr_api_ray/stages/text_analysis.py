@@ -166,3 +166,79 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fps = [winnow_fingerprints(t or "") for t in texts]
     return _emit(batch, {"fingerprints": pa.array(fps, pa.list_(pa.int64())),
                          "n_fingerprints": pa.array([len(f) for f in fps], pa.int64())})
+
+
+# ----------------------------------------------------------------- TF-IDF
+
+def tfidf_top_terms(ds, n_docs: int, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5,
+                    n_coarse: int = 64):
+    """Per-document top-k terms by TF-IDF: tf(w,d) · ln(N / df(w)).
+
+    Fully distributed — no vocabulary broadcast:
+    1. explode each doc to (doc, word, tf) rows with a per-doc Counter
+       (same re.ASCII ``\\w+`` tokenizer as word_freq_top);
+    2. document frequency = groupby(word-key) count over the explode rows
+       (each row is one distinct (doc, word) — df comes free, no dedup);
+    3. df joins BACK to the explode rows by crc32(word) through
+       stages/joins.hash_join — word-keyed co-partitioned shuffle, both
+       sides corpus-scale (the broadcast alternative dies at web-scale
+       vocabularies);
+    4. per-doc top-k via coarse doc-key groupby, tie-break
+       (tfidf desc, word asc).
+
+    ``n_docs`` is the corpus document count (exact, from parquet metadata —
+    never a driver count() over the pipeline). Returns
+    (doc_id, rank, word, tf, df, tfidf)."""
+    import re
+    import zlib
+    from collections import Counter
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_w, out_tf = [], [], []
+        for i, t in zip(ids, texts):
+            c = Counter(word_re.findall((t or "").lower()))
+            for w, n in c.items():
+                out_id.append(i)
+                out_w.append(w)
+                out_tf.append(n)
+        wkey = np.array([zlib.crc32(w.encode()) for w in out_w], np.int64) \
+            if out_w else np.array([], np.int64)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "word": pa.array(out_w, pa.string()),
+                         "tf": pa.array(out_tf, pa.int64()),
+                         "wkey": pa.array(wkey)})
+
+    tokens = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    # one distinct (doc, word) per row → groupby count IS document frequency
+    df_tbl = (tokens.select_columns(["wkey"])
+              .groupby("wkey").aggregate(Count(alias_name="df")))
+
+    joined = hash_join(tokens, df_tbl, "wkey", "wkey", how="inner",
+                       n_coarse=n_coarse)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        d = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "coarse", pa.array((d % n_coarse).astype(np.int32)))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(tfidf=g["tf"].to_numpy()
+                     * np.log(n_docs / g["df"].to_numpy()))
+        g = g.sort_values([id_col, "tfidf", "word"],
+                          ascending=[True, False, True])
+        g = g.assign(rank=g.groupby(id_col).cumcount() + 1)
+        g = g[g["rank"] <= k]
+        return g[[id_col, "rank", "word", "tf", "df", "tfidf"]]
+
+    return (joined.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("coarse").map_groups(topk, batch_format="pandas"))

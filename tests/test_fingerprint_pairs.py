@@ -100,3 +100,41 @@ class TestKnnGraph:
         assert (res["vec_id"] != res["nbr_id"]).all()
         assert res.groupby("vec_id")["rank"].apply(
             lambda r: list(r) == list(range(1, len(r) + 1))).all()
+
+
+class TestTfidf:
+    def test_matches_pandas_recompute(self, ray_session):
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+        from mobile_ocr_api_ray.pipelines.analysis import tfidf_top_terms
+
+        res = tfidf_top_terms(SF, k=3).to_pandas()
+        docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                             columns=["doc_id", "text"]).to_pandas()
+        word_re = re.compile(r"\w+", re.ASCII)
+        tf = {r.doc_id: Counter(word_re.findall((r.text or "").lower()))
+              for r in docs.itertuples()}
+        df = Counter()
+        for c in tf.values():
+            df.update(c.keys())
+        n = len(docs)
+        for doc_id, g in res.groupby("doc_id"):
+            c = tf[doc_id]
+            scored = sorted(((tfv * np.log(n / df[w]), w)
+                             for w, tfv in c.items()),
+                            key=lambda s: (-s[0], s[1]))[:3]
+            got = list(zip(g.sort_values("rank")["tfidf"],
+                           g.sort_values("rank")["word"]))
+            want = [(s[0], s[1]) for s in scored]
+            assert [w for _, w in got] == [w for _, w in want], doc_id
+            assert np.allclose([v for v, _ in got], [v for v, _ in want],
+                               rtol=0, atol=0)
+
+    def test_df_and_rank_shape(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import tfidf_top_terms
+        res = tfidf_top_terms(SF).to_pandas()
+        assert (res.groupby("doc_id")["rank"].min() == 1).all()
+        assert (res["df"] >= 1).all()
+        assert (res["tf"] >= 1).all()
