@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
         "sample_docs": a.sample_docs,
+        "stratified_sample_docs": a.stratified_sample_docs,
         # similarity search (SQL-checked via list_cosine_similarity)
         "ann_brute_topk": a.ann_brute_topk,
         "knn_graph_topk": a.knn_graph_topk,
@@ -304,6 +305,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
                   < cast(4294967296 * 10 // 100 AS UBIGINT)
+            ORDER BY doc_id""",
+        # stratified per-lang hash sampling: per-group fraction, same
+        # pure-function membership as sample_docs
+        "stratified_sample_docs": r"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                  < cast(4294967296 * (CASE lang WHEN 'eng' THEN 20
+                                                 WHEN 'ind' THEN 50
+                                                 ELSE 100 END) // 100 AS UBIGINT)
             ORDER BY doc_id""",
         "exact_dedup_doubled": r"""
             WITH d AS (SELECT doc_id, text FROM documents

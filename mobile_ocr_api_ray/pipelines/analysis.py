@@ -530,3 +530,32 @@ def sample_docs(sf_dir: str, pct: int = 10):
 
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(keep, batch_format="pyarrow").sort("doc_id"))
+
+
+STRATA_PCT = {"eng": 20, "ind": 50}
+STRATA_DEFAULT_PCT = 100
+
+
+def stratified_sample_docs(sf_dir: str, strata: dict[str, int] | None = None):
+    """Stratified deterministic sampling: a PER-GROUP hash fraction
+    (downsample over-represented languages, keep the rest) — the standard
+    rebalancing step for training-data curation. Same pure-function
+    membership as sample_docs (md5 of the key), so it is stable across
+    partitionings and reproducible in the SQL oracle; the per-lang
+    fraction is a vectorized bound lookup, no shuffle."""
+    import hashlib
+
+    pcts = strata or STRATA_PCT
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        mask = []
+        for i, lang in zip(ids, langs):
+            pct = pcts.get(lang, STRATA_DEFAULT_PCT)
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            mask.append(h < (1 << 32) * pct // 100)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+            .map_batches(keep, batch_format="pyarrow").sort("doc_id"))
