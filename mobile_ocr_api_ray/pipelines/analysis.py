@@ -511,21 +511,25 @@ def extract_lang_stats(sf_dir: str):
     return agg.sort("lang")
 
 
-def sample_docs(sf_dir: str, pct: int = 10):
-    """Deterministic hash sampling — reproducible corpus subsampling for
-    training-data curation: keep a row iff the first 8 hex digits of
-    md5(doc_id) fall under pct% of the 32-bit space. Unlike random_shuffle
-    or seeded sampling, membership is a pure function of the key: stable
-    across runs, partitionings and cluster sizes, and reproducible in SQL
-    (md5 available in DuckDB) for the oracle."""
+def _hash_keep(doc_id, pct: int) -> bool:
+    """THE hash-membership rule both samplers (and their SQL oracles)
+    share: first 8 hex digits of md5(str(id)) under pct% of 2^32."""
     import hashlib
 
-    bound = (1 << 32) * pct // 100
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    return h < (1 << 32) * pct // 100
+
+
+def sample_docs(sf_dir: str, pct: int = 10):
+    """Deterministic hash sampling — reproducible corpus subsampling for
+    training-data curation: keep a row iff md5(doc_id) falls under pct% of
+    the 32-bit space (_hash_keep). Unlike random_shuffle or seeded
+    sampling, membership is a pure function of the key: stable across
+    runs, partitionings and cluster sizes, and reproducible in SQL
+    (md5 available in DuckDB) for the oracle."""
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        mask = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < bound
-                for i in ids]
+        mask = [_hash_keep(i, pct) for i in batch["doc_id"].to_pylist()]
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return (_docs(sf_dir, ["doc_id", "text"])
@@ -543,18 +547,13 @@ def stratified_sample_docs(sf_dir: str, strata: dict[str, int] | None = None):
     membership as sample_docs (md5 of the key), so it is stable across
     partitionings and reproducible in the SQL oracle; the per-lang
     fraction is a vectorized bound lookup, no shuffle."""
-    import hashlib
-
-    pcts = strata or STRATA_PCT
+    # {} must mean "no downsampling anywhere", not "use defaults"
+    pcts = STRATA_PCT if strata is None else strata
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        langs = batch["lang"].to_pylist()
-        mask = []
-        for i, lang in zip(ids, langs):
-            pct = pcts.get(lang, STRATA_DEFAULT_PCT)
-            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-            mask.append(h < (1 << 32) * pct // 100)
+        mask = [_hash_keep(i, pcts.get(lang, STRATA_DEFAULT_PCT))
+                for i, lang in zip(batch["doc_id"].to_pylist(),
+                                   batch["lang"].to_pylist())]
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])

@@ -361,8 +361,11 @@ def segment_order_priorities(sf_dir: str, segment: str = "BUILDING"):
     ref = ray.put(keys)
 
     def semi(batch: pa.Table) -> pa.Table:
-        have = ray.get(ref)
-        mask = np.isin(batch["o_custkey"].to_numpy(zero_copy_only=False), have)
+        have = ray.get(ref)   # sorted — probe via searchsorted membership
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(have, ck)
+        mask = (pos < len(have)) & (have[np.minimum(pos, len(have) - 1)] == ck) \
+            if len(have) else np.zeros(len(ck), bool)
         return batch.filter(pa.array(mask)).select(["o_orderpriority"])
 
     agg = (_pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
@@ -550,6 +553,9 @@ def value_histogram(sf_dir: str, width: float = HIST_BIN_WIDTH):
 
     return agg.map_batches(finalize, batch_format="pyarrow").sort(
         ["event_type", "bin"])
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping sets) over a bounded-cardinality base aggregate
 
 ROLLUP_ALL = "<all>"
 

@@ -35,6 +35,11 @@ class BruteTopKStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: np.array([]) is 1-D,
+            return pa.table({     # norm(axis=1) would raise AxisError
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64())})
         ids = np.asarray(batch["vec_id"].to_pylist())
         vecs = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
         sims = vecs @ self.queries.T  # (n, q)
@@ -244,6 +249,12 @@ class KnnGraphStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # same empty-block guard as BruteTopKStage
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64())})
         ids = np.asarray(batch["vec_id"].to_pylist())
         vecs = _normalize(np.array(batch["embedding"].to_pylist(),
                                    dtype=np.float64))

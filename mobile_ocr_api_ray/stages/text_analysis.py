@@ -219,12 +219,37 @@ def tfidf_top_terms(ds, n_docs: int, id_col: str = "doc_id",
                          "wkey": pa.array(wkey)})
 
     tokens = ds.map_batches(explode, batch_format="pyarrow").materialize()
-    # one distinct (doc, word) per row → groupby count IS document frequency
-    df_tbl = (tokens.select_columns(["wkey"])
-              .groupby("wkey").aggregate(Count(alias_name="df")))
+    out_schema = {id_col: pa.int64(), "rank": pa.int64(),
+                  "word": pa.string(), "tf": pa.int64(), "df": pa.int64(),
+                  "tfidf": pa.float64()}
+    if tokens.count() == 0:
+        # token-free corpus: hash_join can't probe schema through an
+        # all-empty lineage — return the typed empty directly (count() is
+        # free on the materialized table)
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table(
+            {name: pa.array([], ty) for name, ty in out_schema.items()}))
+    # one distinct (doc, word) per row → groupby count IS document
+    # frequency. df keeps the word STRING alongside the int join key:
+    # crc32 collides at web-scale vocabularies (~1 per 80k words), so the
+    # join matches on wkey and then filters word equality — colliding
+    # words keep their own exact df instead of a merged one.
+    df_tbl = (tokens.select_columns(["wkey", "word"])
+              .groupby(["wkey", "word"]).aggregate(Count(alias_name="df"))
+              .map_batches(
+                  lambda b: b.rename_columns(
+                      ["word_r" if c == "word" else c
+                       for c in b.column_names]),
+                  batch_format="pyarrow"))
 
     joined = hash_join(tokens, df_tbl, "wkey", "wkey", how="inner",
                        n_coarse=n_coarse)
+
+    def same_word(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["word"], batch["word_r"]))
+        return t.drop_columns(["word_r"])
+
+    joined = joined.map_batches(same_word, batch_format="pyarrow")
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         d = batch[id_col].to_numpy(zero_copy_only=False)
@@ -240,5 +265,9 @@ def tfidf_top_terms(ds, n_docs: int, id_col: str = "doc_id",
         g = g[g["rank"] <= k]
         return g[[id_col, "rank", "word", "tf", "df", "tfidf"]]
 
-    return (joined.map_batches(add_coarse, batch_format="pyarrow")
-            .groupby("coarse").map_groups(topk, batch_format="pandas"))
+    from .dedup import _typed_empty_union
+
+    out = (joined.map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("coarse").map_groups(topk, batch_format="pandas"))
+    # schema guard for all-empty results (the documented erosion trap)
+    return _typed_empty_union(out, out_schema)

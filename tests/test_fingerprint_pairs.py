@@ -59,9 +59,18 @@ class TestFingerprintPairs:
                 assert (row["doc_id"], row["doc_id"] + DOUBLE_OFFSET) in pairs
 
     def test_partition_invariance(self, ray_session):
-        from mobile_ocr_api_ray.pipelines.analysis import fingerprint_pairs_doubled
-        a = fingerprint_pairs_doubled(SF).to_pandas().reset_index(drop=True)
-        b = fingerprint_pairs_doubled(SF).to_pandas().reset_index(drop=True)
+        # results must not depend on the coarse partition counts — drive
+        # the stage directly at two different (n_coarse, n_coarse_pairs)
+        import pyarrow.parquet as pq
+        import ray.data
+        from mobile_ocr_api_ray.stages.dedup import fingerprint_collision_pairs
+        docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        ds = ray.data.from_arrow(docs)
+        a = (fingerprint_collision_pairs(ds, n_coarse=3, n_coarse_pairs=2)
+             .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        b = (fingerprint_collision_pairs(ds, n_coarse=47, n_coarse_pairs=17)
+             .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
 
     def test_empty_corpus_keeps_schema(self, ray_session):
@@ -131,6 +140,34 @@ class TestTfidf:
             assert [w for _, w in got] == [w for _, w in want], doc_id
             assert np.allclose([v for v, _ in got], [v for v, _ in want],
                                rtol=0, atol=0)
+
+    def test_empty_corpus_keeps_schema(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.text_analysis import tfidf_top_terms
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string())}))
+        out = tfidf_top_terms(ds, n_docs=0)
+        assert out.schema().names == ["doc_id", "rank", "word", "tf", "df",
+                                      "tfidf"]
+        assert out.count() == 0
+
+    def test_crc32_collision_words_keep_own_df(self, ray_session):
+        # two distinct words with the SAME crc32 must not merge their df
+        # (the web-scale collision case) — simulate by monkeypatching is
+        # fragile; instead verify the word-equality filter semantics on the
+        # joined output: every row's word matches its df row's word because
+        # word_r has been filtered and dropped
+        import ray.data
+        from mobile_ocr_api_ray.stages.text_analysis import tfidf_top_terms
+        ds = ray.data.from_items([
+            {"doc_id": 0, "text": "alpha beta"},
+            {"doc_id": 1, "text": "alpha gamma"},
+            {"doc_id": 2, "text": "beta beta delta"}])
+        res = tfidf_top_terms(ds, n_docs=3, k=10).to_pandas()
+        want_df = {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
+        for _, r in res.iterrows():
+            assert r["df"] == want_df[r["word"]]
 
     def test_df_and_rank_shape(self, ray_session):
         from mobile_ocr_api_ray.pipelines.analysis import tfidf_top_terms
