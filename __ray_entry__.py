@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
         "sample_docs": a.sample_docs,
         "stratified_sample_docs": a.stratified_sample_docs,
+        "per_lang_topk_sample": a.per_lang_topk_sample,
         # similarity search (SQL-checked via list_cosine_similarity)
         "ann_brute_topk": a.ann_brute_topk,
         "knn_graph_topk": a.knn_graph_topk,
@@ -315,6 +316,16 @@ def oracle_sql() -> dict[str, str]:
                                                  WHEN 'ind' THEN 50
                                                  ELSE 100 END) // 100 AS UBIGINT)
             ORDER BY doc_id""",
+        # fixed-size per-group sample: k smallest md5 hashes per lang
+        "per_lang_topk_sample": r"""
+            SELECT lang, rnk, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT),
+                                doc_id) AS rnk
+              FROM documents)
+            WHERE rnk <= 20 ORDER BY lang, rnk""",
         "exact_dedup_doubled": r"""
             WITH d AS (SELECT doc_id, text FROM documents
                        UNION ALL SELECT doc_id + 1000000, text FROM documents)

@@ -144,6 +144,33 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
         n_coarse=_docs_coarse_hint(sf_dir, 8)).sort(["doc_id", "rank"])
 
 
+def per_lang_topk_sample(sf_dir: str, k: int = 20):
+    """Per-group fixed-size deterministic sample: the k docs per language
+    with the smallest md5(doc_id) hash — the 'give me exactly k rows per
+    stratum' counterpart to the fraction samplers. Hash order is a pure
+    function of the key (stable across partitionings); rank runs in
+    coarse lang-hash partitions (top-k-per-key shape, same as
+    relational.top_events_per_user)."""
+    import hashlib
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+              for i in batch["doc_id"].to_pylist()]
+        return batch.append_column("h", pa.array(hs, pa.int64()))
+
+    def topk(df):
+        d = df.sort_values(["lang", "h", "doc_id"])
+        d = d.assign(rnk=d.groupby("lang").cumcount() + 1)
+        d = d[d["rnk"] <= k]
+        return d[["lang", "rnk", "doc_id", "n_chars"]]
+
+    return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+            .map_batches(add_hash, batch_format="pyarrow")
+            .groupby("lang")
+            .map_groups(topk, batch_format="pandas")
+            .sort(["lang", "rnk"]))
+
+
 def exact_dedup_kept(sf_dir: str):
     """D1's keep-side: one representative row (min doc_id) per distinct
     text — the corpus-filtering form of exact dedup (vs the stats form)."""
