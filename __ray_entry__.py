@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_pairs_doubled": a.fingerprint_pairs_doubled,
         "dup_clusters_doubled": a.dup_clusters_doubled,
         "exact_dup_clusters_doubled": a.exact_dup_clusters_doubled,
+        "near_dedup_kept_doubled": a.near_dedup_kept_doubled,
+        "decontaminate_docs": a.decontaminate_docs,
         "langid_docs": a.langid_docs,
         "fingerprint_docs": a.fingerprint_docs,
         "tfidf_top_terms": a.tfidf_top_terms,
@@ -478,6 +480,32 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP(lang, source)
             ORDER BY 1, 2""",
+        # benchmark decontamination: distinct word-8-gram overlap vs the
+        # 10 smallest-doc_id docs; gram semantics mirror dedup.ngram_set
+        "decontaminate_docs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                          WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+7], ' ')
+                                              FOR i IN range(1, len(w) - 6)])
+                     END AS g
+              FROM words),
+            bench AS (
+              SELECT list_distinct(flatten(array_agg(g))) AS bg
+              FROM grams WHERE doc_id IN (
+                SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10)),
+            hits AS (
+              SELECT doc_id,
+                     cast(len(list_intersect(g, b.bg)) AS BIGINT) AS n_hits
+              FROM grams CROSS JOIN bench b)
+            SELECT doc_id, n_hits, n_hits >= 1 AS contaminated
+            FROM hits ORDER BY doc_id""",
         # connected components over the exact-dup pair graph: the fixpoint
         # label is min(doc_id) per text group — a value-exact oracle for
         # the distributed label-propagation operator

@@ -296,6 +296,81 @@ def fingerprint_pairs_doubled(sf_dir: str, threshold: float = 0.5):
         n_coarse_pairs=_docs_coarse_hint(sf_dir, 8)).sort(["id_a", "id_b"])
 
 
+def near_dedup_kept_doubled(sf_dir: str):
+    """The full near-dedup pipeline end to end: MinHash pairs → connected
+    components → keep ONE representative (the cluster label = min doc_id)
+    per cluster, plus every unclustered doc. The anti-filter side is the
+    cluster table (proportional to the duplicate set, never the corpus),
+    re-attached with a left hash join — docs with no cluster row or whose
+    label equals their own id survive."""
+    from ..stages.joins import hash_join
+
+    docs = _doubled_docs(sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.7,
+                                      n_coarse=_docs_coarse_hint(sf_dir, 2))
+    clusters = dedup.dup_clusters(pairs).materialize()
+    nc = _docs_coarse_hint(sf_dir, 2)
+
+    if clusters.count() == 0:
+        return docs.sort("doc_id")
+
+    joined = hash_join(docs, clusters, "doc_id", "src", how="left",
+                       n_coarse=nc)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        lbl = batch["label"]
+        mask = pc.or_kleene(pc.is_null(lbl),
+                            pc.equal(lbl, batch["doc_id"]))
+        return batch.filter(pc.fill_null(mask, False)).select(
+            ["doc_id", "text"])
+
+    return joined.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+DECON_BENCHMARK_DOCS = 10  # first-k docs stand in for the eval benchmark
+DECON_NGRAM = 8
+DECON_MIN_HITS = 1
+
+
+def decontaminate_docs(sf_dir: str, n: int = DECON_NGRAM,
+                       min_hits: int = DECON_MIN_HITS):
+    """Benchmark decontamination: flag every document sharing ≥ min_hits
+    word n-grams with the benchmark set (here: the corpus's first
+    DECON_BENCHMARK_DOCS docs, a deterministic stand-in for an eval set).
+
+    The benchmark's n-gram set is SMALL by construction (eval suites are
+    tiny next to the corpus) — built once on the driver, broadcast via
+    ray.put, probed per batch with EXACT string-set intersection (no gram
+    hashing: a crc32 collision against an unrelated benchmark gram would
+    silently flag a clean doc and break the value-exact SQL oracle). The
+    corpus side streams; nothing shuffles. Returns
+    (doc_id, n_hits, contaminated)."""
+    import duckdb
+
+    # benchmark = the DECON_BENCHMARK_DOCS smallest doc_ids (explicit key
+    # order, not parquet file order, so the SQL oracle selects the same set)
+    bench = duckdb.connect().execute(
+        "SELECT text FROM read_parquet(?) ORDER BY doc_id LIMIT ?",
+        [os.path.join(sf_dir, "documents.parquet"),
+         DECON_BENCHMARK_DOCS]).fetchall()
+    bench_grams = frozenset(
+        g for (t,) in bench for g in dedup.ngram_set(t or "", n))
+    ref = ray.put(bench_grams)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        grams_ref = ray.get(ref)
+        hits = [len(dedup.ngram_set(t or "", n) & grams_ref)
+                for t in batch["text"].to_pylist()]
+        h = pa.array(hits, pa.int64())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_hits": h,
+                         "contaminated": pc.greater_equal(
+                             h, pa.scalar(min_hits, pa.int64()))})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(flag, batch_format="pyarrow").sort("doc_id"))
+
+
 def exact_dup_clusters_doubled(sf_dir: str):
     """Connected components over the EXACT-duplicate pair graph — the same
     distributed label-propagation operator as dup_clusters_doubled, but fed

@@ -175,3 +175,43 @@ class TestTfidf:
         assert (res.groupby("doc_id")["rank"].min() == 1).all()
         assert (res["df"] >= 1).all()
         assert (res["tf"] >= 1).all()
+
+
+class TestCurationPipeline:
+    def test_near_dedup_kept_semantics(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            DOUBLE_OFFSET, dup_clusters_doubled, near_dedup_kept_doubled)
+        import pyarrow.parquet as pq
+
+        kept = near_dedup_kept_doubled(SF).to_pandas()
+        clusters = dup_clusters_doubled(SF).to_pandas()
+        n_docs = pq.ParquetFile(
+            os.path.join(SF, "documents.parquet")).metadata.num_rows
+        all_ids = set(range(n_docs)) | {i + DOUBLE_OFFSET
+                                        for i in range(n_docs)}
+        # survivors = unclustered docs + each cluster's label node
+        drop = set(clusters.loc[clusters["src"] != clusters["label"], "src"])
+        assert set(kept["doc_id"]) == all_ids - drop
+        # every doubled clone pair lost exactly one member
+        assert len(kept) <= n_docs
+
+    def test_decontaminate_flags_benchmark_itself(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import (DECON_BENCHMARK_DOCS,
+                                                           decontaminate_docs)
+        from mobile_ocr_api_ray.stages.dedup import ngram_set
+        import pyarrow.parquet as pq
+
+        res = decontaminate_docs(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(os.path.join(SF, "documents.parquet"),
+                             columns=["doc_id", "text"]).to_pandas() \
+            .sort_values("doc_id")
+        bench_ids = docs["doc_id"].to_numpy()[:DECON_BENCHMARK_DOCS]
+        bench = frozenset(g for t in docs["text"].to_numpy()[:10]
+                          for g in ngram_set(t or "", 8))
+        # every benchmark doc is contaminated by construction
+        for i in bench_ids:
+            assert res.loc[i, "contaminated"]
+        # exact recompute over the whole corpus
+        for r in docs.itertuples():
+            want = len(ngram_set(r.text or "", 8) & bench)
+            assert res.loc[r.doc_id, "n_hits"] == want
