@@ -699,12 +699,27 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
         a_side = df[df["side"] == "a"].set_index("pid")
         b_side = df[df["side"] == "b"].set_index("pid")
         joined = a_side.join(b_side, how="inner", lsuffix="_a", rsuffix="_b")
+        # per-DOC gram-set memo: a doc in k pairs of this partition builds
+        # its n-gram set once, not k times (the gram split dominates the
+        # kernel; texts repeat heavily in near-dup pair sets)
+        gram_cache: dict[int, set] = {}
+
+        def grams_of(did: int, text) -> set:
+            g = gram_cache.get(did)
+            if g is None:
+                g = ngram_set(text, n)
+                gram_cache[did] = g
+            return g
+
         ida, idb, est, jac = [], [], [], []
         for p, row in joined.iterrows():
-            x, y = p.split("_")
-            ida.append(int(x)); idb.append(int(y))
+            x, y = (int(v) for v in p.split("_"))
+            ga = grams_of(x, row["doc_text_a"])
+            gb = grams_of(y, row["doc_text_b"])
+            ida.append(x); idb.append(y)
             est.append(row["est_jaccard_a"])
-            jac.append(ngram_jaccard_exact(row["doc_text_a"], row["doc_text_b"], n))
+            jac.append(1.0 if not ga and not gb
+                       else len(ga & gb) / len(ga | gb))
         return pd.DataFrame({"id_a": pd.array(ida, "int64"),
                              "id_b": pd.array(idb, "int64"),
                              "est_jaccard": pd.array(est, "float64"),
