@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_late_items": x.orders_late_items,
         "conversion_funnel": x.conversion_funnel,
         "value_histogram": x.value_histogram,
+        "cohort_retention": x.cohort_retention,
+        "monthly_revenue_growth": x.monthly_revenue_growth,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
         "top_customers": r.top_customers,
@@ -441,6 +443,25 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate > TIMESTAMP '1998-06-01') l
             ON o_orderkey = l.l_orderkey
             GROUP BY 1 ORDER BY 1""",
+        # cohort table: first-seen day joined back to distinct activity days
+        "cohort_retention": r"""
+            WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT e.user_id, f.cohort,
+                         date_diff('day', f.cohort, date_trunc('day', e.ts)) AS age_days
+                  FROM events e JOIN f ON e.user_id = f.user_id)
+            SELECT cohort, age_days, count(*) AS n_users
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+        # month-over-month revenue delta (lag over the bounded month agg)
+        "monthly_revenue_growth": r"""
+            WITH m AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     count(*) AS n_orders,
+                     sum(cast(round(o_totalprice*100, 0) AS BIGINT)) AS rev_c
+              FROM orders GROUP BY 1)
+            SELECT month, n_orders, rev_c/100.0 AS revenue,
+                   (rev_c - lag(rev_c) OVER (ORDER BY month))/100.0 AS delta
+            FROM m ORDER BY month""",
         # ordered-milestone funnel: conditional mins + null-aware stages
         "conversion_funnel": r"""
             WITH m AS (

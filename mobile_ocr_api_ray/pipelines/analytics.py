@@ -603,6 +603,110 @@ def lang_source_rollup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Cohort retention: first-seen day joined back to activity
+
+
+def cohort_retention(sf_dir: str):
+    """Classic cohort table: users bucketed by first-seen day (cohort),
+    counted per (cohort, age-in-days) of later activity.
+
+    First-seen is a user-keyed Min aggregate; it joins BACK to the event
+    stream through stages/joins.hash_join (user-keyed co-partitioned
+    shuffle — at web scale the user dimension is corpus-sized, so no
+    broadcast). Distinct (user, age) pairs reduce via a per-batch
+    drop-duplicates combiner before the final count."""
+    from ..stages.joins import hash_join
+    from ray.data.aggregate import Min
+
+    events = _pq(sf_dir, "events", ["ts", "user_id"])
+
+    first = (events.map_batches(
+        lambda b: pa.table({
+            "u": b["user_id"],
+            "first_ts": pc.cast(pc.floor_temporal(b["ts"], unit="day"),
+                                pa.timestamp("us"))}),
+        batch_format="pyarrow")
+        .groupby("u").aggregate(Min("first_ts", alias_name="cohort")))
+
+    def day_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"],
+                      "day": pc.cast(pc.floor_temporal(batch["ts"], unit="day"),
+                                     pa.timestamp("us"))})
+        return t.group_by(["user_id", "day"]).aggregate([])  # combiner
+
+    activity = events.map_batches(day_rows, batch_format="pyarrow")
+    nc = _coarse_events(sf_dir)
+    joined = hash_join(activity, first, "user_id", "u", how="inner",
+                       n_coarse=nc)
+
+    def age(batch: pa.Table) -> pa.Table:
+        day = batch["day"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        coh = batch["cohort"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        d = ((day - coh) // np.timedelta64(1, "D")).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"],
+                      "cohort": pc.cast(batch["cohort"], pa.timestamp("us")),
+                      "age_days": pa.array(d)})
+        return t.group_by(["user_id", "cohort", "age_days"]).aggregate([])
+
+    agg = (joined.map_batches(age, batch_format="pyarrow")
+           .groupby(["cohort", "age_days"])
+           .aggregate(Count(alias_name="n_users")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": pc.cast(batch["cohort"], pa.timestamp("us")),
+            "age_days": batch["age_days"], "n_users": batch["n_users"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["cohort", "age_days"])
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth: lag over a bounded time aggregate
+
+
+def monthly_revenue_growth(sf_dir: str):
+    """Monthly order revenue with previous-month delta — the lag runs over
+    the MONTH aggregate (bounded cardinality at any corpus size), computed
+    vectorized in one pass over the tiny sorted table; the heavy work is
+    the distributed integer-cent monthly rollup."""
+    def monthly(batch: pa.Table) -> pa.Table:
+        m = pc.cast(pc.floor_temporal(batch["o_orderdate"], unit="month"),
+                    pa.timestamp("us"))
+        return pa.table({"month": m, "rev_c": _cents_arr(batch["o_totalprice"])})
+
+    agg = (_pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+           .map_batches(monthly, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("rev_c", alias_name="rev_c")))
+    months = pa.concat_tables(
+        [b.select(["month", "n_orders", "rev_c"])
+         for b in agg.iter_batches(batch_format="pyarrow")] or
+        [pa.table({"month": pa.array([], pa.timestamp("us")),
+                   "n_orders": pa.array([], pa.int64()),
+                   "rev_c": pa.array([], pa.int64())})])
+
+    df = months.to_pandas().sort_values("month").reset_index(drop=True)
+    rev = df["rev_c"].to_numpy()
+    prev = np.concatenate([[0], rev[:-1]])
+    has_prev = np.arange(len(df)) > 0
+    out = pa.table({
+        "month": pa.array(df["month"].to_numpy().astype("datetime64[us]"),
+                          pa.timestamp("us")),
+        "n_orders": pa.array(df["n_orders"].to_numpy(), pa.int64()),
+        "revenue": pa.array(rev / 100.0, pa.float64()),
+        # delta vs previous month in exact cents, divided once (true arrow
+        # NULL for the first month, matching SQL lag)
+        "delta": pa.array((rev - prev) / 100.0, pa.float64(),
+                          mask=~has_prev)})
+    import ray.data as rd
+    return rd.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
 # Anti-join: dimension rows with no qualifying fact row
 
 QUIET_THRESHOLD = 400000.0

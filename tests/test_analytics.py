@@ -293,6 +293,27 @@ class TestFunnelAndHistogram:
         assert (res["bin"] >= 0).all()
 
 
+class TestCohortAndGrowth:
+    def test_cohort_day0_counts_every_user(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import cohort_retention
+        import pyarrow.parquet as pq
+        res = cohort_retention(SF).to_pandas()
+        ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                           columns=["user_id"]).to_pandas()
+        # every user is active on their own first-seen day (age 0)
+        assert res.loc[res["age_days"] == 0, "n_users"].sum() \
+            == ev["user_id"].nunique()
+        assert (res["age_days"] >= 0).all()
+
+    def test_growth_deltas_telescope(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import monthly_revenue_growth
+        res = monthly_revenue_growth(SF).to_pandas()
+        assert pd.isna(res["delta"].iloc[0])
+        d = res["revenue"].diff().to_numpy()[1:]
+        assert np.allclose(res["delta"].to_numpy()[1:], d)
+        assert res["month"].is_monotonic_increasing
+
+
 class TestSemiAndLeftJoin:
     def test_segment_semi_join_matches_pandas(self, ray_session):
         from mobile_ocr_api_ray.pipelines.analytics import segment_order_priorities
