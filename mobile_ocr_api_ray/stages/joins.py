@@ -30,15 +30,28 @@ N_COARSE_DEFAULT = 256
 
 
 def hash_join(left, right, left_key: str, right_key: str,
-              how: str = "inner", n_coarse: int | None = None):
+              how: str = "inner", n_coarse: int | None = None,
+              salt: int = 1):
     """Join two Datasets on integer key columns; returns a Dataset.
 
     ``how``: 'inner' or 'left' (left-outer: unmatched left rows keep nulls
-    for right columns)."""
+    for right columns).
+
+    ``salt`` > 1 is the HOT-KEY guard: a key carrying a large share of the
+    left side would otherwise pin one partition. Each left row takes a
+    deterministic salt s = row-position % salt and the match key becomes
+    key*salt + s; the right side replicates ``salt`` times (once per s), so
+    every left row still meets exactly one copy of each matching right row
+    — identical output, the hot key's rows spread across up to ``salt``
+    partitions. Cost: ``salt`` × the right side's shuffle volume — salt the
+    join whose right side is the smaller table. Keys must satisfy
+    |key| * salt < 2^63 (int64 fold)."""
     import ray.data  # noqa: F401  (Dataset ops)
 
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
     nc = n_coarse or N_COARSE_DEFAULT
 
     left_schema = left.schema()
@@ -56,6 +69,10 @@ def hash_join(left, right, left_key: str, right_key: str,
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         key = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if salt > 1:
+            # deterministic per-row salt folded into the match key — rows
+            # of one hot key spread over `salt` distinct partition keys
+            key = key * salt + (np.arange(n, dtype=np.int64) % salt)
         cols = {"__kind": pa.array(np.zeros(n, np.int8)),
                 "__key": pa.array(key),
                 "__coarse": pa.array((key % nc).astype(np.int32))}
@@ -68,6 +85,15 @@ def hash_join(left, right, left_key: str, right_key: str,
     def tag_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         key = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tbl = batch
+        if salt > 1:
+            # replicate the build side once per salt value; each copy's
+            # match key folds in its salt so it meets exactly the left
+            # rows that drew that salt
+            idx = np.repeat(np.arange(n, dtype=np.int64), salt)
+            tbl = batch.take(pa.array(idx))
+            key = key[idx] * salt + np.tile(np.arange(salt, dtype=np.int64), n)
+            n = tbl.num_rows
         cols = {"__kind": pa.array(np.ones(n, np.int8)),
                 "__key": pa.array(key),
                 "__coarse": pa.array((key % nc).astype(np.int32))}
@@ -76,7 +102,7 @@ def hash_join(left, right, left_key: str, right_key: str,
                 [None] * n,
                 left_schema.types[left_schema.names.index(c)])
         for c in right_cols:
-            cols[c] = batch[c]
+            cols[c] = tbl[c]
         return pa.table(cols)
 
     out_cols = left_cols + right_cols

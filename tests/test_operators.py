@@ -613,3 +613,26 @@ class TestHashJoin:
                     .reset_index(drop=True))
 
         pd.testing.assert_frame_equal(run(1), run(13))
+
+    def test_salted_equals_unsalted(self, ray_session):
+        # hot-key guard: salting must not change the joined row multiset,
+        # for inner AND left-outer, on a skewed many-to-many key set
+        import ray.data
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        rs = np.random.RandomState(7)
+        lk = np.concatenate([np.full(200, 5), rs.randint(0, 20, 100)])
+        rk = np.concatenate([np.full(6, 5), rs.randint(0, 30, 60)])
+        lt = ray.data.from_arrow(pa.table({
+            "k": pa.array(lk, pa.int64()),
+            "a": pa.array(np.arange(len(lk)), pa.int64())}))
+        rt = ray.data.from_arrow(pa.table({
+            "rk": pa.array(rk, pa.int64()),
+            "b": pa.array(np.arange(len(rk)), pa.int64())}))
+        for how in ("inner", "left"):
+            plain = (hash_join(lt, rt, "k", "rk", how=how)
+                     .to_pandas().sort_values(["k", "a", "b"])
+                     .reset_index(drop=True))
+            salted = (hash_join(lt, rt, "k", "rk", how=how, salt=4)
+                      .to_pandas().sort_values(["k", "a", "b"])
+                      .reset_index(drop=True))
+            pd.testing.assert_frame_equal(plain, salted)
