@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 N_COARSE_DEFAULT = 256
 
@@ -32,10 +33,16 @@ N_COARSE_DEFAULT = 256
 def hash_join(left, right, left_key: str, right_key: str,
               how: str = "inner", n_coarse: int | None = None,
               salt: int = 1):
-    """Join two Datasets on integer key columns; returns a Dataset.
+    """Join two Datasets on integer OR string key columns; returns a
+    Dataset.
 
     ``how``: 'inner' or 'left' (left-outer: unmatched left rows keep nulls
     for right columns).
+
+    String keys partition on crc32(key) and verify the ACTUAL strings with
+    a vectorized equality filter inside the merge (hash collisions only
+    produce extra candidates that the filter drops — never a wrong join);
+    null string keys match nothing, like SQL.
 
     ``salt`` > 1 is the HOT-KEY guard: a key carrying a large share of the
     left side would otherwise pin one partition. Each left row takes a
@@ -61,14 +68,37 @@ def hash_join(left, right, left_key: str, right_key: str,
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"column collision between join sides: {overlap}")
+    ltype = left_schema.types[left_schema.names.index(left_key)]
+    rtype = right_schema.types[right_schema.names.index(right_key)]
+    str_keys = pa.types.is_string(ltype) or pa.types.is_large_string(ltype)
+    if str_keys != (pa.types.is_string(rtype)
+                    or pa.types.is_large_string(rtype)):
+        raise ValueError("join key types must both be integer or both string")
+    if str_keys:
+        # carry the right key string through the shuffle for the exact
+        # equality verification after the hash match
+        right_cols = right_cols + ["__rkeystr"]
     right_types = {c: right_schema.types[right_schema.names.index(c)]
-                   for c in right_cols}
+                   for c in right_cols if c != "__rkeystr"}
+    if str_keys:
+        right_types["__rkeystr"] = pa.string()
+
+    def _key_ints(col) -> np.ndarray:
+        if not str_keys:
+            return col.to_numpy(zero_copy_only=False).astype(np.int64)
+        # crc32 per string; nulls → -1 on the left / -2 on the right is
+        # unnecessary: the equality filter drops null-null candidates, so
+        # one sentinel suffices for partition routing
+        import zlib
+        return np.fromiter(
+            (zlib.crc32(s.encode()) if s is not None else -1
+             for s in col.to_pylist()), np.int64, col.length())
 
     # tagged union: one uniform schema; each side contributes nulls for the
     # other side's columns. kind 0 = left (probe), kind 1 = right (build).
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        key = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _key_ints(batch[left_key])
         if salt > 1:
             # deterministic per-row salt folded into the match key — rows
             # of one hot key spread over `salt` distinct partition keys
@@ -84,14 +114,17 @@ def hash_join(left, right, left_key: str, right_key: str,
 
     def tag_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        key = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _key_ints(batch[right_key])
         tbl = batch
+        if str_keys:
+            tbl = tbl.append_column(
+                "__rkeystr", pc.cast(batch[right_key], pa.string()))
         if salt > 1:
             # replicate the build side once per salt value; each copy's
             # match key folds in its salt so it meets exactly the left
             # rows that drew that salt
             idx = np.repeat(np.arange(n, dtype=np.int64), salt)
-            tbl = batch.take(pa.array(idx))
+            tbl = tbl.take(pa.array(idx))
             key = key[idx] * salt + np.tile(np.arange(salt, dtype=np.int64), n)
             n = tbl.num_rows
         cols = {"__kind": pa.array(np.ones(n, np.int8)),
@@ -134,16 +167,31 @@ def hash_join(left, right, left_key: str, right_key: str,
 
         matched_l = lhs.select(left_cols).take(pa.array(l_idx, pa.int64()))
         matched_r = rhs.select(right_cols).take(pa.array(r_idx, pa.int64()))
+        miss_l = counts == 0
+        if str_keys:
+            # exact verification: keep only candidates whose STRINGS match
+            # (crc32 collisions and null keys drop here); left rows whose
+            # every candidate dropped become outer-misses
+            eq = pc.fill_null(pc.equal(
+                pc.cast(matched_l[left_key], pa.string()),
+                matched_r["__rkeystr"]), False)
+            eq_np = eq.to_numpy(zero_copy_only=False)
+            matched_l = matched_l.filter(eq)
+            matched_r = matched_r.filter(eq)
+            survived = np.zeros(len(lkeys), bool)
+            survived[l_idx[eq_np]] = True
+            miss_l = ~survived
+        out_right_cols = [c for c in right_cols if c != "__rkeystr"]
         cols = {c: matched_l[c] for c in left_cols}
-        cols.update({c: matched_r[c] for c in right_cols})
+        cols.update({c: matched_r[c] for c in out_right_cols})
         out = pa.table(cols)
-        if how == "left" and (counts == 0).any():
+        if how == "left" and miss_l.any():
             miss = lhs.select(left_cols).take(
-                pa.array(np.nonzero(counts == 0)[0], pa.int64()))
+                pa.array(np.nonzero(miss_l)[0], pa.int64()))
             n_miss = miss.num_rows
             mcols = {c: miss[c] for c in left_cols}
             mcols.update({c: pa.array([None] * n_miss, right_types[c])
-                          for c in right_cols})
+                          for c in out_right_cols})
             out = pa.concat_tables([out, pa.table(mcols)])
         return out
 
@@ -159,6 +207,7 @@ def hash_join(left, right, left_key: str, right_key: str,
         empty_cols[c] = pa.array(
             [], left_schema.types[left_schema.names.index(c)])
     for c in right_cols:
-        empty_cols[c] = pa.array([], right_types[c])
+        if c != "__rkeystr":  # internal verification column, never emitted
+            empty_cols[c] = pa.array([], right_types[c])
     import ray.data as rd
     return rd.from_arrow(pa.table(empty_cols)).union(joined)

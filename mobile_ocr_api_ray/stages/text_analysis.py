@@ -180,9 +180,11 @@ def tfidf_top_terms(ds, n_docs: int, id_col: str = "doc_id",
        (same re.ASCII ``\\w+`` tokenizer as word_freq_top);
     2. document frequency = groupby(word-key) count over the explode rows
        (each row is one distinct (doc, word) — df comes free, no dedup);
-    3. df joins BACK to the explode rows by crc32(word) through
-       stages/joins.hash_join — word-keyed co-partitioned shuffle, both
-       sides corpus-scale (the broadcast alternative dies at web-scale
+    3. df joins BACK to the explode rows through stages/joins.hash_join's
+       native STRING-key path (crc32 partition routing + exact equality
+       verification in the merge, so hash collisions never merge two
+       words' df) — word-keyed co-partitioned shuffle, both sides
+       corpus-scale (the broadcast alternative dies at web-scale
        vocabularies);
     4. per-doc top-k via coarse doc-key groupby, tie-break
        (tfidf desc, word asc).
@@ -191,7 +193,6 @@ def tfidf_top_terms(ds, n_docs: int, id_col: str = "doc_id",
     never a driver count() over the pipeline). Returns
     (doc_id, rank, word, tf, df, tfidf)."""
     import re
-    import zlib
     from collections import Counter
 
     import ray.data
@@ -211,12 +212,9 @@ def tfidf_top_terms(ds, n_docs: int, id_col: str = "doc_id",
                 out_id.append(i)
                 out_w.append(w)
                 out_tf.append(n)
-        wkey = np.array([zlib.crc32(w.encode()) for w in out_w], np.int64) \
-            if out_w else np.array([], np.int64)
         return pa.table({id_col: pa.array(out_id, pa.int64()),
                          "word": pa.array(out_w, pa.string()),
-                         "tf": pa.array(out_tf, pa.int64()),
-                         "wkey": pa.array(wkey)})
+                         "tf": pa.array(out_tf, pa.int64())})
 
     tokens = ds.map_batches(explode, batch_format="pyarrow").materialize()
     out_schema = {id_col: pa.int64(), "rank": pa.int64(),
@@ -230,26 +228,19 @@ def tfidf_top_terms(ds, n_docs: int, id_col: str = "doc_id",
         return _rd.from_arrow(pa.table(
             {name: pa.array([], ty) for name, ty in out_schema.items()}))
     # one distinct (doc, word) per row → groupby count IS document
-    # frequency. df keeps the word STRING alongside the int join key:
-    # crc32 collides at web-scale vocabularies (~1 per 80k words), so the
-    # join matches on wkey and then filters word equality — colliding
-    # words keep their own exact df instead of a merged one.
-    df_tbl = (tokens.select_columns(["wkey", "word"])
-              .groupby(["wkey", "word"]).aggregate(Count(alias_name="df"))
+    # frequency; the string-key hash_join verifies exact word equality
+    # inside the merge, so crc32 collisions (~1 per 80k distinct words)
+    # never merge two words' df
+    df_tbl = (tokens.select_columns(["word"])
+              .groupby("word").aggregate(Count(alias_name="df"))
               .map_batches(
                   lambda b: b.rename_columns(
-                      ["word_r" if c == "word" else c
+                      ["dfword" if c == "word" else c
                        for c in b.column_names]),
                   batch_format="pyarrow"))
 
-    joined = hash_join(tokens, df_tbl, "wkey", "wkey", how="inner",
+    joined = hash_join(tokens, df_tbl, "word", "dfword", how="inner",
                        n_coarse=n_coarse)
-
-    def same_word(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["word"], batch["word_r"]))
-        return t.drop_columns(["word_r"])
-
-    joined = joined.map_batches(same_word, batch_format="pyarrow")
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         d = batch[id_col].to_numpy(zero_copy_only=False)

@@ -614,6 +614,38 @@ class TestHashJoin:
 
         pd.testing.assert_frame_equal(run(1), run(13))
 
+    def test_string_keys(self, ray_session):
+        # crc32-partitioned string join with exact equality verification;
+        # null keys match nothing (SQL semantics)
+        import ray.data
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        l = ray.data.from_arrow(pa.table({
+            "w": pa.array(["apple", "pear", None, "kiwi", "apple"],
+                          pa.string()),
+            "a": pa.array([0, 1, 2, 3, 4], pa.int64())}))
+        r = ray.data.from_arrow(pa.table({
+            "rw": pa.array(["apple", "kiwi", None], pa.string()),
+            "v": pa.array([10, 30, 99], pa.int64())}))
+        inner = (hash_join(l, r, "w", "rw").to_pandas()
+                 .sort_values(["a"]).reset_index(drop=True))
+        assert list(inner["a"]) == [0, 3, 4]
+        assert list(inner["v"]) == [10, 30, 10]
+        outer = (hash_join(l, r, "w", "rw", how="left").to_pandas()
+                 .sort_values(["a"]).reset_index(drop=True))
+        assert len(outer) == 5
+        assert outer.loc[outer["a"].isin([1, 2]), "v"].isna().all()
+        assert "__rkeystr" not in outer.columns
+
+    def test_string_keys_mixed_types_raise(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        l = ray.data.from_arrow(pa.table({"w": pa.array(["x"], pa.string()),
+                                          "a": pa.array([1], pa.int64())}))
+        r = ray.data.from_arrow(pa.table({"rk": pa.array([1], pa.int64()),
+                                          "v": pa.array([2], pa.int64())}))
+        with pytest.raises(ValueError, match="both"):
+            hash_join(l, r, "w", "rk")
+
     def test_salted_equals_unsalted(self, ray_session):
         # hot-key guard: salting must not change the joined row multiset,
         # for inner AND left-outer, on a skewed many-to-many key set
