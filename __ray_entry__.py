@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_funnel": x.conversion_funnel,
         "value_histogram": x.value_histogram,
         "cohort_retention": x.cohort_retention,
+        "props_k_stats": x.props_k_stats,
         "monthly_revenue_growth": x.monthly_revenue_growth,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
@@ -443,6 +444,18 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate > TIMESTAMP '1998-06-01') l
             ON o_orderkey = l.l_orderkey
             GROUP BY 1 ORDER BY 1""",
+        # JSON field extraction via the same RE2 pattern on both sides
+        "props_k_stats": r"""
+            WITH p AS (
+              SELECT event_type,
+                     cast(nullif(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                          AS BIGINT) AS k
+              FROM events)
+            SELECT event_type, count(*) AS n_events,
+                   cast(count(*) - count(k) AS BIGINT) AS n_unparsed,
+                   cast(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+                   sum(coalesce(k, 0)) / (count(k)*1.0) AS avg_k
+            FROM p GROUP BY 1 ORDER BY 1""",
         # cohort table: first-seen day joined back to distinct activity days
         "cohort_retention": r"""
             WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort

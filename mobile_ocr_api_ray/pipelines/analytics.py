@@ -603,6 +603,51 @@ def lang_source_rollup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured extraction: JSON property field → typed column
+
+# named group: pc.extract_regex rejects unnamed groups; the oracle's
+# regexp_extract uses the identical pattern with a plain group — RE2
+# matching is the same either way
+PROPS_K_RE = r'"k":\s*(?P<k>-?\d+)'
+
+
+def props_k_stats(sf_dir: str):
+    """Parse the integer ``k`` field out of the JSON ``props`` column with
+    ONE vectorized RE2 extraction per batch (pyarrow pc.extract_regex —
+    no per-row json.loads), then aggregate per event_type: parsed count,
+    null/unparsable count, exact integer sum, float mean. The oracle runs
+    the same RE2 pattern through DuckDB regexp_extract, so the typed
+    column is identical on both sides."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], PROPS_K_RE)
+        k = pc.cast(pc.struct_field(m, 0), pa.int64())
+        return pa.table({"event_type": batch["event_type"],
+                         "k": k,
+                         "k_filled": pc.fill_null(k, 0),
+                         "is_null": pc.cast(pc.is_null(k), pa.int64())})
+
+    agg = (_pq(sf_dir, "events", ["event_type", "props"])
+           .map_batches(parse, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("is_null", alias_name="n_unparsed"),
+                      Sum("k_filled", alias_name="sum_k")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n_ok = pc.subtract(batch["n_events"], batch["n_unparsed"])
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_events": batch["n_events"],
+            "n_unparsed": batch["n_unparsed"],
+            "sum_k": batch["sum_k"],
+            "avg_k": pc.divide(pc.cast(batch["sum_k"], pa.float64()),
+                               pc.cast(n_ok, pa.float64()))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("event_type")
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention: first-seen day joined back to activity
 
 

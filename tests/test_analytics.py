@@ -293,6 +293,36 @@ class TestFunnelAndHistogram:
         assert (res["bin"] >= 0).all()
 
 
+class TestPropsExtraction:
+    def test_matches_json_loads(self, ray_session):
+        import json
+        import pyarrow.parquet as pq
+        from mobile_ocr_api_ray.pipelines.analytics import props_k_stats
+        res = props_k_stats(SF).to_pandas().set_index("event_type")
+        ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                           columns=["event_type", "props"]).to_pandas()
+        ev["k"] = ev["props"].map(lambda p: json.loads(p).get("k"))
+        want = ev.groupby("event_type")["k"].agg(["count", "sum"])
+        for et, row in want.iterrows():
+            assert res.loc[et, "sum_k"] == row["sum"]
+            assert res.loc[et, "n_unparsed"] == 0
+
+    def test_unparsable_rows_counted(self, ray_session):
+        import tempfile
+        import pyarrow.parquet as pqw
+        from mobile_ocr_api_ray.pipelines.analytics import props_k_stats
+        tbl = pa.table({
+            "event_type": pa.array(["a", "a", "a"], pa.string()),
+            "props": pa.array(['{"k": 5}', "not json", '{"other": 1}'],
+                              pa.string())})
+        with tempfile.TemporaryDirectory() as d:
+            pqw.write_table(tbl, os.path.join(d, "events.parquet"))
+            res = props_k_stats(d).to_pandas()
+        assert res["n_unparsed"].iloc[0] == 2
+        assert res["sum_k"].iloc[0] == 5
+        assert res["avg_k"].iloc[0] == 5.0
+
+
 class TestCohortAndGrowth:
     def test_cohort_day0_counts_every_user(self, ray_session):
         from mobile_ocr_api_ray.pipelines.analytics import cohort_retention
