@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": x.value_histogram,
         "cohort_retention": x.cohort_retention,
         "props_k_stats": x.props_k_stats,
+        "hll_distinct_users": x.hll_distinct_users,
         "monthly_revenue_growth": x.monthly_revenue_growth,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,

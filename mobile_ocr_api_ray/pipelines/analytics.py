@@ -603,6 +603,74 @@ def lang_source_rollup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog: approximate count-distinct via mergeable register partials
+
+HLL_P = 12                       # 2^12 registers → ~1.6% standard error
+HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _hll_registers(keys: np.ndarray) -> np.ndarray:
+    """One HLL register array from int64 keys (blake2b-derived 64-bit
+    hashes — stable across processes, unlike Python hash())."""
+    import hashlib
+
+    regs = np.zeros(HLL_M, np.int8)
+    if len(keys) == 0:
+        return regs
+    # vectorized 64-bit mix (splitmix64) — deterministic, well-distributed
+    h = keys.astype(np.uint64)
+    h = (h + np.uint64(0x9E3779B97F4A7C15))
+    h ^= h >> np.uint64(30); h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27); h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rank = leading zeros of the remaining bits + 1, capped
+    lz = np.zeros(len(h), np.int8)
+    cur = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        cur = np.where(mask, cur << np.uint64(shift), cur)
+    rank = (lz + 1).astype(np.int8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    est = _HLL_ALPHA * HLL_M * HLL_M / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * HLL_M and zeros:
+        est = HLL_M * np.log(HLL_M / zeros)  # linear counting regime
+    return float(est)
+
+
+def hll_distinct_users(sf_dir: str):
+    """Approximate count(DISTINCT user_id) — the sketch path for
+    cardinalities where the exact dedupe shuffle (distinct_users_hourly)
+    would itself be corpus-sized. Per-batch register partials (HLL_M bytes
+    each, REGARDLESS of batch cardinality) max-merge in one tiny reduce:
+    total exchange = n_blocks × 4 KB. Rows-only check; the estimator's
+    ±~1.6% accuracy is pinned by a test against the exact count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        regs = _hll_registers(keys)
+        return pa.table({"g": pa.array([0], pa.int32()),
+                         "regs": pa.array([regs], pa.list_(pa.int8()))})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.max(np.stack(df["regs"].to_numpy()), axis=0)
+        return pd.DataFrame({"n_users_approx": [_hll_estimate(regs)]})
+
+    return (_pq(sf_dir, "events", ["user_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(merge, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured extraction: JSON property field → typed column
 
 # named group: pc.extract_regex rejects unnamed groups; the oracle's

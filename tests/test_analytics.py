@@ -323,6 +323,30 @@ class TestPropsExtraction:
         assert res["avg_k"].iloc[0] == 5.0
 
 
+class TestHll:
+    def test_estimate_within_tolerance(self, ray_session):
+        import pyarrow.parquet as pq
+        from mobile_ocr_api_ray.pipelines.analytics import hll_distinct_users
+        res = hll_distinct_users(SF).to_pandas()
+        ev = pq.read_table(os.path.join(SF, "events.parquet"),
+                           columns=["user_id"]).to_pandas()
+        exact = ev["user_id"].nunique()
+        est = res["n_users_approx"].iloc[0]
+        assert abs(est - exact) / exact < 0.05
+
+    def test_registers_merge_commutatively(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import (_hll_estimate,
+                                                            _hll_registers)
+        rs = np.random.RandomState(3)
+        keys = rs.randint(0, 10**12, 50_000).astype(np.int64)
+        whole = _hll_registers(keys)
+        parts = np.maximum.reduce([_hll_registers(c)
+                                   for c in np.array_split(keys, 7)])
+        assert (whole == parts).all()  # partials merge losslessly
+        exact = len(np.unique(keys))
+        assert abs(_hll_estimate(whole) - exact) / exact < 0.05
+
+
 class TestCohortAndGrowth:
     def test_cohort_day0_counts_every_user(self, ray_session):
         from mobile_ocr_api_ray.pipelines.analytics import cohort_retention
