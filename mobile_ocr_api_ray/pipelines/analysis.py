@@ -151,11 +151,9 @@ def per_lang_topk_sample(sf_dir: str, k: int = 20):
     function of the key (stable across partitionings); rank runs in
     coarse lang-hash partitions (top-k-per-key shape, same as
     relational.top_events_per_user)."""
-    import hashlib
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-              for i in batch["doc_id"].to_pylist()]
+        hs = [_hash32(i) for i in batch["doc_id"].to_pylist()]
         return batch.append_column("h", pa.array(hs, pa.int64()))
 
     def topk(df):
@@ -613,13 +611,17 @@ def extract_lang_stats(sf_dir: str):
     return agg.sort("lang")
 
 
-def _hash_keep(doc_id, pct: int) -> bool:
-    """THE hash-membership rule both samplers (and their SQL oracles)
-    share: first 8 hex digits of md5(str(id)) under pct% of 2^32."""
+def _hash32(doc_id) -> int:
+    """THE sampling hash every sampler (and its SQL oracle) shares: the
+    first 8 hex digits of md5(str(id)) as a 32-bit int."""
     import hashlib
 
-    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
-    return h < (1 << 32) * pct // 100
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+def _hash_keep(doc_id, pct: int) -> bool:
+    """Fraction-membership rule on top of _hash32: under pct% of 2^32."""
+    return _hash32(doc_id) < (1 << 32) * pct // 100
 
 
 def sample_docs(sf_dir: str, pct: int = 10):

@@ -704,13 +704,17 @@ def props_k_stats(sf_dir: str):
 
     def finalize(batch: pa.Table) -> pa.Table:
         n_ok = pc.subtract(batch["n_events"], batch["n_unparsed"])
+        avg = pc.divide(pc.cast(batch["sum_k"], pa.float64()),
+                        pc.cast(n_ok, pa.float64()))
+        # SQL 0/0 is NULL, Arrow's is NaN — mask the all-unparsed groups
+        avg = pc.if_else(pc.equal(n_ok, 0),
+                         pa.scalar(None, pa.float64()), avg)
         return pa.table({
             "event_type": batch["event_type"],
             "n_events": batch["n_events"],
             "n_unparsed": batch["n_unparsed"],
             "sum_k": batch["sum_k"],
-            "avg_k": pc.divide(pc.cast(batch["sum_k"], pa.float64()),
-                               pc.cast(n_ok, pa.float64()))})
+            "avg_k": avg})
 
     return agg.map_batches(finalize, batch_format="pyarrow").sort("event_type")
 
@@ -758,14 +762,30 @@ def cohort_retention(sf_dir: str):
         coh = batch["cohort"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]")
         d = ((day - coh) // np.timedelta64(1, "D")).astype(np.int64)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
         t = pa.table({"user_id": batch["user_id"],
                       "cohort": pc.cast(batch["cohort"], pa.timestamp("us")),
-                      "age_days": pa.array(d)})
-        return t.group_by(["user_id", "cohort", "age_days"]).aggregate([])
+                      "age_days": pa.array(d),
+                      "ucoarse": pa.array((u % nc).astype(np.int32))})
+        # per-batch combiner only — the EXACT distinct happens in the
+        # user-partitioned map_groups below (a batch is not a whole
+        # partition: dynamic block splitting can slice one user's rows
+        # across batches, which would double-count in a batch-level dedup)
+        g = t.group_by(["user_id", "cohort", "age_days", "ucoarse"]) \
+            .aggregate([])
+        return g
+
+    def dedup_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["user_id", "cohort", "age_days"])
+        out = (d.groupby(["cohort", "age_days"], as_index=False)
+               .size().rename(columns={"size": "n_partial"}))
+        return out
 
     agg = (joined.map_batches(age, batch_format="pyarrow")
+           .groupby("ucoarse")
+           .map_groups(dedup_count, batch_format="pandas")
            .groupby(["cohort", "age_days"])
-           .aggregate(Count(alias_name="n_users")))
+           .aggregate(Sum("n_partial", alias_name="n_users")))
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({

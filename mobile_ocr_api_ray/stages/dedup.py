@@ -701,14 +701,18 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
         joined = a_side.join(b_side, how="inner", lsuffix="_a", rsuffix="_b")
         # per-DOC gram-set memo: a doc in k pairs of this partition builds
         # its n-gram set once, not k times (the gram split dominates the
-        # kernel; texts repeat heavily in near-dup pair sets)
+        # kernel; texts repeat heavily in near-dup pair sets). BOUNDED: a
+        # partition full of distinct large docs must not hold every gram
+        # set to completion — past the cap, misses recompute instead
         gram_cache: dict[int, set] = {}
+        GRAM_CACHE_MAX = 4096
 
         def grams_of(did: int, text) -> set:
             g = gram_cache.get(did)
             if g is None:
                 g = ngram_set(text, n)
-                gram_cache[did] = g
+                if len(gram_cache) < GRAM_CACHE_MAX:
+                    gram_cache[did] = g
             return g
 
         ida, idb, est, jac = [], [], [], []

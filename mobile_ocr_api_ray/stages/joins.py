@@ -17,8 +17,10 @@ map_batches — see pipelines/relational.py:top_customers); this operator is
 the both-sides-large path.
 
 Column handling: output = left columns + right columns (minus the right
-key). Name collisions raise. Key must be integer-typed (the partition hash
-is ``key % n_coarse``); extend with a crc32 pre-hash for string keys.
+key). Name collisions raise. Keys may be integer (partition hash is
+``key % n_coarse``) or string (crc32 partition routing + exact string
+equality verification inside the merge — see hash_join docstring); a
+``salt`` option spreads hot keys across partitions with identical output.
 """
 
 from __future__ import annotations

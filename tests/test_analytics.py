@@ -322,6 +322,23 @@ class TestPropsExtraction:
         assert res["sum_k"].iloc[0] == 5
         assert res["avg_k"].iloc[0] == 5.0
 
+    def test_all_unparsed_group_yields_null_avg(self, ray_session):
+        # SQL 0/0 is NULL; the engine must not emit NaN instead
+        import tempfile
+        import pyarrow.parquet as pqw
+        from mobile_ocr_api_ray.pipelines.analytics import props_k_stats
+        tbl = pa.table({
+            "event_type": pa.array(["a", "b"], pa.string()),
+            "props": pa.array(["nope", '{"k": 3}'], pa.string())})
+        with tempfile.TemporaryDirectory() as d:
+            pqw.write_table(tbl, os.path.join(d, "events.parquet"))
+            ds = props_k_stats(d)
+            # the arrow block itself must carry a NULL, not a NaN
+            blk = pa.concat_tables(
+                list(ds.iter_batches(batch_format="pyarrow")))
+        row_a = blk.filter(pa.compute.equal(blk["event_type"], "a"))
+        assert row_a["avg_k"].null_count == 1
+
 
 class TestHll:
     def test_estimate_within_tolerance(self, ray_session):
