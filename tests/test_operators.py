@@ -646,6 +646,43 @@ class TestHashJoin:
         with pytest.raises(ValueError, match="both"):
             hash_join(l, r, "w", "rk")
 
+    def test_differential_vs_pandas_merge(self, ray_session):
+        # randomized differential: every (how, salt, key-type) mode must
+        # match pandas merge exactly on many-to-many random frames
+        import ray.data
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        rs = np.random.RandomState(11)
+        for trial in range(6):
+            n_l, n_r = rs.randint(5, 120), rs.randint(5, 80)
+            str_keys = trial % 2 == 1
+            lk = rs.randint(0, 25, n_l)
+            rk = rs.randint(0, 30, n_r)
+            if str_keys:
+                lkc = pa.array([f"w{v}" for v in lk], pa.string())
+                rkc = pa.array([f"w{v}" for v in rk], pa.string())
+            else:
+                lkc, rkc = pa.array(lk, pa.int64()), pa.array(rk, pa.int64())
+            lt = ray.data.from_arrow(pa.table({
+                "k": lkc, "a": pa.array(np.arange(n_l), pa.int64())}))
+            rt = ray.data.from_arrow(pa.table({
+                "rk": rkc, "b": pa.array(np.arange(n_r), pa.int64())}))
+            ldf = pd.DataFrame({"k": lkc.to_pylist(), "a": np.arange(n_l)})
+            rdf = pd.DataFrame({"rk": rkc.to_pylist(), "b": np.arange(n_r)})
+            for how in ("inner", "left"):
+                salt = rs.choice([1, 3])
+                got = (hash_join(lt, rt, "k", "rk", how=how, salt=int(salt),
+                                 n_coarse=int(rs.choice([1, 7, 64])))
+                       .to_pandas().sort_values(["k", "a", "b"])
+                       .reset_index(drop=True))
+                want = (ldf.merge(rdf, left_on="k", right_on="rk", how=how)
+                        .drop(columns=["rk"])
+                        .sort_values(["k", "a", "b"]).reset_index(drop=True))
+                assert len(got) == len(want), (trial, how)
+                assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+                assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
+                gb, wb = got["b"].to_numpy(float), want["b"].to_numpy(float)
+                assert ((gb == wb) | (np.isnan(gb) & np.isnan(wb))).all()
+
     def test_salted_equals_unsalted(self, ray_session):
         # hot-key guard: salting must not change the joined row multiset,
         # for inner AND left-outer, on a skewed many-to-many key set
