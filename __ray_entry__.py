@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": a.sample_docs,
         "stratified_sample_docs": a.stratified_sample_docs,
         "per_lang_topk_sample": a.per_lang_topk_sample,
+        "scrub_docs": a.scrub_docs,
         # similarity search (SQL-checked via list_cosine_similarity)
         "ann_brute_topk": a.ann_brute_topk,
         "knn_graph_topk": a.knn_graph_topk,
@@ -322,6 +323,14 @@ def oracle_sql() -> dict[str, str]:
                                                  WHEN 'ind' THEN 50
                                                  ELSE 100 END) // 100 AS UBIGINT)
             ORDER BY doc_id""",
+        # redaction transform: value-exact STRING output, same RE2 pattern
+        "scrub_docs": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(spark|hash)\b', '[REDACTED]', 'g')
+                     AS scrubbed,
+                   cast(length(regexp_extract_all(text, '\b(spark|hash)\b'))
+                        AS BIGINT) AS n_redacted
+            FROM documents ORDER BY doc_id""",
         # fixed-size per-group sample: k smallest md5 hashes per lang
         "per_lang_topk_sample": r"""
             SELECT lang, rnk, doc_id, n_chars FROM (

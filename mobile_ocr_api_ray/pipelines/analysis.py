@@ -144,6 +144,31 @@ def tfidf_top_terms(sf_dir: str, k: int = 5):
         n_coarse=_docs_coarse_hint(sf_dir, 8)).sort(["doc_id", "rank"])
 
 
+SCRUB_PATTERN = r"\b(spark|hash)\b"
+SCRUB_TOKEN = "[REDACTED]"
+
+
+def scrub_docs(sf_dir: str):
+    """Redaction transform (the PII-scrub shape): replace every whole-word
+    match of SCRUB_PATTERN with a redaction token — ONE vectorized RE2
+    replace per batch (pc.replace_substring_regex) plus a vectorized match
+    count. The oracle is DuckDB regexp_replace with the 'g' flag over the
+    SAME pattern, making this a value-exact check of a string TRANSFORM
+    (the other oracles compare aggregates)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "scrubbed": pc.replace_substring_regex(
+                batch["text"], SCRUB_PATTERN, SCRUB_TOKEN),
+            "n_redacted": pc.cast(
+                pc.count_substring_regex(batch["text"], SCRUB_PATTERN),
+                pa.int64())})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(scrub, batch_format="pyarrow").sort("doc_id"))
+
+
 def per_lang_topk_sample(sf_dir: str, k: int = 20):
     """Per-group fixed-size deterministic sample: the k docs per language
     with the smallest md5(doc_id) hash — the 'give me exactly k rows per

@@ -442,3 +442,24 @@ class TestJoins:
             os.path.join(SF, "lineitem.parquet")).metadata.num_rows
         assert res["n_items"].sum() == n_li  # every lineitem has a supplier
         assert res["r_name"].is_monotonic_increasing
+
+
+class TestScrub:
+    def test_redaction_semantics(self, ray_session):
+        import tempfile
+        import pyarrow.parquet as pqw
+        from mobile_ocr_api_ray.pipelines.analysis import scrub_docs
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["spark and hash meet sparkly hashing",
+                              "no match here", "hash hash"], pa.string())})
+        with tempfile.TemporaryDirectory() as d:
+            pqw.write_table(tbl, os.path.join(d, "documents.parquet"))
+            res = scrub_docs(d).to_pandas()
+        # whole words only: 'sparkly'/'hashing' untouched
+        assert res.loc[0, "scrubbed"] == \
+            "[REDACTED] and [REDACTED] meet sparkly hashing"
+        assert res.loc[0, "n_redacted"] == 2
+        assert res.loc[1, "scrubbed"] == "no match here"
+        assert res.loc[1, "n_redacted"] == 0
+        assert res.loc[2, "n_redacted"] == 2
