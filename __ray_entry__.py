@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": x.cohort_retention,
         "props_k_stats": x.props_k_stats,
         "hll_distinct_users": x.hll_distinct_users,
+        "users_click_and_purchase": x.users_click_and_purchase,
+        "viewers_never_purchased": x.viewers_never_purchased,
         "monthly_revenue_growth": x.monthly_revenue_growth,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
@@ -454,6 +456,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate > TIMESTAMP '1998-06-01') l
             ON o_orderkey = l.l_orderkey
             GROUP BY 1 ORDER BY 1""",
+        # set ops over derived key sets
+        "users_click_and_purchase": r"""
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id""",
+        "viewers_never_purchased": r"""
+            SELECT user_id FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id""",
         # JSON field extraction via the same RE2 pattern on both sides
         "props_k_stats": r"""
             WITH p AS (

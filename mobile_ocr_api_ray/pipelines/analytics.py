@@ -603,6 +603,75 @@ def lang_source_rollup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Set operations over derived key sets (INTERSECT / EXCEPT shapes)
+
+
+def _users_by_type_flags(sf_dir: str, types: tuple[str, ...]):
+    """(user_id, has_<t>...) — one bool per event type, built as a
+    conditional-max pivot (per-batch combiner, then a tiny user groupby);
+    the set-op queries below are filters over these flags, so INTERSECT /
+    EXCEPT never shuffle raw events twice."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cols = {"user_id": batch["user_id"]}
+        for t in types:
+            cols[f"has_{t}"] = pa.array((et == t).astype(np.int8))
+        tb = pa.table(cols)
+        g = tb.group_by("user_id").aggregate(
+            [(f"has_{t}", "max") for t in types])
+        return pa.table({"user_id": g["user_id"],
+                         **{f"has_{t}": g[f"has_{t}_max"] for t in types}})
+
+    return (_pq(sf_dir, "events", ["user_id", "event_type"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby("user_id")
+            .aggregate(*[Max(f"has_{t}", alias_name=f"has_{t}")
+                         for t in types]))
+
+
+def users_click_and_purchase(sf_dir: str):
+    """INTERSECT shape: users appearing in BOTH the click and the purchase
+    key sets."""
+    flags = _users_by_type_flags(sf_dir, ("click", "purchase"))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["has_click"], 1),
+                    pc.equal(batch["has_purchase"], 1))
+        return batch.filter(m).select(["user_id"])
+
+    return flags.map_batches(keep, batch_format="pyarrow").sort("user_id")
+
+
+def _nonempty_or_typed_table(ds, cols: "dict[str, pa.DataType]"):
+    """Ray 2.49 drops all-empty blocks, so a Dataset whose every block is
+    empty cannot carry a schema through ``to_pandas()`` no matter what typed
+    unions sit upstream.  Materialize once; if the result has rows keep the
+    Dataset (blocks stay in the object store), else hand back a typed empty
+    ``pa.Table`` so consumers still see the documented columns."""
+    m = ds.materialize()
+    if m.count() == 0:
+        return pa.table({n: pa.array([], t) for n, t in cols.items()})
+    return m
+
+
+def viewers_never_purchased(sf_dir: str):
+    """EXCEPT shape: the view key set minus the purchase key set. On dense
+    synthetic tiers every viewer also purchases, so the result is often
+    EMPTY — see _nonempty_or_typed_table for why that needs a guard."""
+    flags = _users_by_type_flags(sf_dir, ("view", "purchase"))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["has_view"], 1),
+                    pc.equal(batch["has_purchase"], 0))
+        return batch.filter(m).select(["user_id"])
+
+    out = flags.map_batches(keep, batch_format="pyarrow").sort("user_id")
+    return _nonempty_or_typed_table(out, {"user_id": pa.int64()})
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog: approximate count-distinct via mergeable register partials
 
 HLL_P = 12                       # 2^12 registers → ~1.6% standard error

@@ -463,3 +463,33 @@ class TestScrub:
         assert res.loc[1, "scrubbed"] == "no match here"
         assert res.loc[1, "n_redacted"] == 0
         assert res.loc[2, "n_redacted"] == 2
+
+
+class TestSetOps:
+    def test_intersect_except_vs_pandas(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analytics
+        ev = pd.read_parquet(os.path.join(SF, "events.parquet"),
+                             columns=["user_id", "event_type"])
+        by = {t: set(ev.loc[ev.event_type == t, "user_id"])
+              for t in ("click", "purchase", "view")}
+
+        both = analytics.users_click_and_purchase(SF).to_pandas()
+        assert set(both["user_id"]) == by["click"] & by["purchase"]
+        assert both["user_id"].is_monotonic_increasing
+
+        res = analytics.viewers_never_purchased(SF)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        assert list(got.columns) == ["user_id"]
+        assert set(got["user_id"]) == by["view"] - by["purchase"]
+
+    def test_empty_guard_keeps_schema(self, ray_session):
+        import ray.data as rd
+        from mobile_ocr_api_ray.pipelines.analytics import \
+            _nonempty_or_typed_table
+        src = rd.from_arrow(pa.table({"user_id": pa.array([1, 2], pa.int64())}))
+        empty = src.filter(lambda r: False).sort("user_id")
+        out = _nonempty_or_typed_table(empty, {"user_id": pa.int64()})
+        assert isinstance(out, pa.Table)
+        assert out.schema == pa.schema({"user_id": pa.int64()})
+        nonempty = _nonempty_or_typed_table(src, {"user_id": pa.int64()})
+        assert hasattr(nonempty, "to_pandas") and nonempty.count() == 2
