@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters_doubled": a.exact_dup_clusters_doubled,
         "near_dedup_kept_doubled": a.near_dedup_kept_doubled,
         "decontaminate_docs": a.decontaminate_docs,
+        "boilerplate_vocab": a.boilerplate_vocab,
+        "boilerplate_scrubbed_docs": a.boilerplate_scrubbed_docs,
         "langid_docs": a.langid_docs,
         "fingerprint_docs": a.fingerprint_docs,
         "tfidf_top_terms": a.tfidf_top_terms,
@@ -563,6 +565,57 @@ def oracle_sql() -> dict[str, str]:
               FROM grams CROSS JOIN bench b)
             SELECT doc_id, n_hits, n_hits >= 1 AS contaminated
             FROM hits ORDER BY doc_id""",
+        # per-source boilerplate vocabulary: words in >= 9/10 of a source's
+        # docs (integer threshold rule — no float boundary ambiguity);
+        # tokenizer mirrors the engine's whitespace split with empties
+        # dropped, null text contributes no words but counts as a doc
+        "boilerplate_vocab": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(list_filter(
+                         regexp_split_to_array(coalesce(text, ''), '\s+'),
+                         x -> x <> ''))) AS word
+              FROM documents),
+            nd AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY 1)
+            SELECT w.source, word,
+                   count(*) AS n_docs_with,
+                   cast(count(*) AS DOUBLE) / any_value(nd.n_docs) AS doc_frac
+            FROM w JOIN nd ON w.source = nd.source
+            GROUP BY w.source, word
+            HAVING count(*) * 10 >= 9 * any_value(nd.n_docs)
+            ORDER BY 1, 2""",
+        # boilerplate removal: strip each source's vocabulary words and
+        # whitespace-normalize (single-space join), counting removals
+        "boilerplate_scrubbed_docs": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(list_filter(
+                         regexp_split_to_array(coalesce(text, ''), '\s+'),
+                         x -> x <> ''))) AS word
+              FROM documents),
+            nd AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY 1),
+            vocab AS (
+              SELECT w.source, word
+              FROM w JOIN nd ON w.source = nd.source
+              GROUP BY w.source, word
+              HAVING count(*) * 10 >= 9 * any_value(nd.n_docs)),
+            v2 AS (SELECT source, list(word) AS ws FROM vocab GROUP BY 1),
+            split AS (
+              SELECT d.doc_id,
+                     list_filter(regexp_split_to_array(
+                         coalesce(d.text, ''), '\s+'), x -> x <> '') AS toks,
+                     coalesce(v2.ws, []::VARCHAR[]) AS ws
+              FROM documents d LEFT JOIN v2 ON d.source = v2.source)
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(toks, x -> NOT list_contains(ws, x)),
+                       ' ') AS clean_text,
+                   cast(len(toks) - len(list_filter(
+                       toks, x -> NOT list_contains(ws, x))) AS BIGINT)
+                       AS n_removed
+            FROM split ORDER BY doc_id""",
         # connected components over the exact-dup pair graph: the fixpoint
         # label is min(doc_id) per text group — a value-exact oracle for
         # the distributed label-propagation operator

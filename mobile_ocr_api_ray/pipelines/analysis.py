@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -392,6 +393,129 @@ def decontaminate_docs(sf_dir: str, n: int = DECON_NGRAM,
 
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(flag, batch_format="pyarrow").sort("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate vocabulary + removal (CCNet / RefinedWeb-style):
+# a word is "boilerplate" for a source when it appears in >= NUM/DEN of that
+# source's documents — the distributed analogue of stripping nav bars /
+# footers that repeat across a domain's pages. Integer threshold rule
+# (n_with * DEN >= NUM * n_docs) so the engine and the SQL oracle agree at
+# boundaries without float comparisons.
+
+BOILER_NUM = 9
+BOILER_DEN = 10
+
+
+def _word_doc_counts(sf_dir: str):
+    """(source, word, n_docs_with): distinct-per-doc word explode with a
+    per-batch combiner (Arrow group_by inside the batch) so the global
+    (source, word) groupby shuffles pre-aggregated counts, not one row per
+    word occurrence. Tokenizer = Arrow whitespace split with empties
+    dropped — exactly Python str.split() / the oracle's
+    regexp_split_to_array + x <> '' filter."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        mask = pc.not_equal(flat, "")          # Arrow split emits empties
+        tb = pa.table({
+            "source": batch["source"].take(parent.filter(mask)),
+            "word": flat.filter(mask),
+            "parent": parent.filter(mask)})
+        distinct = tb.group_by(["source", "word", "parent"]).aggregate([])
+        g = distinct.group_by(["source", "word"]).aggregate(
+            [("parent", "count")])
+        return pa.table({"source": g["source"], "word": g["word"],
+                         "n": g["parent_count"].cast(pa.int64())})
+
+    return (_docs(sf_dir, ["text", "source"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=8192)
+            .groupby(["source", "word"])
+            .aggregate(Sum("n", alias_name="n_docs_with")))
+
+
+def _source_doc_counts(sf_dir: str) -> dict:
+    """Documents per source, computed distributed then collected — bounded
+    by the number of sources/domains (millions at web scale: still a
+    broadcastable dict, never the corpus itself)."""
+    g = (_docs(sf_dir, ["source"]).groupby("source")
+         .aggregate(Count(alias_name="n_docs")).to_pandas())
+    return dict(zip(g["source"], g["n_docs"].astype(int)))
+
+
+def boilerplate_vocab(sf_dir: str, num: int = BOILER_NUM,
+                      den: int = BOILER_DEN):
+    """(source, word, n_docs_with, doc_frac) for words in >= num/den of a
+    source's docs. The per-source doc counts are a tiny broadcast side;
+    the (source, word) count table streams through the filter."""
+    nd = _source_doc_counts(sf_dir)
+    ref = ray.put(nd)
+    counts = _word_doc_counts(sf_dir)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ndmap = ray.get(ref)
+        n_docs = pa.array(
+            pd.Series(batch["source"].to_pylist()).map(ndmap).to_numpy(),
+            pa.int64())
+        keep = pc.greater_equal(pc.multiply(batch["n_docs_with"],
+                                            pa.scalar(den, pa.int64())),
+                                pc.multiply(n_docs,
+                                            pa.scalar(num, pa.int64())))
+        out = pa.table({
+            "source": batch["source"], "word": batch["word"],
+            "n_docs_with": batch["n_docs_with"],
+            "doc_frac": pc.divide(batch["n_docs_with"].cast(pa.float64()),
+                                  n_docs.cast(pa.float64()))})
+        return out.filter(keep)
+
+    out = counts.map_batches(finalize, batch_format="pyarrow").sort(
+        ["source", "word"])
+    return dedup.nonempty_or_typed_table(out, {
+        "source": pa.string(), "word": pa.string(),
+        "n_docs_with": pa.int64(), "doc_frac": pa.float64()})
+
+
+def boilerplate_scrubbed_docs(sf_dir: str, num: int = BOILER_NUM,
+                              den: int = BOILER_DEN):
+    """(doc_id, clean_text, n_removed): every document with its source's
+    boilerplate vocabulary stripped, whitespace-normalized (join on single
+    spaces — same as ' '.join(text.split())). Vocab is stopword-sized per
+    source, collected once and broadcast via ray.put; the corpus side
+    streams. Membership test is a vectorized isin over a combined
+    source\\x00word key; only the final per-row string join is Python."""
+    v = boilerplate_vocab(sf_dir, num, den)
+    vdf = v.to_pandas()            # Dataset and pa.Table both support this
+    bad_keys = frozenset(vdf["source"] + "\x00" + vdf["word"])
+    ref = ray.put(bad_keys)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        words = pc.utf8_split_whitespace(batch["text"])
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        mask = pc.not_equal(flat, "")
+        flat_np = flat.filter(mask).to_pandas()
+        parent_np = parent.filter(mask).to_numpy()
+        src_np = batch["source"].to_pandas().to_numpy()
+        n = batch.num_rows
+        key = pd.Series(src_np[parent_np]) + "\x00" + flat_np
+        keep = (~key.isin(bad)).to_numpy()
+        n_words = np.bincount(parent_np, minlength=n)
+        kept_words = flat_np.to_numpy()[keep]
+        kept_parent = parent_np[keep]
+        n_kept = np.bincount(kept_parent, minlength=n)
+        offsets = np.concatenate(([0], np.cumsum(n_kept)))
+        texts = [" ".join(kept_words[offsets[i]:offsets[i + 1]])
+                 for i in range(n)]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(texts, pa.string()),
+            "n_removed": pa.array(n_words - n_kept, pa.int64())})
+
+    return (_docs(sf_dir, ["doc_id", "text", "source"])
+            .map_batches(scrub, batch_format="pyarrow").sort("doc_id"))
 
 
 def exact_dup_clusters_doubled(sf_dir: str):

@@ -36,6 +36,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from ..stages.dedup import nonempty_or_typed_table as _nonempty_or_typed_table
 from .relational import _cents as _cents_arr
 from .relational import _pq, _rev_cents
 
@@ -642,18 +643,6 @@ def users_click_and_purchase(sf_dir: str):
         return batch.filter(m).select(["user_id"])
 
     return flags.map_batches(keep, batch_format="pyarrow").sort("user_id")
-
-
-def _nonempty_or_typed_table(ds, cols: "dict[str, pa.DataType]"):
-    """Ray 2.49 drops all-empty blocks, so a Dataset whose every block is
-    empty cannot carry a schema through ``to_pandas()`` no matter what typed
-    unions sit upstream.  Materialize once; if the result has rows keep the
-    Dataset (blocks stay in the object store), else hand back a typed empty
-    ``pa.Table`` so consumers still see the documented columns."""
-    m = ds.materialize()
-    if m.count() == 0:
-        return pa.table({n: pa.array([], t) for n, t in cols.items()})
-    return m
 
 
 def viewers_never_purchased(sf_dir: str):

@@ -198,6 +198,18 @@ N_COARSE = 256  # coarse shuffle partitions for tiny-group workloads
 
 
 
+def nonempty_or_typed_table(ds, cols: "dict[str, pa.DataType]"):
+    """Ray 2.49 drops all-empty blocks, so a Dataset whose every block is
+    empty cannot carry a schema through ``to_pandas()`` no matter what typed
+    unions sit upstream.  Materialize once; if the result has rows keep the
+    Dataset (blocks stay in the object store), else hand back a typed empty
+    ``pa.Table`` so consumers still see the documented columns."""
+    m = ds.materialize()
+    if m.count() == 0:
+        return pa.table({n: pa.array([], t) for n, t in cols.items()})
+    return m
+
+
 def _typed_empty_union(ds, cols: "dict[str, pa.DataType]"):
     """Union a typed empty table into ``ds`` so an all-empty result keeps
     its documented schema (groupby().map_groups over zero rows otherwise

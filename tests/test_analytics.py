@@ -493,3 +493,61 @@ class TestSetOps:
         assert out.schema == pa.schema({"user_id": pa.int64()})
         nonempty = _nonempty_or_typed_table(src, {"user_id": pa.int64()})
         assert hasattr(nonempty, "to_pandas") and nonempty.count() == 2
+
+
+class TestBoilerplate:
+    def _write(self, d, rows):
+        import pyarrow.parquet as pqw
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array([r[0] for r in rows], pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string())})
+        pqw.write_table(tbl, os.path.join(d, "documents.parquet"))
+
+    def test_hand_built_vocab_and_scrub(self, ray_session):
+        import tempfile
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            boilerplate_scrubbed_docs, boilerplate_vocab)
+        # source A: 'nav' in 3/3 docs (boiler at 9/10? 3*10>=9*3 → 30>=27 ✓),
+        # 'foo' in 2/3 (20>=27 ✗). source B: single doc → every word boiler.
+        rows = [("nav foo x", "A"), ("nav  foo", "A"), ("nav y", "A"),
+                ("solo page", "B")]
+        with tempfile.TemporaryDirectory() as d:
+            self._write(d, rows)
+            v = boilerplate_vocab(d)
+            vdf = v.to_pandas()
+            got = set(zip(vdf["source"], vdf["word"]))
+            assert got == {("A", "nav"), ("B", "solo"), ("B", "page")}
+            assert vdf.set_index(["source", "word"]).loc[
+                ("A", "nav"), "doc_frac"] == 1.0
+            s = boilerplate_scrubbed_docs(d).to_pandas()
+            assert list(s["clean_text"]) == ["foo x", "foo", "y", ""]
+            assert list(s["n_removed"]) == [1, 1, 1, 2]
+
+    def test_threshold_boundary_integer_rule(self, ray_session):
+        import tempfile
+        from mobile_ocr_api_ray.pipelines.analysis import boilerplate_vocab
+        # 9/10 of 10 docs = 9 exactly: word in 9 docs IS boiler, in 8 is not
+        rows = [(("w9 " if i < 9 else "") + ("w8 " if i < 8 else "") + "pad",
+                 "S") for i in range(10)]
+        with tempfile.TemporaryDirectory() as d:
+            self._write(d, rows)
+            vdf = boilerplate_vocab(d).to_pandas()
+            words = set(vdf["word"])
+            assert "w9" in words and "pad" in words and "w8" not in words
+
+    def test_sf_tier_vs_pandas(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import boilerplate_vocab
+        docs = pd.read_parquet(os.path.join(SF, "documents.parquet"),
+                               columns=["doc_id", "text", "source"])
+        expl = docs.assign(word=docs["text"].fillna("").str.split()) \
+                   .explode("word").dropna(subset=["word"])
+        expl = expl.drop_duplicates(["doc_id", "word"])
+        cnt = expl.groupby(["source", "word"]).size().rename("n")
+        nd = docs.groupby("source").size().rename("nd")
+        j = cnt.reset_index().merge(nd.reset_index(), on="source")
+        want = j[j["n"] * 10 >= 9 * j["nd"]]
+        v = boilerplate_vocab(SF)
+        vdf = v.to_pandas() if hasattr(v, "to_pandas") else v
+        assert set(zip(vdf["source"], vdf["word"])) == \
+            set(zip(want["source"], want["word"]))
