@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": x.hll_distinct_users,
         "users_click_and_purchase": x.users_click_and_purchase,
         "viewers_never_purchased": x.viewers_never_purchased,
+        "latest_event_per_user": x.latest_event_per_user,
         "monthly_revenue_growth": x.monthly_revenue_growth,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
@@ -113,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages_dedup": a.extract_pages_dedup,
         "extract_lang_stats": a.extract_lang_stats,
         # pages / structure / multimodal (rows-only checks)
+        "latest_capture_per_url": a.latest_capture_per_url,
+        "domain_page_stats": a.domain_page_stats,
         "pdf_page_rows": a.pdf_page_rows,
         "doc_structure_stats": a.doc_structure_stats,
         "image_meta": a.image_meta,
@@ -458,6 +461,16 @@ def oracle_sql() -> dict[str, str]:
               WHERE l_shipdate > TIMESTAMP '1998-06-01') l
             ON o_orderkey = l.l_orderkey
             GROUP BY 1 ORDER BY 1""",
+        # argmax-row dedup: the newest event per user under the total
+        # order (ts DESC, event_id DESC) — value-exact check of the
+        # generic latest_rows_per_key capture-dedup operator
+        "latest_event_per_user": r"""
+            SELECT event_id, ts, user_id, event_type, value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id""",
         # set ops over derived key sets
         "users_click_and_purchase": r"""
             SELECT user_id FROM events WHERE event_type = 'click'

@@ -16,11 +16,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 from .. import corpus
 from ..functions.textproc import compression_ratio, summarize
-from ..stages import dedup, similarity, text_analysis
+from ..stages import crawl, dedup, similarity, text_analysis
 from . import reads
 from .extract import extract_pipeline, extract_pipeline_dedup, read_pages
 
@@ -739,6 +739,81 @@ def audio_features(sf_dir: str):
     out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
                          batch_size=128, concurrency=4, num_cpus=0.5)
     return out.sort("url")
+
+
+RECRAWL_SHIFT_US = 7 * 24 * 3600 * 1_000_000  # recrawl 7 days later
+
+
+def latest_capture_per_url(sf_dir: str):
+    """Capture dedup over a simulated recrawl: pages ∪ (same urls, warc_ts
+    + 7 days, crawl_gen 2) → exactly one row per url, the newest capture.
+    The two-stage partial argmax (stages/crawl.py) means the union's rows
+    shrink per batch before the url-hash shuffle — at k captures/url the
+    exchange carries ~1/k of the crawl. Every surviving row must be gen 2
+    by construction; the pandas-differential test checks exactly that."""
+    d = _pages_dir_for(sf_dir)
+    base = read_pages(os.path.join(d, "pages.parquet"),
+                      columns=["url", "warc_ts", "lang"])
+
+    def gen(g: int, shift_us: int):
+        def tag(batch: pa.Table) -> pa.Table:
+            ts = pc.add(batch["warc_ts"].cast(pa.int64()),
+                        pa.scalar(shift_us, pa.int64()))
+            return pa.table({
+                "url": batch["url"],
+                "warc_ts": ts.cast(pa.timestamp("us")),
+                "lang": batch["lang"],
+                "crawl_gen": pa.array(
+                    np.full(batch.num_rows, g, np.int64))})
+        return tag
+
+    ds = (base.map_batches(gen(1, 0), batch_format="pyarrow")
+          .union(base.map_batches(gen(2, RECRAWL_SHIFT_US),
+                                  batch_format="pyarrow")))
+    out = crawl.latest_rows_per_key(ds, "url", ["warc_ts", "crawl_gen"],
+                                    n_coarse=_docs_coarse_hint(sf_dir, 2))
+    return out.sort("url")
+
+
+def domain_page_stats(sf_dir: str):
+    """Per-domain crawl rollup: page count, raw html bytes, newest capture
+    — host extracted from the url with one vectorized RE2 per batch, a
+    per-batch combiner (Arrow group_by inside the batch), then one domain
+    groupby over pre-aggregated rows. Ray's native Max degrades timestamp
+    values to second resolution (measured, see memory), so the max rides
+    as int64 µs and is cast back after the aggregate."""
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html", "warc_ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = pa.table({
+            "domain": crawl.host_of(batch["url"]),
+            "b": pc.binary_length(batch["html"]).cast(pa.int64()),
+            "ts_us": batch["warc_ts"].cast(pa.int64())})
+        g = tb.group_by("domain").aggregate(
+            [("b", "sum"), ("b", "count"), ("ts_us", "max")])
+        return pa.table({
+            "domain": g["domain"],
+            "total_html_bytes": g["b_sum"],
+            "n_pages": g["b_count"].cast(pa.int64()),
+            "ts_us": g["ts_us_max"]})
+
+    agg = (pages.map_batches(partial, batch_format="pyarrow")
+           .groupby("domain")
+           .aggregate(Sum("total_html_bytes", alias_name="total_html_bytes"),
+                      Sum("n_pages", alias_name="n_pages"),
+                      Max("ts_us", alias_name="ts_us")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "domain": batch["domain"],
+            "n_pages": batch["n_pages"],
+            "total_html_bytes": batch["total_html_bytes"],
+            "last_capture": batch["ts_us"].cast(pa.int64())
+                                          .cast(pa.timestamp("us"))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("domain")
 
 
 def extract_lang_stats(sf_dir: str):

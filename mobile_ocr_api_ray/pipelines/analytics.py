@@ -660,6 +660,21 @@ def viewers_never_purchased(sf_dir: str):
     return _nonempty_or_typed_table(out, {"user_id": pa.int64()})
 
 
+def latest_event_per_user(sf_dir: str):
+    """Argmax-row dedup: each user's single most recent event, total order
+    (ts, event_id). Runs the generic crawl.latest_rows_per_key two-stage
+    partial argmax — the same operator that dedups multi-capture crawl
+    tables by url (analysis.latest_capture_per_url); here its fixpoint is
+    SQL-expressible (row_number window) so the driver value-checks it."""
+    from ..stages.crawl import latest_rows_per_key
+
+    ev = _pq(sf_dir, "events",
+             ["event_id", "ts", "user_id", "event_type", "value"])
+    out = latest_rows_per_key(ev, "user_id", ["ts", "event_id"],
+                              n_coarse=_coarse_events(sf_dir))
+    return out.sort("user_id")
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog: approximate count-distinct via mergeable register partials
 

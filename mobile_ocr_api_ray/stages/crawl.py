@@ -1,0 +1,71 @@
+"""Web-crawl table operators: capture dedup (latest row per key) and
+vectorized URL → host extraction.
+
+A Common-Crawl-style pages table accumulates multiple captures of the same
+url across crawls; downstream extraction wants exactly one row per url —
+the newest capture. This is the batch analogue of the reference service's
+one-result-per-upload session store (newer uploads under the same id
+replace older state, /root/reference/app.py:282-304): re-expressed as a
+distributed argmax-per-key instead of a mutable dict.
+
+``latest_rows_per_key`` is two-stage partial aggregation, NOT a global
+sort: each batch first argmax-reduces locally (rows shrink to at most the
+batch's distinct keys before anything shuffles — on a crawl table with k
+captures/url the shuffle carries ~1/k of the input), then one coarse-key
+groupby resolves across batches. Payload columns ride the shuffle only for
+the locally-surviving rows. Keys may be integers (partition hash = key %
+n_coarse) or strings (crc32 routing, same convention as stages/joins).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/?#]+)"
+
+
+def host_of(urls: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Vectorized url → lowercase host (one RE2 extract per batch; rows
+    without a scheme://host prefix yield null)."""
+    ex = pc.extract_regex(urls, _HOST_RE)
+    return pc.utf8_lower(pc.struct_field(ex, "host"))
+
+
+def _argmax_block(df: pd.DataFrame, key: str,
+                  order_by: list[str]) -> pd.DataFrame:
+    d = df.sort_values([key, *order_by],
+                       ascending=[True] + [False] * len(order_by),
+                       kind="mergesort")
+    return d.drop_duplicates(key, keep="first")
+
+
+def latest_rows_per_key(ds, key: str, order_by: list[str],
+                        n_coarse: int = 64):
+    """Keep, for every ``key``, the single row with the greatest
+    ``order_by`` tuple. ``order_by`` must be a total order within a key
+    (include a unique tiebreaker column, e.g. ``["ts", "event_id"]``) or
+    the surviving row is partition-dependent."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = _argmax_block(df, key, order_by)
+        k = d[key]
+        if k.dtype == object or pd.api.types.is_string_dtype(k):
+            coarse = np.fromiter(
+                (zlib.crc32(s.encode()) if s is not None else 0
+                 for s in k),
+                np.int64, len(k)) % n_coarse
+        else:
+            coarse = k.to_numpy().astype(np.int64) % n_coarse
+        return d.assign(_coarse=coarse.astype(np.int32))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        return _argmax_block(df, key, order_by).drop(columns="_coarse")
+
+    return (ds.map_batches(partial, batch_format="pandas")
+              .groupby("_coarse")
+              .map_groups(resolve, batch_format="pandas"))

@@ -1,0 +1,109 @@
+"""stages/crawl.py — capture dedup (latest row per key) and url → host
+extraction: hand-built argmax vectors, string-key routing, partition
+invariance, and pandas recomputes of the two crawl queries."""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestHostOf:
+    def test_vectors(self, ray_session):
+        from mobile_ocr_api_ray.stages.crawl import host_of
+        urls = pa.array([
+            "https://Site01.Example/p/x",
+            "http://a.b.c:8080/q?x=1",
+            "ftp://host/f",
+            "not a url",
+            None])
+        got = host_of(urls).to_pylist()
+        assert got == ["site01.example", "a.b.c:8080", "host", None, None]
+
+
+class TestLatestRowsPerKey:
+    def _run(self, tbl, key, order_by, nc=4):
+        import ray.data as rd
+        from mobile_ocr_api_ray.stages.crawl import latest_rows_per_key
+        return (latest_rows_per_key(rd.from_arrow(tbl), key, order_by,
+                                    n_coarse=nc)
+                .to_pandas().sort_values(key).reset_index(drop=True))
+
+    def test_int_key_argmax_with_tiebreak(self, ray_session):
+        tbl = pa.table({
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([10, 30, 30, 5, 5], pa.int64()),
+            "uid": pa.array([100, 101, 102, 200, 201], pa.int64())})
+        got = self._run(tbl, "k", ["ts", "uid"])
+        # k=1: ts tie at 30 → uid 102 wins; k=2: ts tie → uid 201
+        assert list(got["uid"]) == [102, 201]
+
+    def test_string_key(self, ray_session):
+        tbl = pa.table({
+            "url": pa.array(["a", "b", "a", "c", "b"]),
+            "ts": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([0, 1, 2, 3, 4], pa.int64())})
+        got = self._run(tbl, "url", ["ts"])
+        assert list(got["url"]) == ["a", "b", "c"]
+        assert list(got["v"]) == [2, 4, 3]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+        from mobile_ocr_api_ray.stages.crawl import latest_rows_per_key
+        rng = np.random.RandomState(7)
+        n = 2000
+        tbl = pa.table({
+            "k": pa.array(rng.randint(0, 200, n), pa.int64()),
+            "ts": pa.array(rng.randint(0, 10**6, n), pa.int64()),
+            "rid": pa.array(np.arange(n), pa.int64())})
+        want = (tbl.to_pandas()
+                .sort_values(["k", "ts", "rid"], ascending=[True, False, False])
+                .drop_duplicates("k").sort_values("k").reset_index(drop=True))
+        for nblocks in (1, 7, 64):
+            ds = rd.from_arrow(tbl).repartition(nblocks)
+            got = (latest_rows_per_key(ds, "k", ["ts", "rid"], n_coarse=8)
+                   .to_pandas().sort_values("k").reset_index(drop=True))
+            pd.testing.assert_frame_equal(got[["k", "ts", "rid"]],
+                                          want[["k", "ts", "rid"]])
+
+
+class TestCrawlQueries:
+    def test_latest_capture_all_gen2(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            _pages_dir_for, latest_capture_per_url)
+        res = latest_capture_per_url(SF)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        import pyarrow.parquet as pq
+        d = _pages_dir_for(SF)
+        n_urls = sum(pq.read_metadata(os.path.join(d, "pages.parquet", f))
+                     .num_rows
+                     for f in os.listdir(os.path.join(d, "pages.parquet"))
+                     if f.endswith(".parquet"))
+        assert len(df) == n_urls and df["url"].is_unique
+        assert set(df["crawl_gen"]) == {2}
+
+    def test_domain_stats_vs_pandas(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            _pages_dir_for, domain_page_stats)
+        d = _pages_dir_for(SF)
+        raw = pd.read_parquet(os.path.join(d, "pages.parquet"),
+                              columns=["url", "html", "warc_ts"])
+        raw["domain"] = raw["url"].str.extract(
+            r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)")[0].str.lower()
+        raw["b"] = raw["html"].map(len)
+        want = raw.groupby("domain").agg(
+            n_pages=("b", "size"), total_html_bytes=("b", "sum"),
+            last_capture=("warc_ts", "max")).reset_index()
+        got = domain_page_stats(SF).to_pandas()
+        pd.testing.assert_frame_equal(
+            got.sort_values("domain").reset_index(drop=True),
+            want.sort_values("domain").reset_index(drop=True)
+                [["domain", "n_pages", "total_html_bytes", "last_capture"]],
+            check_dtype=False)
