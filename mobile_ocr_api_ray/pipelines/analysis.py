@@ -411,12 +411,13 @@ def _word_doc_counts(sf_dir: str):
     """(source, word, n_docs_with): distinct-per-doc word explode with a
     per-batch combiner (Arrow group_by inside the batch) so the global
     (source, word) groupby shuffles pre-aggregated counts, not one row per
-    word occurrence. Tokenizer = Arrow whitespace split with empties
-    dropped — exactly Python str.split() / the oracle's
-    regexp_split_to_array + x <> '' filter."""
+    word occurrence. Tokenizer = RE2 ``\\s+`` split with empties dropped —
+    the SAME regex engine and pattern as the oracle's
+    regexp_split_to_array (Arrow's utf8_split_whitespace would split on
+    Unicode whitespace like NBSP that RE2 ``\\s`` does not)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        words = pc.utf8_split_whitespace(batch["text"])
+        words = pc.split_pattern_regex(batch["text"], r"\s+")
         flat = pc.list_flatten(words)
         parent = pc.list_parent_indices(words)
         mask = pc.not_equal(flat, "")          # Arrow split emits empties
@@ -445,11 +446,10 @@ def _source_doc_counts(sf_dir: str) -> dict:
     return dict(zip(g["source"], g["n_docs"].astype(int)))
 
 
-def boilerplate_vocab(sf_dir: str, num: int = BOILER_NUM,
-                      den: int = BOILER_DEN):
-    """(source, word, n_docs_with, doc_frac) for words in >= num/den of a
-    source's docs. The per-source doc counts are a tiny broadcast side;
-    the (source, word) count table streams through the filter."""
+def _boiler_counts(sf_dir: str, num: int, den: int):
+    """Filtered (source, word, n_docs_with, doc_frac) rows, UNSORTED and
+    unguarded — the shared core of vocab (adds sort + empty guard) and
+    scrub (collapses to a key set, needs neither)."""
     nd = _source_doc_counts(sf_dir)
     ref = ray.put(nd)
     counts = _word_doc_counts(sf_dir)
@@ -470,8 +470,15 @@ def boilerplate_vocab(sf_dir: str, num: int = BOILER_NUM,
                                   n_docs.cast(pa.float64()))})
         return out.filter(keep)
 
-    out = counts.map_batches(finalize, batch_format="pyarrow").sort(
-        ["source", "word"])
+    return counts.map_batches(finalize, batch_format="pyarrow")
+
+
+def boilerplate_vocab(sf_dir: str, num: int = BOILER_NUM,
+                      den: int = BOILER_DEN):
+    """(source, word, n_docs_with, doc_frac) for words in >= num/den of a
+    source's docs. The per-source doc counts are a tiny broadcast side;
+    the (source, word) count table streams through the filter."""
+    out = _boiler_counts(sf_dir, num, den).sort(["source", "word"])
     return dedup.nonempty_or_typed_table(out, {
         "source": pa.string(), "word": pa.string(),
         "n_docs_with": pa.int64(), "doc_frac": pa.float64()})
@@ -485,14 +492,16 @@ def boilerplate_scrubbed_docs(sf_dir: str, num: int = BOILER_NUM,
     source, collected once and broadcast via ray.put; the corpus side
     streams. Membership test is a vectorized isin over a combined
     source\\x00word key; only the final per-row string join is Python."""
-    v = boilerplate_vocab(sf_dir, num, den)
-    vdf = v.to_pandas()            # Dataset and pa.Table both support this
-    bad_keys = frozenset(vdf["source"] + "\x00" + vdf["word"])
+    vdf = _boiler_counts(sf_dir, num, den).to_pandas()
+    if vdf.empty or "source" not in vdf.columns:   # all-empty block drop
+        bad_keys: frozenset = frozenset()
+    else:
+        bad_keys = frozenset(vdf["source"] + "\x00" + vdf["word"])
     ref = ray.put(bad_keys)
 
     def scrub(batch: pa.Table) -> pa.Table:
         bad = ray.get(ref)
-        words = pc.utf8_split_whitespace(batch["text"])
+        words = pc.split_pattern_regex(batch["text"], r"\s+")
         flat = pc.list_flatten(words)
         parent = pc.list_parent_indices(words)
         mask = pc.not_equal(flat, "")

@@ -642,7 +642,8 @@ def users_click_and_purchase(sf_dir: str):
                     pc.equal(batch["has_purchase"], 1))
         return batch.filter(m).select(["user_id"])
 
-    return flags.map_batches(keep, batch_format="pyarrow").sort("user_id")
+    out = flags.map_batches(keep, batch_format="pyarrow").sort("user_id")
+    return _nonempty_or_typed_table(out, {"user_id": pa.int64()})
 
 
 def viewers_never_purchased(sf_dir: str):

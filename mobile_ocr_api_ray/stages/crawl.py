@@ -66,6 +66,28 @@ def latest_rows_per_key(ds, key: str, order_by: list[str],
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         return _argmax_block(df, key, order_by).drop(columns="_coarse")
 
-    return (ds.map_batches(partial, batch_format="pandas")
-              .groupby("_coarse")
-              .map_groups(resolve, batch_format="pandas"))
+    out = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("_coarse")
+             .map_groups(resolve, batch_format="pandas"))
+
+    # Unpopulated coarse partitions come back as schema-less empty blocks
+    # (the repo's empty-dataset schema-erosion trap): prepend a typed empty
+    # table with the input's schema so downstream sorts keep the contract.
+    empty = _typed_empty_like(ds)
+    return out if empty is None else empty.union(out)
+
+
+def _typed_empty_like(ds):
+    """A 0-row Dataset carrying ``ds``'s Arrow schema, or None when the
+    schema is unavailable / not Arrow-typed (pandas-block inputs)."""
+    import ray.data as rd
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        cols = {}
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                return None
+            cols[n] = pa.array([], t)
+        return rd.from_arrow(pa.table(cols))
+    except Exception:
+        return None

@@ -107,3 +107,12 @@ class TestCrawlQueries:
             want.sort_values("domain").reset_index(drop=True)
                 [["domain", "n_pages", "total_html_bytes", "last_capture"]],
             check_dtype=False)
+
+    def test_empty_input_keeps_schema(self, ray_session):
+        import ray.data as rd
+        from mobile_ocr_api_ray.stages.crawl import latest_rows_per_key
+        tbl = pa.table({"k": pa.array([], pa.int64()),
+                        "ts": pa.array([], pa.int64())})
+        out = latest_rows_per_key(rd.from_arrow(tbl), "k", ["ts"], n_coarse=4)
+        sch = out.schema()
+        assert sch is not None and set(sch.names) == {"k", "ts"}
