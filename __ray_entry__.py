@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": a.token_counts_docs,
         "quality_scores": a.quality_docs,
         "quality_filtered": a.quality_filtered,
+        "quality_median_filtered": a.quality_median_filtered,
+        "label_centroids": a.label_centroids,
         "word_freq_top": a.word_freq_top,
         "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
@@ -314,6 +316,45 @@ def oracle_sql() -> dict[str, str]:
               FROM f)
             SELECT doc_id, n_words, quality_score FROM q
             WHERE quality_score >= 0.5 AND n_words >= 20 ORDER BY doc_id""",
+        # per-language median-quality gate: quantile_disc(0.5) is an
+        # ACTUAL score element (sorted[ceil(q*n)-1]), so the >= compare
+        # agrees bit-for-bit with the engine's broadcast medians
+        "quality_median_filtered": rf"""
+            WITH c AS (
+              SELECT doc_id, lang,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '\S+')) AS n_words,
+                     length(regexp_extract_all(lower(text), '\w+')) AS n_tokens,
+                     length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     length(regexp_extract_all(lower(text), '{alt}')) AS n_stop
+              FROM documents),
+            f AS (
+              SELECT doc_id, lang, n_words,
+                     cast(n_stop AS DOUBLE) / greatest(cast(n_tokens AS DOUBLE), 1.0) AS stopword_frac,
+                     cast(n_punct AS DOUBLE) / greatest(cast(n_chars AS DOUBLE), 1.0) AS punct_frac
+              FROM c),
+            s AS (
+              SELECT doc_id, lang,
+                     (least(cast(n_words AS DOUBLE)/50.0, 1.0)*0.4 + stopword_frac*0.3)
+                     + ((1.0 - least(punct_frac*5.0, 1.0))*0.3) AS quality_score
+              FROM f),
+            m AS (SELECT lang, quantile_disc(quality_score, 0.5) AS med
+                  FROM s GROUP BY 1)
+            SELECT s.doc_id, s.lang, s.quality_score
+            FROM s JOIN m ON s.lang = m.lang
+            WHERE s.quality_score >= m.med ORDER BY s.doc_id""",
+        # per-label embedding centroids, long format: float32 components
+        # summed in float64 are exact, so avg matches the engine's
+        # distributed partial sums bit-for-bit
+        "label_centroids": r"""
+            WITH d AS (SELECT unnest(range(1, (SELECT max(len(embedding))
+                                              FROM embeddings) + 1)) AS i)
+            SELECT cast(e.label AS BIGINT) AS label,
+                   cast(d.i - 1 AS BIGINT) AS dim,
+                   avg(cast(e.embedding[d.i] AS DOUBLE)) AS centroid,
+                   count(*) AS n_vectors
+            FROM embeddings e CROSS JOIN d
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         # deterministic hash sampling: md5(doc_id) first 8 hex digits under
         # 10% of the 32-bit space — identical md5 on both sides
         "sample_docs": r"""

@@ -527,6 +527,105 @@ def boilerplate_scrubbed_docs(sf_dir: str, num: int = BOILER_NUM,
             .map_batches(scrub, batch_format="pyarrow").sort("doc_id"))
 
 
+def quality_median_filtered(sf_dir: str):
+    """Per-language median-quality gate: keep documents whose
+    quality_score >= their language's median, the discrete quantile rule
+    sorted[ceil(0.5*n)-1] (DuckDB quantile_disc — an actual element, so
+    the >= comparison agrees bit-for-bit with the oracle).
+
+    The scored projection (doc_id, lang, quality_score) is materialized
+    ONCE and consumed twice (medians + filter) — the multi-consumer
+    lineage rule; it is ~50× narrower than the corpus, so the
+    materialization is bounded. Per-lang medians come from a per-lang
+    group sort (lang cardinality is tiny; the 100 TB path swaps the group
+    fn for a distributed sort / t-digest, same seam as
+    analytics.event_value_quantiles) and broadcast as a dict."""
+    def score(b: pa.Table) -> pa.Table:
+        q = text_analysis.quality_scores(b)     # _emit keeps doc_id only
+        return pa.table({"doc_id": q["doc_id"], "lang": b["lang"],
+                         "quality_score": q["quality_score"]})
+
+    scored = (_docs(sf_dir, ["doc_id", "text", "lang"])
+              .map_batches(score, batch_format="pyarrow")
+              .materialize())
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["quality_score"].to_numpy())
+        idx = max(int(np.ceil(0.5 * len(v))) - 1, 0)
+        return pd.DataFrame([{"lang": df["lang"].iloc[0],
+                              "median_score": v[idx]}])
+
+    meds = scored.groupby("lang").map_groups(med, batch_format="pandas") \
+                 .to_pandas()
+    mmap = dict(zip(meds["lang"], meds["median_score"]))
+    ref = ray.put(mmap)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mm = ray.get(ref)
+        thr = pa.array(
+            pd.Series(batch["lang"].to_pylist()).map(mm).to_numpy(),
+            pa.float64())
+        return batch.filter(
+            pc.greater_equal(batch["quality_score"], thr))
+
+    return scored.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid in long format (label, dim, centroid,
+    n_vectors): per-batch numpy partial sums (labels × dim rows per batch,
+    independent of row count) → one (label, dim) groupby over
+    pre-aggregated partials → divide.
+
+    float32 components summed in float64 are EXACT (24-bit mantissas with
+    bounded exponent spread: every partial sum is representable), so the
+    distributed sum is order-independent and the mean is bit-identical to
+    DuckDB's avg regardless of partitioning."""
+    emb = reads.read_small_aware(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks() \
+            if isinstance(batch["embedding"], pa.ChunkedArray) \
+            else batch["embedding"]
+        n = len(col)
+        if n == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "c": pa.array([], pa.int64())})
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        dim = len(flat) // n
+        mat = flat.reshape(n, dim)
+        labels = batch["label"].to_numpy(zero_copy_only=False) \
+                               .astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(uniq)), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "c": pa.array(np.repeat(counts, dim), pa.int64())})
+
+    agg = (emb.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": batch["label"], "dim": batch["dim"],
+            "centroid": pc.divide(batch["s"],
+                                  batch["c"].cast(pa.float64())),
+            "n_vectors": batch["c"]})
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+              .sort(["label", "dim"])
+
+
 def exact_dup_clusters_doubled(sf_dir: str):
     """Connected components over the EXACT-duplicate pair graph — the same
     distributed label-propagation operator as dup_clusters_doubled, but fed

@@ -551,3 +551,44 @@ class TestBoilerplate:
         vdf = v.to_pandas() if hasattr(v, "to_pandas") else v
         assert set(zip(vdf["source"], vdf["word"])) == \
             set(zip(want["source"], want["word"]))
+
+
+class TestQualityMedianFilter:
+    def test_vs_pandas(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            quality_median_filtered)
+        from mobile_ocr_api_ray.stages.text_analysis import quality_scores
+        docs = pa.table(pd.read_parquet(
+            os.path.join(SF, "documents.parquet"),
+            columns=["doc_id", "text", "lang"]))
+        q = quality_scores(docs).to_pandas()
+        q["lang"] = docs["lang"].to_pandas()
+        meds = {}
+        for lang, g in q.groupby("lang"):
+            v = np.sort(g["quality_score"].to_numpy())
+            meds[lang] = v[max(int(np.ceil(0.5 * len(v))) - 1, 0)]
+        want = q[q.apply(
+            lambda r: r["quality_score"] >= meds[r["lang"]], axis=1)]
+        got = quality_median_filtered(SF).to_pandas()
+        assert set(got["doc_id"]) == set(want["doc_id"])
+        # every lang keeps at least half its docs (median rule)
+        kept = got.groupby("lang").size()
+        total = q.groupby("lang").size()
+        for lang in total.index:
+            assert kept.get(lang, 0) * 2 >= total[lang]
+
+
+class TestLabelCentroids:
+    def test_vs_numpy_and_partition_invariance(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import label_centroids
+        raw = pd.read_parquet(os.path.join(SF, "embeddings.parquet"))
+        M = np.stack(raw["embedding"].to_numpy()).astype(np.float64)
+        got = label_centroids(SF).to_pandas()
+        for lab, g in raw.groupby("label"):
+            want = M[g.index].mean(axis=0)
+            sub = got[got["label"] == lab].sort_values("dim")
+            assert len(sub) == M.shape[1]
+            # float32 inputs summed in float64: exact, so allclose is tight
+            np.testing.assert_allclose(sub["centroid"].to_numpy(), want,
+                                       rtol=0, atol=1e-12)
+            assert (sub["n_vectors"] == len(g)).all()
