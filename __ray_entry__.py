@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_and_purchase": x.users_click_and_purchase,
         "viewers_never_purchased": x.viewers_never_purchased,
         "latest_event_per_user": x.latest_event_per_user,
+        "sliding_event_counts": x.sliding_event_counts,
         "monthly_revenue_growth": x.monthly_revenue_growth,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filtered": a.quality_filtered,
         "quality_median_filtered": a.quality_median_filtered,
         "label_centroids": a.label_centroids,
+        "repetition_stats": a.repetition_stats,
         "word_freq_top": a.word_freq_top,
         "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
@@ -316,6 +318,50 @@ def oracle_sql() -> dict[str, str]:
               FROM f)
             SELECT doc_id, n_words, quality_score FROM q
             WHERE quality_score >= 0.5 AND n_words >= 20 ORDER BY doc_id""",
+        # Gopher-style within-doc repetition metrics; bigrams are
+        # space-joined adjacent pairs (words cannot contain spaces), the
+        # same encoding as the engine's vectorized kernel
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '\s+'), x -> x <> '') AS w
+              FROM documents),
+            base AS (
+              SELECT doc_id, w, len(w) AS n_words,
+                     len(list_distinct(w)) AS n_distinct_words,
+                     CASE WHEN len(w) >= 2
+                          THEN [w[i] || ' ' || w[i+1]
+                                FOR i IN range(1, len(w))]
+                          ELSE []::VARCHAR[] END AS g2
+              FROM toks),
+            tw AS (
+              SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+                GROUP BY doc_id, word)
+              GROUP BY doc_id)
+            SELECT b.doc_id,
+                   cast(b.n_words AS BIGINT) AS n_words,
+                   cast(b.n_distinct_words AS BIGINT) AS n_distinct_words,
+                   cast(coalesce(tw.top_c, 0) AS DOUBLE)
+                       / greatest(cast(b.n_words AS DOUBLE), 1.0)
+                       AS top_word_frac,
+                   cast(len(b.g2) - len(list_distinct(b.g2)) AS DOUBLE)
+                       / greatest(cast(len(b.g2) AS DOUBLE), 1.0)
+                       AS dup_2gram_frac
+            FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id
+            ORDER BY b.doc_id""",
+        # hopping window (3 h size, 1 h hop): every event lands in the 3
+        # windows covering it; sums ride as exact integer cents
+        "sliding_event_counts": r"""
+            SELECT date_trunc('hour', ts) - to_hours(o.off) AS window_start,
+                   count(*) AS n_events,
+                   sum(cast(round(value*100, 0) AS BIGINT))/100.0
+                       AS sum_value
+            FROM events
+            CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) o
+            GROUP BY 1 ORDER BY 1""",
         # per-language median-quality gate: quantile_disc(0.5) is an
         # ACTUAL score element (sorted[ceil(q*n)-1]), so the >= compare
         # agrees bit-for-bit with the engine's broadcast medians

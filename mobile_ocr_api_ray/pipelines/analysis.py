@@ -527,6 +527,59 @@ def boilerplate_scrubbed_docs(sf_dir: str, num: int = BOILER_NUM,
             .map_batches(scrub, batch_format="pyarrow").sort("doc_id"))
 
 
+def repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition metrics: (doc_id, n_words,
+    n_distinct_words, top_word_frac, dup_2gram_frac). Fully vectorized per
+    batch — one RE2 split, flat (parent, word) frames, pandas groupby for
+    per-doc counts, adjacency mask for bigrams (space-joined, the same
+    pair encoding as the SQL oracle; words cannot contain spaces). Purely
+    per-row → embarrassingly parallel, no shuffle."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        words = pc.split_pattern_regex(batch["text"], r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        mask = pc.not_equal(flat, "")
+        w = flat.filter(mask).to_numpy(zero_copy_only=False)
+        p = parent.filter(mask).to_numpy()
+        n_words = np.bincount(p, minlength=n)
+
+        s = pd.DataFrame({"p": p, "w": w})
+        cnt = s.groupby(["p", "w"], sort=False).size()
+        top = np.zeros(n, np.int64)
+        dis = np.zeros(n, np.int64)
+        if len(cnt):
+            t = cnt.groupby(level=0).max()
+            d = cnt.groupby(level=0).size()
+            top[t.index] = t.to_numpy()
+            dis[d.index] = d.to_numpy()
+
+        adj = p[1:] == p[:-1] if len(p) > 1 else np.array([], bool)
+        gp = p[:-1][adj] if len(p) > 1 else np.array([], np.int64)
+        n_g2 = np.bincount(gp, minlength=n)
+        dis_g2 = np.zeros(n, np.int64)
+        if len(gp):
+            g2 = pd.Series(w[:-1][adj]) + " " + pd.Series(w[1:][adj])
+            gd = pd.DataFrame({"p": gp, "g": g2.to_numpy()}) \
+                   .drop_duplicates().groupby("p").size()
+            dis_g2[gd.index] = gd.to_numpy()
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct_words": pa.array(dis, pa.int64()),
+            "top_word_frac": pa.array(
+                top.astype(np.float64) /
+                np.maximum(n_words, 1).astype(np.float64), pa.float64()),
+            "dup_2gram_frac": pa.array(
+                (n_g2 - dis_g2).astype(np.float64) /
+                np.maximum(n_g2, 1).astype(np.float64), pa.float64())})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(stats, batch_format="pyarrow").sort("doc_id"))
+
+
 def quality_median_filtered(sf_dir: str):
     """Per-language median-quality gate: keep documents whose
     quality_score >= their language's median, the discrete quantile rule

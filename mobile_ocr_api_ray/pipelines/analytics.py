@@ -676,6 +676,54 @@ def latest_event_per_user(sf_dir: str):
     return out.sort("user_id")
 
 
+HOP_WINDOW_HOURS = 3
+
+
+def sliding_event_counts(sf_dir: str, window_hours: int = HOP_WINDOW_HOURS):
+    """Hopping event-time window (size ``window_hours``, hop 1 h): every
+    event contributes to the ``window_hours`` windows covering it — a
+    vectorized fan-out (tile the batch once per offset, int64-µs window
+    arithmetic) feeding a per-batch combiner, then ONE window groupby over
+    pre-aggregated rows. Value sums ride as exact integer cents
+    (relational.events_hourly discipline) so the distributed float result
+    is order-independent. Window key stays int64 µs through the native
+    aggregate (Ray degrades timestamp keys to second resolution) and is
+    cast back in the finalize."""
+    hour_us = 3_600 * 1_000_000
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        hour = (ts // hour_us) * hour_us
+        vc = _cents_arr(batch["value"]).to_numpy()
+        wins = np.concatenate(
+            [hour - off * hour_us for off in range(window_hours)])
+        vals = np.tile(vc, window_hours)
+        tb = pa.table({"w": pa.array(wins, pa.int64()),
+                       "value_c": pa.array(vals, pa.int64())})
+        g = tb.group_by("w").aggregate(
+            [("value_c", "sum"), ("value_c", "count")])
+        return pa.table({"w": g["w"],
+                         "value_c": g["value_c_sum"],
+                         "n_events": g["value_c_count"].cast(pa.int64())})
+
+    agg = (_pq(sf_dir, "events", ["ts", "value"])
+           .map_batches(fanout, batch_format="pyarrow")
+           .groupby("w")
+           .aggregate(Sum("value_c", alias_name="value_c"),
+                      Sum("n_events", alias_name="n_events")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": batch["w"].cast(pa.int64())
+                                      .cast(pa.timestamp("us")),
+            "n_events": batch["n_events"],
+            "sum_value": pc.divide(
+                batch["value_c"].cast(pa.float64()), 100.0)})
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+              .sort("window_start")
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog: approximate count-distinct via mergeable register partials
 

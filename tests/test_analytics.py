@@ -592,3 +592,41 @@ class TestLabelCentroids:
             np.testing.assert_allclose(sub["centroid"].to_numpy(), want,
                                        rtol=0, atol=1e-12)
             assert (sub["n_vectors"] == len(g)).all()
+
+
+class TestRepetitionStats:
+    def test_hand_built(self, ray_session):
+        import tempfile
+        import pyarrow.parquet as pqw
+        from mobile_ocr_api_ray.pipelines.analysis import repetition_stats
+        tbl = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a b a", "x y z", "w", ""], pa.string())})
+        with tempfile.TemporaryDirectory() as d:
+            pqw.write_table(tbl, os.path.join(d, "documents.parquet"))
+            r = repetition_stats(d).to_pandas()
+        assert list(r["n_words"]) == [5, 3, 1, 0]
+        assert list(r["n_distinct_words"]) == [2, 3, 1, 0]
+        # doc 0: 'a' appears 3/5; bigrams: ab,ba,ab,ba -> 4 total 2 distinct
+        assert r.loc[0, "top_word_frac"] == 3 / 5
+        assert r.loc[0, "dup_2gram_frac"] == 2 / 4
+        assert r.loc[1, "dup_2gram_frac"] == 0.0
+        assert r.loc[3, "top_word_frac"] == 0.0
+
+
+class TestSlidingWindow:
+    def test_coverage_vs_hourly(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analytics import (
+            sliding_event_counts)
+        ev = pd.read_parquet(os.path.join(SF, "events.parquet"),
+                             columns=["ts", "value"])
+        hour = ev["ts"].dt.floor("h")
+        hourly = ev.assign(h=hour).groupby("h").size()
+        got = sliding_event_counts(SF).to_pandas().set_index("window_start")
+        # every window's count is the sum of its 3 covered hourly buckets
+        for w, row in got.iterrows():
+            want = sum(hourly.get(w + pd.Timedelta(hours=k), 0)
+                       for k in range(3))
+            assert row["n_events"] == want
+        # total event-window memberships = 3 * n_events
+        assert got["n_events"].sum() == 3 * len(ev)
