@@ -76,6 +76,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    def _pd(res):
+        # queries with an empty-result guard may return a pa.Table
+        return res.to_pandas() if hasattr(res, "to_pandas") else res
+
     # headline: flagship extraction at pipeline defaults. An untimed warmup
     # over a slice first starts the worker pool + imports, so the timed run
     # measures compute + exchange (same methodology as --scaling).
@@ -131,6 +135,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("ann_ivf_topk", lambda: a.ann_ivf_topk(sf_dir).to_pandas())
     timed("image_meta", lambda: a.image_meta(sf_dir).to_pandas())
     timed("pdf_page_rows", lambda: a.pdf_page_rows(sf_dir).to_pandas())
+    timed("boilerplate_scrubbed_docs",
+          lambda: a.boilerplate_scrubbed_docs(sf_dir).to_pandas())
+    timed("repetition_stats", lambda: a.repetition_stats(sf_dir).to_pandas())
+    timed("quality_median_filtered",
+          lambda: a.quality_median_filtered(sf_dir).to_pandas())
+    timed("label_centroids", lambda: a.label_centroids(sf_dir).to_pandas())
+    timed("latest_capture_per_url",
+          lambda: _pd(a.latest_capture_per_url(sf_dir)))
+    timed("domain_page_stats", lambda: a.domain_page_stats(sf_dir).to_pandas())
+    timed("sliding_event_counts",
+          lambda: x.sliding_event_counts(sf_dir).to_pandas())
+    timed("latest_event_per_user",
+          lambda: x.latest_event_per_user(sf_dir).to_pandas())
 
     result = {
         "metric": "flagship extraction wall time (docs -> extracted+summary), "

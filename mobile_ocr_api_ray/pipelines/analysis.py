@@ -501,30 +501,38 @@ def boilerplate_scrubbed_docs(sf_dir: str, num: int = BOILER_NUM,
 
     def scrub(batch: pa.Table) -> pa.Table:
         bad = ray.get(ref)
-        words = pc.split_pattern_regex(batch["text"], r"\s+")
-        flat = pc.list_flatten(words)
-        parent = pc.list_parent_indices(words)
-        mask = pc.not_equal(flat, "")
-        flat_np = flat.filter(mask).to_pandas()
-        parent_np = parent.filter(mask).to_numpy()
-        src_np = batch["source"].to_pandas().to_numpy()
-        n = batch.num_rows
-        key = pd.Series(src_np[parent_np]) + "\x00" + flat_np
-        keep = (~key.isin(bad)).to_numpy()
-        n_words = np.bincount(parent_np, minlength=n)
-        kept_words = flat_np.to_numpy()[keep]
-        kept_parent = parent_np[keep]
-        n_kept = np.bincount(kept_parent, minlength=n)
-        offsets = np.concatenate(([0], np.cumsum(n_kept)))
-        texts = [" ".join(kept_words[offsets[i]:offsets[i + 1]])
-                 for i in range(n)]
+        texts, n_removed = _scrub_kernel(batch, bad)
         return pa.table({
             "doc_id": batch["doc_id"],
             "clean_text": pa.array(texts, pa.string()),
-            "n_removed": pa.array(n_words - n_kept, pa.int64())})
+            "n_removed": pa.array(n_removed, pa.int64())})
 
     return (_docs(sf_dir, ["doc_id", "text", "source"])
             .map_batches(scrub, batch_format="pyarrow").sort("doc_id"))
+
+
+def _scrub_kernel(batch: pa.Table, bad: frozenset):
+    """Vectorized boilerplate removal over a batch's (text, source):
+    RE2 split, isin membership on combined source\\x00word keys, per-row
+    single-space rejoin. Returns (clean_texts list, n_removed array)."""
+    words = pc.split_pattern_regex(batch["text"], r"\s+")
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words)
+    mask = pc.not_equal(flat, "")
+    flat_np = flat.filter(mask).to_pandas()
+    parent_np = parent.filter(mask).to_numpy()
+    src_np = batch["source"].to_pandas().to_numpy()
+    n = batch.num_rows
+    key = pd.Series(src_np[parent_np]) + "\x00" + flat_np
+    keep = (~key.isin(bad)).to_numpy()
+    n_words = np.bincount(parent_np, minlength=n)
+    kept_words = flat_np.to_numpy()[keep]
+    kept_parent = parent_np[keep]
+    n_kept = np.bincount(kept_parent, minlength=n)
+    offsets = np.concatenate(([0], np.cumsum(n_kept)))
+    texts = [" ".join(kept_words[offsets[i]:offsets[i + 1]])
+             for i in range(n)]
+    return texts, n_words - n_kept
 
 
 def repetition_stats(sf_dir: str):
@@ -931,8 +939,11 @@ def latest_capture_per_url(sf_dir: str):
     ds = (base.map_batches(gen(1, 0), batch_format="pyarrow")
           .union(base.map_batches(gen(2, RECRAWL_SHIFT_US),
                                   batch_format="pyarrow")))
-    out = crawl.latest_rows_per_key(ds, "url", ["warc_ts", "crawl_gen"],
-                                    n_coarse=_docs_coarse_hint(sf_dir, 2))
+    out = crawl.latest_rows_per_key(
+        ds, "url", ["warc_ts", "crawl_gen"],
+        n_coarse=_docs_coarse_hint(sf_dir, 2),
+        schema={"url": pa.string(), "warc_ts": pa.timestamp("us"),
+                "lang": pa.string(), "crawl_gen": pa.int64()})
     return out.sort("url")
 
 

