@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": a.decontaminate_docs,
         "boilerplate_vocab": a.boilerplate_vocab,
         "boilerplate_scrubbed_docs": a.boilerplate_scrubbed_docs,
+        "curated_docs": a.curated_docs,
         "langid_docs": a.langid_docs,
         "fingerprint_docs": a.fingerprint_docs,
         "tfidf_top_terms": a.tfidf_top_terms,
@@ -716,6 +717,88 @@ def oracle_sql() -> dict[str, str]:
                        toks, x -> NOT list_contains(ws, x))) AS BIGINT)
                        AS n_removed
             FROM split ORDER BY doc_id""",
+        # end-to-end curation: scrub -> quality gate on clean_text ->
+        # decontaminate vs the 10-smallest-doc_id benchmark's RAW-text
+        # 8-grams -> exact dedup (min doc_id per distinct clean_text).
+        # Every stage reuses the already-value-exact per-stage oracles as
+        # CTEs, so the composition is exact end to end.
+        "curated_docs": rf"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     unnest(list_distinct(list_filter(
+                         regexp_split_to_array(coalesce(text, ''), '\s+'),
+                         x -> x <> ''))) AS word
+              FROM documents),
+            nd AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY 1),
+            vocab AS (
+              SELECT w.source, word
+              FROM w JOIN nd ON w.source = nd.source
+              GROUP BY w.source, word
+              HAVING count(*) * 10 >= 9 * any_value(nd.n_docs)),
+            v2 AS (SELECT source, list(word) AS ws FROM vocab GROUP BY 1),
+            scrubbed AS (
+              SELECT d.doc_id,
+                     array_to_string(list_filter(
+                         list_filter(regexp_split_to_array(
+                             coalesce(d.text, ''), '\s+'), x -> x <> ''),
+                         x -> NOT list_contains(
+                             coalesce(v2.ws, []::VARCHAR[]), x)),
+                         ' ') AS clean_text
+              FROM documents d LEFT JOIN v2 ON d.source = v2.source),
+            c AS (
+              SELECT doc_id, clean_text,
+                     length(clean_text) AS n_chars,
+                     length(regexp_extract_all(clean_text, '\S+')) AS n_words,
+                     length(regexp_extract_all(lower(clean_text), '\w+')) AS n_tokens,
+                     length(regexp_extract_all(clean_text, '[^\w\s]')) AS n_punct,
+                     length(regexp_extract_all(lower(clean_text), '{alt}')) AS n_stop
+              FROM scrubbed),
+            q AS (
+              SELECT doc_id, clean_text, n_words,
+                     (least(cast(n_words AS DOUBLE)/50.0, 1.0)*0.4
+                      + (cast(n_stop AS DOUBLE)
+                         / greatest(cast(n_tokens AS DOUBLE), 1.0))*0.3)
+                     + ((1.0 - least((cast(n_punct AS DOUBLE)
+                         / greatest(cast(n_chars AS DOUBLE), 1.0))*5.0,
+                         1.0))*0.3) AS quality_score
+              FROM c),
+            cw AS (
+              SELECT doc_id, clean_text, n_words, quality_score,
+                     list_filter(regexp_split_to_array(
+                         lower(clean_text), '\s+'), x -> x <> '') AS w2
+              FROM q),
+            grams AS (
+              SELECT doc_id, clean_text, n_words, quality_score,
+                     CASE WHEN len(w2) = 0 THEN []::VARCHAR[]
+                          WHEN len(w2) < 8 THEN [array_to_string(w2, ' ')]
+                          ELSE list_distinct([array_to_string(w2[i:i+7], ' ')
+                                              FOR i IN range(1, len(w2) - 6)])
+                     END AS g
+              FROM cw),
+            benchw AS (
+              SELECT list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS w2
+              FROM documents WHERE doc_id IN (
+                SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10)),
+            benchg AS (
+              SELECT list_distinct(flatten(array_agg(
+                  CASE WHEN len(w2) = 0 THEN []::VARCHAR[]
+                       WHEN len(w2) < 8 THEN [array_to_string(w2, ' ')]
+                       ELSE list_distinct([array_to_string(w2[i:i+7], ' ')
+                                           FOR i IN range(1, len(w2) - 6)])
+                  END))) AS bg
+              FROM benchw),
+            kept AS (
+              SELECT g.doc_id, g.clean_text, g.n_words, g.quality_score
+              FROM grams g CROSS JOIN benchg b
+              WHERE g.quality_score >= 0.5 AND g.n_words >= 20
+                AND len(list_intersect(g.g, b.bg)) < 1)
+            SELECT min(doc_id) AS doc_id, clean_text,
+                   min(n_words) AS n_words,
+                   min(quality_score) AS quality_score
+            FROM kept GROUP BY clean_text ORDER BY doc_id""",
         # connected components over the exact-dup pair graph: the fixpoint
         # label is min(doc_id) per text group — a value-exact oracle for
         # the distributed label-propagation operator

@@ -137,6 +137,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pdf_page_rows", lambda: a.pdf_page_rows(sf_dir).to_pandas())
     timed("boilerplate_scrubbed_docs",
           lambda: a.boilerplate_scrubbed_docs(sf_dir).to_pandas())
+    timed("curated_docs", lambda: _pd(a.curated_docs(sf_dir)))
     timed("repetition_stats", lambda: a.repetition_stats(sf_dir).to_pandas())
     timed("quality_median_filtered",
           lambda: a.quality_median_filtered(sf_dir).to_pandas())

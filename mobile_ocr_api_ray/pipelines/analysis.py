@@ -535,6 +535,64 @@ def _scrub_kernel(batch: pa.Table, bad: frozenset):
     return texts, n_words - n_kept
 
 
+def curated_docs(sf_dir: str, min_score: float = 0.5, min_words: int = 20):
+    """End-to-end curation — the composition a real training-data run
+    executes: per-source boilerplate scrub → quality gate on the SCRUBBED
+    text → benchmark decontamination → exact dedup keeping the min-doc_id
+    representative per distinct clean text.
+
+    All per-row work (scrub, quality features, contamination probe) is
+    fused into ONE map_batches pass so the corpus streams through once.
+    The two lookup sides are broadcast via a single ray.put: the
+    per-source vocabulary (stopword-sized per source) and the benchmark
+    8-gram set (eval suites are tiny next to the corpus). The only
+    shuffle is the digest-coarse exact-dedup groupby — and it runs over
+    gate SURVIVORS, not the full corpus. Returns
+    (doc_id, clean_text, n_words, quality_score) sorted by doc_id."""
+    import duckdb
+
+    vdf = _boiler_counts(sf_dir, BOILER_NUM, BOILER_DEN).to_pandas()
+    if vdf.empty or "source" not in vdf.columns:   # all-empty block drop
+        bad_keys: frozenset = frozenset()
+    else:
+        bad_keys = frozenset(vdf["source"] + "\x00" + vdf["word"])
+    bench = duckdb.connect().execute(
+        "SELECT text FROM read_parquet(?) ORDER BY doc_id LIMIT ?",
+        [os.path.join(sf_dir, "documents.parquet"),
+         DECON_BENCHMARK_DOCS]).fetchall()
+    bench_grams = frozenset(
+        g for (t,) in bench for g in dedup.ngram_set(t or "", DECON_NGRAM))
+    ref = ray.put((bad_keys, bench_grams))
+
+    def curate(batch: pa.Table) -> pa.Table:
+        bad, grams = ray.get(ref)
+        texts, _ = _scrub_kernel(batch, bad)
+        clean = pa.array(texts, pa.string())
+        t = pa.table({"doc_id": batch["doc_id"], "clean_text": clean})
+        q = text_analysis.quality_scores(t, text_col="clean_text")
+        hits = np.fromiter(
+            (len(dedup.ngram_set(s, DECON_NGRAM) & grams) for s in texts),
+            np.int64, len(texts))
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(q["quality_score"], pa.scalar(min_score)),
+                pc.greater_equal(q["n_words"],
+                                 pa.scalar(min_words, pa.int64()))),
+            pc.less(pa.array(hits, pa.int64()),
+                    pa.scalar(DECON_MIN_HITS, pa.int64())))
+        out = pa.table({"doc_id": batch["doc_id"], "clean_text": clean,
+                        "n_words": q["n_words"],
+                        "quality_score": q["quality_score"]})
+        return out.filter(keep)
+
+    kept = (_docs(sf_dir, ["doc_id", "text", "source"])
+            .map_batches(curate, batch_format="pyarrow"))
+    out = dedup.exact_dedup(kept, text_col="clean_text").sort("doc_id")
+    return dedup.nonempty_or_typed_table(out, {
+        "doc_id": pa.int64(), "clean_text": pa.string(),
+        "n_words": pa.int64(), "quality_score": pa.float64()})
+
+
 def repetition_stats(sf_dir: str):
     """Gopher-style within-document repetition metrics: (doc_id, n_words,
     n_distinct_words, top_word_frac, dup_2gram_frac). Fully vectorized per

@@ -536,6 +536,34 @@ class TestBoilerplate:
             words = set(vdf["word"])
             assert "w9" in words and "pad" in words and "w8" not in words
 
+    def test_curated_docs_every_stage_observable(self, ray_session):
+        """Hand corpus where each curation stage has a visible effect:
+        scrub strips source B's 'menu', quality drops the short doc,
+        decontamination drops the doc embedding a benchmark 8-gram, and
+        exact dedup collapses the clone pair to its min doc_id."""
+        import tempfile
+        from mobile_ocr_api_ray.pipelines.analysis import curated_docs
+        # docs 0-9 = the benchmark (10 smallest doc_ids): 8 distinct words
+        # each -> exactly one self 8-gram -> dropped as self-contaminated
+        bench = [f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i}" for i in range(10)]
+        w = lambda p: " ".join(f"{p}w{j}" for j in range(50))
+        doc10 = "menu " + w("x")          # kept (rep of the 10/11 clone pair)
+        doc12 = "menu " + bench[0] + " " + w("y")   # embeds benchmark gram
+        doc13 = "menu short text"                    # fails the 20-word gate
+        doc14 = "menu " + w("z")                     # kept
+        rows = ([(t, "A") for t in bench] +
+                [(doc10, "B"), (doc10, "B"), (doc12, "B"),
+                 (doc13, "B"), (doc14, "B")])
+        with tempfile.TemporaryDirectory() as d:
+            self._write(d, rows)
+            res = curated_docs(d)
+            got = res.to_pandas() if hasattr(res, "to_pandas") else res
+            got = got.sort_values("doc_id").reset_index(drop=True)
+            assert list(got["doc_id"]) == [10, 14]
+            assert list(got["clean_text"]) == [w("x"), w("z")]  # menu gone
+            assert list(got["n_words"]) == [50, 50]
+            assert (got["quality_score"] >= 0.5).all()
+
     def test_sf_tier_vs_pandas(self, ray_session):
         from mobile_ocr_api_ray.pipelines.analysis import boilerplate_vocab
         docs = pd.read_parquet(os.path.join(SF, "documents.parquet"),
