@@ -790,12 +790,21 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
     partitioned hash joins (stages/joins.hash_join) — exact clones score
     1.0 by construction regardless of how much boilerplate they carry.
 
-    Same coarse-bucket pair machinery as the LSH families: explode
-    (doc, fingerprint), shuffle on fp % nc, vectorized bucket walk,
-    within-partition pair-count combiner, one pair-key shuffle for the
-    final sum. Returns (id_a, id_b, n_shared, overlap) with id_a < id_b."""
+    Exactly THREE shuffles end to end (each unavoidable: one per
+    co-location the algorithm needs):
+      1. fp % nc — the bucket walk (full explode volume);
+      2. id_a % ncp — pair partials AND per-doc eff partials co-locate by
+         the pair's LEFT doc, so one group fn both finishes the pair sums
+         and attaches eff_a (the doc key of an eff row IS its id_a);
+      3. id_b % ncp — eff rows re-keyed by doc meet the pairs again to
+         attach eff_b, compute the overlap, and filter.
+    The pair rows shuffled in 2 and 3 are the MAX_BUCKET-bounded candidate
+    set — the same volume the pair-sum shuffle alone carried in the
+    previous formulation, which additionally paid two doc-keyed hash joins
+    and two materialization barriers on top (measured 3.3 s → 1.6 s at
+    sf0.01×2, 32 CPUs). Returns (id_a, id_b, n_shared, overlap),
+    id_a < id_b."""
     import ray.data
-    from .joins import hash_join
     from .text_analysis import winnow_fingerprints
 
     nc = n_coarse or N_COARSE
@@ -859,84 +868,49 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
                                       "id_b": pd.array([], "int64"),
                                       "n_shared": pd.array([], "int64")})
         out = pd.concat([pair_rows, kind_rows], ignore_index=True)
-        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"].clip(lower=0))
-                          % ncp).astype("int32")
+        out["k1"] = (out["id_a"] % ncp).astype("int32")
         return out
 
-    def final_sum(df: pd.DataFrame) -> pd.DataFrame:
+    def sum_and_attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        # partition = id_a % ncp. An eff row's doc key IS its id_a, so the
+        # exact per-doc eff count and every partial of each (id_a, *) pair
+        # finish HERE in one dispatch.
         g = df.groupby(["id_a", "id_b"], as_index=False)["n_shared"].sum()
-        return g
+        effs = g[g["id_b"] < 0]
+        pairs = g[g["id_b"] >= 0].copy()
+        eff_a = pairs["id_a"].map(
+            pd.Series(effs["n_shared"].to_numpy(),
+                      index=effs["id_a"].to_numpy()))
+        pairs["eff_a"] = pd.array(eff_a.to_numpy(), "int64")
+        pairs["k2"] = (pairs["id_b"] % ncp).astype("int32")
+        # eff rows ride to pass 3 re-keyed by doc, for the id_b side
+        effs = effs.assign(eff_a=pd.array([0] * len(effs), "int64"),
+                           k2=(effs["id_a"] % ncp).astype("int32"))
+        return pd.concat([pairs, effs], ignore_index=True)
 
-    merged = (ds.map_batches(explode, batch_format="pyarrow")
-              .groupby("coarse").map_groups(pairs_and_counts,
-                                            batch_format="pandas")
-              .groupby("pcoarse").map_groups(final_sum,
-                                             batch_format="pandas"))
-    merged = _typed_empty_union(merged, {"id_a": pa.int64(),
-                                         "id_b": pa.int64(),
-                                         "n_shared": pa.int64()})
-    # merged feeds THREE consumers (counts, pairs, and the joins above
-    # them); materialize once so lineage doesn't re-run the explode +
-    # bucket walk per consumer. Size is the candidate-pair + per-doc-count
-    # set — proportional to the duplicate candidates, never the corpus
-    # (the same bounded-materialization argument as dup_clusters' rounds).
-    merged = merged.materialize()
-    empty_out = {"id_a": pa.int64(), "id_b": pa.int64(),
-                 "n_shared": pa.int64(), "overlap": pa.float64()}
-    if merged.count() == 0:
-        # fingerprint-free corpus: skip the joins (their schema probe can't
-        # see through an all-empty mapped lineage) — count() is free on the
-        # materialized table
-        return ray.data.from_arrow(pa.table(
-            {name: pa.array([], ty) for name, ty in empty_out.items()}))
+    def attach_b_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        effs = df[df["id_b"] < 0]
+        pairs = df[df["id_b"] >= 0]
+        eff_b = pairs["id_b"].map(
+            pd.Series(effs["n_shared"].to_numpy(),
+                      index=effs["id_a"].to_numpy())).to_numpy()
+        n = pairs["n_shared"].to_numpy()
+        overlap = n / np.maximum(
+            np.minimum(pairs["eff_a"].to_numpy(), eff_b), 1)
+        keep = overlap >= threshold
+        return pd.DataFrame({
+            "id_a": pd.array(pairs["id_a"].to_numpy()[keep], "int64"),
+            "id_b": pd.array(pairs["id_b"].to_numpy()[keep], "int64"),
+            "n_shared": pd.array(n[keep], "int64"),
+            "overlap": pd.array(overlap[keep], "float64")})
 
-    def split_counts(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["id_b"], -1))
-        return pa.table({"doc": t["id_a"], "eff_fp": t["n_shared"]})
-
-    counts = _typed_empty_union(
-        merged.map_batches(split_counts, batch_format="pyarrow"),
-        {"doc": pa.int64(), "eff_fp": pa.int64()}).materialize()
-    # exact candidate pre-filter: overlap ≥ t needs
-    # n_shared ≥ t·min_eff ≥ t·(global min eff) — one tiny scalar aggregate
-    # over the per-doc counts prunes the hopeless pairs (most of a
-    # boilerplate-heavy corpus) BEFORE the two join shuffles
-    global_min = counts.min("eff_fp") or 0
-    floor = threshold * global_min
-
-    def split_pairs_pruned(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.greater_equal(batch["id_b"], 0))
-        return t.filter(pc.greater_equal(
-            pc.cast(t["n_shared"], pa.float64()), floor))
-
-    pairs = _typed_empty_union(
-        merged.map_batches(split_pairs_pruned, batch_format="pyarrow"),
-        {"id_a": pa.int64(), "id_b": pa.int64(), "n_shared": pa.int64()})
-
-    # re-attach each side's effective fp count (doc-keyed partitioned joins)
-    j1 = hash_join(pairs, counts, "id_a", "doc", how="inner", n_coarse=ncp)
-    j1 = j1.map_batches(
-        lambda b: b.rename_columns(
-            ["eff_a" if c == "eff_fp" else c for c in b.column_names]),
-        batch_format="pyarrow")
-    j2 = hash_join(
-        j1, counts.map_batches(
-            lambda b: b.rename_columns(["doc", "eff_b"]),
-            batch_format="pyarrow"),
-        "id_b", "doc", how="inner", n_coarse=ncp)
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        eff_min = np.minimum(
-            batch["eff_a"].to_numpy(zero_copy_only=False),
-            batch["eff_b"].to_numpy(zero_copy_only=False))
-        n = batch["n_shared"].to_numpy(zero_copy_only=False)
-        overlap = n / np.maximum(eff_min, 1)
-        t = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
-                      "n_shared": batch["n_shared"],
-                      "overlap": pa.array(overlap, pa.float64())})
-        return t.filter(pc.greater_equal(t["overlap"], threshold))
-
-    out = j2.map_batches(finalize, batch_format="pyarrow")
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("coarse").map_groups(pairs_and_counts,
+                                         batch_format="pandas")
+           .groupby("k1").map_groups(sum_and_attach_a,
+                                     batch_format="pandas")
+           .groupby("k2").map_groups(attach_b_and_filter,
+                                     batch_format="pandas"))
     return _typed_empty_union(out, {"id_a": pa.int64(), "id_b": pa.int64(),
                                     "n_shared": pa.int64(),
                                     "overlap": pa.float64()})
