@@ -165,8 +165,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_docs": rf"""
             WITH c AS (
               SELECT doc_id,
-                     length(regexp_extract_all(lower(text), '{alt_eng}')) AS c_eng,
-                     length(regexp_extract_all(lower(text), '{alt_ind}')) AS c_ind
+                     length(regexp_extract_all(lower(coalesce(text, '')), '{alt_eng}')) AS c_eng,
+                     length(regexp_extract_all(lower(coalesce(text, '')), '{alt_ind}')) AS c_ind
               FROM documents)
             SELECT doc_id,
                    CASE WHEN greatest(c_eng, c_ind) = 0 OR c_eng = c_ind THEN 'und'
@@ -278,7 +278,7 @@ def oracle_sql() -> dict[str, str]:
                    + ((1.0 - least(punct_frac*5.0, 1.0))*0.3) AS quality_score
             FROM f ORDER BY doc_id""",
         "exact_dedup": r"""
-            SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
+            SELECT md5(coalesce(text, '')) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
             FROM documents GROUP BY 1 ORDER BY 1""",
         # distributed hash join of two large tables (no broadcast side)
         "docs_with_embeddings": r"""
@@ -392,15 +392,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.quality_score >= m.med ORDER BY s.doc_id""",
         # per-label embedding centroids, long format: float32 components
         # summed in float64 are exact, so avg matches the engine's
-        # distributed partial sums bit-for-bit
+        # distributed partial sums bit-for-bit. Null embedding rows are
+        # excluded; n_vectors counts non-null components per (label, dim)
+        # — same null semantics as the engine's Arrow group sum/count
         "label_centroids": r"""
-            WITH d AS (SELECT unnest(range(1, (SELECT max(len(embedding))
-                                              FROM embeddings) + 1)) AS i)
-            SELECT cast(e.label AS BIGINT) AS label,
+            WITH v AS (SELECT label, embedding FROM embeddings
+                       WHERE embedding IS NOT NULL),
+                 d AS (SELECT unnest(range(1, (SELECT max(len(embedding))
+                                              FROM v) + 1)) AS i)
+            SELECT cast(v.label AS BIGINT) AS label,
                    cast(d.i - 1 AS BIGINT) AS dim,
-                   avg(cast(e.embedding[d.i] AS DOUBLE)) AS centroid,
-                   count(*) AS n_vectors
-            FROM embeddings e CROSS JOIN d
+                   avg(cast(v.embedding[d.i] AS DOUBLE)) AS centroid,
+                   count(v.embedding[d.i]) AS n_vectors
+            FROM v CROSS JOIN d
             GROUP BY 1, 2 ORDER BY 1, 2""",
         # deterministic hash sampling: md5(doc_id) first 8 hex digits under
         # 10% of the 32-bit space — identical md5 on both sides
@@ -439,7 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_doubled": r"""
             WITH d AS (SELECT doc_id, text FROM documents
                        UNION ALL SELECT doc_id + 1000000, text FROM documents)
-            SELECT md5(text) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
+            SELECT md5(coalesce(text, '')) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
             FROM d GROUP BY 1 ORDER BY 1""",
         # exact word-3-gram Jaccard between adjacent doc_ids; gram semantics
         # mirror dedup.ngram_set: lowercase, whitespace split, <3 words →
@@ -447,7 +451,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_adjacent": r"""
             WITH words AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\s+'),
                                  x -> x <> '') AS w
               FROM documents),
             grams AS (
@@ -645,7 +650,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": r"""
             WITH words AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\s+'),
                                  x -> x <> '') AS w
               FROM documents),
             grams AS (
@@ -710,9 +716,9 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(v2.ws, []::VARCHAR[]) AS ws
               FROM documents d LEFT JOIN v2 ON d.source = v2.source)
             SELECT doc_id,
-                   array_to_string(
+                   coalesce(array_to_string(
                        list_filter(toks, x -> NOT list_contains(ws, x)),
-                       ' ') AS clean_text,
+                       ' '), '') AS clean_text,
                    cast(len(toks) - len(list_filter(
                        toks, x -> NOT list_contains(ws, x))) AS BIGINT)
                        AS n_removed
@@ -828,7 +834,9 @@ def oracle_sql() -> dict[str, str]:
                                   cast(a.embedding AS DOUBLE[]),
                                   cast(b.embedding AS DOUBLE[])) DESC,
                                 b.vec_id) AS rnk
-              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+              FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
+              JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+                ON a.vec_id <> b.vec_id)
             WHERE rnk <= 5 ORDER BY vec_id, rnk""",
         "ann_brute_topk": f"""
             WITH q(query_id, qv) AS (VALUES {_ann_query_values()})
@@ -838,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY q.query_id
                        ORDER BY list_cosine_similarity(q.qv, cast(e.embedding AS DOUBLE[])) DESC,
                                 e.vec_id) AS rnk
-              FROM q CROSS JOIN embeddings e)
+              FROM q CROSS JOIN (SELECT * FROM embeddings
+                                 WHERE embedding IS NOT NULL) e)
             WHERE rnk <= 10 ORDER BY query_id, rnk""",
     }

@@ -312,8 +312,8 @@ def fingerprint_pairs_doubled(sf_dir: str, threshold: float = 0.5):
     (substring-overlap dedup — catches partially copied documents that
     whole-document digests miss)."""
     # two hints: the fp EXPLODE (~100 fingerprints per doc) sizes the
-    # bucket shuffle; the much smaller pair/count table sizes its own
-    # shuffle and the two effective-count joins
+    # bucket shuffle; the much smaller pair/count table sizes the two
+    # doc-keyed eff-attach passes
     return dedup.fingerprint_collision_pairs(
         _doubled_docs(sf_dir), threshold=threshold,
         n_coarse=_docs_coarse_hint(sf_dir, 2 * 64),
@@ -369,17 +369,7 @@ def decontaminate_docs(sf_dir: str, n: int = DECON_NGRAM,
     silently flag a clean doc and break the value-exact SQL oracle). The
     corpus side streams; nothing shuffles. Returns
     (doc_id, n_hits, contaminated)."""
-    import duckdb
-
-    # benchmark = the DECON_BENCHMARK_DOCS smallest doc_ids (explicit key
-    # order, not parquet file order, so the SQL oracle selects the same set)
-    bench = duckdb.connect().execute(
-        "SELECT text FROM read_parquet(?) ORDER BY doc_id LIMIT ?",
-        [os.path.join(sf_dir, "documents.parquet"),
-         DECON_BENCHMARK_DOCS]).fetchall()
-    bench_grams = frozenset(
-        g for (t,) in bench for g in dedup.ngram_set(t or "", n))
-    ref = ray.put(bench_grams)
+    ref = ray.put(_bench_gram_set(sf_dir, n))
 
     def flag(batch: pa.Table) -> pa.Table:
         grams_ref = ray.get(ref)
@@ -484,6 +474,30 @@ def boilerplate_vocab(sf_dir: str, num: int = BOILER_NUM,
         "n_docs_with": pa.int64(), "doc_frac": pa.float64()})
 
 
+def _boiler_key_set(sf_dir: str, num: int, den: int) -> frozenset:
+    """The per-source boilerplate vocabulary as combined source\\x00word
+    membership keys — the broadcast side shared by every scrub caller."""
+    vdf = _boiler_counts(sf_dir, num, den).to_pandas()
+    if vdf.empty or "source" not in vdf.columns:   # all-empty block drop
+        return frozenset()
+    return frozenset(vdf["source"] + "\x00" + vdf["word"])
+
+
+def _bench_gram_set(sf_dir: str, n: int) -> frozenset:
+    """Benchmark n-gram set: the DECON_BENCHMARK_DOCS smallest doc_ids
+    (explicit key order, not parquet file order, so the SQL oracle selects
+    the same set), exact STRING grams — no hashing (a crc32 collision
+    would silently flag a clean doc and break the value-exact oracle)."""
+    import duckdb
+
+    bench = duckdb.connect().execute(
+        "SELECT text FROM read_parquet(?) ORDER BY doc_id LIMIT ?",
+        [os.path.join(sf_dir, "documents.parquet"),
+         DECON_BENCHMARK_DOCS]).fetchall()
+    return frozenset(
+        g for (t,) in bench for g in dedup.ngram_set(t or "", n))
+
+
 def boilerplate_scrubbed_docs(sf_dir: str, num: int = BOILER_NUM,
                               den: int = BOILER_DEN):
     """(doc_id, clean_text, n_removed): every document with its source's
@@ -492,12 +506,7 @@ def boilerplate_scrubbed_docs(sf_dir: str, num: int = BOILER_NUM,
     source, collected once and broadcast via ray.put; the corpus side
     streams. Membership test is a vectorized isin over a combined
     source\\x00word key; only the final per-row string join is Python."""
-    vdf = _boiler_counts(sf_dir, num, den).to_pandas()
-    if vdf.empty or "source" not in vdf.columns:   # all-empty block drop
-        bad_keys: frozenset = frozenset()
-    else:
-        bad_keys = frozenset(vdf["source"] + "\x00" + vdf["word"])
-    ref = ray.put(bad_keys)
+    ref = ray.put(_boiler_key_set(sf_dir, num, den))
 
     def scrub(batch: pa.Table) -> pa.Table:
         bad = ray.get(ref)
@@ -549,20 +558,8 @@ def curated_docs(sf_dir: str, min_score: float = 0.5, min_words: int = 20):
     shuffle is the digest-coarse exact-dedup groupby — and it runs over
     gate SURVIVORS, not the full corpus. Returns
     (doc_id, clean_text, n_words, quality_score) sorted by doc_id."""
-    import duckdb
-
-    vdf = _boiler_counts(sf_dir, BOILER_NUM, BOILER_DEN).to_pandas()
-    if vdf.empty or "source" not in vdf.columns:   # all-empty block drop
-        bad_keys: frozenset = frozenset()
-    else:
-        bad_keys = frozenset(vdf["source"] + "\x00" + vdf["word"])
-    bench = duckdb.connect().execute(
-        "SELECT text FROM read_parquet(?) ORDER BY doc_id LIMIT ?",
-        [os.path.join(sf_dir, "documents.parquet"),
-         DECON_BENCHMARK_DOCS]).fetchall()
-    bench_grams = frozenset(
-        g for (t,) in bench for g in dedup.ngram_set(t or "", DECON_NGRAM))
-    ref = ray.put((bad_keys, bench_grams))
+    ref = ray.put((_boiler_key_set(sf_dir, BOILER_NUM, BOILER_DEN),
+                   _bench_gram_set(sf_dir, DECON_NGRAM)))
 
     def curate(batch: pa.Table) -> pa.Table:
         bad, grams = ray.get(ref)
@@ -669,14 +666,24 @@ def quality_median_filtered(sf_dir: str):
               .materialize())
 
     def med(df: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(df["quality_score"].to_numpy())
+        # quantile over SCORED docs only: null-text rows carry NaN scores
+        # and the oracle's quantile_disc ignores NULLs — counting them in
+        # the rank would select a higher-ranked element than DuckDB
+        v = df["quality_score"].to_numpy()
+        v = np.sort(v[~np.isnan(v)])
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=df["lang"].dtype),
+                 "median_score": pd.Series([], dtype="float64")})
         idx = max(int(np.ceil(0.5 * len(v))) - 1, 0)
         return pd.DataFrame([{"lang": df["lang"].iloc[0],
                               "median_score": v[idx]}])
 
     meds = scored.groupby("lang").map_groups(med, batch_format="pandas") \
                  .to_pandas()
-    mmap = dict(zip(meds["lang"], meds["median_score"]))
+    # empty corpus: the group fn never ran and to_pandas drops columns
+    mmap = (dict(zip(meds["lang"], meds["median_score"]))
+            if "lang" in meds.columns else {})
     ref = ray.put(mmap)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -687,7 +694,10 @@ def quality_median_filtered(sf_dir: str):
         return batch.filter(
             pc.greater_equal(batch["quality_score"], thr))
 
-    return scored.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    out = scored.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    return dedup.nonempty_or_typed_table(out, {
+        "doc_id": pa.int64(), "lang": pa.string(),
+        "quality_score": pa.float64()})
 
 
 def label_centroids(sf_dir: str):
@@ -699,7 +709,13 @@ def label_centroids(sf_dir: str):
     float32 components summed in float64 are EXACT (24-bit mantissas with
     bounded exponent spread: every partial sum is representable), so the
     distributed sum is order-independent and the mean is bit-identical to
-    DuckDB's avg regardless of partitioning."""
+    DuckDB's avg regardless of partitioning.
+
+    Null rows are excluded (ListArray.flatten skips null slots; the dim
+    index is built per row from list_value_length, so a null or short row
+    never shifts a neighbour's components across labels); null COMPONENTS
+    are skipped by the Arrow group sum/count, matching SQL avg. n_vectors
+    counts the non-null components at each (label, dim)."""
     emb = reads.read_small_aware(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["embedding", "label"])
@@ -708,38 +724,41 @@ def label_centroids(sf_dir: str):
         col = batch["embedding"].combine_chunks() \
             if isinstance(batch["embedding"], pa.ChunkedArray) \
             else batch["embedding"]
-        n = len(col)
-        if n == 0:
+        lens = pc.list_value_length(col).fill_null(0) \
+                 .to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
             return pa.table({"label": pa.array([], pa.int64()),
                              "dim": pa.array([], pa.int64()),
                              "s": pa.array([], pa.float64()),
                              "c": pa.array([], pa.int64())})
-        flat = np.asarray(col.flatten(), dtype=np.float64)
-        dim = len(flat) // n
-        mat = flat.reshape(n, dim)
         labels = batch["label"].to_numpy(zero_copy_only=False) \
                                .astype(np.int64)
-        uniq, inv = np.unique(labels, return_inverse=True)
-        sums = np.zeros((len(uniq), dim), np.float64)
-        np.add.at(sums, inv, mat)
-        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        return pa.table({
-            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
-            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
-                                    len(uniq)), pa.int64()),
-            "s": pa.array(sums.ravel(), pa.float64()),
-            "c": pa.array(np.repeat(counts, dim), pa.int64())})
+        ends = np.cumsum(lens)
+        dims = np.arange(total, dtype=np.int64) \
+            - np.repeat(ends - lens, lens)
+        comp = pa.table({
+            "label": pa.array(np.repeat(labels, lens), pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "v": pc.cast(col.flatten(), pa.float64())})
+        g = comp.group_by(["label", "dim"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return pa.table({"label": g["label"], "dim": g["dim"],
+                         "s": g["v_sum"],
+                         "c": g["v_count"].cast(pa.int64())})
 
     agg = (emb.map_batches(partial, batch_format="pyarrow")
            .groupby(["label", "dim"])
            .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c")))
 
     def finalize(batch: pa.Table) -> pa.Table:
+        c = batch["c"].combine_chunks() if isinstance(
+            batch["c"], pa.ChunkedArray) else batch["c"]
+        mean = pc.if_else(pc.equal(c, 0), pa.scalar(None, pa.float64()),
+                          pc.divide(batch["s"], c.cast(pa.float64())))
         return pa.table({
             "label": batch["label"], "dim": batch["dim"],
-            "centroid": pc.divide(batch["s"],
-                                  batch["c"].cast(pa.float64())),
-            "n_vectors": batch["c"]})
+            "centroid": mean, "n_vectors": c})
 
     return agg.map_batches(finalize, batch_format="pyarrow") \
               .sort(["label", "dim"])

@@ -246,13 +246,19 @@ def event_value_quantiles(sf_dir: str):
     group) stays the same."""
 
     def quant(df: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(df["value"].to_numpy())
+        # n_events = count(*) over ALL rows; min/max/quantiles ignore
+        # NULL values (SQL aggregate semantics) — an all-NULL type yields
+        # NULL stats, and NaNs must not occupy quantile ranks
+        vraw = df["value"].to_numpy()
+        v = np.sort(vraw[~np.isnan(vraw)])
         n = len(v)
-        row = {"event_type": df["event_type"].iloc[0], "n_events": n,
-               "min_value": v[0], "max_value": v[-1]}
+        row = {"event_type": df["event_type"].iloc[0],
+               "n_events": len(vraw),
+               "min_value": v[0] if n else np.nan,
+               "max_value": v[-1] if n else np.nan}
         for q in QUANTILES:
             idx = max(int(np.ceil(q * n)) - 1, 0)
-            row[f"p{int(q * 100)}"] = v[idx]
+            row[f"p{int(q * 100)}"] = v[idx] if n else np.nan
         return pd.DataFrame([row])
 
     return (_pq(sf_dir, "events", ["event_type", "value"])
@@ -532,11 +538,16 @@ def value_histogram(sf_dir: str, width: float = HIST_BIN_WIDTH):
     tiny groupby — the float expression mirrors the SQL oracle exactly so
     boundary values land in the same bin on both sides."""
 
+    BIN_NULL = np.iinfo(np.int64).min  # NULL-value rows get their own bin
+
     def binned(batch: pa.Table) -> pa.Table:
-        v = batch["value"].to_numpy(zero_copy_only=False)
-        b = np.floor(v / width).astype(np.int64)
+        # Arrow-native binning so NULL values propagate (numpy floor(NaN)
+        # .astype(int64) is garbage); the null bin rides as an int64
+        # sentinel through the groupby and is restored in the finalize
+        b = pc.cast(pc.floor(pc.divide(
+            pc.cast(batch["value"], pa.float64()), width)), pa.int64())
         return pa.table({"event_type": batch["event_type"],
-                         "bin": pa.array(b),
+                         "bin": pc.fill_null(b, BIN_NULL),
                          "value_c": _cents_arr(batch["value"])})
 
     agg = (_pq(sf_dir, "events", ["event_type", "value"])
@@ -546,14 +557,20 @@ def value_histogram(sf_dir: str, width: float = HIST_BIN_WIDTH):
                       Sum("value_c", alias_name="value_c")))
 
     def finalize(batch: pa.Table) -> pa.Table:
+        b = batch["bin"].combine_chunks() if isinstance(
+            batch["bin"], pa.ChunkedArray) else batch["bin"]
         return pa.table({
-            "event_type": batch["event_type"], "bin": batch["bin"],
+            "event_type": batch["event_type"],
+            "bin": pc.if_else(pc.equal(b, BIN_NULL),
+                              pa.scalar(None, pa.int64()), b),
             "n_events": batch["n_events"],
             "sum_value": pc.divide(pc.cast(batch["value_c"], pa.float64()),
                                    100.0)})
 
-    return agg.map_batches(finalize, batch_format="pyarrow").sort(
-        ["event_type", "bin"])
+    # sort on the sentinel (pre-finalize) — sorting a nullable key risks
+    # null-ordering divergence; the comparison canonicalizes row order
+    return agg.sort(["event_type", "bin"]).map_batches(
+        finalize, batch_format="pyarrow")
 
 # ---------------------------------------------------------------------------
 # Rollup (grouping sets) over a bounded-cardinality base aggregate
@@ -698,14 +715,20 @@ def sliding_event_counts(sf_dir: str, window_hours: int = HOP_WINDOW_HOURS):
     def fanout(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()
         hour = (ts // hour_us) * hour_us
-        vc = _cents_arr(batch["value"]).to_numpy()
+        # cents stay an Arrow (nullable) array end-to-end: a NULL event
+        # value must ride as null (numpy would turn it into NaN and the
+        # int64 rebuild would abort the query), be counted by n_events
+        # (oracle count(*)), and be skipped by the sum
+        vc = _cents_arr(batch["value"])
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
         wins = np.concatenate(
             [hour - off * hour_us for off in range(window_hours)])
-        vals = np.tile(vc, window_hours)
-        tb = pa.table({"w": pa.array(wins, pa.int64()),
-                       "value_c": pa.array(vals, pa.int64())})
+        vals = pa.concat_arrays([vc] * window_hours)
+        tb = pa.table({"w": pa.array(wins, pa.int64()), "value_c": vals})
         g = tb.group_by("w").aggregate(
-            [("value_c", "sum"), ("value_c", "count")])
+            [("value_c", "sum"),
+             ("value_c", "count", pc.CountOptions(mode="all"))])
         return pa.table({"w": g["w"],
                          "value_c": g["value_c_sum"],
                          "n_events": g["value_c_count"].cast(pa.int64())})

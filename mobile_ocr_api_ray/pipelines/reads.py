@@ -40,8 +40,13 @@ def read_small_aware(path: str, columns=None, rows_per_block: int = 250,
 
 
 def embedding_dim(path: str) -> int:
-    """Dimension of the list<float> `embedding` column — reads ONE row via
-    the parquet batch iterator, never the whole column."""
-    batch = next(pq.ParquetFile(path).iter_batches(batch_size=1,
-                                                   columns=["embedding"]))
-    return len(batch["embedding"][0])
+    """Dimension of the list<float> `embedding` column — reads the FIRST
+    NON-NULL row via the parquet batch iterator, never the whole column
+    (len(None) on a leading null row would abort every ANN query)."""
+    for batch in pq.ParquetFile(path).iter_batches(batch_size=256,
+                                                   columns=["embedding"]):
+        col = batch["embedding"]
+        for i in range(len(col)):
+            if col[i].is_valid:
+                return len(col[i])
+    raise ValueError(f"no non-null embedding rows in {path}")

@@ -263,12 +263,21 @@ def sessionize_events(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
             new[1:] = (ts[1:] - ts[:-1]) > gap
         sid = np.cumsum(new)
         g["session_id"] = sid
-        g["value_c"] = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        # NULL values: rint(NaN).astype(int64) is garbage — sum non-null
+        # cents and track the non-null count so an all-null session yields
+        # NULL sum_value (SQL sum semantics), not 0
+        vals = g["value"].to_numpy()
+        m = ~np.isnan(vals)
+        cents = np.zeros(len(vals), np.int64)
+        cents[m] = np.rint(vals[m] * 100).astype(np.int64)
+        g["value_c"] = cents
+        g["has_v"] = m.astype(np.int64)
         out = g.groupby("session_id", as_index=False).agg(
             user_id=("user_id", "first"), n_events=("event_id", "size"),
             start_ts=("ts", "min"), end_ts=("ts", "max"),
-            value_c=("value_c", "sum"))
-        out["sum_value"] = out["value_c"] / 100.0
+            value_c=("value_c", "sum"), has_v=("has_v", "sum"))
+        out["sum_value"] = np.where(out["has_v"] > 0,
+                                    out["value_c"] / 100.0, np.nan)
         return out[["user_id", "session_id", "n_events", "start_ts", "end_ts", "sum_value"]]
 
     return (_pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
@@ -287,13 +296,21 @@ def user_moving_avg(sf_dir: str, window: int = 3):
 
     def mov(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        c = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        vals = g["value"].to_numpy()
+        m = ~np.isnan(vals)
+        # SQL frame semantics with NULLs: count(*) counts every frame row,
+        # sum skips NULL values, and an all-NULL frame yields NULL
+        c = np.zeros(len(vals), np.int64)
+        c[m] = np.rint(vals[m] * 100).astype(np.int64)
         cs = np.concatenate([[0], np.cumsum(c)])
+        vs = np.concatenate([[0], np.cumsum(m.astype(np.int64))])
         idx = np.arange(len(c))
         starts = np.maximum(0, idx - (window - 1))
         sums = cs[idx + 1] - cs[starts]
         counts = idx + 1 - starts
-        g["avg_value"] = sums / (counts * 100.0)
+        n_valid = vs[idx + 1] - vs[starts]
+        g["avg_value"] = np.where(n_valid > 0,
+                                  sums / (counts * 100.0), np.nan)
         return g[["user_id", "event_id", "ts", "avg_value"]]
 
     return (_pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])

@@ -785,9 +785,8 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
     (ubiquitous boilerplate substrings — the usual salt guard), and the
     overlap is computed consistently over the SURVIVING fingerprints on
     both sides: each fp's full bucket lives in exactly one partition, so
-    per-doc effective fp counts are per-partition partials summed by a
-    doc-keyed aggregate, then re-attached to the pair table by two
-    partitioned hash joins (stages/joins.hash_join) — exact clones score
+    per-doc effective fp counts are per-partition partials that ride the
+    same doc-keyed passes as the pair partials below — exact clones score
     1.0 by construction regardless of how much boilerplate they carry.
 
     Exactly THREE shuffles end to end (each unavoidable: one per
@@ -809,8 +808,8 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
 
     nc = n_coarse or N_COARSE
     # the pair/count table is ~100x smaller than the fp explode — size its
-    # shuffle (and the two joins) separately so they don't pay the explode
-    # tier's per-partition fixed costs
+    # two doc-keyed passes separately so they don't pay the explode tier's
+    # per-partition fixed costs
     ncp = n_coarse_pairs or nc
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -941,8 +940,16 @@ def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     nc = n_coarse or N_COARSE
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        # null-row-dropping Arrow flatten (stages/similarity) — a null
+        # embedding can't participate and must not abort the job
+        from .similarity import _batch_matrix
+
+        ids, vecs = _batch_matrix(batch, id_col=id_col, emb_col=vec_col)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "coarse": pa.array([], pa.int32()),
+                             "unit": pa.array([], pa.list_(pa.float64()))})
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
@@ -952,9 +959,10 @@ def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             planes = _planes(vecs.shape[1])
             bits = (unit @ planes.T) > 0
             buckets = (bits.astype(np.uint64) << np.arange(N_PLANES, dtype=np.uint64)).sum(axis=1).astype(np.int64)
-        return pa.table({id_col: pa.array(ids), "bucket": pa.array(buckets, pa.int64()),
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64()),
                          "coarse": pa.array(buckets % nc, pa.int32()),
-                         "unit": pa.array([u for u in unit], pa.list_(pa.float64()))})
+                         "unit": pa.array(list(unit), pa.list_(pa.float64()))})
 
     def pairs_in_coarse(df: pd.DataFrame) -> pd.DataFrame:
         rows = []

@@ -25,6 +25,31 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _batch_matrix(batch: pa.Table, id_col: str = "vec_id",
+                  emb_col: str = "embedding"):
+    """(int64 ids, float64 matrix) of the batch's NON-NULL embedding rows.
+
+    Arrow flatten + reshape — no per-row to_pylist. Null embedding rows
+    are dropped before the reshape: a null can't participate in cosine
+    math, and at 100 TB a single null row must not abort the whole job
+    (np.array over a list containing None raises). Valid rows share one
+    fixed dim (the table contract); null COMPONENTS inside a valid row
+    surface as NaN similarities rather than silent misalignment."""
+    col = batch[emb_col].combine_chunks() \
+        if isinstance(batch[emb_col], pa.ChunkedArray) else batch[emb_col]
+    ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    if col.null_count:
+        valid = col.is_valid()
+        col = col.filter(valid)
+        ids = ids[valid.to_numpy(zero_copy_only=False)]
+    n = len(col)
+    if n == 0:
+        return ids[:0], np.zeros((0, 1), np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, flat.reshape(n, len(flat) // n)
+
+
 class BruteTopKStage:
     """Actor-pool stage: per-batch cosine vs broadcast queries → local top-k."""
 
@@ -35,13 +60,13 @@ class BruteTopKStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:  # empty block: np.array([]) is 1-D,
-            return pa.table({     # norm(axis=1) would raise AxisError
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:  # empty/all-null block: norm(axis=1) on a 1-D
+            return pa.table({  # np.array([]) would raise AxisError
                 "query_id": pa.array([], pa.int64()),
                 "vec_id": pa.array([], pa.int64()),
                 "cosine": pa.array([], pa.float64())})
-        ids = np.asarray(batch["vec_id"].to_pylist())
-        vecs = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        vecs = _normalize(mat)
         sims = vecs @ self.queries.T  # (n, q)
         out_q, out_id, out_s = [], [], []
         k = min(self.k, len(ids))
@@ -126,8 +151,12 @@ def lsh_topk(ds, queries: np.ndarray, k: int = 10, n_probe_bits: int = 2,
             probe.setdefault(c, []).append(qi)
 
     def scan(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist())
-        vecs = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:  # the (0, 1) placeholder can't matmul planes
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        vecs = _normalize(mat)
         buckets = _bucket_of(vecs, planes)
         out_q, out_id, out_s = [], [], []
         for b in np.unique(buckets):
@@ -163,7 +192,8 @@ def train_centroids(ds, n_centroids: int = 16, sample: int = 2048,
     iterations on unit vectors with cosine assignment; empty clusters are
     re-seeded deterministically."""
     samp = ds.limit(sample).to_pandas()
-    X = _normalize(np.array(samp["embedding"].tolist(), dtype=np.float64))
+    vecs = [v for v in samp["embedding"].tolist() if v is not None]
+    X = _normalize(np.array(vecs, dtype=np.float64))
     rs = np.random.RandomState(seed)
     n_centroids = min(n_centroids, len(X))
     C = X[rs.choice(len(X), size=n_centroids, replace=False)].copy()
@@ -197,8 +227,12 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             probe.setdefault(int(c), []).append(qi)
 
     def scan(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist())
-        vecs = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:  # argmax over a 0-row matmul raises
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        vecs = _normalize(mat)
         assign = np.argmax(vecs @ C.T, axis=1)
         out_q, out_id, out_s = [], [], []
         for c in np.unique(assign):
@@ -249,15 +283,14 @@ class KnnGraphStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:  # same empty-block guard as BruteTopKStage
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:  # same empty-block guard as BruteTopKStage
             return pa.table({
                 "vec_id": pa.array([], pa.int64()),
                 "rank": pa.array([], pa.int64()),
                 "nbr_id": pa.array([], pa.int64()),
                 "cosine": pa.array([], pa.float64())})
-        ids = np.asarray(batch["vec_id"].to_pylist())
-        vecs = _normalize(np.array(batch["embedding"].to_pylist(),
-                                   dtype=np.float64))
+        vecs = _normalize(mat)
         sims = vecs @ self.index.T        # (n, corpus)
         self_pos = ids[:, None] == self.index_ids[None, :]
         sims[self_pos] = -np.inf          # a vector is not its own neighbor
@@ -280,9 +313,8 @@ def knn_graph(ds, k: int = 5, concurrency: int | None = None):
     broadcast index; each block streams through the actor pool once."""
     import ray
 
-    parts = [(np.asarray(b["vec_id"].to_pylist()),
-              np.array(b["embedding"].to_pylist(), dtype=np.float64))
-             for b in ds.iter_batches(batch_format="pyarrow")]
+    parts = [_batch_matrix(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    parts = [p for p in parts if len(p[0])]
     ids = np.concatenate([p[0] for p in parts]) if parts else np.array([], np.int64)
     mat = (_normalize(np.concatenate([p[1] for p in parts]))
            if parts else np.zeros((0, 1)))

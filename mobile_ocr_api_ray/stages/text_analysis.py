@@ -120,8 +120,11 @@ def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ties and zero evidence → 'und'. Deterministic, vectorized: one RE2
     count per profile."""
     lower = pc.utf8_lower(batch[text_col])
+    # null text → 0 hits → 'und' (a null count would ride to_numpy as NaN
+    # and the int64 cast of the argmax row is garbage, not zero)
     counts = {
-        lang: _count(lower, _alt_regex(words)).to_numpy(zero_copy_only=False)
+        lang: pc.fill_null(_count(lower, _alt_regex(words)), 0)
+                .to_numpy(zero_copy_only=False)
         for lang, words in LANG_PROFILES.items()
     }
     langs = list(counts)
