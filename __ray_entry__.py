@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": a.exact_dedup_docs,
         "exact_dedup_kept": a.exact_dedup_kept,
         "exact_dedup_doubled": a.exact_dedup_doubled,
+        "line_dedup_docs": a.line_dedup_docs,
         "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
         "sample_docs": a.sample_docs,
         "stratified_sample_docs": a.stratified_sample_docs,
@@ -805,6 +806,41 @@ def oracle_sql() -> dict[str, str]:
                    min(n_words) AS n_words,
                    min(quality_score) AS quality_score
             FROM kept GROUP BY clean_text ORDER BY doc_id""",
+        # C4-style line-level dedup over the doubled corpus: lines derive
+        # from fixed 80-char chunks (see pipelines.analysis.line_dedup_docs);
+        # a 30+-char line survives only at its first (doc_id, line_idx)
+        # occurrence corpus-wide, shorter lines are exempt, docs reassemble
+        # in line order — value-exact STRING output on both sides
+        "line_dedup_docs": r"""
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, coalesce(text, '') FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) = 0 THEN ['']
+                          ELSE [substring(t, i, 80)
+                                FOR i IN range(1, length(t) + 1, 80)]
+                     END AS lines
+              FROM d),
+            l AS (
+              SELECT doc_id,
+                     cast(generate_subscripts(lines, 1) - 1 AS BIGINT)
+                         AS line_idx,
+                     unnest(lines) AS line
+              FROM c),
+            m AS (
+              SELECT doc_id, line_idx, line,
+                     length(line) < 30
+                       OR row_number() OVER (PARTITION BY line
+                                             ORDER BY doc_id, line_idx) = 1
+                       AS keep
+              FROM l)
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY line_idx)
+                            FILTER (keep), '') AS clean_text,
+                   cast(count(*) FILTER (NOT keep) AS BIGINT) AS n_removed
+            FROM m GROUP BY doc_id ORDER BY doc_id""",
         # connected components over the exact-dup pair graph: the fixpoint
         # label is min(doc_id) per text group — a value-exact oracle for
         # the distributed label-propagation operator

@@ -320,6 +320,36 @@ def fingerprint_pairs_doubled(sf_dir: str, threshold: float = 0.5):
         n_coarse_pairs=_docs_coarse_hint(sf_dir, 8)).sort(["id_a", "id_b"])
 
 
+LINE_WIDTH = 80  # synthetic line derivation for line_dedup_docs
+
+
+def line_dedup_docs(sf_dir: str):
+    """C4-style line-level dedup (first occurrence of every 30+-char line
+    survives corpus-wide, documents reassembled in order) over the doubled
+    corpus. The synthetic docs carry no newlines, so lines derive from
+    fixed 80-char chunking (vectorized slices joined with '\\n', trailing
+    empties trimmed — mirrored as ``substring(t, i, 80)`` slices in the SQL
+    oracle); every full-width chunk is eligible, the <30-char tail chunk is
+    exempt, so the doubled clone loses every full chunk to its original and
+    keeps only its short tail — exercising partial removal + reassembly."""
+    docs = _doubled_docs(sf_dir)
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        maxlen = pc.max(pc.utf8_length(t)).as_py() or 0
+        slices = [pc.utf8_slice_codeunits(t, i, i + LINE_WIDTH)
+                  for i in range(0, max(maxlen, 1), LINE_WIDTH)]
+        joined = slices[0] if len(slices) == 1 else \
+            pc.binary_join_element_wise(*slices, "\n")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pc.utf8_rtrim(joined, "\n")})
+
+    ds = docs.map_batches(to_lines, batch_format="pyarrow")
+    nc = _docs_coarse_hint(sf_dir, 2)
+    return dedup.line_dedup(ds, n_coarse=nc, n_coarse_docs=nc) \
+                .sort("doc_id")
+
+
 def near_dedup_kept_doubled(sf_dir: str):
     """The full near-dedup pipeline end to end: MinHash pairs → connected
     components → keep ONE representative (the cluster label = min doc_id)

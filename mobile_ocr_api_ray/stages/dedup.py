@@ -1109,3 +1109,108 @@ def dup_clusters(pairs_ds, n_iter: int = 4):
             break  # fixpoint — typical dup graphs (pairs, small clusters)
             # stabilize after round 2; skip remaining shuffles
     return labels.drop_columns(["changed"])
+
+
+# --------------------------------------------------------- line-level dedup
+
+LINE_MIN_CHARS = 30
+
+
+def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+               min_chars: int = LINE_MIN_CHARS,
+               n_coarse: int | None = None,
+               n_coarse_docs: int | None = None):
+    """C4-style line-level dedup across the WHOLE corpus: a line of
+    ``min_chars``+ characters survives only at its first occurrence
+    (lowest (doc_id, line_idx)); shorter lines always survive (blank
+    lines and headers are structure, not boilerplate — and exempting
+    them also keeps the hot-key skew of ubiquitous short strings out of
+    the line shuffle). Documents are reassembled in original line order.
+    Returns (id, clean_text, n_removed). C4 (Raffel et al., JMLR'20 §2.2)
+    applies the same rule at three-sentence granularity.
+
+    Exactly TWO shuffles:
+      1. line-keyed (crc32(line) % nc) — every copy of an eligible line
+         lands in one partition, where a vectorized sort marks the first
+         occurrence. INELIGIBLE lines ride the same exchange under a
+         (doc, line_idx)-derived key instead of the line hash: they need
+         no co-location (always kept), and routing them by value would
+         put every blank line in one partition.
+      2. doc-keyed (id % ncd) — lines regroup per document and rejoin in
+         line_idx order.
+    """
+    nc = n_coarse or N_COARSE
+    ncd = n_coarse_docs or nc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col], "")
+        lines = pc.split_pattern(text, "\n")
+        lines = lines.combine_chunks() \
+            if isinstance(lines, pa.ChunkedArray) else lines
+        flat = lines.flatten()
+        lens = pc.list_value_length(lines).to_numpy().astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        ends = np.cumsum(lens)
+        idxs = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+        rids = np.repeat(ids, lens)
+        nch = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        elig = nch >= min_chars
+        vals = flat.to_pandas().to_numpy()
+        coarse = (rids * 1000003 + idxs) % nc          # spread, no skew
+        if elig.any():
+            coarse[elig] = np.fromiter(
+                (zlib.crc32(s.encode()) for s in vals[elig]),
+                np.int64, int(elig.sum())) % nc
+        return pa.table({
+            "_id": pa.array(rids, pa.int64()),
+            "line_idx": pa.array(idxs, pa.int64()),
+            "line": flat,
+            "elig": pa.array(elig),
+            "coarse": pa.array(coarse.astype(np.int32))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.ones(len(df), dtype=bool)
+        e = df[df["elig"]]
+        if len(e):
+            order = e.sort_values(["line", "_id", "line_idx"],
+                                  kind="mergesort")
+            first = ~order["line"].duplicated().to_numpy()
+            keep[order.index.to_numpy()] = first
+        out = df[["_id", "line_idx", "line"]].copy()
+        out["keep"] = keep
+        out["dcoarse"] = (out["_id"] % ncd).astype(np.int32)
+        return out
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["_id", "line_idx"], kind="mergesort")
+        ids = d["_id"].to_numpy()
+        keep = d["keep"].to_numpy()
+        lines = d["line"].to_numpy()
+        # doc boundaries over the (id, line_idx)-sorted rows
+        bound = np.flatnonzero(np.diff(ids)) + 1
+        starts = np.concatenate(([0], bound))
+        ends_ = np.concatenate((bound, [len(ids)]))
+        texts = ["\n".join(lines[s:e][keep[s:e]])
+                 for s, e in zip(starts, ends_)]
+        removed = np.add.reduceat(~keep, starts) if len(ids) else \
+            np.array([], np.int64)
+        return pd.DataFrame({
+            "_id": pd.array(ids[starts], "int64"),
+            "clean_text": pd.array(texts, "string"),
+            "n_removed": pd.array(removed.astype(np.int64), "int64")})
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("coarse").map_groups(resolve, batch_format="pandas")
+           .groupby("dcoarse").map_groups(reassemble, batch_format="pandas"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["_id"],
+                         "clean_text": pc.cast(batch["clean_text"],
+                                               pa.string()),
+                         "n_removed": batch["n_removed"]})
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    return nonempty_or_typed_table(out, {
+        id_col: pa.int64(), "clean_text": pa.string(),
+        "n_removed": pa.int64()})

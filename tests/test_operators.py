@@ -452,6 +452,57 @@ class TestEmptyResults:
         assert out.sort("src").count() == 0  # sort works on the typed empty
 
 
+class TestLineDedup:
+    """C4-style corpus-wide line dedup: a 30+-char line survives only at
+    its first (doc_id, line_idx) occurrence; shorter lines are exempt;
+    documents reassemble in original line order."""
+
+    L1 = "this is a long boilerplate navigation line over thirty chars"
+    L2 = "another long line that appears in several documents here too"
+
+    @pytest.fixture(scope="class")
+    def line_ds(self, ray_session):
+        import ray.data
+        docs = [
+            (0, f"{self.L1}\nunique first doc body line exceeding thirty "
+                f"characters\nshort"),
+            (1, f"{self.L1}\n{self.L2}\nok"),   # L1 lost to doc 0
+            (2, f"{self.L2}\n{self.L2}\ntail"),  # both L2 lost to doc 1
+            (3, "tiny\nalso small"),             # short lines always kept
+            (4, ""),                             # empty doc passes through
+        ]
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string())}))
+
+    def test_first_occurrence_survives(self, ray_session, line_ds):
+        out = dedup.line_dedup(line_ds).sort("doc_id").to_pandas()
+        assert list(out.doc_id) == [0, 1, 2, 3, 4]
+        assert out.clean_text[0].count("\n") == 2      # doc 0 untouched
+        assert list(out.n_removed) == [0, 1, 2, 0, 0]
+        assert out.clean_text[1] == f"{self.L2}\nok"
+        assert out.clean_text[2] == "tail"
+        assert out.clean_text[3] == "tiny\nalso small"
+        assert out.clean_text[4] == ""
+
+    def test_within_doc_repeat(self, ray_session):
+        import ray.data
+        long = "a repeated long line inside one single document right here"
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array([f"{long}\nmid\n{long}"], pa.string())}))
+        out = dedup.line_dedup(ds).to_pandas()
+        assert out.clean_text[0] == f"{long}\nmid"
+        assert out.n_removed[0] == 1
+
+    def test_partition_invariance(self, ray_session, line_ds):
+        a = dedup.line_dedup(line_ds, n_coarse=1, n_coarse_docs=1) \
+                 .sort("doc_id").to_pandas()
+        b = dedup.line_dedup(line_ds, n_coarse=7, n_coarse_docs=3) \
+                 .sort("doc_id").to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_minhash_two_pass_empty(ray_session):
     """Duplicate-free corpus through the two-pass path keeps the typed pair
     schema at the Dataset level (the all-empty to_pandas() column drop is a
