@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_median_filtered": a.quality_median_filtered,
         "label_centroids": a.label_centroids,
         "repetition_stats": a.repetition_stats,
+        "packed_sequences": a.packed_sequences,
         "word_freq_top": a.word_freq_top,
         "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
@@ -806,6 +807,29 @@ def oracle_sql() -> dict[str, str]:
                    min(n_words) AS n_words,
                    min(quality_score) AS quality_score
             FROM kept GROUP BY clean_text ORDER BY doc_id""",
+        # concat-and-chunk packing plan: whitespace-token tape in doc_id
+        # order cut every 512 tokens; the window cumsum is the sequential
+        # spec of the engine's distributed range prefix sum. start_offset
+        # is cast back from DuckDB's HUGEINT window sum so the int64
+        # dtype-sensitive hash agrees
+        "packed_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(coalesce(text, ''), '\S+'))
+                         AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+                     cast(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+              FROM t)
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 512 AS seq_id,
+                   start_offset % 512 AS offset_in_seq,
+                   n_tokens > 0 AND (start_offset + n_tokens - 1) // 512
+                       <> start_offset // 512 AS spans_boundary
+            FROM o ORDER BY doc_id""",
         # C4-style line-level dedup over the doubled corpus: lines derive
         # from fixed 80-char chunks (see pipelines.analysis.line_dedup_docs);
         # a 30+-char line survives only at its first (doc_id, line_idx)

@@ -673,6 +673,19 @@ def repetition_stats(sf_dir: str):
             .map_batches(stats, batch_format="pyarrow").sort("doc_id"))
 
 
+def packed_sequences(sf_dir: str):
+    """Concat-and-chunk sequence-packing plan over documents at a
+    512-token budget. range_width is sized from parquet metadata so the
+    test tiers run ~10 id-ranges — exercising the multi-range distributed
+    prefix-sum path, not the single-partition degenerate."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    width = max(1, n // _docs_coarse_hint(sf_dir, 32))
+    return text_analysis.pack_sequences(
+        _docs(sf_dir, ["doc_id", "text"]), budget=512,
+        range_width=width).sort("doc_id")
+
+
 def quality_median_filtered(sf_dir: str):
     """Per-language median-quality gate: keep documents whose
     quality_score >= their language's median, the discrete quantile rule

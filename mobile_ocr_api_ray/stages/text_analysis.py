@@ -265,3 +265,81 @@ def tfidf_top_terms(ds, n_docs: int, id_col: str = "doc_id",
            .groupby("coarse").map_groups(topk, batch_format="pandas"))
     # schema guard for all-empty results (the documented erosion trap)
     return _typed_empty_union(out, out_schema)
+
+
+# ------------------------------------------------------- sequence packing
+
+SEQ_BUDGET = 2048
+
+
+def pack_sequences(ds, budget: int = SEQ_BUDGET, id_col: str = "doc_id",
+                   text_col: str = "text", range_width: int = 2048):
+    """GPT-style concat-and-chunk packing ASSIGNMENT: lay every document's
+    whitespace tokens (``\\S+``, token_counts' n_ws_tokens rule) on one
+    global tape in ``id_col`` order and cut it every ``budget`` tokens.
+    Emits (id, n_tokens, start_offset, seq_id, offset_in_seq,
+    spans_boundary) — the plan a packing writer consumes to co-locate each
+    sequence's members; the heavy text column never moves.
+
+    Distributed EXCLUSIVE PREFIX SUM in one data shuffle:
+      1. each batch projects to (id, n_tokens, rkey = id // range_width);
+         the text column drops immediately, so the exchanged table is
+         ~16 bytes/doc regardless of corpus size. Materialized once
+         because two consumers read it (re-running lineage would re-read
+         the full text corpus);
+      2. per-range token totals (native groupby sum) form the BOUNDED
+         driver table — one row per id-range, sized by ``range_width``
+         (callers target ~1e2-1e5 ranges; at 100 TB / 3e11 docs a 3e6
+         width keeps it at 1e5 rows) — exclusive-prefix-summed into a
+         base-offset dict that rides into the group fn;
+      3. range-keyed map_groups sorts each range by id and adds the
+         in-range exclusive cumsum to the range's base.
+
+    Ranges are contiguous in id, so cross-range order is the (sorted)
+    base table's order and in-range order is the group sort — together
+    the exact global id order with NO global sort."""
+    import pandas as pd
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col], "")
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pc.cast(_count(t, _WS_TOKEN_RE), pa.int64()),
+            "rkey": pa.array(ids // range_width, pa.int64())})
+
+    counts = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    out_schema = {
+        id_col: pa.int64(), "n_tokens": pa.int64(),
+        "start_offset": pa.int64(), "seq_id": pa.int64(),
+        "offset_in_seq": pa.int64(), "spans_boundary": pa.bool_()}
+    if counts.count() == 0:  # empty groupby erodes schema — short-circuit
+        return pa.table({n: pa.array([], t) for n, t in out_schema.items()})
+
+    totals = counts.groupby("rkey").sum("n_tokens").to_pandas()
+    totals = totals.sort_values("rkey")
+    base = totals["sum(n_tokens)"].astype(np.int64).cumsum() \
+                                  .shift(fill_value=0)
+    base_map = dict(zip(totals["rkey"].astype(np.int64),
+                        base.astype(np.int64)))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(id_col, kind="mergesort")
+        n = d["n_tokens"].to_numpy().astype(np.int64)
+        start = base_map[int(d["rkey"].iloc[0])] \
+            + np.concatenate(([0], np.cumsum(n)[:-1])).astype(np.int64)
+        seq = start // budget
+        last = start + np.maximum(n, 1) - 1  # index of the last token
+        return pd.DataFrame({
+            id_col: d[id_col].to_numpy(),
+            "n_tokens": n,
+            "start_offset": start,
+            "seq_id": seq,
+            "offset_in_seq": start % budget,
+            "spans_boundary": (n > 0) & ((last // budget) != seq)})
+
+    from .dedup import nonempty_or_typed_table
+
+    out = counts.groupby("rkey").map_groups(assign, batch_format="pandas")
+    return nonempty_or_typed_table(out, out_schema)

@@ -503,6 +503,56 @@ class TestLineDedup:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestPackSequences:
+    """Concat-and-chunk packing plan: global exclusive prefix sum of
+    whitespace token counts in doc_id order, cut every `budget` tokens."""
+
+    def _ds(self, texts, ids=None):
+        import ray.data
+        ids = ids if ids is not None else range(len(texts))
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_offsets_and_boundaries(self, ray_session):
+        # token counts: 3, 4, 0, 5, 2 → starts 0, 3, 7, 7, 12; budget 8
+        ds = self._ds(["a b c", "d e f g", "", "h i j k l", "m n"])
+        out = text_analysis.pack_sequences(
+            ds, budget=8, range_width=2).sort("doc_id").to_pandas()
+        assert list(out.n_tokens) == [3, 4, 0, 5, 2]
+        assert list(out.start_offset) == [0, 3, 7, 7, 12]
+        assert list(out.seq_id) == [0, 0, 0, 0, 1]
+        assert list(out.offset_in_seq) == [0, 3, 7, 7, 4]
+        # doc 3 occupies tokens 7..11 → crosses the 8-token cut
+        assert list(out.spans_boundary) == [False, False, False, True, False]
+
+    def test_range_width_invariance(self, ray_session):
+        texts = [f"w{i} " * (i % 7) for i in range(60)]
+        a = text_analysis.pack_sequences(
+            self._ds(texts), budget=16, range_width=1) \
+            .sort("doc_id").to_pandas()
+        b = text_analysis.pack_sequences(
+            self._ds(texts), budget=16, range_width=1000) \
+            .sort("doc_id").to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_sparse_noncontiguous_ids(self, ray_session):
+        # id gaps and out-of-order input: tape order is still id order
+        ds = self._ds(["x y", "a b c", "q"], ids=[500, 3, 90])
+        out = text_analysis.pack_sequences(
+            ds, budget=4, range_width=10).sort("doc_id").to_pandas()
+        assert list(out.doc_id) == [3, 90, 500]
+        assert list(out.start_offset) == [0, 3, 4]
+        assert list(out.seq_id) == [0, 0, 1]
+
+    def test_empty_keeps_schema(self, ray_session):
+        out = text_analysis.pack_sequences(self._ds([]), budget=8)
+        names = out.schema().names if hasattr(out, "schema") and \
+            not isinstance(out, pa.Table) else out.column_names
+        assert names == ["doc_id", "n_tokens", "start_offset", "seq_id",
+                         "offset_in_seq", "spans_boundary"]
+
+
 def test_minhash_two_pass_empty(ray_session):
     """Duplicate-free corpus through the two-pass path keeps the typed pair
     schema at the Dataset level (the all-empty to_pandas() column drop is a
