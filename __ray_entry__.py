@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": a.label_centroids,
         "repetition_stats": a.repetition_stats,
         "packed_sequences": a.packed_sequences,
+        "gopher_quality_flags": a.gopher_quality_flags,
         "word_freq_top": a.word_freq_top,
         "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
@@ -155,6 +156,17 @@ def _ann_query_values() -> str:
         lit = ", ".join(repr(float(x)) for x in vec)
         rows.append(f"({i}, [{lit}]::DOUBLE[])")
     return ", ".join(rows)
+
+
+def _stop_case_sum() -> str:
+    """Distinct-stopword presence count as a sum of per-word regex CASEs —
+    the same one-RE2-pass-per-stopword rule as stages.text_analysis
+    .gopher_flags (token set membership would differ on punctuation-glued
+    words; the \\b regex agrees on both sides)."""
+    return " + ".join(
+        rf"CASE WHEN regexp_matches(lower(coalesce(text, '')), '\b{w}\b') "
+        "THEN 1 ELSE 0 END"
+        for w in QUALITY_STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -807,6 +819,59 @@ def oracle_sql() -> dict[str, str]:
                    min(n_words) AS n_words,
                    min(quality_score) AS quality_score
             FROM kept GROUP BY clean_text ORDER BY doc_id""",
+        # Gopher-rule quality flags: repetition CTEs shared with
+        # repetition_stats, distinct-stopword CASE sum generated from the
+        # same QUALITY_STOPWORDS list the engine loops over; exact-int
+        # ratio divisions make every float threshold compare agree
+        "gopher_quality_flags": rf"""
+            WITH toks AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '\s+'), x -> x <> '') AS w,
+                     ({_stop_case_sum()}) AS n_stop
+              FROM documents),
+            base AS (
+              SELECT doc_id, w, n_stop, len(w) AS n_words,
+                     length(t) - length(regexp_extract_all(t, '\s'))
+                         AS nw_chars,
+                     CASE WHEN len(w) >= 2
+                          THEN [w[i] || ' ' || w[i+1]
+                                FOR i IN range(1, len(w))]
+                          ELSE []::VARCHAR[] END AS g2
+              FROM toks),
+            tw AS (
+              SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+                GROUP BY doc_id, word)
+              GROUP BY doc_id),
+            m AS (
+              SELECT b.doc_id, cast(b.n_words AS BIGINT) AS n_words,
+                     cast(b.nw_chars AS DOUBLE)
+                         / greatest(cast(b.n_words AS DOUBLE), 1.0)
+                         AS mean_word_len,
+                     cast(b.n_stop AS BIGINT) AS n_stop_distinct,
+                     cast(coalesce(tw.top_c, 0) AS DOUBLE)
+                         / greatest(cast(b.n_words AS DOUBLE), 1.0)
+                         AS top_word_frac,
+                     cast(len(b.g2) - len(list_distinct(b.g2)) AS DOUBLE)
+                         / greatest(cast(len(b.g2) AS DOUBLE), 1.0)
+                         AS dup_2gram_frac
+              FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id)
+            SELECT doc_id, n_words, mean_word_len, n_stop_distinct,
+                   top_word_frac, dup_2gram_frac,
+                   n_words BETWEEN 25 AND 500 AS flag_word_count,
+                   mean_word_len >= 4.0 AND mean_word_len <= 10.0
+                       AS flag_mean_word_len,
+                   n_stop_distinct >= 2 AS flag_stopwords,
+                   top_word_frac <= 0.12 AS flag_top_word,
+                   dup_2gram_frac <= 0.06 AS flag_dup_2gram,
+                   n_words BETWEEN 25 AND 500
+                     AND mean_word_len >= 4.0 AND mean_word_len <= 10.0
+                     AND n_stop_distinct >= 2
+                     AND top_word_frac <= 0.12
+                     AND dup_2gram_frac <= 0.06 AS keep
+            FROM m ORDER BY doc_id""",
         # concat-and-chunk packing plan: whitespace-token tape in doc_id
         # order cut every 512 tokens; the window cumsum is the sequential
         # spec of the engine's distributed range prefix sum. start_offset

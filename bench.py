@@ -123,6 +123,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: a.exact_dup_clusters_doubled(sf_dir).to_pandas())
     timed("line_dedup_docs", lambda: a.line_dedup_docs(sf_dir).to_pandas())
     timed("packed_sequences", lambda: _pd(a.packed_sequences(sf_dir)))
+    timed("gopher_quality_flags",
+          lambda: a.gopher_quality_flags(sf_dir).to_pandas())
     timed("unshipped_orders_topk",
           lambda: x.unshipped_orders_topk(sf_dir).to_pandas())
     timed("clicks_last_view", lambda: x.clicks_last_view(sf_dir).to_pandas())

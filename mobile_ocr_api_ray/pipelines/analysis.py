@@ -673,6 +673,16 @@ def repetition_stats(sf_dir: str):
             .map_batches(stats, batch_format="pyarrow").sort("doc_id"))
 
 
+def gopher_quality_flags(sf_dir: str):
+    """Gopher-rule quality flags per document: one boolean per rule
+    (word-count band, mean word length, distinct stopwords, top-word
+    fraction, duplicate-bigram fraction) plus the composite keep.
+    Purely per-row, no shuffle."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text_analysis.gopher_flags, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def packed_sequences(sf_dir: str):
     """Concat-and-chunk sequence-packing plan over documents at a
     512-token budget. range_width is sized from parquet metadata so the

@@ -343,3 +343,89 @@ def pack_sequences(ds, budget: int = SEQ_BUDGET, id_col: str = "doc_id",
 
     out = counts.groupby("rkey").map_groups(assign, batch_format="pandas")
     return nonempty_or_typed_table(out, out_schema)
+
+
+# --------------------------------------------------- Gopher quality flags
+
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 500
+GOPHER_MIN_MWL = 4.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_STOP = 2
+GOPHER_MAX_TOP_WORD = 0.12
+GOPHER_MAX_DUP_2GRAM = 0.06
+
+
+def gopher_flags(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style (Rae et al. 2021, §A1.1) per-document quality flags,
+    one boolean per rule plus the composite ``keep`` — filters stay
+    inspectable instead of collapsing to a single gate. Thresholds are
+    tuned to the synthetic corpus so every rule fires on real rows.
+
+    Fully vectorized per batch (one \\s+ split, flat word/bigram frames,
+    one RE2 pass per stopword), purely per-row → no shuffle. Ratios are
+    exact-int divisions, so the float threshold compares agree with the
+    SQL oracle bit-for-bit."""
+    import pandas as pd
+
+    n = batch.num_rows
+    t = pc.fill_null(batch[text_col], "")
+    lower = pc.utf8_lower(t)
+
+    words = pc.split_pattern_regex(t, r"\s+")
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words)
+    mask = pc.not_equal(flat, "")
+    w = flat.filter(mask).to_numpy(zero_copy_only=False)
+    p = parent.filter(mask).to_numpy()
+    n_words = np.bincount(p, minlength=n).astype(np.int64)
+
+    nw_chars = pc.subtract(pc.utf8_length(t),
+                           _count(t, r"\s")).to_numpy().astype(np.int64)
+
+    top = np.zeros(n, np.int64)
+    cnt = pd.DataFrame({"p": p, "w": w}).groupby(["p", "w"], sort=False) \
+                                        .size()
+    if len(cnt):
+        tmax = cnt.groupby(level=0).max()
+        top[tmax.index] = tmax.to_numpy()
+
+    adj = p[1:] == p[:-1] if len(p) > 1 else np.array([], bool)
+    gp = p[:-1][adj] if len(p) > 1 else np.array([], np.int64)
+    n_g2 = np.bincount(gp, minlength=n).astype(np.int64)
+    dis_g2 = np.zeros(n, np.int64)
+    if len(gp):
+        g2 = pd.Series(w[:-1][adj]) + " " + pd.Series(w[1:][adj])
+        gd = pd.DataFrame({"p": gp, "g": g2.to_numpy()}) \
+               .drop_duplicates().groupby("p").size()
+        dis_g2[gd.index] = gd.to_numpy()
+
+    n_stop = np.zeros(n, np.int64)
+    for sw in QUALITY_STOPWORDS:
+        hit = pc.match_substring_regex(lower, rf"\b{sw}\b")
+        n_stop += pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+
+    denom = np.maximum(n_words, 1).astype(np.float64)
+    mwl = nw_chars.astype(np.float64) / denom
+    twf = top.astype(np.float64) / denom
+    dgf = (n_g2 - dis_g2).astype(np.float64) \
+        / np.maximum(n_g2, 1).astype(np.float64)
+
+    f_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    f_stop = n_stop >= GOPHER_MIN_STOP
+    f_top = twf <= GOPHER_MAX_TOP_WORD
+    f_dup = dgf <= GOPHER_MAX_DUP_2GRAM
+
+    return _emit(batch, {
+        "n_words": pa.array(n_words, pa.int64()),
+        "mean_word_len": pa.array(mwl, pa.float64()),
+        "n_stop_distinct": pa.array(n_stop, pa.int64()),
+        "top_word_frac": pa.array(twf, pa.float64()),
+        "dup_2gram_frac": pa.array(dgf, pa.float64()),
+        "flag_word_count": pa.array(f_wc),
+        "flag_mean_word_len": pa.array(f_mwl),
+        "flag_stopwords": pa.array(f_stop),
+        "flag_top_word": pa.array(f_top),
+        "flag_dup_2gram": pa.array(f_dup),
+        "keep": pa.array(f_wc & f_mwl & f_stop & f_top & f_dup)})

@@ -31,7 +31,7 @@ QUERIES = [
     "langid_docs", "exact_dedup", "exact_dedup_doubled",
     "quality_median_filtered", "ngram_jaccard_adjacent",
     "decontaminate_docs", "boilerplate_scrubbed_docs", "curated_docs",
-    "line_dedup_docs", "packed_sequences",
+    "line_dedup_docs", "packed_sequences", "gopher_quality_flags",
     # embeddings: matrix extraction, ANN, centroids, near-pairs
     "ann_brute_topk", "knn_graph_topk", "label_centroids",
     "embedding_pairs_doubled",

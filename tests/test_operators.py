@@ -503,6 +503,35 @@ class TestLineDedup:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestGopherFlags:
+    def test_hand_vectors(self):
+        good = ("the quick brown fox jumps over and beside many lazy dogs "
+                "while some other animals watch from nearby hills because "
+                "they were curious about daily events around town square")
+        short = "the and tiny"                      # < 25 words
+        chars = "a " * 30                            # mean word len 1
+        reps = "the of " + "dup " * 40               # top-word + dup-bigram
+        t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                      "text": pa.array([good, short, chars, reps])})
+        out = text_analysis.gopher_flags(t).to_pandas()
+        assert bool(out.keep[0]) is True
+        assert list(out.flag_word_count) == [True, False, True, True]
+        assert list(out.flag_mean_word_len) == [True, False, False, False]
+        # 'a' is 1 distinct stopword; the others each have >= 2
+        assert list(out.flag_stopwords) == [True, True, False, True]
+        assert bool(out.flag_top_word[3]) is False   # 'dup' = 40/42 words
+        assert bool(out.flag_dup_2gram[3]) is False  # 'dup dup' repeats
+        assert list(out.keep[1:]) == [False, False, False]
+
+    def test_null_and_empty(self):
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array([None, ""], pa.string())})
+        out = text_analysis.gopher_flags(t).to_pandas()
+        assert list(out.n_words) == [0, 0]
+        assert list(out.mean_word_len) == [0.0, 0.0]
+        assert list(out.keep) == [False, False]
+
+
 class TestPackSequences:
     """Concat-and-chunk packing plan: global exclusive prefix sum of
     whitespace token counts in doc_id order, cut every `budget` tokens."""
