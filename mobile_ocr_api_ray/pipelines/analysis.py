@@ -346,8 +346,9 @@ def line_dedup_docs(sf_dir: str):
 
     ds = docs.map_batches(to_lines, batch_format="pyarrow")
     nc = _docs_coarse_hint(sf_dir, 2)
-    return dedup.line_dedup(ds, n_coarse=nc, n_coarse_docs=nc) \
-                .sort("doc_id")
+    out = dedup.line_dedup(ds, n_coarse=nc, n_coarse_docs=nc)
+    # empty corpus → the stage's typed-empty pa.Table (already "sorted")
+    return out if isinstance(out, pa.Table) else out.sort("doc_id")
 
 
 def near_dedup_kept_doubled(sf_dir: str):
@@ -630,33 +631,9 @@ def repetition_stats(sf_dir: str):
 
     def stats(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        words = pc.split_pattern_regex(batch["text"], r"\s+")
-        flat = pc.list_flatten(words)
-        parent = pc.list_parent_indices(words)
-        mask = pc.not_equal(flat, "")
-        w = flat.filter(mask).to_numpy(zero_copy_only=False)
-        p = parent.filter(mask).to_numpy()
-        n_words = np.bincount(p, minlength=n)
-
-        s = pd.DataFrame({"p": p, "w": w})
-        cnt = s.groupby(["p", "w"], sort=False).size()
-        top = np.zeros(n, np.int64)
-        dis = np.zeros(n, np.int64)
-        if len(cnt):
-            t = cnt.groupby(level=0).max()
-            d = cnt.groupby(level=0).size()
-            top[t.index] = t.to_numpy()
-            dis[d.index] = d.to_numpy()
-
-        adj = p[1:] == p[:-1] if len(p) > 1 else np.array([], bool)
-        gp = p[:-1][adj] if len(p) > 1 else np.array([], np.int64)
-        n_g2 = np.bincount(gp, minlength=n)
-        dis_g2 = np.zeros(n, np.int64)
-        if len(gp):
-            g2 = pd.Series(w[:-1][adj]) + " " + pd.Series(w[1:][adj])
-            gd = pd.DataFrame({"p": gp, "g": g2.to_numpy()}) \
-                   .drop_duplicates().groupby("p").size()
-            dis_g2[gd.index] = gd.to_numpy()
+        w, p = text_analysis.word_frames(batch["text"])
+        n_words, top, dis, n_g2, dis_g2 = \
+            text_analysis.repetition_counts(w, p, n)
 
         return pa.table({
             "doc_id": batch["doc_id"],
@@ -691,9 +668,10 @@ def packed_sequences(sf_dir: str):
     path = os.path.join(sf_dir, "documents.parquet")
     n = pq.ParquetFile(path).metadata.num_rows
     width = max(1, n // _docs_coarse_hint(sf_dir, 32))
-    return text_analysis.pack_sequences(
-        _docs(sf_dir, ["doc_id", "text"]), budget=512,
-        range_width=width).sort("doc_id")
+    out = text_analysis.pack_sequences(
+        _docs(sf_dir, ["doc_id", "text"]), budget=512, range_width=width)
+    # empty corpus → the stage's typed-empty pa.Table (already "sorted")
+    return out if isinstance(out, pa.Table) else out.sort("doc_id")
 
 
 def quality_median_filtered(sf_dir: str):

@@ -1156,11 +1156,13 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         rids = np.repeat(ids, lens)
         nch = pc.utf8_length(flat).to_numpy().astype(np.int64)
         elig = nch >= min_chars
-        vals = flat.to_pandas().to_numpy()
         coarse = (rids * 1000003 + idxs) % nc          # spread, no skew
         if elig.any():
+            # only eligible lines leave Arrow — the exempt short/blank
+            # majority never pays Python-object conversion
+            vals = flat.filter(pa.array(elig)).to_pylist()
             coarse[elig] = np.fromiter(
-                (zlib.crc32(s.encode()) for s in vals[elig]),
+                (zlib.crc32(s.encode()) for s in vals),
                 np.int64, int(elig.sum())) % nc
         return pa.table({
             "_id": pa.array(rids, pa.int64()),
@@ -1183,6 +1185,11 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         return out
 
     def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # map_groups never passes empty groups today, but
+            return pd.DataFrame({  # keep the fn total rather than half-guarded
+                "_id": pd.array([], "int64"),
+                "clean_text": pd.array([], "string"),
+                "n_removed": pd.array([], "int64")})
         d = df.sort_values(["_id", "line_idx"], kind="mergesort")
         ids = d["_id"].to_numpy()
         keep = d["keep"].to_numpy()
@@ -1193,8 +1200,7 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         ends_ = np.concatenate((bound, [len(ids)]))
         texts = ["\n".join(lines[s:e][keep[s:e]])
                  for s, e in zip(starts, ends_)]
-        removed = np.add.reduceat(~keep, starts) if len(ids) else \
-            np.array([], np.int64)
+        removed = np.add.reduceat(~keep, starts)
         return pd.DataFrame({
             "_id": pd.array(ids[starts], "int64"),
             "clean_text": pd.array(texts, "string"),

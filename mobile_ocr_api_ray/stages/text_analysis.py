@@ -356,39 +356,38 @@ GOPHER_MAX_TOP_WORD = 0.12
 GOPHER_MAX_DUP_2GRAM = 0.06
 
 
-def gopher_flags(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Gopher-style (Rae et al. 2021, §A1.1) per-document quality flags,
-    one boolean per rule plus the composite ``keep`` — filters stay
-    inspectable instead of collapsing to a single gate. Thresholds are
-    tuned to the synthetic corpus so every rule fires on real rows.
-
-    Fully vectorized per batch (one \\s+ split, flat word/bigram frames,
-    one RE2 pass per stopword), purely per-row → no shuffle. Ratios are
-    exact-int divisions, so the float threshold compares agree with the
-    SQL oracle bit-for-bit."""
-    import pandas as pd
-
-    n = batch.num_rows
-    t = pc.fill_null(batch[text_col], "")
-    lower = pc.utf8_lower(t)
-
-    words = pc.split_pattern_regex(t, r"\s+")
+def word_frames(text: pa.ChunkedArray | pa.Array):
+    """``\\s+``-split a text column to flat (word, parent-row) frames with
+    empty tokens dropped — the shared tokenizer for the repetition
+    kernels. Null text contributes no words (null lists flatten to
+    nothing)."""
+    words = pc.split_pattern_regex(text, r"\s+")
     flat = pc.list_flatten(words)
     parent = pc.list_parent_indices(words)
     mask = pc.not_equal(flat, "")
-    w = flat.filter(mask).to_numpy(zero_copy_only=False)
-    p = parent.filter(mask).to_numpy()
+    return (flat.filter(mask).to_numpy(zero_copy_only=False),
+            parent.filter(mask).to_numpy())
+
+
+def repetition_counts(w: np.ndarray, p: np.ndarray, n: int):
+    """Per-document repetition counts from flat word frames: (n_words,
+    top_word_count, n_distinct_words, n_bigrams, n_distinct_bigrams).
+    Bigrams are space-joined adjacent pairs — the same encoding as the
+    SQL oracles (words cannot contain spaces). Shared by
+    ``repetition_stats`` and ``gopher_flags`` so the two engines cannot
+    drift."""
+    import pandas as pd
+
     n_words = np.bincount(p, minlength=n).astype(np.int64)
-
-    nw_chars = pc.subtract(pc.utf8_length(t),
-                           _count(t, r"\s")).to_numpy().astype(np.int64)
-
     top = np.zeros(n, np.int64)
+    dis = np.zeros(n, np.int64)
     cnt = pd.DataFrame({"p": p, "w": w}).groupby(["p", "w"], sort=False) \
                                         .size()
     if len(cnt):
-        tmax = cnt.groupby(level=0).max()
-        top[tmax.index] = tmax.to_numpy()
+        t = cnt.groupby(level=0).max()
+        d = cnt.groupby(level=0).size()
+        top[t.index] = t.to_numpy()
+        dis[d.index] = d.to_numpy()
 
     adj = p[1:] == p[:-1] if len(p) > 1 else np.array([], bool)
     gp = p[:-1][adj] if len(p) > 1 else np.array([], np.int64)
@@ -399,6 +398,28 @@ def gopher_flags(batch: pa.Table, text_col: str = "text") -> pa.Table:
         gd = pd.DataFrame({"p": gp, "g": g2.to_numpy()}) \
                .drop_duplicates().groupby("p").size()
         dis_g2[gd.index] = gd.to_numpy()
+    return n_words, top, dis, n_g2, dis_g2
+
+
+def gopher_flags(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style (Rae et al. 2021, §A1.1) per-document quality flags,
+    one boolean per rule plus the composite ``keep`` — filters stay
+    inspectable instead of collapsing to a single gate. Thresholds are
+    tuned to the synthetic corpus so every rule fires on real rows.
+
+    Fully vectorized per batch (one \\s+ split, flat word/bigram frames,
+    one RE2 pass per stopword), purely per-row → no shuffle. Ratios are
+    exact-int divisions, so the float threshold compares agree with the
+    SQL oracle bit-for-bit."""
+    n = batch.num_rows
+    t = pc.fill_null(batch[text_col], "")
+    lower = pc.utf8_lower(t)
+
+    w, p = word_frames(t)
+    n_words, top, _, n_g2, dis_g2 = repetition_counts(w, p, n)
+
+    nw_chars = pc.subtract(pc.utf8_length(t),
+                           _count(t, r"\s")).to_numpy().astype(np.int64)
 
     n_stop = np.zeros(n, np.int64)
     for sw in QUALITY_STOPWORDS:
