@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": a.repetition_stats,
         "packed_sequences": a.packed_sequences,
         "gopher_quality_flags": a.gopher_quality_flags,
+        "unigram_logprob": a.unigram_logprob_docs,
+        "source_overlap_matrix": a.source_overlap_matrix,
         "word_freq_top": a.word_freq_top,
         "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
@@ -819,6 +821,68 @@ def oracle_sql() -> dict[str, str]:
                    min(n_words) AS n_words,
                    min(quality_score) AS quality_score
             FROM kept GROUP BY clean_text ORDER BY doc_id""",
+        # cross-source contamination: distinct word-bigram sets per source,
+        # pairwise shared counts + Jaccard; pairs with zero overlap are
+        # absent on both sides. Exact integer counts → exact double ratio
+        "source_overlap_matrix": r"""
+            WITH words AS (
+              SELECT source,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT source,
+                     unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                                 ELSE [w[i] || ' ' || w[i+1]
+                                       FOR i IN range(1, len(w))]
+                            END) AS g
+              FROM words),
+            tot AS (SELECT source, count(*) AS n FROM grams GROUP BY 1),
+            sh AS (SELECT a.source AS source_a, b.source AS source_b,
+                          count(*) AS n_shared
+                   FROM grams a JOIN grams b
+                     ON a.g = b.g AND a.source < b.source
+                   GROUP BY 1, 2)
+            SELECT sh.source_a, sh.source_b,
+                   cast(sh.n_shared AS BIGINT) AS n_shared,
+                   cast(ta.n AS BIGINT) AS n_a,
+                   cast(tb.n AS BIGINT) AS n_b,
+                   cast(sh.n_shared AS DOUBLE)
+                       / cast(ta.n + tb.n - sh.n_shared AS DOUBLE)
+                       AS jaccard
+            FROM sh JOIN tot ta ON sh.source_a = ta.source
+                    JOIN tot tb ON sh.source_b = tb.source
+            ORDER BY 1, 2""",
+        # unigram-LM surprisal: corpus counts → top-100 vocab, OOV
+        # smoothed to count 1; per-token -ln p quantized to integer
+        # micro-nats via floor so per-doc sums are order-independent
+        # (float addition does not associate; ln/floor agree bit-for-bit)
+        "unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                            '\w+')) AS word
+              FROM documents),
+            cnt AS (SELECT word, count(*) AS n FROM toks GROUP BY 1),
+            tot AS (SELECT cast(sum(n) AS BIGINT) AS total FROM cnt),
+            vocab AS (SELECT word, n FROM cnt
+                      ORDER BY n DESC, word LIMIT 100),
+            s AS (
+              SELECT t.doc_id, v.n IS NULL AS oov,
+                     cast(floor(-ln(cast(coalesce(v.n, 1) AS DOUBLE)
+                                    / (SELECT total FROM tot)) * 1000000)
+                          AS BIGINT) AS q
+              FROM toks t LEFT JOIN vocab v ON t.word = v.word)
+            SELECT d.doc_id,
+                   cast(count(s.q) AS BIGINT) AS n_tokens,
+                   cast(coalesce(sum(CASE WHEN s.oov THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_oov,
+                   coalesce(sum(s.q), 0)
+                       / (greatest(count(s.q), 1) * 1000000.0)
+                       AS avg_surprisal
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            GROUP BY 1 ORDER BY 1""",
         # Gopher-rule quality flags: repetition CTEs shared with
         # repetition_stats, distinct-stopword CASE sum generated from the
         # same QUALITY_STOPWORDS list the engine loops over; exact-int

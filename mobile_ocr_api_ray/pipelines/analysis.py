@@ -8,6 +8,7 @@ match the corresponding SQL oracle in ``__ray_entry__`` exactly.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -132,6 +133,148 @@ def word_freq_top(sf_dir: str, k: int = 100):
            .map_batches(partial, batch_format="pyarrow")
            .groupby("word").aggregate(Sum("n", alias_name="n")))
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+UNIGRAM_VOCAB_K = 100
+NLP_SCALE = 1_000_000  # fixed-point micro-nats: order-independent sums
+
+
+def unigram_logprob_docs(sf_dir: str, vocab_k: int = UNIGRAM_VOCAB_K):
+    """Unigram-LM surprisal scoring — the classic cheap perplexity proxy
+    for webtext quality (CCNet-style, lighter than a KenLM): p(w) =
+    corpus_count(w)/total_tokens over a bounded top-k vocabulary,
+    out-of-vocabulary tokens smoothed to count 1; per-document score =
+    mean token surprisal -ln p(w).
+
+    Scale shape: corpus counts via the word_freq combiner (shuffle bounded
+    by per-batch vocabulary), materialized once for its two bounded
+    consumers (total-token scalar, top-k vocab); the k-row vocab
+    broadcasts into the scoring stage — the corpus streams through once,
+    nothing joins at token grain. Per-token surprisals are quantized to
+    integer micro-nats (floor, like the integer-cent currency sums) so
+    per-doc sums are order-independent and the SQL oracle is value-exact
+    — float addition does not associate, ln and floor do agree
+    bit-for-bit (same libm/IEEE doubles; tfidf precedent)."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(word_re.findall((t or "").lower()))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = (_docs(sf_dir, ["text"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    total = counts.sum("n") or 0
+    vocab = counts.sort(["n", "word"], descending=[True, False]) \
+                  .limit(vocab_k).to_pandas()
+    vmap = dict(zip(vocab["word"], vocab["n"].astype(np.int64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        n = batch.num_rows
+        n_tok = np.zeros(n, np.int64)
+        n_oov = np.zeros(n, np.int64)
+        sum_q = np.zeros(n, np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = word_re.findall((t or "").lower())
+            if not toks:
+                continue
+            c = np.array([vmap.get(w, 0) for w in toks], np.int64)
+            oov = c == 0
+            nlp = -np.log(np.where(oov, 1, c).astype(np.float64) / total)
+            n_tok[i] = len(toks)
+            n_oov[i] = int(oov.sum())
+            sum_q[i] = int(np.floor(nlp * NLP_SCALE).astype(np.int64).sum())
+        avg = sum_q.astype(np.float64) \
+            / (np.maximum(n_tok, 1) * float(NLP_SCALE))
+        return pa.table({
+            "doc_id": ids,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "avg_surprisal": pa.array(avg, pa.float64())})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow").sort("doc_id"))
+
+
+def source_overlap_matrix(sf_dir: str):
+    """Cross-source contamination matrix: for every source pair, the
+    number of distinct word-bigrams they share and the Jaccard over their
+    distinct-bigram sets — the standard check that corpus slices meant to
+    be independent are not mirroring each other.
+
+    Scale shape: per-batch distinct (source, bigram) rows (in-batch
+    combiner) → ONE gram-hash coarse shuffle → per-partition global
+    dedup, then per-gram source-set self-merge (bounded by n_sources² per
+    gram) → pair partial counts. Everything after the shuffle is bounded
+    by n_sources² + distinct grams; only the two tiny tables (per-source
+    totals, pair counts) reach the driver."""
+    nc = _docs_coarse_hint(sf_dir, 2)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        w, p = text_analysis.word_frames(lower)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        adj = p[1:] == p[:-1] if len(p) > 1 else np.array([], bool)
+        gp = p[:-1][adj] if len(p) > 1 else np.array([], np.int64)
+        if not len(gp):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "g": pa.array([], pa.string()),
+                             "coarse": pa.array([], pa.int32())})
+        g2 = (pd.Series(w[:-1][adj]) + " " + pd.Series(w[1:][adj])) \
+            .to_numpy()
+        df = pd.DataFrame({"source": src[gp], "g": g2}).drop_duplicates()
+        coarse = np.fromiter((zlib.crc32(s.encode()) for s in df["g"]),
+                             np.int64, len(df)) % nc
+        return pa.table({"source": pa.array(df["source"], pa.string()),
+                         "g": pa.array(df["g"], pa.string()),
+                         "coarse": pa.array(coarse.astype(np.int32))})
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["source", "g"])
+        # per-partition per-source distinct-gram totals ride along under
+        # source_b='' so ONE group pass feeds both outputs
+        tot = d.groupby("source").size().reset_index(name="n")
+        m = d.merge(d, on="g")
+        m = m[m["source_x"] < m["source_y"]]
+        pairs = m.groupby(["source_x", "source_y"]).size() \
+                 .reset_index(name="n")
+        return pd.DataFrame({
+            "source_a": pd.concat([tot["source"], pairs["source_x"]],
+                                  ignore_index=True),
+            "source_b": [""] * len(tot) + list(pairs["source_y"]),
+            "n": pd.concat([tot["n"], pairs["n"]],
+                           ignore_index=True).astype("int64")})
+
+    parts = (_docs(sf_dir, ["doc_id", "text", "source"])
+             .map_batches(explode, batch_format="pyarrow")
+             .groupby("coarse").map_groups(pair_counts,
+                                           batch_format="pandas")
+             .groupby(["source_a", "source_b"])
+             .aggregate(Sum("n", alias_name="n")))
+    agg = parts.to_pandas()  # bounded: n_sources + n_sources² rows
+    tot = agg[agg["source_b"] == ""].set_index("source_a")["n"]
+    pairs = agg[agg["source_b"] != ""].copy()
+    na = tot.reindex(pairs["source_a"]).to_numpy()
+    nb = tot.reindex(pairs["source_b"]).to_numpy()
+    shared = pairs["n"].to_numpy()
+    out = pa.table({
+        "source_a": pa.array(pairs["source_a"], pa.string()),
+        "source_b": pa.array(pairs["source_b"], pa.string()),
+        "n_shared": pa.array(shared.astype(np.int64)),
+        "n_a": pa.array(na.astype(np.int64)),
+        "n_b": pa.array(nb.astype(np.int64)),
+        "jaccard": pa.array(shared.astype(np.float64)
+                            / (na + nb - shared).astype(np.float64))})
+    return out.sort_by([("source_a", "ascending"),
+                        ("source_b", "ascending")])
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 5):

@@ -74,3 +74,26 @@ class TestMultimodalQueries:
         # full-scale sine → rms ≈ amplitude/sqrt(2) (int16 quantized)
         assert np.allclose(df.rms, 10000 / math.sqrt(2), rtol=0.02)
         assert (df.zero_crossings > 0).all()
+
+
+class TestCorpusScoringQueries:
+    def test_unigram_logprob(self, queries):
+        df = queries["unigram_logprob"](SF).to_pandas()
+        tc = queries["token_counts"](SF).to_pandas()
+        # same \w+ tokenizer as token_counts — cross-operator consistency
+        m = df.merge(tc, on="doc_id")
+        assert (m.n_tokens_x == m.n_tokens_y).all()
+        pos = df[df.n_tokens > 0]
+        assert (pos.avg_surprisal > 0).all()
+        assert (df.n_oov <= df.n_tokens).all()
+        # vocab covers the corpus head: most tokens are in-vocab
+        assert df.n_oov.sum() < df.n_tokens.sum()
+
+    def test_source_overlap_matrix(self, queries):
+        df = queries["source_overlap_matrix"](SF)
+        df = df.to_pandas() if hasattr(df, "to_pandas") else df
+        assert (df.source_a < df.source_b).all()
+        assert (df.n_shared <= df[["n_a", "n_b"]].min(axis=1)).all()
+        assert df.jaccard.between(0, 1).all()
+        expect = (df.n_shared / (df.n_a + df.n_b - df.n_shared))
+        assert np.allclose(df.jaccard, expect)
