@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": a.gopher_quality_flags,
         "unigram_logprob": a.unigram_logprob_docs,
         "source_overlap_matrix": a.source_overlap_matrix,
+        "heavy_hitter_words": a.heavy_hitter_words,
+        "incremental_dedup": a.incremental_dedup_docs,
         "word_freq_top": a.word_freq_top,
         "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
@@ -821,6 +823,34 @@ def oracle_sql() -> dict[str, str]:
                    min(n_words) AS n_words,
                    min(quality_score) AS quality_score
             FROM kept GROUP BY clean_text ORDER BY doc_id""",
+        # two-pass Misra-Gries heavy hitters: candidate pool covers every
+        # word with corpus share > 1/capacity, exact counts for the pool
+        # → identical to the exact word_freq_top rule (same SQL)
+        "heavy_hitter_words": r"""
+            SELECT word, cast(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS word
+                  FROM documents)
+            GROUP BY 1 ORDER BY n DESC, word LIMIT 100""",
+        # incremental dedup vs a snapshot over the DOUBLED corpus:
+        # snapshot membership = 50% doc_id-hash rule (sample_docs' pure-
+        # function form); a new row survives iff its digest is absent
+        # from the snapshot, min doc_id per digest among survivors
+        "incremental_dedup": r"""
+            WITH d AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, text FROM documents),
+            t AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS digest,
+                     cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)),
+                           1, 8)) AS UBIGINT)
+                       < cast(4294967296 * 50 // 100 AS UBIGINT) AS is_old
+              FROM d),
+            old AS (SELECT DISTINCT digest FROM t WHERE is_old),
+            new AS (SELECT doc_id, digest FROM t WHERE NOT is_old)
+            SELECT min(n.doc_id) AS doc_id, n.digest
+            FROM new n LEFT JOIN old o ON n.digest = o.digest
+            WHERE o.digest IS NULL
+            GROUP BY n.digest ORDER BY 1""",
         # cross-source contamination: distinct word-bigram sets per source,
         # pairwise shared counts + Jaccard; pairs with zero overlap are
         # absent on both sides. Exact integer counts → exact double ratio

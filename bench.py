@@ -127,6 +127,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: a.gopher_quality_flags(sf_dir).to_pandas())
     timed("unigram_logprob", lambda: a.unigram_logprob_docs(sf_dir).to_pandas())
     timed("source_overlap_matrix", lambda: _pd(a.source_overlap_matrix(sf_dir)))
+    timed("heavy_hitter_words", lambda: a.heavy_hitter_words(sf_dir).to_pandas())
+    timed("incremental_dedup", lambda: _pd(a.incremental_dedup_docs(sf_dir)))
     timed("unshipped_orders_topk",
           lambda: x.unshipped_orders_topk(sf_dir).to_pandas())
     timed("clicks_last_view", lambda: x.clicks_last_view(sf_dir).to_pandas())

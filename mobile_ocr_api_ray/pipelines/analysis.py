@@ -135,6 +135,104 @@ def word_freq_top(sf_dir: str, k: int = 100):
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+def incremental_dedup_docs(sf_dir: str):
+    """Incremental exact dedup of a NEW shard against an existing
+    snapshot — the steady-state shape of a production corpus (each crawl
+    dedups against everything already ingested, never rescanning it at
+    content grain). Snapshot membership is the deterministic 50%
+    doc_id-hash rule (pure function of the key, reproducible in SQL);
+    'old' rows contribute only their distinct digests.
+
+    Scale shape: ONE digest-prefix shuffle — snapshot and new rows
+    co-locate by content digest (the anti-join partitioning; never a
+    broadcast, since at 100 TB the snapshot is the LARGER side), and
+    inside each partition a vectorized resolve applies both gates: any
+    digest the snapshot contains kills its new rows, otherwise the
+    minimum-doc_id new row survives. Returns (doc_id, digest) of the
+    surviving new rows. Runs over the DOUBLED corpus: a clone and its
+    original hash to independent sides of the snapshot boundary, so both
+    gates fire on real rows (~25% of clone pairs straddle it)."""
+    nc = _docs_coarse_hint(sf_dir, 2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = dedup.add_md5_digest(batch).select(["doc_id", "digest"])
+        is_old = pa.array([_hash_keep(i, 50)
+                           for i in t["doc_id"].to_pylist()], pa.bool_())
+        coarse = [int(d[:4], 16) % nc for d in t["digest"].to_pylist()]
+        return t.append_column("is_old", is_old) \
+                .append_column("coarse", pa.array(coarse, pa.int32()))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        has_old = df.groupby("digest")["is_old"].transform("any")
+        new = df[~df["is_old"] & ~has_old.to_numpy()]
+        new = new.sort_values("doc_id").drop_duplicates("digest")
+        return new[["doc_id", "digest"]]
+
+    out = (_doubled_docs(sf_dir)
+           .map_batches(project, batch_format="pyarrow")
+           .groupby("coarse").map_groups(resolve, batch_format="pandas")
+           .sort("doc_id"))
+    return dedup.nonempty_or_typed_table(out, {
+        "doc_id": pa.int64(), "digest": pa.string()})
+
+
+MG_CAPACITY = 2000     # Misra-Gries summary size per batch
+MG_CANDIDATES = 400    # candidate pool carried into the exact pass
+
+
+def heavy_hitter_words(sf_dir: str, k: int = 100,
+                       capacity: int = MG_CAPACITY,
+                       candidates: int = MG_CANDIDATES):
+    """Top-k words by the two-pass heavy-hitters recipe — the bounded-
+    memory alternative to a full-vocabulary shuffle at 100 TB:
+
+    1. per-batch Misra-Gries summary of ``capacity`` counters (exact
+       batch Counter compressed by decrementing the (C+1)-th largest
+       count — any word with batch share > 1/C survives with a lower
+       bound) → groupby sum of lower bounds → top ``candidates`` to the
+       driver (BOUNDED — this is the only vocabulary that ever leaves
+       the distributed side);
+    2. exact counts for the broadcast candidate set only → top-k.
+
+    Output equals word_freq_top exactly whenever the candidate pool
+    covers the true top-k (guaranteed for words with corpus share
+    > 1/capacity; the unit test exercises an eviction-heavy capacity),
+    so the same SQL oracle value-checks this operator."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(word_re.findall((t or "").lower()))
+        if len(c) > capacity:
+            cut = sorted(c.values(), reverse=True)[capacity]
+            c = Counter({w: n - cut for w, n in c.items() if n > cut})
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    docs = _docs(sf_dir, ["text"])
+    pool = (docs.map_batches(mg_partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "word"], descending=[True, False])
+            .limit(candidates).to_pandas())
+    cand = set(pool["word"])
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(w for w in word_re.findall((t or "").lower())
+                     if w in cand)
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    return (docs.map_batches(exact_partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "word"], descending=[True, False]).limit(k))
+
+
 UNIGRAM_VOCAB_K = 100
 NLP_SCALE = 1_000_000  # fixed-point micro-nats: order-independent sums
 

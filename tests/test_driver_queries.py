@@ -97,3 +97,46 @@ class TestCorpusScoringQueries:
         assert df.jaccard.between(0, 1).all()
         expect = (df.n_shared / (df.n_a + df.n_b - df.n_shared))
         assert np.allclose(df.jaccard, expect)
+
+
+class TestHeavyHittersAndIncremental:
+    def test_heavy_hitters_match_exact(self, queries):
+        hh = queries["heavy_hitter_words"](SF).to_pandas()
+        import pandas as pd
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            heavy_hitter_words, word_freq_top)
+        exact = word_freq_top(SF).to_pandas()
+        pd.testing.assert_frame_equal(hh.reset_index(drop=True),
+                                      exact.reset_index(drop=True))
+        # under heavy eviction the pool may miss tail words, but pass-2
+        # counts for whatever IS reported stay exact
+        low = heavy_hitter_words(SF, k=20, capacity=25,
+                                 candidates=30).to_pandas()
+        m = low.merge(exact, on="word", suffixes=("_lo", "_ex"))
+        assert (m.n_lo == m.n_ex).all()
+
+    def test_incremental_dedup_semantics(self, queries):
+        import hashlib
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from mobile_ocr_api_ray.pipelines.analysis import (DOUBLE_OFFSET,
+                                                           _hash_keep)
+        out = queries["incremental_dedup"](SF)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        base = pq.read_table(SF + "/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        clone = base.assign(doc_id=base.doc_id + DOUBLE_OFFSET)
+        d = pd.concat([base, clone], ignore_index=True)
+        d["digest"] = [hashlib.md5((t or "").encode()).hexdigest()
+                       for t in d.text]
+        d["is_old"] = [_hash_keep(i, 50) for i in d.doc_id]
+        old = set(d[d.is_old].digest)
+        new = d[~d.is_old]
+        surv = new[~new.digest.isin(old)].sort_values("doc_id") \
+                                         .drop_duplicates("digest")
+        expect = surv.sort_values("doc_id")[["doc_id", "digest"]] \
+                     .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), expect)
+        assert 0 < len(out) < len(new)  # both gates really fired

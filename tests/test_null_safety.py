@@ -32,7 +32,8 @@ QUERIES = [
     "quality_median_filtered", "ngram_jaccard_adjacent",
     "decontaminate_docs", "boilerplate_scrubbed_docs", "curated_docs",
     "line_dedup_docs", "packed_sequences", "gopher_quality_flags",
-    "unigram_logprob", "source_overlap_matrix",
+    "unigram_logprob", "source_overlap_matrix", "heavy_hitter_words",
+    "incremental_dedup",
     # embeddings: matrix extraction, ANN, centroids, near-pairs
     "ann_brute_topk", "knn_graph_topk", "label_centroids",
     "embedding_pairs_doubled",
