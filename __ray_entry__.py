@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": a.source_overlap_matrix,
         "heavy_hitter_words": a.heavy_hitter_words,
         "incremental_dedup": a.incremental_dedup_docs,
+        "mixed_sample_docs": a.mixed_sample_docs,
+        "normalize_docs": a.normalize_docs,
         "word_freq_top": a.word_freq_top,
         "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
@@ -115,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters_doubled": a.exact_dup_clusters_doubled,
         "near_dedup_kept_doubled": a.near_dedup_kept_doubled,
         "decontaminate_docs": a.decontaminate_docs,
+        "bloom_decontaminate_docs": a.bloom_decontaminate_docs,
         "boilerplate_vocab": a.boilerplate_vocab,
         "boilerplate_scrubbed_docs": a.boilerplate_scrubbed_docs,
         "curated_docs": a.curated_docs,
@@ -823,6 +826,41 @@ def oracle_sql() -> dict[str, str]:
                    min(n_words) AS n_words,
                    min(quality_score) AS quality_score
             FROM kept GROUP BY clean_text ORDER BY doc_id""",
+        # canonical normalization: lowercase + whitespace collapse +
+        # edge trim; value-exact string compare
+        "normalize_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(coalesce(text, '')),
+                        '\s+', ' ', 'g'), ' ') AS norm_text,
+                   cast(length(coalesce(text, ''))
+                        - length(trim(regexp_replace(
+                              lower(coalesce(text, '')), '\s+', ' ', 'g'),
+                              ' ')) AS BIGINT) AS n_removed_chars
+            FROM documents ORDER BY doc_id""",
+        # deterministic data mixing: equal token budget per source
+        # (total/4 ÷ n_sources), per-source rate = min(1, budget/tokens),
+        # membership = md5(doc_id) under floor(2^32·rate) — identical
+        # IEEE doubles on both sides, so the float threshold agrees
+        "mixed_sample_docs": r"""
+            WITH tc AS (
+              SELECT doc_id, source,
+                     cast(length(regexp_extract_all(coalesce(text, ''),
+                          '\S+')) AS BIGINT) AS n_tokens
+              FROM documents),
+            st AS (SELECT source, cast(sum(n_tokens) AS BIGINT) AS tok
+                   FROM tc GROUP BY 1),
+            gl AS (SELECT cast(sum(tok) AS BIGINT) // 4 AS target,
+                          count(*) AS ns FROM st),
+            r AS (SELECT st.source,
+                         least(1.0, (cast(gl.target AS DOUBLE) / gl.ns)
+                                    / cast(st.tok AS DOUBLE)) AS rate
+                  FROM st CROSS JOIN gl)
+            SELECT t.doc_id, t.source, t.n_tokens
+            FROM tc t JOIN r ON t.source = r.source
+            WHERE cast(('0x' || substring(md5(cast(t.doc_id AS VARCHAR)),
+                        1, 8)) AS UBIGINT)
+                  < cast(floor(4294967296.0 * r.rate) AS UBIGINT)
+            ORDER BY t.doc_id""",
         # two-pass Misra-Gries heavy hitters: candidate pool covers every
         # word with corpus share > 1/capacity, exact counts for the pool
         # → identical to the exact word_freq_top rule (same SQL)

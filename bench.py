@@ -129,6 +129,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("source_overlap_matrix", lambda: _pd(a.source_overlap_matrix(sf_dir)))
     timed("heavy_hitter_words", lambda: a.heavy_hitter_words(sf_dir).to_pandas())
     timed("incremental_dedup", lambda: _pd(a.incremental_dedup_docs(sf_dir)))
+    timed("mixed_sample_docs", lambda: a.mixed_sample_docs(sf_dir).to_pandas())
+    timed("normalize_docs", lambda: a.normalize_docs(sf_dir).to_pandas())
+    timed("bloom_decontaminate_docs",
+          lambda: a.bloom_decontaminate_docs(sf_dir).to_pandas())
     timed("unshipped_orders_topk",
           lambda: x.unshipped_orders_topk(sf_dir).to_pandas())
     timed("clicks_last_view", lambda: x.clicks_last_view(sf_dir).to_pandas())

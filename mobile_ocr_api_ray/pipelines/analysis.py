@@ -135,6 +135,74 @@ def word_freq_top(sf_dir: str, k: int = 100):
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+def normalize_docs(sf_dir: str):
+    """Canonical text normalization — the first transform of every
+    ingestion pipeline: lowercase, collapse whitespace runs to single
+    spaces, strip edges. Value-exact STRING output (one vectorized RE2
+    replace + trim per batch), plus the removed-char count. Purely
+    per-row → no shuffle."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        clean = pc.utf8_trim(pc.replace_substring_regex(
+            pc.utf8_lower(t), r"\s+", " "), " ")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm_text": clean,
+            "n_removed_chars": pc.subtract(
+                pc.cast(pc.utf8_length(t), pa.int64()),
+                pc.cast(pc.utf8_length(clean), pa.int64()))})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(norm, batch_format="pyarrow").sort("doc_id"))
+
+
+MIX_TARGET_DEN = 4  # mixed sample targets 1/4 of corpus tokens
+
+
+def mixed_sample_docs(sf_dir: str):
+    """Deterministic data mixing: subsample every source to an equal
+    token budget (total_tokens/4 split evenly across sources) — the
+    mixture-rebalancing step of training-corpus assembly, but with
+    hash-function membership instead of RNG so the sample is stable
+    across runs, partitionings and cluster sizes, and reproducible in
+    SQL. rate_s = min(1, budget / tokens_s); a doc survives iff
+    md5(doc_id)'s first 8 hex digits fall under floor(2^32 · rate_s) —
+    the sample_docs rule generalized to per-source float rates (floor of
+    identical IEEE doubles on both sides).
+
+    Scale shape: per-source token totals via an in-batch combiner (one
+    row per source per batch) → tiny groupby → rates dict broadcast into
+    a vectorized filter; the corpus streams through once."""
+
+    def tok(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_tokens": pc.cast(pc.count_substring_regex(t, r"\S+"),
+                                pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"]) \
+        .map_batches(tok, batch_format="pyarrow").materialize()
+
+    st = docs.groupby("source").sum("n_tokens").to_pandas()
+    toks = st["sum(n_tokens)"].astype(np.int64)
+    target = int(toks.sum()) // MIX_TARGET_DEN
+    budget = float(target) / len(st)
+    rates = {s: min(1.0, budget / float(t))
+             for s, t in zip(st["source"], toks)}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        thr = np.array([np.floor(4294967296.0 * rates[s])
+                        for s in batch["source"].to_pylist()], np.float64)
+        h = np.array([_hash32(i) for i in batch["doc_id"].to_pylist()],
+                     np.float64)
+        return batch.filter(pa.array(h < thr))
+
+    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 def incremental_dedup_docs(sf_dir: str):
     """Incremental exact dedup of a NEW shard against an existing
     snapshot — the steady-state shape of a production corpus (each crawl
@@ -667,6 +735,55 @@ def decontaminate_docs(sf_dir: str, n: int = DECON_NGRAM,
 
 BOILER_NUM = 9
 BOILER_DEN = 10
+
+
+
+BLOOM_M_BITS = 1 << 17  # 16 KB filter
+BLOOM_K = 4
+
+
+def _bloom_positions(gram: str, m_bits: int, k: int) -> list[int]:
+    """k deterministic bit positions per gram: crc32 over a salt prefix —
+    no RNG, so the filter is identical across runs and partitionings."""
+    return [zlib.crc32(f"{j}:{gram}".encode()) % m_bits for j in range(k)]
+
+
+def bloom_decontaminate_docs(sf_dir: str, n: int = DECON_NGRAM,
+                             min_hits: int = DECON_MIN_HITS,
+                             m_bits: int = BLOOM_M_BITS,
+                             k: int = BLOOM_K):
+    """Bloom-filter decontamination — the fixed-memory form of
+    decontaminate_docs for benchmark suites too large to broadcast as
+    exact string sets: benchmark grams fold into an m-bit Bloom filter
+    (k crc32 hashes), the filter broadcasts at m/8 bytes REGARDLESS of
+    benchmark size, and each corpus doc counts grams whose k bits are
+    all set. One-sided by construction: never misses a true hit
+    (n_maybe_hits >= the exact operator's n_hits for every doc — the
+    differential test pins this), may overcount on bit collisions.
+    Returns (doc_id, n_maybe_hits, contaminated_maybe)."""
+    bits = np.zeros(m_bits // 8, np.uint8)
+    for g in _bench_gram_set(sf_dir, n):
+        for h in _bloom_positions(g, m_bits, k):
+            bits[h >> 3] |= np.uint8(1 << (h & 7))
+    ref = ray.put(bits)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+
+        def gram_in(g: str) -> bool:
+            return all(b[h >> 3] & (1 << (h & 7))
+                       for h in _bloom_positions(g, m_bits, k))
+
+        hits = [sum(gram_in(g) for g in dedup.ngram_set(t or "", n))
+                for t in batch["text"].to_pylist()]
+        h = pa.array(hits, pa.int64())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_maybe_hits": h,
+                         "contaminated_maybe": pc.greater_equal(
+                             h, pa.scalar(min_hits, pa.int64()))})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(flag, batch_format="pyarrow").sort("doc_id"))
 
 
 def _word_doc_counts(sf_dir: str):

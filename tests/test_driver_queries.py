@@ -140,3 +140,31 @@ class TestHeavyHittersAndIncremental:
         pd.testing.assert_frame_equal(
             out.reset_index(drop=True), expect)
         assert 0 < len(out) < len(new)  # both gates really fired
+
+
+class TestMixNormalizeBloom:
+    def test_mixed_sample(self, queries):
+        df = queries["mixed_sample_docs"](SF).to_pandas()
+        import pyarrow.parquet as pq
+        total = pq.ParquetFile(SF + "/documents.parquet").metadata.num_rows
+        assert 0 < len(df) < total  # a real subsample
+        # every source is represented and none dominates
+        per = df.groupby("source").size()
+        assert per.min() > 0
+
+    def test_normalize(self, queries):
+        df = queries["normalize_docs"](SF).to_pandas()
+        assert (df.norm_text.str.lower() == df.norm_text).all()
+        assert not df.norm_text.str.contains("  ").any()
+        assert (df.n_removed_chars >= 0).all()
+
+    def test_bloom_superset_of_exact(self, queries):
+        bloom = queries["bloom_decontaminate_docs"](SF).to_pandas()
+        exact = queries["decontaminate_docs"](SF).to_pandas()
+        m = bloom.merge(exact, on="doc_id")
+        # one-sided: the filter can only overcount, never miss
+        assert (m.n_maybe_hits >= m.n_hits).all()
+        assert (m.contaminated_maybe | ~m.contaminated).all()
+        # and at 16 KB / tiny benchmark it should be near-exact
+        fp = (m.contaminated_maybe & ~m.contaminated).mean()
+        assert fp < 0.1

@@ -33,7 +33,8 @@ QUERIES = [
     "decontaminate_docs", "boilerplate_scrubbed_docs", "curated_docs",
     "line_dedup_docs", "packed_sequences", "gopher_quality_flags",
     "unigram_logprob", "source_overlap_matrix", "heavy_hitter_words",
-    "incremental_dedup",
+    "incremental_dedup", "mixed_sample_docs", "normalize_docs",
+    "bloom_decontaminate_docs",
     # embeddings: matrix extraction, ANN, centroids, near-pairs
     "ann_brute_topk", "knn_graph_topk", "label_centroids",
     "embedding_pairs_doubled",
