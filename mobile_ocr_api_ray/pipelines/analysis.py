@@ -108,29 +108,35 @@ def summarize_docs(sf_dir: str):
         s, batch_format="pyarrow").sort("doc_id")
 
 
-def word_freq_top(sf_dir: str, k: int = 100):
-    """G4 as a distributed wordcount: per-batch partial Counter (combiner)
-    → groupby(word) Sum → global top-k by (count desc, word asc). The
-    partial pre-aggregation bounds the shuffle by per-batch VOCABULARY, not
-    token count — the classic combiner pattern at corpus scale."""
-    import re
+import re as _re
+
+# re.ASCII so \w ≡ [A-Za-z0-9_] — the SAME token class as the RE2 engines
+# on both oracle sides (DuckDB regexp_extract_all and Arrow's pc count);
+# Python's default unicode \w would diverge on any non-ASCII word
+# character ('café' → 'café' vs RE2's 'caf'). ONE compiled tokenizer
+# shared by every word-count operator (word_freq_top, unigram_logprob,
+# heavy_hitter_words) so their value-exactness cannot drift apart.
+_WORD_TOKEN_RE = _re.compile(r"\w+", _re.ASCII)
+
+
+def _word_count_partial(batch: pa.Table) -> pa.Table:
+    """The shared per-batch wordcount combiner: Counter over lowered
+    ``\\w+`` tokens → one (word, n) row per distinct word — the shuffle
+    is bounded by per-batch vocabulary, not token count."""
     from collections import Counter
 
-    # re.ASCII so \w ≡ [A-Za-z0-9_] — the SAME token class as the RE2
-    # engines on both oracle sides (DuckDB regexp_extract_all and Arrow's
-    # pc count); Python's default unicode \w would diverge on any
-    # non-ASCII word character ('café' → 'café' vs RE2's 'caf')
-    word_re = re.compile(r"\w+", re.ASCII)
+    c: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        c.update(_WORD_TOKEN_RE.findall((t or "").lower()))
+    return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                     "n": pa.array(list(c.values()), pa.int64())})
 
-    def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(word_re.findall((t or "").lower()))
-        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
 
+def word_freq_top(sf_dir: str, k: int = 100):
+    """G4 as a distributed wordcount: per-batch partial Counter (combiner)
+    → groupby(word) Sum → global top-k by (count desc, word asc)."""
     agg = (_docs(sf_dir, ["text"])
-           .map_batches(partial, batch_format="pyarrow")
+           .map_batches(_word_count_partial, batch_format="pyarrow")
            .groupby("word").aggregate(Sum("n", alias_name="n")))
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
@@ -190,7 +196,9 @@ def mixed_sample_docs(sf_dir: str):
     toks = st["sum(n_tokens)"].astype(np.int64)
     target = int(toks.sum()) // MIX_TARGET_DEN
     budget = float(target) / len(st)
-    rates = {s: min(1.0, budget / float(t))
+    # a zero-token source keeps everything — matches the oracle's
+    # least(1.0, x/0.0 = inf) = 1.0, and never divides by zero
+    rates = {s: min(1.0, budget / float(t)) if t else 1.0
              for s, t in zip(st["source"], toks)}
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -266,15 +274,11 @@ def heavy_hitter_words(sf_dir: str, k: int = 100,
     covers the true top-k (guaranteed for words with corpus share
     > 1/capacity; the unit test exercises an eviction-heavy capacity),
     so the same SQL oracle value-checks this operator."""
-    import re
     from collections import Counter
 
-    word_re = re.compile(r"\w+", re.ASCII)
-
     def mg_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(word_re.findall((t or "").lower()))
+        t = _word_count_partial(batch)
+        c = Counter(dict(zip(t["word"].to_pylist(), t["n"].to_pylist())))
         if len(c) > capacity:
             cut = sorted(c.values(), reverse=True)[capacity]
             c = Counter({w: n - cut for w, n in c.items() if n > cut})
@@ -286,15 +290,16 @@ def heavy_hitter_words(sf_dir: str, k: int = 100,
             .groupby("word").aggregate(Sum("n", alias_name="n"))
             .sort(["n", "word"], descending=[True, False])
             .limit(candidates).to_pandas())
+    if "word" not in pool.columns or not len(pool):
+        # token-free corpus: all-empty blocks erode columns (known trap)
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     cand = set(pool["word"])
 
     def exact_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(w for w in word_re.findall((t or "").lower())
-                     if w in cand)
-        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        t = _word_count_partial(batch)
+        return t.filter(pc.is_in(t["word"],
+                                 value_set=pa.array(sorted(cand))))
 
     return (docs.map_batches(exact_partial, batch_format="pyarrow")
             .groupby("word").aggregate(Sum("n", alias_name="n"))
@@ -318,29 +323,29 @@ def unigram_logprob_docs(sf_dir: str, vocab_k: int = UNIGRAM_VOCAB_K):
     broadcasts into the scoring stage — the corpus streams through once,
     nothing joins at token grain. Per-token surprisals are quantized to
     integer micro-nats (floor, like the integer-cent currency sums) so
-    per-doc sums are order-independent and the SQL oracle is value-exact
-    — float addition does not associate, ln and floor do agree
-    bit-for-bit (same libm/IEEE doubles; tfidf precedent)."""
-    import re
-    from collections import Counter
-
-    word_re = re.compile(r"\w+", re.ASCII)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(word_re.findall((t or "").lower()))
-        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+    per-doc sums are order-independent, and the quantization is
+    PRECOMPUTED per distinct count with libm ``math.log`` — DuckDB's ln
+    is bit-identical to math.log (verified 0/50k fuzzed mismatches)
+    while numpy's SIMD log diverges by 1 ulp on ~20% of inputs, which
+    could flip a floor; the per-token hot path is then a pure integer
+    dict lookup."""
+    import math
 
     counts = (_docs(sf_dir, ["text"])
-              .map_batches(partial, batch_format="pyarrow")
+              .map_batches(_word_count_partial, batch_format="pyarrow")
               .groupby("word").aggregate(Sum("n", alias_name="n"))
               .materialize())
-    total = counts.sum("n") or 0
-    vocab = counts.sort(["n", "word"], descending=[True, False]) \
-                  .limit(vocab_k).to_pandas()
-    vmap = dict(zip(vocab["word"], vocab["n"].astype(np.int64)))
+    if counts.count() == 0:  # token-free corpus: every doc scores zero
+        vmap, total = {}, 0
+    else:
+        total = counts.sum("n") or 0
+        vocab = counts.sort(["n", "word"], descending=[True, False]) \
+                      .limit(vocab_k).to_pandas()
+        vmap = dict(zip(vocab["word"], vocab["n"].astype(np.int64)))
+    qmap = {int(c): int(math.floor(-math.log(c / total) * NLP_SCALE))
+            for c in set(vmap.values()) | {1}} if total else {}
+    qv = {w: qmap[int(c)] for w, c in vmap.items()}
+    q_oov = qmap.get(1, 0)
 
     def score(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"]
@@ -349,15 +354,12 @@ def unigram_logprob_docs(sf_dir: str, vocab_k: int = UNIGRAM_VOCAB_K):
         n_oov = np.zeros(n, np.int64)
         sum_q = np.zeros(n, np.int64)
         for i, t in enumerate(batch["text"].to_pylist()):
-            toks = word_re.findall((t or "").lower())
-            if not toks:
+            toks = _WORD_TOKEN_RE.findall((t or "").lower())
+            if not toks or not total:
                 continue
-            c = np.array([vmap.get(w, 0) for w in toks], np.int64)
-            oov = c == 0
-            nlp = -np.log(np.where(oov, 1, c).astype(np.float64) / total)
             n_tok[i] = len(toks)
-            n_oov[i] = int(oov.sum())
-            sum_q[i] = int(np.floor(nlp * NLP_SCALE).astype(np.int64).sum())
+            n_oov[i] = sum(w not in qv for w in toks)
+            sum_q[i] = sum(qv.get(w, q_oov) for w in toks)
         avg = sum_q.astype(np.float64) \
             / (np.maximum(n_tok, 1) * float(NLP_SCALE))
         return pa.table({
@@ -406,13 +408,16 @@ def source_overlap_matrix(sf_dir: str):
     def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates(["source", "g"])
         # per-partition per-source distinct-gram totals ride along under
-        # source_b='' so ONE group pass feeds both outputs
+        # kind='t' (an out-of-band marker — a sentinel VALUE in source_b
+        # would collide with a legitimate empty-string source) so ONE
+        # group pass feeds both outputs
         tot = d.groupby("source").size().reset_index(name="n")
         m = d.merge(d, on="g")
         m = m[m["source_x"] < m["source_y"]]
         pairs = m.groupby(["source_x", "source_y"]).size() \
                  .reset_index(name="n")
         return pd.DataFrame({
+            "kind": ["t"] * len(tot) + ["p"] * len(pairs),
             "source_a": pd.concat([tot["source"], pairs["source_x"]],
                                   ignore_index=True),
             "source_b": [""] * len(tot) + list(pairs["source_y"]),
@@ -423,11 +428,20 @@ def source_overlap_matrix(sf_dir: str):
              .map_batches(explode, batch_format="pyarrow")
              .groupby("coarse").map_groups(pair_counts,
                                            batch_format="pandas")
-             .groupby(["source_a", "source_b"])
+             .groupby(["kind", "source_a", "source_b"])
              .aggregate(Sum("n", alias_name="n")))
     agg = parts.to_pandas()  # bounded: n_sources + n_sources² rows
-    tot = agg[agg["source_b"] == ""].set_index("source_a")["n"]
-    pairs = agg[agg["source_b"] != ""].copy()
+    if "kind" not in agg.columns or not len(agg):
+        # bigram-free corpus: all-empty blocks erode columns (known trap)
+        return pa.table({
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_shared": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())})
+    tot = agg[agg["kind"] == "t"].set_index("source_a")["n"]
+    pairs = agg[agg["kind"] == "p"].copy()
     na = tot.reindex(pairs["source_a"]).to_numpy()
     nb = tot.reindex(pairs["source_b"]).to_numpy()
     shared = pairs["n"].to_numpy()
