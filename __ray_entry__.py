@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_last_view": x.clicks_last_view,
         "quantity_band_stats": x.quantity_band_stats,
         "event_value_quantiles": x.event_value_quantiles,
+        "scalable_quantiles": x.scalable_quantiles,
         "distinct_users_hourly": x.distinct_users_hourly,
         "user_event_gaps": x.user_event_gaps,
         "quiet_customers": x.quiet_customers,
@@ -536,6 +537,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1""",
         # discrete quantiles: actual elements, no interpolation — exact
         "event_value_quantiles": r"""
+            SELECT event_type, count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.75) AS p75,
+                   quantile_disc(value, 0.9) AS p90
+            FROM events GROUP BY 1 ORDER BY 1""",
+        # two-pass histogram refinement computes the SAME discrete
+        # quantiles as the per-group sort — one oracle, two engines
+        "scalable_quantiles": r"""
             SELECT event_type, count(*) AS n_events,
                    min(value) AS min_value, max(value) AS max_value,
                    quantile_disc(value, 0.25) AS p25,

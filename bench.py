@@ -133,6 +133,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("normalize_docs", lambda: a.normalize_docs(sf_dir).to_pandas())
     timed("bloom_decontaminate_docs",
           lambda: a.bloom_decontaminate_docs(sf_dir).to_pandas())
+    timed("scalable_quantiles", lambda: _pd(x.scalable_quantiles(sf_dir)))
     timed("unshipped_orders_topk",
           lambda: x.unshipped_orders_topk(sf_dir).to_pandas())
     timed("clicks_last_view", lambda: x.clicks_last_view(sf_dir).to_pandas())

@@ -267,6 +267,118 @@ def event_value_quantiles(sf_dir: str):
             .sort("event_type"))
 
 
+def scalable_quantiles(sf_dir: str):
+    """Exact per-type discrete quantiles WITHOUT materializing any type's
+    full value set — the 100 TB path event_value_quantiles' docstring
+    promises (histogram refinement instead of a per-group sort):
+
+      pass 1 — per-batch (type, floor(value)) integer-bin histogram
+        partials (deterministic binning, no pre-pass; null counts ride
+        under an out-of-band kind marker) → tiny groupby; per-type bin
+        counts reach the driver, BOUNDED by type-cardinality × value
+        range, independent of row count;
+      driver — cumulative bin counts locate, for each rank
+        r = ceil(q·n), the bin holding the r-th smallest value and the
+        within-bin rank; candidate bins also include the min/max bins;
+      pass 2 — stream again keeping ONLY candidate-bin rows (~n/range
+        each); their sorted values yield the exact order statistics.
+
+    Output (and SQL oracle) identical to event_value_quantiles: DuckDB
+    quantile_disc semantics, bit-exact elements."""
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        nan = np.isnan(v)
+        d = pd.DataFrame({"event_type": df["event_type"][~nan],
+                          "bin": np.floor(v[~nan]).astype(np.int64)})
+        g = d.groupby(["event_type", "bin"]).size().reset_index(name="n")
+        nulls = df["event_type"][nan].value_counts()
+        return pd.DataFrame({
+            "kind": ["v"] * len(g) + ["z"] * len(nulls),
+            "event_type": pd.concat(
+                [g["event_type"], pd.Series(nulls.index)],
+                ignore_index=True),
+            "bin": pd.concat([g["bin"], pd.Series(
+                np.zeros(len(nulls), np.int64))], ignore_index=True),
+            "n": pd.concat([g["n"], pd.Series(nulls.to_numpy())],
+                           ignore_index=True).astype("int64")})
+
+    ev = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["kind", "event_type", "bin"],
+                          as_index=False)["n"].sum()
+
+    # tree reduce instead of a native Aggregate (which pays seconds of
+    # per-block fixed cost on tiny tables — measured 3.8-5.4 s for 1.8k
+    # rows): the per-block combine bounds the driver merge by
+    # n_blocks × (types × occupied bins); at extreme block counts insert
+    # a repartition(k) + combine level here — that is the only seam
+    hist = combine(ev.map_batches(hist_partial, batch_format="pandas")
+                   .map_batches(combine, batch_format="pandas")
+                   .to_pandas())
+
+    cols = ["event_type", "n_events", "min_value", "max_value"] + \
+        [f"p{int(q * 100)}" for q in QUANTILES]
+    if "kind" not in hist.columns or not len(hist):
+        return pa.table({c: pa.array(
+            [], pa.string() if c == "event_type" else
+            pa.int64() if c == "n_events" else pa.float64())
+            for c in cols})
+
+    nulls = hist[hist["kind"] == "z"].set_index("event_type")["n"]
+    vbins = hist[hist["kind"] == "v"].sort_values(["event_type", "bin"])
+    # driver plan: per type, which bins hold which global ranks
+    want: dict[str, dict[int, list[tuple[str, int]]]] = {}
+    meta: dict[str, dict] = {}
+    for et, g in vbins.groupby("event_type"):
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        bins = g["bin"].to_numpy()
+        need: dict[int, list[tuple[str, int]]] = {}
+        for q in QUANTILES:
+            idx = max(int(np.ceil(q * n)) - 1, 0)
+            j = int(np.searchsorted(cum, idx + 1))
+            within = idx - (int(cum[j - 1]) if j else 0)
+            need.setdefault(int(bins[j]), []).append(
+                (f"p{int(q * 100)}", within))
+        need.setdefault(int(bins[0]), []).append(("min_value", 0))
+        need.setdefault(int(bins[-1]), []).append(
+            ("max_value", int(g["n"].iloc[-1]) - 1))
+        want[et] = need
+        meta[et] = {"n_nonnull": n}
+
+    cand_keys = pd.DataFrame(
+        [(et, bb) for et, need in want.items() for bb in need],
+        columns=["event_type", "bin"])
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        nan = np.isnan(v)
+        d = df[~nan].assign(bin=np.floor(v[~nan]).astype(np.int64))
+        return d.merge(cand_keys, on=["event_type", "bin"])
+
+    cand = ev.map_batches(collect, batch_format="pandas").to_pandas()
+
+    rows = []
+    all_types = sorted(set(meta) | set(nulls.index))
+    for et in all_types:
+        n_nonnull = meta.get(et, {}).get("n_nonnull", 0)
+        row = {"event_type": et,
+               "n_events": n_nonnull + int(nulls.get(et, 0))}
+        stats = {c: np.nan for c in cols[2:]}
+        if n_nonnull:
+            g = cand[cand["event_type"] == et]
+            for bb, picks in want[et].items():
+                vals = np.sort(g[g["bin"] == bb]["value"].to_numpy())
+                for name, within in picks:
+                    stats[name] = float(vals[within])
+        row.update(stats)
+        rows.append(row)
+    out = pd.DataFrame(rows, columns=cols).sort_values("event_type")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # Distinct count per window (dedupe shuffle bounded by true cardinality)
 

@@ -658,3 +658,18 @@ class TestSlidingWindow:
             assert row["n_events"] == want
         # total event-window memberships = 3 * n_events
         assert got["n_events"].sum() == 3 * len(ev)
+
+
+def test_scalable_quantiles_equals_sort_path(ray_session):
+    """Histogram refinement and the per-group sort are two engines for
+    the same statistic — bit-identical output columns."""
+    import pandas as pd
+
+    from mobile_ocr_api_ray.pipelines.analytics import (
+        event_value_quantiles, scalable_quantiles)
+    sf = "/root/testdata/sf0.001"
+    a = event_value_quantiles(sf).to_pandas().reset_index(drop=True)
+    b = scalable_quantiles(sf)
+    b = (b.to_pandas() if hasattr(b, "to_pandas") else b) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])

@@ -40,6 +40,7 @@ QUERIES = [
     "embedding_pairs_doubled",
     # event values: cents kernels, windows, quantiles, histograms
     "sessionize_events", "user_moving_avg", "event_value_quantiles",
+    "scalable_quantiles",
     "value_histogram", "sliding_event_counts",
 ]
 
