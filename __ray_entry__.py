@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": a.label_centroids,
         "repetition_stats": a.repetition_stats,
         "packed_sequences": a.packed_sequences,
+        "packed_sequence_texts": a.packed_sequence_texts,
         "gopher_quality_flags": a.gopher_quality_flags,
         "unigram_logprob": a.unigram_logprob_docs,
         "source_overlap_matrix": a.source_overlap_matrix,
@@ -1038,6 +1039,24 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens > 0 AND (start_offset + n_tokens - 1) // 512
                        <> start_offset // 512 AS spans_boundary
             FROM o ORDER BY doc_id""",
+        # packing-plan materialization: doc → seq assignment via the
+        # window-cumsum spec, members concatenated in doc_id order;
+        # value-exact seq_text strings
+        "packed_sequence_texts": r"""
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     length(regexp_extract_all(coalesce(text, ''), '\S+'))
+                         AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, text,
+                     cast(coalesce(sum(n_tokens) OVER (
+                          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) // 512 AS seq_id
+              FROM t)
+            SELECT seq_id, count(*) AS n_docs,
+                   string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+            FROM o GROUP BY 1 ORDER BY 1""",
         # C4-style line-level dedup over the doubled corpus: lines derive
         # from fixed 80-char chunks (see pipelines.analysis.line_dedup_docs);
         # a 30+-char line survives only at its first (doc_id, line_idx)

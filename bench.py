@@ -134,6 +134,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("bloom_decontaminate_docs",
           lambda: a.bloom_decontaminate_docs(sf_dir).to_pandas())
     timed("scalable_quantiles", lambda: _pd(x.scalable_quantiles(sf_dir)))
+    timed("packed_sequence_texts",
+          lambda: _pd(a.packed_sequence_texts(sf_dir)))
     timed("unshipped_orders_topk",
           lambda: x.unshipped_orders_topk(sf_dir).to_pandas())
     timed("clicks_last_view", lambda: x.clicks_last_view(sf_dir).to_pandas())

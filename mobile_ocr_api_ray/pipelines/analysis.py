@@ -1022,6 +1022,62 @@ def repetition_stats(sf_dir: str):
             .map_batches(stats, batch_format="pyarrow").sort("doc_id"))
 
 
+def packed_sequence_texts(sf_dir: str):
+    """The consumer of the packing plan: materialize each training
+    sequence by co-locating its member documents and concatenating their
+    texts in doc_id order (a doc belongs to the sequence containing its
+    START offset). The heavy text moves exactly once, keyed by seq_id —
+    the plan's whole point. Returns (seq_id, n_docs, seq_text).
+
+    Shapes: pack_sequences' plan (16 B/doc) hash-joins back to the text
+    column on doc_id, then one seq-keyed coarse shuffle reassembles
+    members in order — string concatenation is per-group vectorized."""
+    from ..stages.joins import hash_join
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    width = max(1, n // _docs_coarse_hint(sf_dir, 32))
+    plan = text_analysis.pack_sequences(
+        _docs(sf_dir, ["doc_id", "text"]), budget=512, range_width=width)
+    cols = {"seq_id": pa.int64(), "n_docs": pa.int64(),
+            "seq_text": pa.string()}
+    if isinstance(plan, pa.Table):  # empty corpus
+        return pa.table({k: pa.array([], t) for k, t in cols.items()})
+    plan = plan.select_columns(["doc_id", "seq_id"]) \
+               .map_batches(lambda b: pa.table({"plan_doc": b["doc_id"],
+                                                "seq_id": b["seq_id"]}),
+                            batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    joined = hash_join(docs, plan, "doc_id", "plan_doc")
+    nc = _docs_coarse_hint(sf_dir, 2)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        s = batch["seq_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "coarse", pa.array((s % nc).astype(np.int32)))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["seq_id", "doc_id"], kind="mergesort")
+        g = d.groupby("seq_id", sort=True)
+        return pd.DataFrame({
+            "seq_id": pd.array(list(g.groups.keys()), "int64"),
+            "n_docs": pd.array(g.size().to_numpy(), "int64"),
+            "seq_text": pd.array(
+                g["text"].apply(lambda s: " ".join(x or "" for x in s)),
+                "string")})
+
+    out = (joined.map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("coarse").map_groups(reassemble,
+                                         batch_format="pandas")
+           .map_batches(lambda b: pa.table({
+               "seq_id": b["seq_id"],
+               "n_docs": b["n_docs"],
+               "seq_text": pc.cast(b["seq_text"], pa.string())}),
+               batch_format="pyarrow")
+           .sort("seq_id"))
+    return dedup.nonempty_or_typed_table(out, cols)
+
+
 def gopher_quality_flags(sf_dir: str):
     """Gopher-rule quality flags per document: one boolean per rule
     (word-count band, mean word length, distinct stopwords, top-word

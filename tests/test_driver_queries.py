@@ -168,3 +168,19 @@ class TestMixNormalizeBloom:
         # and at 16 KB / tiny benchmark it should be near-exact
         fp = (m.contaminated_maybe & ~m.contaminated).mean()
         assert fp < 0.1
+
+
+def test_packed_sequence_texts(queries):
+    import pyarrow.parquet as pq
+    out = queries["packed_sequence_texts"](SF)
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    total = pq.ParquetFile(SF + "/documents.parquet").metadata.num_rows
+    assert df.n_docs.sum() == total           # every doc lands in one seq
+    assert list(df.seq_id) == sorted(df.seq_id)
+    assert (df.n_docs > 0).all()
+    # members concatenate in doc order: plan agreement with packed_sequences
+    plan = queries["packed_sequences"](SF)
+    plan = plan.to_pandas() if hasattr(plan, "to_pandas") else plan
+    per_seq = plan.groupby("seq_id").size()
+    assert per_seq.reindex(df.seq_id).to_numpy().tolist() == \
+        df.n_docs.tolist()

@@ -31,7 +31,8 @@ QUERIES = [
     "langid_docs", "exact_dedup", "exact_dedup_doubled",
     "quality_median_filtered", "ngram_jaccard_adjacent",
     "decontaminate_docs", "boilerplate_scrubbed_docs", "curated_docs",
-    "line_dedup_docs", "packed_sequences", "gopher_quality_flags",
+    "line_dedup_docs", "packed_sequences", "packed_sequence_texts",
+    "gopher_quality_flags",
     "unigram_logprob", "source_overlap_matrix", "heavy_hitter_words",
     "incremental_dedup", "mixed_sample_docs", "normalize_docs",
     "bloom_decontaminate_docs",
