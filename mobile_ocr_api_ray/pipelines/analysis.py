@@ -1034,15 +1034,14 @@ def packed_sequence_texts(sf_dir: str):
     members in order — string concatenation is per-group vectorized."""
     from ..stages.joins import hash_join
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    n = pq.ParquetFile(path).metadata.num_rows
-    width = max(1, n // _docs_coarse_hint(sf_dir, 32))
-    plan = text_analysis.pack_sequences(
-        _docs(sf_dir, ["doc_id", "text"]), budget=512, range_width=width)
+    plan = _packing_plan(sf_dir)
     cols = {"seq_id": pa.int64(), "n_docs": pa.int64(),
             "seq_text": pa.string()}
     if isinstance(plan, pa.Table):  # empty corpus
         return pa.table({k: pa.array([], t) for k, t in cols.items()})
+    # NOT Dataset.rename_columns: Ray 2.49's projection assumes Arrow
+    # blocks and dies on the pandas-format blocks map_groups emits
+    # ("'DataFrame' object has no attribute 'rename_columns'")
     plan = plan.select_columns(["doc_id", "seq_id"]) \
                .map_batches(lambda b: pa.table({"plan_doc": b["doc_id"],
                                                 "seq_id": b["seq_id"]}),
@@ -1088,16 +1087,27 @@ def gopher_quality_flags(sf_dir: str):
             .sort("doc_id"))
 
 
-def packed_sequences(sf_dir: str):
-    """Concat-and-chunk sequence-packing plan over documents at a
-    512-token budget. range_width is sized from parquet metadata so the
-    test tiers run ~10 id-ranges — exercising the multi-range distributed
-    prefix-sum path, not the single-partition degenerate."""
+PACK_BUDGET = 512
+
+
+def _packing_plan(sf_dir: str):
+    """The ONE packing-plan construction shared by packed_sequences and
+    packed_sequence_texts — budget/width tuning cannot drift between the
+    plan producer and its materializer. range_width is sized from
+    parquet metadata so the test tiers run ~10 id-ranges, exercising the
+    multi-range distributed prefix-sum path."""
     path = os.path.join(sf_dir, "documents.parquet")
     n = pq.ParquetFile(path).metadata.num_rows
     width = max(1, n // _docs_coarse_hint(sf_dir, 32))
-    out = text_analysis.pack_sequences(
-        _docs(sf_dir, ["doc_id", "text"]), budget=512, range_width=width)
+    return text_analysis.pack_sequences(
+        _docs(sf_dir, ["doc_id", "text"]), budget=PACK_BUDGET,
+        range_width=width)
+
+
+def packed_sequences(sf_dir: str):
+    """Concat-and-chunk sequence-packing plan over documents at a
+    512-token budget (see _packing_plan)."""
+    out = _packing_plan(sf_dir)
     # empty corpus → the stage's typed-empty pa.Table (already "sorted")
     return out if isinstance(out, pa.Table) else out.sort("doc_id")
 

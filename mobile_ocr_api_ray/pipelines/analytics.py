@@ -284,15 +284,34 @@ def scalable_quantiles(sf_dir: str):
         each); their sorted values yield the exact order statistics.
 
     Output (and SQL oracle) identical to event_value_quantiles: DuckDB
-    quantile_disc semantics, bit-exact elements."""
+    quantile_disc semantics, bit-exact elements. Any MONOTONE binning
+    keeps the refinement exact (candidate bins are collected whole and
+    sorted), so ±inf and > 2^63 magnitudes clip into dedicated extreme
+    bins instead of hitting floor→int64 wraparound UB; NULL event_type
+    is a real group (string-sentinel keyed — pandas groupby/merge both
+    drop NaN keys) exactly as in SQL GROUP BY."""
+    _NULL_ET = "\x00null"
+    imax, imin = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+
+    def _bins(v: np.ndarray) -> np.ndarray:
+        b = np.zeros(len(v), np.int64)
+        fin = np.isfinite(v)
+        b[fin] = np.clip(np.floor(v[fin]),
+                         imin + 2, imax - 2).astype(np.int64)
+        b[np.isposinf(v)] = imax - 1
+        b[np.isneginf(v)] = imin + 1
+        return b
+
+    def _etk(s: pd.Series) -> pd.Series:
+        return s.fillna(_NULL_ET)
 
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df["value"].to_numpy()
         nan = np.isnan(v)
-        d = pd.DataFrame({"event_type": df["event_type"][~nan],
-                          "bin": np.floor(v[~nan]).astype(np.int64)})
+        d = pd.DataFrame({"event_type": _etk(df["event_type"][~nan]),
+                          "bin": _bins(v[~nan])})
         g = d.groupby(["event_type", "bin"]).size().reset_index(name="n")
-        nulls = df["event_type"][nan].value_counts()
+        nulls = _etk(df["event_type"][nan]).value_counts()
         return pd.DataFrame({
             "kind": ["v"] * len(g) + ["z"] * len(nulls),
             "event_type": pd.concat(
@@ -314,17 +333,18 @@ def scalable_quantiles(sf_dir: str):
     # rows): the per-block combine bounds the driver merge by
     # n_blocks × (types × occupied bins); at extreme block counts insert
     # a repartition(k) + combine level here — that is the only seam
-    hist = combine(ev.map_batches(hist_partial, batch_format="pandas")
-                   .map_batches(combine, batch_format="pandas")
-                   .to_pandas())
+    raw = (ev.map_batches(hist_partial, batch_format="pandas")
+           .map_batches(combine, batch_format="pandas").to_pandas())
 
     cols = ["event_type", "n_events", "min_value", "max_value"] + \
         [f"p{int(q * 100)}" for q in QUANTILES]
-    if "kind" not in hist.columns or not len(hist):
+    if "kind" not in raw.columns or not len(raw):
+        # zero-row events: all-empty lineage erodes columns (known trap)
         return pa.table({c: pa.array(
             [], pa.string() if c == "event_type" else
             pa.int64() if c == "n_events" else pa.float64())
             for c in cols})
+    hist = combine(raw)
 
     nulls = hist[hist["kind"] == "z"].set_index("event_type")["n"]
     vbins = hist[hist["kind"] == "v"].sort_values(["event_type", "bin"])
@@ -355,7 +375,8 @@ def scalable_quantiles(sf_dir: str):
     def collect(df: pd.DataFrame) -> pd.DataFrame:
         v = df["value"].to_numpy()
         nan = np.isnan(v)
-        d = df[~nan].assign(bin=np.floor(v[~nan]).astype(np.int64))
+        d = df[~nan].assign(bin=_bins(v[~nan]),
+                            event_type=_etk(df["event_type"][~nan]))
         return d.merge(cand_keys, on=["event_type", "bin"])
 
     cand = ev.map_batches(collect, batch_format="pandas").to_pandas()
@@ -364,7 +385,7 @@ def scalable_quantiles(sf_dir: str):
     all_types = sorted(set(meta) | set(nulls.index))
     for et in all_types:
         n_nonnull = meta.get(et, {}).get("n_nonnull", 0)
-        row = {"event_type": et,
+        row = {"event_type": None if et == _NULL_ET else et,
                "n_events": n_nonnull + int(nulls.get(et, 0))}
         stats = {c: np.nan for c in cols[2:]}
         if n_nonnull:
