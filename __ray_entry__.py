@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unshipped_orders_topk": x.unshipped_orders_topk,
         "regional_revenue": x.regional_revenue,
         "clicks_last_view": x.clicks_last_view,
+        "purchases_after_click": x.purchases_after_click,
         "quantity_band_stats": x.quantity_band_stats,
         "event_value_quantiles": x.event_value_quantiles,
         "scalable_quantiles": x.scalable_quantiles,
@@ -526,6 +527,17 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING))
             SELECT event_id, user_id, ts, last_view_ts, last_view_event_id
             FROM f WHERE event_type = 'click' ORDER BY user_id, ts, event_id""",
+        # banded interval join: purchases in (click_ts, click_ts+30min]
+        # per user; exact integer µs gaps
+        "purchases_after_click": r"""
+            SELECT c.user_id, c.event_id AS click_event_id,
+                   p.event_id AS purchase_event_id,
+                   date_diff('microsecond', c.ts, p.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND p.ts > c.ts
+                 AND p.ts <= c.ts + INTERVAL '30' MINUTE
+            ORDER BY 1, 2, 3""",
         # range join against the inline band interval table
         "quantity_band_stats": r"""
             WITH bands(lo, hi, band) AS (VALUES

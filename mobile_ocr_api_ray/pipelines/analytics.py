@@ -149,6 +149,81 @@ def regional_revenue(sf_dir: str):
 # As-of join: each click gets the latest preceding view by the same user
 
 
+INTERVAL_JOIN_WINDOW_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def purchases_after_click(sf_dir: str):
+    """Banded interval join (stream-stream): every (click, purchase)
+    pair by the same user with the purchase in (click_ts, click_ts +
+    30 min] — the attribution-window join event warehouses run daily.
+    Output is exact-integer µs gaps, one row per qualifying pair.
+
+    Scale shape: the scan keeps only the two event types, ONE user-hash
+    coarse shuffle co-locates each user's history, and inside a
+    partition the match is a fully vectorized double searchsorted on a
+    dense-user composite key (user_rank · span + Δts fits int64 — guard
+    asserts; no per-click or per-user Python loop). Pair emission uses
+    the multi-range gather (cumsum + repeat), bounded by true matches."""
+    nc = _coarse_events(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(m)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("coarse",
+                               pa.array((u % nc).astype(np.int32)))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.array([], "int64"),
+            "click_event_id": pd.array([], "int64"),
+            "purchase_event_id": pd.array([], "int64"),
+            "gap_us": pd.array([], "int64")})
+        is_c = df["event_type"].to_numpy() == "click"
+        c = df[is_c].sort_values(["user_id", "ts", "event_id"])
+        p = df[~is_c].sort_values(["user_id", "ts", "event_id"])
+        if not len(c) or not len(p):
+            return empty
+        ts_c = c["ts"].astype("int64").to_numpy()
+        ts_p = p["ts"].astype("int64").to_numpy()
+        base = min(int(ts_c.min()), int(ts_p.min()))
+        span = max(int(ts_c.max()), int(ts_p.max())) - base \
+            + INTERVAL_JOIN_WINDOW_US + 2
+        users = pd.concat([c["user_id"], p["user_id"]]).unique()
+        rank = {u: i for i, u in enumerate(np.sort(users))}
+        assert len(rank) * span < 2**62, \
+            "composite key overflow: widen to per-user matching"
+        kc = c["user_id"].map(rank).to_numpy() * span + (ts_c - base)
+        kp = p["user_id"].map(rank).to_numpy() * span + (ts_p - base)
+        lo = np.searchsorted(kp, kc, "right")          # strictly after
+        hi = np.searchsorted(kp, kc + INTERVAL_JOIN_WINDOW_US, "right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        # multi-range gather: purchase indices for every (click, k) pair
+        starts = np.cumsum(cnt) - cnt
+        pidx = np.arange(total, dtype=np.int64) \
+            - np.repeat(starts, cnt) + np.repeat(lo, cnt)
+        cid = np.repeat(c["event_id"].to_numpy(), cnt)
+        return pd.DataFrame({
+            "user_id": np.repeat(c["user_id"].to_numpy(), cnt),
+            "click_event_id": cid,
+            "purchase_event_id": p["event_id"].to_numpy()[pidx],
+            "gap_us": ts_p[pidx] - np.repeat(ts_c, cnt)})
+
+    out = (_pq(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+           .map_batches(keep, batch_format="pyarrow")
+           .groupby("coarse").map_groups(match, batch_format="pandas")
+           .sort(["user_id", "click_event_id", "purchase_event_id"]))
+    from ..stages.dedup import nonempty_or_typed_table
+    return nonempty_or_typed_table(out, {
+        "user_id": pa.int64(), "click_event_id": pa.int64(),
+        "purchase_event_id": pa.int64(), "gap_us": pa.int64()})
+
+
 def clicks_last_view(sf_dir: str):
     """Backward as-of join, expressed as a forward-fill window: for every
     'click' event, the most recent 'view' event by the same user at or

@@ -673,3 +673,33 @@ def test_scalable_quantiles_equals_sort_path(ray_session):
     b = (b.to_pandas() if hasattr(b, "to_pandas") else b) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_purchases_after_click_differential(ray_session):
+    """Pipeline vs a direct pandas interval merge, including window
+    boundary semantics (strictly after the click, inclusive at +30min)."""
+    import pandas as pd
+
+    from mobile_ocr_api_ray.pipelines.analytics import (
+        INTERVAL_JOIN_WINDOW_US, purchases_after_click)
+    sf = "/root/testdata/sf0.001"
+    out = purchases_after_click(sf)
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else
+           out.to_pandas()).reset_index(drop=True)
+    ev = pd.read_parquet(sf + "/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    c = ev[ev.event_type == "click"]
+    p = ev[ev.event_type == "purchase"]
+    m = c.merge(p, on="user_id", suffixes=("_c", "_p"))
+    gap = (m.ts_p.astype("int64") - m.ts_c.astype("int64"))
+    m = m[(gap > 0) & (gap <= INTERVAL_JOIN_WINDOW_US)]
+    expect = pd.DataFrame({
+        "user_id": m.user_id,
+        "click_event_id": m.event_id_c,
+        "purchase_event_id": m.event_id_p,
+        "gap_us": (m.ts_p.astype("int64") - m.ts_c.astype("int64"))}) \
+        .sort_values(["user_id", "click_event_id", "purchase_event_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, expect)
+    assert len(out) > 0
