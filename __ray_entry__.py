@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": x.regional_revenue,
         "clicks_last_view": x.clicks_last_view,
         "purchases_after_click": x.purchases_after_click,
+        "event_value_stats": x.event_value_stats,
         "quantity_band_stats": x.quantity_band_stats,
         "event_value_quantiles": x.event_value_quantiles,
         "scalable_quantiles": x.scalable_quantiles,
@@ -527,6 +528,28 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING))
             SELECT event_id, user_id, ts, last_view_ts, last_view_event_id
             FROM f WHERE event_type = 'click' ORDER BY user_id, ts, event_id""",
+        # mergeable moments: exact integer-cent (n, Σc, Σc²) per type,
+        # mean/variance expressions on identical doubles (IEEE sqrt is
+        # correctly rounded, so stddev agrees bit-for-bit too)
+        "event_value_stats": r"""
+            WITH m AS (
+              SELECT event_type, count(value) AS n,
+                     sum(cast(round(value*100, 0) AS BIGINT)) AS sum_c,
+                     sum(cast(round(value*100, 0) AS BIGINT)
+                         * cast(round(value*100, 0) AS BIGINT)) AS sumsq_c
+              FROM events WHERE value IS NOT NULL GROUP BY 1)
+            SELECT event_type, cast(n AS BIGINT) AS n_values,
+                   cast(sum_c AS DOUBLE) / (cast(n AS DOUBLE) * 100.0)
+                       AS mean_value,
+                   (cast(sumsq_c AS DOUBLE) / cast(n AS DOUBLE)
+                    - (cast(sum_c AS DOUBLE) / cast(n AS DOUBLE))
+                      * (cast(sum_c AS DOUBLE) / cast(n AS DOUBLE)))
+                       / 10000.0 AS var_pop,
+                   sqrt((cast(sumsq_c AS DOUBLE) / cast(n AS DOUBLE)
+                    - (cast(sum_c AS DOUBLE) / cast(n AS DOUBLE))
+                      * (cast(sum_c AS DOUBLE) / cast(n AS DOUBLE)))
+                       / 10000.0) AS stddev_pop
+            FROM m ORDER BY 1""",
         # banded interval join: purchases in (click_ts, click_ts+30min]
         # per user; exact integer µs gaps
         "purchases_after_click": r"""

@@ -141,6 +141,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("clicks_last_view", lambda: x.clicks_last_view(sf_dir).to_pandas())
     timed("purchases_after_click",
           lambda: _pd(x.purchases_after_click(sf_dir)))
+    timed("event_value_stats", lambda: _pd(x.event_value_stats(sf_dir)))
     timed("quantity_band_stats",
           lambda: x.quantity_band_stats(sf_dir).to_pandas())
     timed("distinct_users_hourly",

@@ -149,6 +149,59 @@ def regional_revenue(sf_dir: str):
 # As-of join: each click gets the latest preceding view by the same user
 
 
+def event_value_stats(sf_dir: str):
+    """Distributed exact mean/variance per event_type via mergeable
+    moments — the (n, Σc, Σc²) triple over integer CENTS, so partial
+    sums are order-independent and merge associatively (float partial
+    sums would not); the final mean/var_pop/stddev expressions then run
+    on identical doubles on both engine and oracle sides. Σc² bound:
+    |value| < 9.6e6 keeps a 9.2e18/1e5-row partition exact — asserted.
+
+    One tiny groupby of per-batch (type, n, sum_c, sumsq_c) partials;
+    nothing else shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        ok = ~np.isnan(v)
+        c = np.round(v[ok] * 100.0).astype(np.int64)
+        assert not len(c) or np.abs(c).max() < 3_000_000_000, \
+            "cent-squared overflow risk: widen accumulator"
+        d = pd.DataFrame({"event_type": df["event_type"][ok],
+                          "c": c, "c2": c * c})
+        g = d.groupby("event_type", dropna=False)
+        out = pd.DataFrame({
+            "n": g.size().astype("int64"),
+            "sum_c": g["c"].sum().astype("int64"),
+            "sumsq_c": g["c2"].sum().astype("int64")}).reset_index()
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", dropna=False, as_index=False)
+        return g[["n", "sum_c", "sumsq_c"]].sum()
+
+    raw = (_pq(sf_dir, "events", ["event_type", "value"])
+           .map_batches(partial, batch_format="pandas")
+           .map_batches(combine, batch_format="pandas").to_pandas())
+    cols = {"event_type": pa.string(), "n_values": pa.int64(),
+            "mean_value": pa.float64(), "var_pop": pa.float64(),
+            "stddev_pop": pa.float64()}
+    if "event_type" not in raw.columns or not len(raw):
+        return pa.table({k: pa.array([], t) for k, t in cols.items()})
+    t = combine(raw).sort_values("event_type").reset_index(drop=True)
+    n = t["n"].to_numpy().astype(np.float64)
+    s = t["sum_c"].to_numpy().astype(np.float64)
+    s2 = t["sumsq_c"].to_numpy().astype(np.float64)
+    mean = s / (n * 100.0)
+    var = (s2 / n - (s / n) ** 2) / 10000.0
+    return pa.table({
+        "event_type": pa.array(t["event_type"], pa.string()),
+        "n_values": pa.array(t["n"].to_numpy().astype(np.int64)),
+        "mean_value": pa.array(mean, pa.float64()),
+        "var_pop": pa.array(var, pa.float64()),
+        "stddev_pop": pa.array(np.sqrt(var), pa.float64())})
+
+
 INTERVAL_JOIN_WINDOW_US = 30 * 60 * 1_000_000  # 30 min
 
 

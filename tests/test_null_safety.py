@@ -41,7 +41,7 @@ QUERIES = [
     "embedding_pairs_doubled",
     # event values: cents kernels, windows, quantiles, histograms
     "sessionize_events", "user_moving_avg", "event_value_quantiles",
-    "scalable_quantiles", "purchases_after_click",
+    "scalable_quantiles", "purchases_after_click", "event_value_stats",
     "value_histogram", "sliding_event_counts",
 ]
 

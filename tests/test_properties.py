@@ -138,3 +138,72 @@ class TestAnalyticsProperties:
                     if len(cand) else None)
             g = got.loc[click["event_id"]]
             assert (want is None and pd.isna(g)) or g == want
+
+
+# ---- distributed-operator properties (small Ray pipelines per example) ----
+
+import numpy as np
+import pyarrow as pa
+
+
+def _doc_ds(pairs):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([i for i, _ in pairs], pa.int64()),
+        "text": pa.array([t for _, t in pairs], pa.string())}))
+
+
+# lines straddle the 30-char eligibility threshold; a small pool forces
+# cross-document collisions
+_line_pool = st.lists(
+    st.text(alphabet="ab", min_size=26, max_size=34),
+    min_size=1, max_size=6, unique=True)
+
+
+class TestLineDedupProperties:
+    @given(st.data())
+    @settings(max_examples=10, deadline=None)
+    def test_matches_sequential_reference(self, ray_session, data):
+        pool = data.draw(_line_pool)
+        n_docs = data.draw(st.integers(1, 5))
+        docs = []
+        for i in range(n_docs):
+            lines = data.draw(st.lists(st.sampled_from(pool),
+                                       min_size=0, max_size=5))
+            docs.append((i, "\n".join(lines)))
+        seen, expect = set(), {}
+        for i, t in docs:
+            kept, removed = [], 0
+            for ln in t.split("\n"):
+                if len(ln) >= 30:
+                    if ln in seen:
+                        removed += 1
+                        continue
+                    seen.add(ln)
+                kept.append(ln)
+            expect[i] = ("\n".join(kept), removed)
+        out = dedup.line_dedup(_doc_ds(docs), n_coarse=3,
+                               n_coarse_docs=2)
+        df = (out.to_pandas() if hasattr(out, "to_pandas") else
+              out.to_pandas()).sort_values("doc_id")
+        assert len(df) == len(docs)
+        for _, r in df.iterrows():
+            ct, nr = expect[int(r.doc_id)]
+            assert r.clean_text == ct and int(r.n_removed) == nr
+
+
+class TestPackSequencesProperties:
+    @given(st.lists(st.integers(0, 9), min_size=1, max_size=30),
+           st.integers(1, 16))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_cumsum_reference(self, ray_session, counts, budget):
+        docs = [(i, " ".join(["w"] * c)) for i, c in enumerate(counts)]
+        out = text_analysis.pack_sequences(_doc_ds(docs), budget=budget,
+                                           range_width=4)
+        df = (out.to_pandas() if hasattr(out, "to_pandas") else
+              out.to_pandas()).sort_values("doc_id")
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        assert df.n_tokens.tolist() == counts
+        assert df.start_offset.tolist() == starts.tolist()
+        assert df.seq_id.tolist() == (starts // budget).tolist()
+        assert df.offset_in_seq.tolist() == (starts % budget).tolist()
