@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": a.incremental_dedup_docs,
         "mixed_sample_docs": a.mixed_sample_docs,
         "normalize_docs": a.normalize_docs,
+        "chunk_docs": a.chunk_docs,
+        "train_val_test_split": a.train_val_test_split,
         "word_freq_top": a.word_freq_top,
         "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
@@ -873,6 +875,35 @@ def oracle_sql() -> dict[str, str]:
                    min(n_words) AS n_words,
                    min(quality_score) AS quality_score
             FROM kept GROUP BY clean_text ORDER BY doc_id""",
+        # RAG chunking: 120-char windows at stride 80; chunk k covers
+        # [k*80, k*80+120); empty docs produce no chunks
+        "chunk_docs": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     [substring(t, i, 120)
+                      FOR i IN range(1, length(t) + 1, 80)] AS cs
+              FROM (SELECT doc_id, coalesce(text, '') AS t
+                    FROM documents))
+            SELECT doc_id,
+                   cast(generate_subscripts(cs, 1) - 1 AS BIGINT)
+                       AS chunk_idx,
+                   unnest(cs) AS chunk_text,
+                   cast(length(unnest(cs)) AS BIGINT) AS n_chars
+            FROM c ORDER BY doc_id, chunk_idx""",
+        # deterministic 90/5/5 split by md5(doc_id) hash ranges
+        "train_val_test_split": r"""
+            SELECT doc_id,
+                   CASE WHEN h < cast(4294967296 * 90 // 100 AS UBIGINT)
+                          THEN 'train'
+                        WHEN h < cast(4294967296 * 95 // 100 AS UBIGINT)
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         cast(('0x' || substring(
+                             md5(cast(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) AS h
+                  FROM documents)
+            ORDER BY doc_id""",
         # canonical normalization: lowercase + whitespace collapse +
         # edge trim; value-exact string compare
         "normalize_docs": r"""

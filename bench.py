@@ -131,6 +131,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("incremental_dedup", lambda: _pd(a.incremental_dedup_docs(sf_dir)))
     timed("mixed_sample_docs", lambda: a.mixed_sample_docs(sf_dir).to_pandas())
     timed("normalize_docs", lambda: a.normalize_docs(sf_dir).to_pandas())
+    timed("chunk_docs", lambda: a.chunk_docs(sf_dir).to_pandas())
+    timed("train_val_test_split",
+          lambda: a.train_val_test_split(sf_dir).to_pandas())
     timed("bloom_decontaminate_docs",
           lambda: a.bloom_decontaminate_docs(sf_dir).to_pandas())
     timed("scalable_quantiles", lambda: _pd(x.scalable_quantiles(sf_dir)))

@@ -141,6 +141,76 @@ def word_freq_top(sf_dir: str, k: int = 100):
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+CHUNK_WIDTH = 120
+CHUNK_STRIDE = 80
+
+
+def chunk_docs(sf_dir: str):
+    """RAG-prep chunking: overlapping fixed windows (120 chars, stride
+    80 → 40-char overlap) per document — the flat-map exploder every
+    retrieval pipeline runs before embedding. Fully vectorized: one
+    utf8 slice kernel per window offset, masked to rows long enough;
+    empty/null docs produce no chunks. Returns
+    (doc_id, chunk_idx, chunk_text, n_chars)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        lens = pc.utf8_length(t).to_numpy().astype(np.int64)
+        maxlen = int(lens.max()) if len(lens) else 0
+        ids, idxs, chunks = [], [], []
+        for k, start in enumerate(range(0, max(maxlen, 1), CHUNK_STRIDE)):
+            mask = lens > start
+            if not mask.any():
+                break
+            m = pa.array(mask)
+            ids.append(batch["doc_id"].filter(m))
+            piece = pc.utf8_slice_codeunits(
+                t.filter(m), start, start + CHUNK_WIDTH)
+            chunks.append(piece)
+            idxs.append(np.full(int(mask.sum()), k, np.int64))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64())})
+        text = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in chunks])
+        return pa.table({
+            "doc_id": pa.concat_arrays(
+                [i.combine_chunks() if isinstance(i, pa.ChunkedArray)
+                 else i for i in ids]),
+            "chunk_idx": pa.array(np.concatenate(idxs), pa.int64()),
+            "chunk_text": text,
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64())})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow")
+            .sort(["doc_id", "chunk_idx"]))
+
+
+SPLIT_PCT = (90, 95)  # train < 90% ≤ val < 95% ≤ test
+
+
+def train_val_test_split(sf_dir: str):
+    """Deterministic corpus split: md5(doc_id) hash ranges assign
+    train/val/test at 90/5/5 — membership is a pure function of the key
+    (the sample_docs rule), so the split is stable across runs,
+    partitionings, cluster sizes, and reproducible in SQL."""
+    lo = (1 << 32) * SPLIT_PCT[0] // 100
+    hi = (1 << 32) * SPLIT_PCT[1] // 100
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = np.array([_hash32(i) for i in batch["doc_id"].to_pylist()],
+                     np.uint64)
+        split = np.where(h < lo, "train", np.where(h < hi, "val", "test"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return (_docs(sf_dir, ["doc_id"])
+            .map_batches(assign, batch_format="pyarrow").sort("doc_id"))
+
+
 def normalize_docs(sf_dir: str):
     """Canonical text normalization — the first transform of every
     ingestion pipeline: lowercase, collapse whitespace runs to single

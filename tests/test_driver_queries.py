@@ -184,3 +184,37 @@ def test_packed_sequence_texts(queries):
     per_seq = plan.groupby("seq_id").size()
     assert per_seq.reindex(df.seq_id).to_numpy().tolist() == \
         df.n_docs.tolist()
+
+
+def test_chunk_docs_coverage(queries):
+    import pandas as pd
+    df = queries["chunk_docs"](SF).to_pandas()
+    docs = pd.read_parquet(SF + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs["text"] = docs.text.fillna("")
+    # stride-80 prefixes of consecutive chunks reconstruct the document
+    rec = df.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id") \
+            .apply(lambda g: "".join(
+                [t[:80] for t in g.chunk_text[:-1]] +
+                [g.chunk_text.iloc[-1]]), include_groups=False)
+    m = docs.set_index("doc_id").join(rec.rename("rec"), how="left")
+    nonempty = m[m.text.str.len() > 0]
+    assert (nonempty.text == nonempty.rec).all()
+    assert (df.n_chars <= 120).all() and (df.n_chars > 0).all()
+    # empty docs yield no chunks
+    assert set(df.doc_id) == set(docs[docs.text.str.len() > 0].doc_id)
+
+
+def test_train_val_test_split(queries):
+    df = queries["train_val_test_split"](SF).to_pandas()
+    frac = df.split.value_counts(normalize=True)
+    assert 0.85 < frac.get("train", 0) < 0.95
+    assert 0.01 < frac.get("val", 0) < 0.10
+    assert 0.01 < frac.get("test", 0) < 0.10
+    # membership is a pure function of doc_id: agrees with sample rule
+    from mobile_ocr_api_ray.pipelines.analysis import _hash32
+    lo, hi = (1 << 32) * 90 // 100, (1 << 32) * 95 // 100
+    for _, r in df.sample(50, random_state=0).iterrows():
+        h = _hash32(r.doc_id)
+        assert r.split == ("train" if h < lo else
+                           "val" if h < hi else "test")

@@ -35,6 +35,7 @@ QUERIES = [
     "gopher_quality_flags",
     "unigram_logprob", "source_overlap_matrix", "heavy_hitter_words",
     "incremental_dedup", "mixed_sample_docs", "normalize_docs",
+    "chunk_docs",
     "bloom_decontaminate_docs",
     # embeddings: matrix extraction, ANN, centroids, near-pairs
     "ann_brute_topk", "knn_graph_topk", "label_centroids",
