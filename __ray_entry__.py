@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_kept": a.exact_dedup_kept,
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "line_dedup_docs": a.line_dedup_docs,
+        "dup_window_stats": a.dup_window_stats_docs,
         "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
         "sample_docs": a.sample_docs,
         "stratified_sample_docs": a.stratified_sample_docs,
@@ -1128,6 +1129,30 @@ def oracle_sql() -> dict[str, str]:
         # a 30+-char line survives only at its first (doc_id, line_idx)
         # occurrence corpus-wide, shorter lines are exempt, docs reassemble
         # in line order — value-exact STRING output on both sides
+        # duplicated k-token-window stats (Lee et al. fixed-window form):
+        # a 13-token window is duplicated iff its token sequence occurs in
+        # >= 2 distinct docs; tokenizer mirrors Python str.split()
+        "dup_window_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            e AS (SELECT doc_id, len(toks) - 12 AS nw, toks
+                  FROM t WHERE len(toks) >= 13),
+            w AS (SELECT doc_id,
+                         array_to_string(list_slice(toks, i.i, i.i + 12),
+                                         ' ') AS win
+                  FROM e, LATERAL unnest(generate_series(1, nw)) AS i(i)),
+            d AS (SELECT win FROM w
+                  GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+            c AS (SELECT w.doc_id, count(*) AS nd
+                  FROM w JOIN d USING (win) GROUP BY w.doc_id)
+            SELECT e.doc_id, cast(e.nw AS BIGINT) AS n_windows,
+                   cast(coalesce(c.nd, 0) AS BIGINT) AS n_dup_windows,
+                   coalesce(c.nd, 0) * 1.0 / e.nw AS dup_ratio
+            FROM e LEFT JOIN c USING (doc_id) ORDER BY doc_id""",
         "line_dedup_docs": r"""
             WITH d AS (
               SELECT doc_id, coalesce(text, '') AS t FROM documents

@@ -1674,3 +1674,14 @@ def stratified_sample_docs(sf_dir: str, strata: dict[str, int] | None = None):
 
     return (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
             .map_batches(keep, batch_format="pyarrow").sort("doc_id"))
+
+
+def dup_window_stats_docs(sf_dir: str):
+    """Per-doc duplicated k-token-window statistics over documents (window
+    duplicated ⇔ its token sequence appears in ≥2 distinct docs anywhere in
+    the corpus — the shared source boilerplate makes this a live signal on
+    the plain corpus, no doubling needed). Value-exact SQL oracle."""
+    nc = _docs_coarse_hint(sf_dir)
+    out = dedup.dup_window_stats(_docs(sf_dir, ["doc_id", "text"]),
+                                 n_coarse=nc, n_coarse_docs=nc)
+    return out if isinstance(out, pa.Table) else out.sort("doc_id")

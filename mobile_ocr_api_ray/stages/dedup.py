@@ -1220,3 +1220,150 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return nonempty_or_typed_table(out, {
         id_col: pa.int64(), "clean_text": pa.string(),
         "n_removed": pa.int64()})
+
+
+# --------------------------------------------- k-token window dup statistics
+
+WINDOW_K = 13          # eval-decontamination-grade window (13 tokens)
+_WIN_B1 = np.uint64(0x9E3779B97F4A7C15 | 1)   # odd → invertible mod 2^64
+_WIN_B2 = np.uint64(0xC2B2AE3D27D4EB4F | 1)
+_WIN_M = 1 << 64
+
+
+def _window_hashes(tokens_per_doc: "list[list[str]]", k: int):
+    """Rolling polynomial hash of every k-token window, vectorized over the
+    FLAT token stream of a whole batch (one crc32 pass + numpy cumsum /
+    cumprod; no per-window loop).
+
+    H[i] = Σ_{d<k} crc32(tok[i+d]) · Binv^d  (mod 2^64), computed as
+    (S[i+k] − S[i]) · B^i from the prefix sums S of crc·Binv^position —
+    B odd makes Binv = B⁻¹ mod 2^64 exact, so window hashes at different
+    offsets canonicalize to the same value. Two independent bases give a
+    128-bit effective key (collision-safe at 100 TB window counts).
+    Windows never cross documents: start positions whose span would leave
+    the document are masked out, and the cross-doc prefix-sum terms cancel
+    in the S difference for every retained window.
+
+    Returns (doc_index_per_window, h1, h2) numpy arrays.
+    """
+    lens = np.fromiter((len(t) for t in tokens_per_doc), np.int64,
+                       len(tokens_per_doc))
+    n = int(lens.sum())
+    if n == 0:
+        z = np.array([], np.int64)
+        return z, z.astype(np.uint64), z.astype(np.uint64)
+    flat = [tok for doc in tokens_per_doc for tok in doc]
+    th = np.fromiter((zlib.crc32(t.encode()) for t in flat), np.uint64, n)
+
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    # valid window starts: offset o in [0, len_doc - k]
+    nw = np.maximum(lens - k + 1, 0)
+    total_w = int(nw.sum())
+    if total_w == 0:
+        z = np.array([], np.int64)
+        return z, z.astype(np.uint64), z.astype(np.uint64)
+    wdoc = np.repeat(np.arange(len(lens), dtype=np.int64), nw)
+    wends = np.cumsum(nw)
+    woff = np.arange(total_w, dtype=np.int64) - np.repeat(wends - nw, nw)
+    wpos = np.repeat(starts, nw) + woff   # flat start index per window
+
+    def poly(base: np.uint64) -> np.ndarray:
+        binv = np.uint64(pow(int(base), -1, _WIN_M))
+        binv_pow = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(n, binv, np.uint64))))
+        b_pow = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(n, base, np.uint64))))
+        s = np.concatenate(
+            ([np.uint64(0)], np.cumsum(th * binv_pow[:n], dtype=np.uint64)))
+        return (s[wpos + k] - s[wpos]) * b_pow[wpos]
+
+    return wdoc, poly(_WIN_B1), poly(_WIN_B2)
+
+
+def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = WINDOW_K, min_docs: int = 2,
+                     n_coarse: int | None = None,
+                     n_coarse_docs: int | None = None):
+    """Exact duplicated-substring statistics at k-token window granularity
+    (the fixed-window form of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22 §4 — suffix-array dup spans approximated
+    by every k-token sliding window; the reference's cache-level "identical
+    input" notion, app2.py:329-336, pushed down to substrings).
+
+    → (doc_id, n_windows, n_dup_windows, dup_ratio) for every doc with at
+    least one window (≥ k whitespace tokens). A window is duplicated iff
+    its token sequence occurs in ≥ ``min_docs`` DISTINCT documents
+    corpus-wide.
+
+    Exactly two bucketed shuffles, combiner-compressed on both sides:
+      1. window-hash-keyed: stage 1 pre-aggregates (doc, h1, h2) → copy
+         count per batch (combiner), shuffles on crc-derived
+         ``h1 % n_coarse`` so every copy of a window value co-locates;
+         inside a partition a vectorized pandas transform marks hashes
+         reaching ``min_docs`` distinct docs and re-aggregates to one row
+         per (doc, partition);
+      2. doc-keyed: per-doc sums over ≤ n_coarse partial rows per doc.
+    Neither shuffle ever carries window TEXT — only 128-bit hashes, and
+    after the combiner only per-(doc,hash) counts.
+    """
+    nc = n_coarse or N_COARSE
+    ncd = n_coarse_docs or nc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        toks = [(t or "").split() for t in texts]
+        wdoc, h1, h2 = _window_hashes(toks, k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(wdoc) == 0:
+            return pa.table({"_id": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "coarse": pa.array([], pa.int32())})
+        t = pa.table({"_id": pa.array(ids[wdoc]),
+                      "h1": pa.array(h1.view(np.int64)),
+                      "h2": pa.array(h2.view(np.int64)),
+                      "one": pa.array(np.ones(len(wdoc), np.int64))})
+        g = t.group_by(["_id", "h1", "h2"]).aggregate([("one", "sum")])
+        coarse = (g["h1"].to_numpy().view(np.uint64) % np.uint64(nc))
+        return pa.table({"_id": g["_id"], "h1": g["h1"], "h2": g["h2"],
+                         "cnt": g["one_sum"],
+                         "coarse": pa.array(coarse.astype(np.int32))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # all copies of a given (h1, h2) are in this partition
+        ndocs = df.groupby(["h1", "h2"])["_id"].transform("nunique")
+        dup = (ndocs >= min_docs).to_numpy()
+        cnt = df["cnt"].to_numpy()
+        out = pd.DataFrame({
+            "_id": df["_id"].to_numpy(),
+            "n_part": cnt,
+            "n_dup_part": np.where(dup, cnt, 0)})
+        out = out.groupby("_id", as_index=False).sum()
+        out["dcoarse"] = (out["_id"] % ncd).astype(np.int32)
+        return out
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_id", as_index=False)[["n_part", "n_dup_part"]].sum()
+        return pd.DataFrame({
+            "_id": g["_id"].astype("int64"),
+            "n_windows": g["n_part"].astype("int64"),
+            "n_dup_windows": g["n_dup_part"].astype("int64"),
+            # IEEE double division — bit-matches the oracle's nd*1.0/nw
+            "dup_ratio": g["n_dup_part"].to_numpy(np.float64)
+                         / g["n_part"].to_numpy(np.float64)})
+
+    out = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("coarse").map_groups(resolve, batch_format="pandas")
+           .groupby("dcoarse").map_groups(per_doc, batch_format="pandas"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["_id"],
+                         "n_windows": batch["n_windows"],
+                         "n_dup_windows": batch["n_dup_windows"],
+                         "dup_ratio": batch["dup_ratio"]})
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    return nonempty_or_typed_table(out, {
+        id_col: pa.int64(), "n_windows": pa.int64(),
+        "n_dup_windows": pa.int64(), "dup_ratio": pa.float64()})

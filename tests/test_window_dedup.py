@@ -1,0 +1,106 @@
+"""dup_window_stats — exact duplicated k-token-window statistics
+(fixed-window form of Lee et al. ACL'22 suffix-array dup spans)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mobile_ocr_api_ray.stages import dedup
+
+
+def brute_window_stats(docs: list[tuple[int, str]], k: int = 13,
+                       min_docs: int = 2) -> pd.DataFrame:
+    """Reference implementation: literal window strings, Python dicts."""
+    wins: dict[str, set[int]] = {}
+    per_doc: dict[int, list[str]] = {}
+    for did, text in docs:
+        toks = (text or "").split()
+        ws = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        per_doc[did] = ws
+        for w in ws:
+            wins.setdefault(w, set()).add(did)
+    rows = []
+    for did, ws in sorted(per_doc.items()):
+        if not ws:
+            continue
+        nd = sum(1 for w in ws if len(wins[w]) >= min_docs)
+        rows.append({"doc_id": did, "n_windows": len(ws),
+                     "n_dup_windows": nd, "dup_ratio": nd / len(ws)})
+    return pd.DataFrame(rows)
+
+
+def run(ray_session, docs, **kw) -> pd.DataFrame:
+    import ray.data
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string())}))
+    out = dedup.dup_window_stats(ds, **kw)
+    if isinstance(out, pa.Table):
+        return out.to_pandas()
+    return out.sort("doc_id").to_pandas()
+
+
+class TestDupWindowStats:
+    SHARED = " ".join(f"w{i}" for i in range(13))   # exactly one window
+
+    def test_hand_counts(self, ray_session):
+        docs = [
+            (0, self.SHARED + " tail0 alpha beta"),
+            (1, "head1 " + self.SHARED),
+            (2, "entirely distinct tokens " + " ".join(
+                f"x{i}" for i in range(15))),
+            (3, "too short"),            # < 13 tokens → no output row
+            (4, None),                   # null text → no output row
+        ]
+        out = run(ray_session, docs)
+        assert list(out.doc_id) == [0, 1, 2]
+        # doc0: 16 tokens → 4 windows, the first (offset 0) is shared
+        assert list(out.n_windows) == [4, 2, 6]
+        assert list(out.n_dup_windows) == [1, 1, 0]
+        assert out.dup_ratio[0] == 0.25
+
+    def test_within_doc_repeat_not_dup(self, ray_session):
+        # the same window twice in ONE doc is not a cross-doc duplicate
+        docs = [(0, self.SHARED + " " + self.SHARED)]
+        out = run(ray_session, docs)
+        assert list(out.n_dup_windows) == [0]
+        # but copies in ≥2 docs count EVERY occurrence, incl. repeats
+        docs.append((1, self.SHARED))
+        out = run(ray_session, docs)
+        m = dict(zip(out.doc_id, out.n_dup_windows))
+        assert m[0] >= 2 and m[1] == 1
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(7)
+        vocab = [f"t{i}" for i in range(30)]
+        docs = [(i, " ".join(rng.choice(vocab, rng.randint(5, 40))))
+                for i in range(40)]
+        a = run(ray_session, docs, n_coarse=1, n_coarse_docs=1)
+        b = run(ray_session, docs, n_coarse=13, n_coarse_docs=5)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_differential_random(self, ray_session):
+        rng = np.random.RandomState(11)
+        vocab = [f"v{i}" for i in range(12)]   # tiny vocab → many dup windows
+        docs = [(i, " ".join(rng.choice(vocab, rng.randint(0, 60))))
+                for i in range(60)]
+        got = run(ray_session, docs, k=5)
+        want = brute_window_stats(docs, k=5)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want.reset_index(drop=True))
+
+    def test_min_docs_threshold(self, ray_session):
+        docs = [(i, self.SHARED) for i in range(3)]
+        out3 = run(ray_session, docs, min_docs=3)
+        out4 = run(ray_session, docs, min_docs=4)
+        assert list(out3.n_dup_windows) == [1, 1, 1]
+        assert list(out4.n_dup_windows) == [0, 0, 0]
+
+    def test_empty_corpus(self, ray_session):
+        out = run(ray_session, [])
+        assert list(out.columns) == ["doc_id", "n_windows",
+                                     "n_dup_windows", "dup_ratio"]
+        assert len(out) == 0
