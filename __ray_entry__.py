@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pages / structure / multimodal (rows-only checks)
         "latest_capture_per_url": a.latest_capture_per_url,
         "domain_page_stats": a.domain_page_stats,
+        "page_links": a.page_links,
+        "host_graph_edges": a.host_graph_edges,
+        "host_pagerank": a.host_pagerank,
         "pdf_page_rows": a.pdf_page_rows,
         "doc_structure_stats": a.doc_structure_stats,
         "image_meta": a.image_meta,

@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from .stages import glyphs
 from .stages.html_extract import MIN_BLOCK_CHARS
 
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 EN_WORDS = (
@@ -87,11 +87,18 @@ def _paragraph(rng: random.Random, words: list[str], min_chars: int = MIN_BLOCK_
 
 
 def _nav_links(rng: random.Random, n: int) -> str:
-    items = "".join(
-        f'<li><a href="/s{rng.randint(0, 99)}">{rng.choice(EN_WORDS).capitalize()}</a></li>'
-        for _ in range(n)
-    )
-    return f"<ul>{items}</ul>"
+    # every third nav link is absolute cross-site (host derived from the
+    # already-drawn s — no extra rng consumption, so page content elsewhere
+    # is unaffected); the rest stay root-relative. Gives the host link
+    # graph real cross-host edges for the linkgraph operators.
+    items = []
+    for _ in range(n):
+        s = rng.randint(0, 99)
+        w = rng.choice(EN_WORDS).capitalize()
+        href = (f"https://site{(s * 101) % 10000:04d}.example/s{s}"
+                if s % 3 == 0 else f"/s{s}")
+        items.append(f'<li><a href="{href}">{w}</a></li>')
+    return f"<ul>{''.join(items)}</ul>"
 
 
 def _make_html(rng: random.Random, lang: str, n_paras: int | None = None,

@@ -1685,3 +1685,59 @@ def dup_window_stats_docs(sf_dir: str):
     out = dedup.dup_window_stats(_docs(sf_dir, ["doc_id", "text"]),
                                  n_coarse=nc, n_coarse_docs=nc)
     return out if isinstance(out, pa.Table) else out.sort("doc_id")
+
+
+# --------------------------------------------------------- link graph
+
+def _pages_coarse_hint(sf_dir: str) -> int:
+    d = _pages_dir_for(sf_dir)
+    shards = os.listdir(os.path.join(d, "pages.parquet"))
+    n = pq.ParquetFile(os.path.join(d, "pages.parquet",
+                                    sorted(shards)[0])).metadata.num_rows
+    return min(dedup.N_COARSE, (n * len(shards)) // 2_000 + 1)
+
+
+def page_links(sf_dir: str):
+    """Per-page out-links (src_url, dst_url, anchor_text) over the crawl
+    corpus — resolved, fragment-stripped, http(s)-only."""
+    from ..stages import linkgraph
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    return pages.map_batches(linkgraph.extract_links,
+                             batch_format="pyarrow") \
+                .sort(["src_url", "dst_url", "anchor_text"])
+
+
+def host_graph_edges(sf_dir: str):
+    """Host→host link-count rollup of the crawl's hyperlink graph."""
+    from ..stages import linkgraph
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    links = pages.map_batches(linkgraph.extract_links,
+                              batch_format="pyarrow")
+    out = linkgraph.host_edges(links, n_coarse=_pages_coarse_hint(sf_dir))
+    return out if isinstance(out, pa.Table) else \
+        out.sort(["src_host", "dst_host"])
+
+
+def host_pagerank(sf_dir: str):
+    """PageRank over the host link graph (10 rounds, d=0.85, deterministic
+    sorted summation — bit-identical across partitionings/parallelism)."""
+    from ..stages import linkgraph
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    links = pages.map_batches(linkgraph.extract_links,
+                              batch_format="pyarrow")
+    nc = _pages_coarse_hint(sf_dir)
+    edges = linkgraph.host_edges(links, n_coarse=nc)
+    if isinstance(edges, pa.Table):          # empty corpus
+        return pa.table({"node": pa.array([], pa.string()),
+                         "pr": pa.array([], pa.float64())})
+    out = linkgraph.pagerank(edges, n_coarse=nc)
+    return out if isinstance(out, pa.Table) else out.sort("node")

@@ -1,0 +1,400 @@
+"""Hyperlink graph operators: out-link extraction, host edge rollup,
+distributed PageRank.
+
+The reference's navigation layer walks WITHIN one document — paragraph /
+column adjacency plus suggested next actions (app.py:1440-1533, suggested
+actions app.py:968-1007). At corpus scale the webtext analog of "what is
+reachable from here" is the hyperlink graph: per-page out-links, the
+host→host edge rollup, and a centrality score over it. PageRank follows
+Page et al., "The PageRank Citation Ranking" (Stanford InfoLab 1999), with
+the standard uniform dangling-mass redistribution.
+
+Scale notes (100 TB):
+- link extraction is a per-row kernel (same cost class as the extraction
+  kernels in stages/extractor.py) — compiled regexes at module import,
+  one pass per page, no DOM tree build;
+- the host graph after rollup is ~|hosts|² sparse — orders of magnitude
+  smaller than the corpus — so PageRank's per-round shuffles move edge
+  fractions and rank rows, never pages;
+- every shuffle is coarse-bucketed (crc32(key) % n_coarse) with exact-key
+  resolution inside the group fn, like stages/dedup.py.
+
+Determinism: with ``combine=False`` (default) every per-node float sum is
+computed over rows SORTED by the contributing key, making the result
+bit-identical across partition counts and parallelism levels — the
+property the partition-invariance tests pin. ``combine=True`` adds a
+per-partition partial-sum combiner (the 100 TB path: second shuffle
+carries ≤ n_coarse rows per node instead of in-degree rows); sums then
+associate differently across partitionings, so results are reproducible
+for a fixed n_coarse but only allclose-equal across partitionings.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+import zlib
+from urllib.parse import urljoin, urlsplit
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .crawl import host_of
+from .dedup import N_COARSE, nonempty_or_typed_table
+from .html_extract import _DROP_ELEMENTS, _visible_text
+
+_ANCHOR_HREF = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)')[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_KEEP_SCHEMES = ("http", "https")
+
+
+def page_out_links(url: str, html_bytes: bytes) -> list[tuple[str, str]]:
+    """All (dst_url, anchor_text) out-links of one page.
+
+    Spec (deterministic): drop script/style/noscript/template content;
+    every ``<a ... href=...>`` in document order; href is entity-unescaped
+    and resolved against the page url (RFC 3986 via urljoin); fragments
+    are stripped; only http(s) results kept; empty hrefs (self-links)
+    dropped. Anchor text uses the same visible-text collapse rule as the
+    extraction kernel (stages/html_extract.py step 4).
+    """
+    doc = html_bytes.decode("utf-8", errors="replace")
+    doc = _DROP_ELEMENTS.sub(" ", doc)
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR_HREF.finditer(doc):
+        href = _html.unescape(m.group(2) if m.group(2) is not None
+                              else m.group(3))
+        href = href.strip()
+        if not href:
+            continue
+        resolved = urljoin(url, href)
+        resolved, _, _ = resolved.partition("#")
+        parts = urlsplit(resolved)
+        if parts.scheme not in _KEEP_SCHEMES or not parts.netloc:
+            continue
+        out.append((resolved, _visible_text(m.group(4))))
+    return out
+
+
+def extract_links(batch: pa.Table, url_col: str = "url",
+                  html_col: str = "html") -> pa.Table:
+    """Batch kernel: pages → one row per out-link (src_url, dst_url,
+    anchor_text), document order preserved within a page."""
+    urls = batch[url_col].to_pylist()
+    payloads = batch[html_col].to_pylist()
+    src, dst, txt = [], [], []
+    for u, p in zip(urls, payloads):
+        if p is None:
+            continue
+        for d, t in page_out_links(u or "", p):
+            src.append(u)
+            dst.append(d)
+            txt.append(t)
+    return pa.table({"src_url": pa.array(src, pa.string()),
+                     "dst_url": pa.array(dst, pa.string()),
+                     "anchor_text": pa.array(txt, pa.string())})
+
+
+def host_edges(links_ds, n_coarse: int | None = None):
+    """(src_url, dst_url) link rows → (src_host, dst_host, n_links) edge
+    rollup. Per-batch Arrow group_by combiner first, then one bucketed
+    groupby over pre-aggregated rows (the partial-aggregation pattern —
+    the exchange carries ≤ distinct host pairs per batch, not links)."""
+    nc = n_coarse or N_COARSE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src_host": host_of(batch["src_url"]),
+                      "dst_host": host_of(batch["dst_url"]),
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["src_host", "dst_host"]).aggregate([("one", "sum")])
+        coarse = np.fromiter(
+            (zlib.crc32(f"{a}|{b}".encode()) for a, b in
+             zip(g["src_host"].to_pylist(), g["dst_host"].to_pylist())),
+            np.int64, g.num_rows) % nc
+        return pa.table({"src_host": g["src_host"],
+                         "dst_host": g["dst_host"],
+                         "n": g["one_sum"],
+                         "coarse": pa.array(coarse.astype(np.int32))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["src_host", "dst_host"], as_index=False)["n"].sum()
+        return pd.DataFrame({"src_host": g["src_host"],
+                             "dst_host": g["dst_host"],
+                             "n_links": g["n"].astype("int64")})
+
+    out = (links_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("coarse").map_groups(resolve, batch_format="pandas"))
+    return nonempty_or_typed_table(out, {
+        "src_host": pa.string(), "dst_host": pa.string(),
+        "n_links": pa.int64()})
+
+
+# ------------------------------------------------------------- PageRank
+
+_DANGLING_BUCKETS = 64  # fixed (n_coarse-independent) dangling-sum tree
+
+
+def _as_array(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _str_coarse(arr, nc: int) -> np.ndarray:
+    vals = arr.to_pylist() if hasattr(arr, "to_pylist") else list(arr)
+    return (np.fromiter((zlib.crc32((s or "").encode()) for s in vals),
+                        np.int64, len(vals)) % nc).astype(np.int32)
+
+
+def _pagerank_local(edges: pd.DataFrame, damping: float,
+                    n_iter: int) -> pa.Table:
+    """Driver-local PageRank, bit-identical to the distributed
+    combine=False path: per-dst sums in (dst, src)-sorted order, dangling
+    mass through the same fixed 64-bucket tree (crc32(node) % 64,
+    node-sorted within bucket, buckets summed in index order). The
+    partition-invariance property of the distributed path (sums don't
+    depend on n_coarse) is exactly what makes this 1-partition execution
+    equal it float-for-float — pinned by test_local_matches_distributed."""
+    out_w = edges.groupby("src")["w"].sum()
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    n = len(nodes)
+    frac = (edges["w"].to_numpy(np.float64)
+            / edges["src"].map(out_w).to_numpy(np.float64))
+    dangling = [u for u in nodes if u not in out_w.index]
+    dang_b = pd.DataFrame({
+        "node": dangling,
+        "b": _str_coarse(dangling, _DANGLING_BUCKETS)}) \
+        .sort_values(["b", "node"], kind="mergesort")
+    pr = pd.Series(np.full(n, 1.0 / n), index=nodes)
+    for _ in range(n_iter):
+        dmass = 0.0
+        for _, grp in dang_b.groupby("b", sort=True):
+            dmass += float(pr[grp["node"]].sum())
+        base = (1.0 - damping) / n + damping * dmass / n
+        c = pd.DataFrame({"dst": edges["dst"], "src": edges["src"],
+                          "c": frac * pr[edges["src"]].to_numpy(np.float64)})
+        g = c.sort_values(["dst", "src"], kind="mergesort") \
+             .groupby("dst", sort=True)["c"].sum()
+        pr = base + damping * g.reindex(nodes, fill_value=0.0)
+    return pa.table({"node": pa.array(nodes, pa.string()),
+                     "pr": pa.array(pr.to_numpy(np.float64))})
+
+
+def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
+             src_col: str = "src_host", dst_col: str = "dst_host",
+             weight_col: str = "n_links",
+             n_coarse: int | None = None, combine: bool = False,
+             local_edges_max: int = 200_000):
+    """Weighted PageRank over an edge table, fully distributed.
+
+    pr'(v) = (1-d)/N + d·(Σ_{u→v} pr(u)·w(u,v)/W(u) + dangling/N), fixed
+    ``n_iter`` rounds from the uniform start. Per round, exactly two
+    bucketed shuffles:
+      1. src-keyed: rank rows join edge rows (tagged union, exact-key
+         pandas merge inside each coarse group) → per-edge contributions;
+      2. dst-keyed: contributions regroup per node (union'd with a zero
+         row per node so in-degree-0 nodes keep receiving base + dangling
+         mass) and sum in sorted order (see module docstring).
+    The dangling mass Σ pr(dangling) is reduced through a FIXED 64-bucket
+    tree (bucket = crc32(node) % 64, per-bucket sorted sums, buckets
+    summed in index order on the driver) so its value is independent of
+    n_coarse; what reaches the driver is 64 floats, never the rank table.
+
+    Returns (node, pr). Ranks sum to 1 up to float rounding.
+    """
+    import ray
+
+    nc = n_coarse or N_COARSE
+
+    edges_mat = edges_ds.materialize()
+    n_edges = edges_mat.count()
+    if n_edges == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "pr": pa.array([], pa.float64())})
+    if n_edges <= local_edges_max and not combine:
+        # the edge ROLLUP (hosts², sparse) is orders of magnitude smaller
+        # than the corpus; below this bound the ~20 per-round pipeline
+        # launches cost far more than the arithmetic, so run the
+        # bit-identical local form on the driver (bounded by
+        # local_edges_max rows — never the corpus). The distributed loop
+        # below engages for true web-scale host graphs.
+        edf = edges_mat.to_pandas()
+        edges_pd = pd.DataFrame({
+            "src": edf[src_col].astype(str), "dst": edf[dst_col].astype(str),
+            "w": edf[weight_col].astype("int64")})
+        return _pagerank_local(edges_pd, damping, n_iter)
+
+    # ---- node table + out-weight totals (exact int sums) ----
+    def node_rows(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].cast(pa.string())
+        d = batch[dst_col].cast(pa.string())
+        w = batch[weight_col].cast(pa.int64())
+        t = pa.table({
+            "node": pa.concat_arrays(
+                [_as_array(s), _as_array(d)]),
+            "w": pa.concat_arrays(
+                [_as_array(w),
+                 pa.array(np.zeros(batch.num_rows, np.int64))])})
+        g = t.group_by("node").aggregate([("w", "sum")])
+        return pa.table({"node": g["node"], "w": g["w_sum"],
+                         "coarse": pa.array(_str_coarse(g["node"], nc))})
+
+    def node_resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["w"].sum()
+        return pd.DataFrame({"node": g["node"],
+                             "out_w": g["w"].astype("int64")})
+
+    nodes = (edges_mat.map_batches(node_rows, batch_format="pyarrow")
+             .groupby("coarse").map_groups(node_resolve,
+                                           batch_format="pandas")
+             .materialize())
+    n_nodes = nodes.count()
+
+    # ---- per-edge fraction w(u,v)/W(u): src-keyed bucketed join ----
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "key": batch[src_col].cast(pa.string()),
+            "dst": batch[dst_col].cast(pa.string()),
+            "val": batch[weight_col].cast(pa.int64()).cast(pa.float64()),
+            "coarse": pa.array(_str_coarse(batch[src_col], nc))})
+
+    def tag_nodes_w(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(np.ones(batch.num_rows, np.int8)),
+            "key": batch["node"].cast(pa.string()),
+            "dst": pa.array([None] * batch.num_rows, pa.string()),
+            "val": batch["out_w"].cast(pa.float64()),
+            "coarse": pa.array(_str_coarse(batch["node"], nc))})
+
+    def join_frac(df: pd.DataFrame) -> pd.DataFrame:
+        edg = df[df["kind"] == 0]
+        wt = df[df["kind"] == 1][["key", "val"]].rename(
+            columns={"val": "out_w"})
+        m = edg.merge(wt, on="key", how="left")
+        return pd.DataFrame({"src": m["key"], "dst": m["dst"],
+                             "frac": m["val"].to_numpy(np.float64)
+                                     / m["out_w"].to_numpy(np.float64)})
+
+    frac_edges = (edges_mat.map_batches(tag_edges, batch_format="pyarrow")
+                  .union(nodes.map_batches(tag_nodes_w,
+                                           batch_format="pyarrow"))
+                  .groupby("coarse").map_groups(join_frac,
+                                                batch_format="pandas")
+                  .materialize())
+
+    # ---- rank init: uniform ----
+    pr0 = 1.0 / n_nodes
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "pr": pa.array(np.full(batch.num_rows, pr0, np.float64))})
+
+    rank = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    # ---- iteration: 2 bucketed passes per round ----
+    # A rank row whose node matches NO edge row in its (src-keyed) coarse
+    # partition belongs to a dangling node — all of a node's out-edges
+    # share its partition — so dangling detection rides the contribution
+    # join for free; no flag column, no reattach shuffle.
+    def tag_rank(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(np.ones(batch.num_rows, np.int8)),
+            "key": batch["node"], "dst": pa.array([None] * batch.num_rows,
+                                                  pa.string()),
+            "val": batch["pr"],
+            "coarse": pa.array(_str_coarse(batch["node"], nc))})
+
+    def tag_frac(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "key": batch["src"], "dst": batch["dst"], "val": batch["frac"],
+            "coarse": pa.array(_str_coarse(batch["src"], nc))})
+
+    def contribs(df: pd.DataFrame) -> pa.Table:
+        edg = df[df["kind"] == 0]
+        rk = df[df["kind"] == 1][["key", "val"]].rename(
+            columns={"val": "pr"})
+        m = edg.merge(rk, on="key", how="inner")
+        out = pd.DataFrame({
+            "dst": m["dst"], "src": m["key"],
+            "c": m["val"].to_numpy(np.float64) * m["pr"].to_numpy(np.float64)})
+        if combine:
+            # partial per (dst, partition): sorted by src first so the
+            # partial itself is deterministic for a fixed n_coarse
+            out = out.sort_values(["dst", "src"], kind="mergesort")
+            out = out.groupby("dst", as_index=False)["c"].sum()
+            out["src"] = ""   # partial rows: combiner id not needed
+        out_t = pa.table({
+            "kind": pa.array(np.zeros(len(out), np.int8)),
+            "dst": pa.array(out["dst"], pa.string()),
+            "src": pa.array(out["src"], pa.string()),
+            "c": pa.array(out["c"].to_numpy(np.float64)),
+            "dcoarse": pa.array(_str_coarse(out["dst"], nc))})
+        # dangling rows: rank keys with no out-edges here, bucketed into
+        # the FIXED 64-way dangling tree (n_coarse-independent)
+        dang = rk[~rk["key"].isin(edg["key"])]
+        if not len(dang):
+            return out_t
+        dang_t = pa.table({
+            "kind": pa.array(np.ones(len(dang), np.int8)),
+            "dst": pa.array(dang["key"], pa.string()),
+            "src": pa.array([""] * len(dang), pa.string()),
+            "c": pa.array(dang["pr"].to_numpy(np.float64)),
+            "dcoarse": pa.array(_str_coarse(
+                dang["key"], _DANGLING_BUCKETS))})
+        return pa.concat_tables([out_t, dang_t])
+
+    def tag_zero(batch: pa.Table) -> pa.Table:
+        # one zero row per node — in-degree-0 nodes still get base mass
+        return pa.table({
+            "kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "dst": batch["node"],
+            "src": pa.array([""] * batch.num_rows, pa.string()),
+            "c": pa.array(np.zeros(batch.num_rows, np.float64)),
+            "dcoarse": pa.array(_str_coarse(batch["node"], nc))})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("dst", kind="mergesort")
+        return pd.DataFrame({"b": [int(d["dcoarse"].iloc[0])],
+                             "s": [float(d["c"].sum())]})
+
+    for _ in range(n_iter):
+        stage1 = (frac_edges.map_batches(tag_frac, batch_format="pyarrow")
+                  .union(rank.map_batches(tag_rank, batch_format="pyarrow"))
+                  .groupby("coarse").map_groups(contribs,
+                                                batch_format="pandas")
+                  .materialize())
+
+        dang_rows = stage1.filter(expr="kind == 1")
+        parts = (dang_rows.groupby("dcoarse")
+                 .map_groups(per_bucket, batch_format="pandas")
+                 .to_pandas()) if dang_rows.count() else pd.DataFrame()
+        dmass = (float(parts.sort_values("b")["s"].sum())
+                 if len(parts) else 0.0)
+        base = (1.0 - damping) / n_nodes + damping * dmass / n_nodes
+
+        def new_rank(df: pd.DataFrame, base=base) -> pd.DataFrame:
+            d = df.sort_values(["dst", "src"], kind="mergesort")
+            g = d.groupby("dst", sort=True)["c"].sum()
+            return pd.DataFrame({
+                "node": g.index.to_numpy(),
+                "pr": base + damping * g.to_numpy(np.float64)})
+
+        rank = (stage1.filter(expr="kind == 0")
+                .union(nodes.map_batches(tag_zero, batch_format="pyarrow"))
+                .groupby("dcoarse").map_groups(new_rank,
+                                               batch_format="pandas")
+                .materialize())
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"].cast(pa.string()),
+                         "pr": batch["pr"].cast(pa.float64())})
+
+    out = rank.map_batches(final, batch_format="pyarrow")
+    return nonempty_or_typed_table(out, {"node": pa.string(),
+                                         "pr": pa.float64()})

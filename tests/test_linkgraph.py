@@ -1,0 +1,182 @@
+"""Link-graph operators: out-link extraction, host edge rollup, PageRank."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mobile_ocr_api_ray.stages import linkgraph
+
+
+class TestPageOutLinks:
+    def test_resolution_and_filtering(self):
+        html = b"""
+        <html><body>
+        <a href="/about">About</a>
+        <a href="https://other.example/x#frag">Other</a>
+        <a href='rel/page'>Rel</a>
+        <a href="mailto:x@y.z">Mail</a>
+        <a href="javascript:void(0)">JS</a>
+        <a href="">Empty</a>
+        <a name="anchor-no-href">NoHref</a>
+        <a href="/q?a=1&amp;b=2">Amp</a>
+        <script><a href="/from-script">skip</a></script>
+        </body></html>"""
+        out = linkgraph.page_out_links("https://host.example/p/1", html)
+        urls = [u for u, _ in out]
+        assert urls == [
+            "https://host.example/about",
+            "https://other.example/x",
+            "https://host.example/p/rel/page",
+            "https://host.example/q?a=1&b=2",
+        ]
+        assert out[0][1] == "About"
+
+    def test_anchor_text_collapse(self):
+        html = b'<a href="/x"> spaced   <b>bold</b>\ntext </a>'
+        out = linkgraph.page_out_links("https://h.example/", html)
+        assert out[0][1] == "spaced bold text"
+
+    def test_extract_links_batch_null_payload(self):
+        batch = pa.table({
+            "url": pa.array(["https://a.example/", "https://b.example/"]),
+            "html": pa.array([b'<a href="/z">z</a>', None], pa.binary())})
+        t = linkgraph.extract_links(batch)
+        assert t.num_rows == 1
+        assert t["src_url"][0].as_py() == "https://a.example/"
+
+
+class TestHostEdges:
+    def test_rollup(self, ray_session):
+        import ray.data
+        links = ray.data.from_arrow(pa.table({
+            "src_url": pa.array(["https://a.ex/1", "https://a.ex/2",
+                                 "https://a.ex/1", "https://b.ex/1"]),
+            "dst_url": pa.array(["https://b.ex/x", "https://b.ex/y",
+                                 "https://a.ex/self", "https://a.ex/z"]),
+            "anchor_text": pa.array(["", "", "", ""])}))
+        out = linkgraph.host_edges(links)
+        df = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
+            if isinstance(out, pa.Table) else out.to_pandas()
+        df = df.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+        assert list(df.itertuples(index=False, name=None)) == [
+            ("a.ex", "a.ex", 1), ("a.ex", "b.ex", 2), ("b.ex", "a.ex", 1)]
+
+    def test_empty(self, ray_session):
+        import ray.data
+        links = ray.data.from_arrow(pa.table({
+            "src_url": pa.array([], pa.string()),
+            "dst_url": pa.array([], pa.string()),
+            "anchor_text": pa.array([], pa.string())}))
+        out = linkgraph.host_edges(links)
+        assert isinstance(out, pa.Table)
+        assert out.column_names == ["src_host", "dst_host", "n_links"]
+
+
+def edges_ds(rows):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "src_host": pa.array([r[0] for r in rows], pa.string()),
+        "dst_host": pa.array([r[1] for r in rows], pa.string()),
+        "n_links": pa.array([r[2] for r in rows], pa.int64())}))
+
+
+def pr_of(out) -> dict[str, float]:
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return dict(zip(df["node"], df["pr"]))
+
+
+def numpy_pagerank(rows, d=0.85, n_iter=10):
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for s, t, k in rows:
+        w[idx[s], idx[t]] += k
+    out_w = w.sum(axis=1)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = pr[out_w == 0].sum()
+        contrib = np.zeros(n)
+        for i in range(n):
+            if out_w[i] > 0:
+                contrib += pr[i] * w[i] / out_w[i]
+        pr = (1 - d) / n + d * (contrib + dangling / n)
+    return dict(zip(nodes, pr))
+
+
+class TestPageRank:
+    def test_two_node_cycle(self, ray_session):
+        out = pr_of(linkgraph.pagerank(
+            edges_ds([("a", "b", 1), ("b", "a", 1)])))
+        assert out["a"] == pytest.approx(0.5, abs=1e-12)
+        assert out["b"] == pytest.approx(0.5, abs=1e-12)
+        assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_star_center_wins(self, ray_session):
+        rows = [(f"leaf{i}", "hub", 1) for i in range(5)]
+        rows += [("hub", f"leaf{i}", 1) for i in range(5)]
+        out = pr_of(linkgraph.pagerank(edges_ds(rows)))
+        assert all(out["hub"] > out[f"leaf{i}"] for i in range(5))
+
+    def test_dangling_mass_redistributed(self, ray_session):
+        # b has no out-links: its rank respreads uniformly; sum stays 1
+        out = pr_of(linkgraph.pagerank(
+            edges_ds([("a", "b", 1), ("c", "b", 1)])))
+        assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+        assert out["b"] > out["a"] == out["c"]
+
+    def test_differential_vs_numpy(self, ray_session):
+        rng = np.random.RandomState(3)
+        hosts = [f"h{i}" for i in range(12)]
+        rows = []
+        for _ in range(40):
+            s, t = rng.choice(12, 2, replace=False)
+            rows.append((hosts[s], hosts[t], int(rng.randint(1, 4))))
+        # collapse duplicate (s,t) rows the way host_edges would
+        agg: dict[tuple, int] = {}
+        for s, t, k in rows:
+            agg[(s, t)] = agg.get((s, t), 0) + k
+        rows = [(s, t, k) for (s, t), k in sorted(agg.items())]
+        got = pr_of(linkgraph.pagerank(edges_ds(rows)))
+        want = numpy_pagerank(rows)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    def test_partition_invariance_bit_exact(self, ray_session):
+        rows = [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("a", "c", 1),
+                ("d", "a", 1)]
+        a = pr_of(linkgraph.pagerank(edges_ds(rows), n_coarse=1,
+                                     local_edges_max=0))
+        b = pr_of(linkgraph.pagerank(edges_ds(rows), n_coarse=17,
+                                     local_edges_max=0))
+        assert a == b   # exact float equality — sorted-summation design
+
+    def test_local_matches_distributed(self, ray_session):
+        rng = np.random.RandomState(5)
+        hosts = [f"h{i}" for i in range(9)]
+        agg: dict[tuple, int] = {}
+        for _ in range(25):
+            s, t = rng.choice(9, 2, replace=False)
+            agg[(hosts[s], hosts[t])] = agg.get((hosts[s], hosts[t]), 0) + 1
+        rows = [(s, t, k) for (s, t), k in sorted(agg.items())]
+        local = pr_of(linkgraph.pagerank(edges_ds(rows)))
+        dist = pr_of(linkgraph.pagerank(edges_ds(rows), n_coarse=5,
+                                        local_edges_max=0))
+        assert local == dist   # bit-identical, not just allclose
+
+    def test_combine_mode_allclose(self, ray_session):
+        rows = [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("a", "c", 1)]
+        a = pr_of(linkgraph.pagerank(edges_ds(rows), combine=False))
+        b = pr_of(linkgraph.pagerank(edges_ds(rows), combine=True))
+        for k in a:
+            assert b[k] == pytest.approx(a[k], rel=1e-12)
+
+    def test_empty_edges(self, ray_session):
+        out = linkgraph.pagerank(edges_ds([]))
+        assert isinstance(out, pa.Table)
+        assert out.column_names == ["node", "pr"]
+        assert out.num_rows == 0
