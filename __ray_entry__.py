@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": a.chunk_docs,
         "train_val_test_split": a.train_val_test_split,
         "word_freq_top": a.word_freq_top,
+        "bigram_freq_top": a.bigram_freq_top,
         "docs_with_embeddings": a.docs_with_embeddings,
         # dedup (SQL-checked where expressible)
         "exact_dedup": a.exact_dedup_docs,
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lang_stats": a.extract_lang_stats,
         # pages / structure / multimodal (rows-only checks)
         "latest_capture_per_url": a.latest_capture_per_url,
+        "canonical_capture_dedup": a.canonical_capture_dedup,
         "domain_page_stats": a.domain_page_stats,
         "page_links": a.page_links,
         "host_graph_edges": a.host_graph_edges,
@@ -327,6 +329,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS word
                   FROM documents)
             GROUP BY 1 ORDER BY n DESC, word LIMIT 100""",
+        # adjacent whitespace-token bigrams, same tokenizer as the engine
+        "bigram_freq_top": r"""
+            WITH t AS (
+              SELECT list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            b AS (SELECT toks[i.i] || ' ' || toks[i.i + 1] AS bigram
+                  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1))
+                       AS i(i)
+                  WHERE len(toks) >= 2)
+            SELECT bigram, cast(count(*) AS BIGINT) AS n
+            FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""",
         # quality gate over the quality_scores expression tree (bit-exact
         # per-row doubles on both sides, so the >= comparisons agree)
         "quality_filtered": rf"""

@@ -168,6 +168,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: _pd(a.latest_capture_per_url(sf_dir)))
     timed("domain_page_stats", lambda: a.domain_page_stats(sf_dir).to_pandas())
     timed("host_graph_edges", lambda: _pd(a.host_graph_edges(sf_dir)))
+    timed("canonical_capture_dedup",
+          lambda: _pd(a.canonical_capture_dedup(sf_dir)))
+    timed("bigram_freq_top", lambda: a.bigram_freq_top(sf_dir).to_pandas())
     timed("host_pagerank", lambda: _pd(a.host_pagerank(sf_dir)))
     timed("sliding_event_counts",
           lambda: x.sliding_event_counts(sf_dir).to_pandas())

@@ -141,6 +141,30 @@ def word_freq_top(sf_dir: str, k: int = 100):
     return agg.sort(["n", "word"], descending=[True, False]).limit(k)
 
 
+def _bigram_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch adjacent-bigram combiner: Counter over whitespace tokens
+    (str.split semantics — matches the oracle's regexp_split_to_array with
+    empties filtered) → one (bigram, n) row per distinct bigram."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch["text"].to_pylist():
+        toks = (t or "").split()
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    return pa.table({"bigram": pa.array(list(c.keys()), pa.string()),
+                     "n": pa.array(list(c.values()), pa.int64())})
+
+
+def bigram_freq_top(sf_dir: str, k: int = 100):
+    """Corpus-wide adjacent-bigram counts, top-k by (count desc, bigram
+    asc) — the n-gram-LM statistics pass (combiner → one bounded-vocab
+    groupby → tiny global sort/limit)."""
+    agg = (_docs(sf_dir, ["text"])
+           .map_batches(_bigram_count_partial, batch_format="pyarrow")
+           .groupby("bigram").aggregate(Sum("n", alias_name="n")))
+    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
 CHUNK_WIDTH = 120
 CHUNK_STRIDE = 80
 
@@ -1741,3 +1765,49 @@ def host_pagerank(sf_dir: str):
                          "pr": pa.array([], pa.float64())})
     out = linkgraph.pagerank(edges, n_coarse=nc)
     return out if isinstance(out, pa.Table) else out.sort("node")
+
+
+def canonical_capture_dedup(sf_dir: str):
+    """Capture dedup keyed on the CANONICAL url: a simulated recrawl
+    re-observes every page under a mangled variant (uppercased scheme,
+    utm tracking params, fragment) 7 days later; canonicalization must
+    collapse each variant onto its original so exactly one row — the
+    newer, gen-2 capture — survives per page. Returns
+    (url = canonical, warc_ts, crawl_gen) sorted by url."""
+    d = _pages_dir_for(sf_dir)
+    base = read_pages(os.path.join(d, "pages.parquet"),
+                      columns=["url", "warc_ts"])
+
+    def gen1(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "crawl_gen": pa.array(np.ones(batch.num_rows, np.int64))})
+
+    def gen2(batch: pa.Table) -> pa.Table:
+        mangled = pc.binary_join_element_wise(
+            pc.replace_substring(batch["url"].cast(pa.string()),
+                                 "https://", "HTTPS://"),
+            pa.array(["?utm_source=recrawl&utm_campaign=x#top"]
+                     * batch.num_rows), "")
+        ts = pc.add(batch["warc_ts"].cast(pa.int64()),
+                    pa.scalar(RECRAWL_SHIFT_US, pa.int64()))
+        return pa.table({
+            "url": mangled,
+            "warc_ts": ts.cast(pa.timestamp("us")),
+            "crawl_gen": pa.array(np.full(batch.num_rows, 2, np.int64))})
+
+    def canon(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("url"), "url",
+            crawl.canonical_urls(batch["url"]))
+
+    ds = (base.map_batches(gen1, batch_format="pyarrow")
+          .union(base.map_batches(gen2, batch_format="pyarrow"))
+          .map_batches(canon, batch_format="pyarrow"))
+    out = crawl.latest_rows_per_key(
+        ds, "url", ["warc_ts", "crawl_gen"],
+        n_coarse=_docs_coarse_hint(sf_dir, 2),
+        schema={"url": pa.string(), "warc_ts": pa.timestamp("us"),
+                "crawl_gen": pa.int64()})
+    return out.sort("url")

@@ -106,3 +106,49 @@ def _typed_empty_like(ds):
         return _typed_empty_from_cols(cols)
     except Exception:
         return None
+
+
+# ------------------------------------------------------ URL canonicalization
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonical_url_one(url: str) -> str:
+    """Canonicalize one URL (deterministic spec, the usual crawl-frontier
+    normalization set):
+      1. strip surrounding whitespace;
+      2. scheme and host lowercased;
+      3. default port dropped (http:80 / https:443);
+      4. fragment dropped;
+      5. empty path → "/";
+      6. tracking query params (utm_*) dropped, remaining params kept in
+         original order; an emptied query string drops its "?".
+    Unparseable / schemeless inputs pass through stripped-only, so the
+    kernel is total (error rows stay joinable on their original value).
+    """
+    from urllib.parse import urlsplit, urlunsplit
+
+    u = (url or "").strip()
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return u
+    if not parts.scheme or not parts.netloc:
+        return u
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    host, sep, port = netloc.rpartition(":")
+    if sep and port == _DEFAULT_PORTS.get(scheme):
+        netloc = host
+    path = parts.path or "/"
+    query = "&".join(p for p in parts.query.split("&")
+                     if p and not p.lower().startswith("utm_")) \
+        if parts.query else ""
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def canonical_urls(urls: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """Batch kernel: url column → canonical form (nulls stay null)."""
+    vals = urls.to_pylist()
+    return pa.array([None if u is None else canonical_url_one(u)
+                     for u in vals], pa.string())

@@ -116,3 +116,34 @@ class TestCrawlQueries:
         out = latest_rows_per_key(rd.from_arrow(tbl), "k", ["ts"], n_coarse=4)
         sch = out.schema()
         assert sch is not None and set(sch.names) == {"k", "ts"}
+
+
+class TestCanonicalUrl:
+    def test_rules(self):
+        from mobile_ocr_api_ray.stages.crawl import canonical_url_one as c
+        assert c("HTTPS://Site.Example:443/p/1#frag") == \
+            "https://site.example/p/1"
+        assert c("http://a.ex:80/x?b=2&utm_source=tw&a=1") == \
+            "http://a.ex/x?b=2&a=1"
+        assert c("http://a.ex:8080/x") == "http://a.ex:8080/x"
+        assert c("https://a.ex") == "https://a.ex/"
+        assert c("https://a.ex/?utm_campaign=z") == "https://a.ex/"
+        assert c("  https://a.ex/p  ") == "https://a.ex/p"
+        assert c("not-a-url") == "not-a-url"
+        assert c("") == ""
+
+    def test_batch_kernel_nulls(self):
+        import pyarrow as pa
+        from mobile_ocr_api_ray.stages import crawl
+        out = crawl.canonical_urls(pa.array(
+            ["HTTP://X.ex/", None], pa.string()))
+        assert out.to_pylist() == ["http://x.ex/", None]
+
+    def test_canonical_capture_dedup(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        df = analysis.canonical_capture_dedup(SF).to_pandas()
+        # every surviving row is the recrawl (gen 2) under the CANONICAL url
+        assert (df.crawl_gen == 2).all()
+        assert df.url.str.startswith("https://site").all()
+        assert not df.url.str.contains("utm_").any()
+        assert df.url.is_unique
