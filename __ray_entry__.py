@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_topk": a.knn_graph_topk,
         # non-SQL-expressible (rows-only checks)
         "ann_lsh_topk": a.ann_lsh_topk,
+        "kmeans_labels": a.kmeans_labels,
         "ann_ivf_topk": a.ann_ivf_topk,
         "minhash_pairs_doubled": a.minhash_pairs_doubled,
         "minhash_pairs_two_pass_doubled": a.minhash_pairs_two_pass_doubled,

@@ -1811,3 +1811,10 @@ def canonical_capture_dedup(sf_dir: str):
         schema={"url": pa.string(), "warc_ts": pa.timestamp("us"),
                 "crawl_gen": pa.int64()})
     return out.sort("url")
+
+
+def kmeans_labels(sf_dir: str):
+    """Full-corpus Lloyd k-means over the embeddings table (k=8, 5 exact
+    centroid-update rounds, deterministic lowest-vec_id init)."""
+    out = similarity.kmeans_labels(_embeddings(sf_dir), k=8, n_iter=5)
+    return out if isinstance(out, pa.Table) else out.sort("vec_id")

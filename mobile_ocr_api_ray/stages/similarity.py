@@ -325,3 +325,109 @@ def knn_graph(ds, k: int = 5, concurrency: int | None = None):
         fn_constructor_kwargs={"index_ref": index_ref, "k": k},
         batch_format="pyarrow", batch_size=4096,
         concurrency=concurrency or 4, num_cpus=0.5)
+
+
+# ------------------------------------------------------- full-corpus k-means
+
+def kmeans_labels(ds, k: int = 8, n_iter: int = 5,
+                  id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Full-corpus Lloyd k-means (euclidean) — the clustering pass a
+    curation pipeline runs to partition an embedded corpus into topical
+    shards (contrast ``train_centroids``: that trains IVF's quantizer on a
+    bounded SAMPLE; this labels every vector with exact full-corpus
+    centroid updates).
+
+    Per iteration, ONE streaming pass: the k×dim centroid matrix rides the
+    task closure (tiny broadcast); each batch computes nearest centroids
+    (vectorized ||x||² − 2xCᵀ + ||c||², ties → lowest centroid id) and
+    emits per-label partial sums (Σvec, count) keyed by the batch's min
+    vec_id. Partials — ≤ k rows per block, never vectors — are combined on
+    the driver in (label, part_key)-sorted order, so centroids are
+    bit-identical across block counts and parallelism (same sorted-
+    summation discipline as stages/linkgraph.pagerank). Empty clusters
+    keep their previous centroid. Init = the k lowest-vec_id vectors
+    (distributed min-k, deterministic).
+
+    Returns (vec_id, label, dist) — dist the euclidean distance to the
+    winning centroid.
+    """
+    ds = ds.materialize()
+
+    # ---- deterministic init: embeddings of the k smallest vec_ids ----
+    def local_mink(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch, id_col, emb_col)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: pa.array([], pa.list_(pa.float64()))})
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            emb_col: pa.array([mat[i].tolist() for i in order],
+                              pa.list_(pa.float64()))})
+
+    seed_df = ds.map_batches(local_mink, batch_format="pyarrow").to_pandas()
+    # all-empty block sets reach pandas schema-less (Ray drops empty blocks)
+    if len(seed_df):
+        seed_df = seed_df.sort_values(id_col).head(k)
+    if not len(seed_df):
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.float64())})
+    C = np.array(seed_df[emb_col].tolist(), dtype=np.float64)
+
+    def assign(mat: np.ndarray, C: np.ndarray):
+        d2 = (np.sum(mat * mat, axis=1, keepdims=True)
+              - 2.0 * mat @ C.T + np.sum(C * C, axis=1))
+        lab = np.argmin(d2, axis=1)          # argmin takes lowest index tie
+        return lab, d2[np.arange(len(lab)), lab]
+
+    for _ in range(n_iter):
+        C_iter = C
+
+        def partials(batch: pa.Table, C=C_iter) -> pa.Table:
+            ids, mat = _batch_matrix(batch, id_col, emb_col)
+            if len(ids) == 0:
+                return pa.table({
+                    "label": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                    "cnt": pa.array([], pa.int64())})
+            lab, _ = assign(mat, C)
+            labs, sums, cnts = [], [], []
+            for c in np.unique(lab):
+                sel = lab == c
+                labs.append(int(c))
+                sums.append(mat[sel].sum(axis=0).tolist())
+                cnts.append(int(sel.sum()))
+            part = int(ids.min())
+            return pa.table({
+                "label": pa.array(labs, pa.int64()),
+                "part": pa.array([part] * len(labs), pa.int64()),
+                "vsum": pa.array(sums, pa.list_(pa.float64())),
+                "cnt": pa.array(cnts, pa.int64())})
+
+        pdf = (ds.map_batches(partials, batch_format="pyarrow")
+               .to_pandas().sort_values(["label", "part"],
+                                        kind="mergesort"))
+        C = C_iter.copy()
+        for c, grp in pdf.groupby("label", sort=True):
+            total = np.zeros(C.shape[1])
+            for v in grp["vsum"]:           # sorted part order — exact
+                total = total + np.asarray(v, dtype=np.float64)
+            C[int(c)] = total / float(grp["cnt"].sum())
+
+    C_fin = C
+
+    def final(batch: pa.Table, C=C_fin) -> pa.Table:
+        ids, mat = _batch_matrix(batch, id_col, emb_col)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.float64())})
+        lab, d2 = assign(mat, C)
+        return pa.table({
+            id_col: pa.array(ids),
+            "label": pa.array(lab.astype(np.int64)),
+            "dist": pa.array(np.sqrt(np.maximum(d2, 0.0)))})
+
+    return ds.map_batches(final, batch_format="pyarrow")
