@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_links": a.page_links,
         "host_graph_edges": a.host_graph_edges,
         "host_pagerank": a.host_pagerank,
+        "page_metadata": a.page_metadata,
+        "anchor_text_summary": a.anchor_text_summary,
         "pdf_page_rows": a.pdf_page_rows,
         "doc_structure_stats": a.doc_structure_stats,
         "image_meta": a.image_meta,

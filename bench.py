@@ -173,6 +173,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: _pd(a.canonical_capture_dedup(sf_dir)))
     timed("bigram_freq_top", lambda: a.bigram_freq_top(sf_dir).to_pandas())
     timed("host_pagerank", lambda: _pd(a.host_pagerank(sf_dir)))
+    timed("page_metadata", lambda: a.page_metadata(sf_dir).to_pandas())
+    timed("anchor_text_summary", lambda: _pd(a.anchor_text_summary(sf_dir)))
     timed("sliding_event_counts",
           lambda: x.sliding_event_counts(sf_dir).to_pandas())
     timed("latest_event_per_user",

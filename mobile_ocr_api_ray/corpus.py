@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from .stages import glyphs
 from .stages.html_extract import MIN_BLOCK_CHARS
 
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 EN_WORDS = (
@@ -141,8 +141,11 @@ def _make_html(rng: random.Random, lang: str, n_paras: int | None = None,
             paras.append(p)
             paras_html.append(f"<p>{p}</p>")
     short_ad = rng.choice(EN_WORDS).capitalize()  # < 25 chars → dropped
+    # title/meta reuse already-drawn strings (no extra rng draws); neither
+    # tag is a block element, so golden extracted text is unaffected
     doc = (
-        "<!DOCTYPE html>\n<html><head><title>t</title>\n"
+        f"<!DOCTYPE html>\n<html><head><title>{title}</title>\n"
+        f'<meta name="description" content="{paras[0][:120]}">\n'
         "<style>body { font-size: 14px; }</style>\n"
         "<script>var threshold = 1 < 2 && 3 > 0;</script>\n"
         "</head><body>\n"

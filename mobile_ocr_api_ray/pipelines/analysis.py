@@ -1818,3 +1818,46 @@ def kmeans_labels(sf_dir: str):
     centroid-update rounds, deterministic lowest-vec_id init)."""
     out = similarity.kmeans_labels(_embeddings(sf_dir), k=8, n_iter=5)
     return out if isinstance(out, pa.Table) else out.sort("vec_id")
+
+
+def page_metadata(sf_dir: str):
+    """Per-page metadata (title, meta description) over the crawl corpus
+    — empty strings for non-HTML payloads. Vectorized over the html
+    column with the same per-row kernel class as extraction."""
+    from ..stages import html_extract
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        titles, descs = [], []
+        for p in batch["html"].to_pylist():
+            if p is None:
+                titles.append("")
+                descs.append("")
+                continue
+            t, m = html_extract.page_metadata(p)
+            titles.append(t)
+            descs.append(m)
+        return pa.table({
+            "url": batch["url"],
+            "title": pa.array(titles, pa.string()),
+            "meta_description": pa.array(descs, pa.string())})
+
+    return pages.map_batches(kernel, batch_format="pyarrow").sort("url")
+
+
+def anchor_text_summary(sf_dir: str):
+    """dst_url → in-link count + bounded distinct anchor-text digest over
+    the crawl's hyperlink graph."""
+    from ..stages import linkgraph
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    links = pages.map_batches(linkgraph.extract_links,
+                              batch_format="pyarrow")
+    out = linkgraph.anchor_text_index(
+        links, n_coarse=_pages_coarse_hint(sf_dir))
+    return out if isinstance(out, pa.Table) else out.sort("dst_url")

@@ -91,3 +91,39 @@ def extract_html(html_bytes: bytes) -> tuple[str, float, list[dict]]:
     else:
         confidence = 80.0 if blocks else 0.0
     return text, confidence, kept
+
+
+# ---------------------------------------------------------- page metadata
+
+_TITLE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>",
+                    re.IGNORECASE | re.DOTALL)
+_META = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
+_META_NAME_DESC = re.compile(
+    r"""\bname\s*=\s*("description"|'description'|description\b)""",
+    re.IGNORECASE)
+_META_CONTENT = re.compile(
+    r"""\bcontent\s*=\s*("([^"]*)"|'([^']*)')""", re.IGNORECASE)
+
+
+def page_metadata(html_bytes: bytes) -> tuple[str, str]:
+    """(title, meta_description) of one page — the trafilatura-style
+    metadata companion to main-content extraction. Deterministic spec:
+    script/style/noscript/template content dropped first; first ``<title>``
+    element and first ``<meta name=description>`` content attribute win;
+    both values are entity-unescaped and whitespace-collapsed (same rule
+    as block visible text); absent → empty string."""
+    doc = html_bytes.decode("utf-8", errors="replace")
+    doc = _DROP_ELEMENTS.sub(" ", doc)
+    m = _TITLE.search(doc)
+    title = _visible_text(m.group(1)) if m else ""
+    desc = ""
+    for tag in _META.finditer(doc):
+        t = tag.group(0)
+        if not _META_NAME_DESC.search(t):
+            continue
+        c = _META_CONTENT.search(t)
+        if c:
+            desc = " ".join(_html.unescape(
+                c.group(2) if c.group(2) is not None else c.group(3)).split())
+        break
+    return title, desc

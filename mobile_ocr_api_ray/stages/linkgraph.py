@@ -398,3 +398,58 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
     out = rank.map_batches(final, batch_format="pyarrow")
     return nonempty_or_typed_table(out, {"node": pa.string(),
                                          "pr": pa.float64()})
+
+
+# ------------------------------------------------------ anchor-text index
+
+ANCHOR_TEXT_CAP = 5
+
+
+def anchor_text_index(links_ds, n_coarse: int | None = None,
+                      cap: int = ANCHOR_TEXT_CAP):
+    """dst_url → (n_inlinks, anchor_texts): how the web describes each
+    target page — a standard relevance/label signal for training data
+    (anchor text stands in for queries/titles). ``anchor_texts`` is the
+    first ``cap`` DISTINCT non-empty texts in lexicographic order, joined
+    with " | " (deterministic, bounded row width regardless of in-degree
+    — no unbounded list rides the shuffle result).
+
+    One bucketed shuffle: per-batch combiner pre-aggregates
+    (dst, count, bounded distinct-text set) so hot targets (home pages
+    linked from everywhere) reach the exchange as one row per batch."""
+    nc = n_coarse or N_COARSE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "dst": batch["dst_url"].to_pylist(),
+            "txt": batch["anchor_text"].to_pylist()})
+        rows_dst, rows_n, rows_txts = [], [], []
+        for dst, grp in df.groupby("dst", sort=False):
+            texts = sorted({t for t in grp["txt"] if t})[:cap]
+            rows_dst.append(dst)
+            rows_n.append(len(grp))
+            rows_txts.append(texts)
+        return pa.table({
+            "dst": pa.array(rows_dst, pa.string()),
+            "n": pa.array(rows_n, pa.int64()),
+            "txts": pa.array(rows_txts, pa.list_(pa.string())),
+            "coarse": pa.array(_str_coarse(rows_dst, nc))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        out_dst, out_n, out_t = [], [], []
+        for dst, grp in df.groupby("dst", sort=True):
+            texts: set = set()
+            for ts in grp["txts"]:
+                texts.update(ts)
+            out_dst.append(dst)
+            out_n.append(int(grp["n"].sum()))
+            out_t.append(" | ".join(sorted(texts)[:cap]))
+        return pd.DataFrame({"dst_url": out_dst,
+                             "n_inlinks": pd.array(out_n, "int64"),
+                             "anchor_texts": out_t})
+
+    out = (links_ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("coarse").map_groups(resolve, batch_format="pandas"))
+    return nonempty_or_typed_table(out, {
+        "dst_url": pa.string(), "n_inlinks": pa.int64(),
+        "anchor_texts": pa.string()})

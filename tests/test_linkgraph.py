@@ -180,3 +180,59 @@ class TestPageRank:
         assert isinstance(out, pa.Table)
         assert out.column_names == ["node", "pr"]
         assert out.num_rows == 0
+
+
+class TestPageMetadata:
+    def test_title_and_description(self):
+        from mobile_ocr_api_ray.stages.html_extract import page_metadata
+        html = (b"<html><head><title> My  &amp; Title </title>"
+                b'<meta name="description" content="a &amp; b  c">'
+                b'<meta name="description" content="second ignored">'
+                b"</head><body><p>x</p></body></html>")
+        t, d = page_metadata(html)
+        assert t == "My & Title"
+        assert d == "a & b c"
+
+    def test_absent_and_script_title(self):
+        from mobile_ocr_api_ray.stages.html_extract import page_metadata
+        assert page_metadata(b"<p>no head</p>") == ("", "")
+        html = b"<script><title>fake</title></script><title>real</title>"
+        assert page_metadata(html) == ("real", "")
+
+    def test_single_quoted_meta(self):
+        from mobile_ocr_api_ray.stages.html_extract import page_metadata
+        html = b"<meta name='description' content='sq desc'>"
+        assert page_metadata(html) == ("", "sq desc")
+
+
+class TestAnchorTextIndex:
+    def test_rollup_bounded(self, ray_session):
+        import ray.data
+        rows = [("https://s.ex/%d" % i, "https://t.ex/page", f"text{i % 7}")
+                for i in range(20)]
+        rows.append(("https://s.ex/x", "https://u.ex/q", ""))
+        links = ray.data.from_arrow(pa.table({
+            "src_url": pa.array([r[0] for r in rows]),
+            "dst_url": pa.array([r[1] for r in rows]),
+            "anchor_text": pa.array([r[2] for r in rows])}))
+        out = linkgraph.anchor_text_index(links)
+        df = (out.to_pandas() if not isinstance(out, pa.Table)
+              else out.to_pandas()).sort_values("dst_url") \
+            .reset_index(drop=True)
+        assert list(df.dst_url) == ["https://t.ex/page", "https://u.ex/q"]
+        assert list(df.n_inlinks) == [20, 1]
+        # 7 distinct texts, capped at 5, lexicographic
+        assert df.anchor_texts[0] == "text0 | text1 | text2 | text3 | text4"
+        assert df.anchor_texts[1] == ""   # empty texts drop from the digest
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+        links = ray.data.from_arrow(pa.table({
+            "src_url": pa.array([f"https://s{i}.ex/" for i in range(30)]),
+            "dst_url": pa.array([f"https://t{i % 4}.ex/" for i in range(30)]),
+            "anchor_text": pa.array([f"a{i % 9}" for i in range(30)])}))
+        a = linkgraph.anchor_text_index(links, n_coarse=1).to_pandas() \
+            .sort_values("dst_url").reset_index(drop=True)
+        b = linkgraph.anchor_text_index(links, n_coarse=11).to_pandas() \
+            .sort_values("dst_url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
