@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_words": a.heavy_hitter_words,
         "incremental_dedup": a.incremental_dedup_docs,
         "mixed_sample_docs": a.mixed_sample_docs,
+        "temperature_mixed_docs": a.temperature_mixed_docs,
         "normalize_docs": a.normalize_docs,
         "chunk_docs": a.chunk_docs,
         "train_val_test_split": a.train_val_test_split,
@@ -954,6 +955,38 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT st.source,
                          least(1.0, (cast(gl.target AS DOUBLE) / gl.ns)
                                     / cast(st.tok AS DOUBLE)) AS rate
+                  FROM st CROSS JOIN gl)
+            SELECT t.doc_id, t.source, t.n_tokens
+            FROM tc t JOIN r ON t.source = r.source
+            WHERE cast(('0x' || substring(md5(cast(t.doc_id AS VARCHAR)),
+                        1, 8)) AS UBIGINT)
+                  < cast(floor(4294967296.0 * r.rate) AS UBIGINT)
+            ORDER BY t.doc_id""",
+        # α-temperature source mixing: share w_s = tok^0.7 / Σ tok^0.7;
+        # the Σ is a defined LEFT FOLD over lexicographically-ordered
+        # sources (list_reduce == functools.reduce) so the only
+        # cross-source float matches the engine bit-for-bit
+        "temperature_mixed_docs": r"""
+            WITH tc AS (
+              SELECT doc_id, source,
+                     cast(length(regexp_extract_all(coalesce(text, ''),
+                          '\S+')) AS BIGINT) AS n_tokens
+              FROM documents),
+            st AS (SELECT source, cast(sum(n_tokens) AS BIGINT) AS tok
+                   FROM tc GROUP BY 1),
+            gl AS (SELECT cast(sum(tok) AS BIGINT) // 4 AS target,
+                          list_reduce(
+                            list(pow(cast(tok AS DOUBLE), 0.7)
+                                 ORDER BY source),
+                            (x, y) -> x + y) AS den
+                   FROM st),
+            r AS (SELECT st.source,
+                         CASE WHEN st.tok = 0 THEN 1.0
+                              ELSE least(1.0,
+                                   (cast(gl.target AS DOUBLE)
+                                    * (pow(cast(st.tok AS DOUBLE), 0.7)
+                                       / gl.den))
+                                   / cast(st.tok AS DOUBLE)) END AS rate
                   FROM st CROSS JOIN gl)
             SELECT t.doc_id, t.source, t.n_tokens
             FROM tc t JOIN r ON t.source = r.source

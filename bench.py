@@ -131,6 +131,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("heavy_hitter_words", lambda: a.heavy_hitter_words(sf_dir).to_pandas())
     timed("incremental_dedup", lambda: _pd(a.incremental_dedup_docs(sf_dir)))
     timed("mixed_sample_docs", lambda: a.mixed_sample_docs(sf_dir).to_pandas())
+    timed("temperature_mixed_docs",
+          lambda: a.temperature_mixed_docs(sf_dir).to_pandas())
     timed("normalize_docs", lambda: a.normalize_docs(sf_dir).to_pandas())
     timed("chunk_docs", lambda: a.chunk_docs(sf_dir).to_pandas())
     timed("train_val_test_split",

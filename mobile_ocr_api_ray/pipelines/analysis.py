@@ -1861,3 +1861,54 @@ def anchor_text_summary(sf_dir: str):
     out = linkgraph.anchor_text_index(
         links, n_coarse=_pages_coarse_hint(sf_dir))
     return out if isinstance(out, pa.Table) else out.sort("dst_url")
+
+
+MIX_TEMP_ALPHA = 0.7
+
+
+def temperature_mixed_docs(sf_dir: str, alpha: float = MIX_TEMP_ALPHA):
+    """Temperature-based source mixing (the mT5/XLM-R α-sampling rule,
+    α = 0.7): source s gets sampling share w_s = tokens_s^α / Σ tokens^α
+    — flatter than natural (α=1), so small sources are upweighted — and
+    per-source keep rate min(1, target·w_s / tokens_s) against the same
+    total/4 token target and md5-threshold membership as
+    ``mixed_sample_docs``. The Σ tokens^α denominator is a LEFT FOLD over
+    sources in lexicographic order (functools.reduce here,
+    list_reduce(list(... ORDER BY source)) in the oracle), so the float is
+    bit-identical on both sides; every other term derives from integer
+    totals. Returns kept (doc_id, source, n_tokens)."""
+    import functools
+    import operator
+
+    def tok(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_tokens": pc.cast(pc.count_substring_regex(t, r"\S+"),
+                                pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"]) \
+        .map_batches(tok, batch_format="pyarrow").materialize()
+
+    st = docs.groupby("source").sum("n_tokens").to_pandas() \
+        .sort_values("source")
+    toks = st["sum(n_tokens)"].astype(np.int64)
+    target = int(toks.sum()) // MIX_TARGET_DEN
+    pows = [float(t) ** alpha for t in toks]
+    den = functools.reduce(operator.add, pows, 0.0)
+    rates = {}
+    for s, t, p in zip(st["source"], toks, pows):
+        rates[s] = 1.0 if t == 0 else \
+            min(1.0, (float(target) * (p / den)) / float(t))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        thr = np.array([np.floor(4294967296.0 * rates[s])
+                        for s in batch["source"].to_pylist()], np.float64)
+        h = np.array([_hash32(i) for i in batch["doc_id"].to_pylist()],
+                     np.float64)
+        return batch.filter(pa.array(h < thr))
+
+    return docs.map_batches(keep, batch_format="pyarrow") \
+               .select_columns(["doc_id", "source", "n_tokens"]) \
+               .sort("doc_id")

@@ -703,3 +703,19 @@ def test_purchases_after_click_differential(ray_session):
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(out, expect)
     assert len(out) > 0
+
+
+class TestTemperatureMixing:
+    def test_small_sources_upweighted(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        sf = "/root/testdata/sf0.01"
+        docs = analysis._docs(sf, ["doc_id", "source", "text"]).to_pandas()
+        nat = docs.groupby("source").size()
+        kept = analysis.temperature_mixed_docs(sf).to_pandas()
+        got = kept.groupby("source").size().reindex(nat.index, fill_value=0)
+        # keep RATE of the smallest source >= rate of the largest
+        rates = got / nat
+        assert rates[nat.idxmin()] >= rates[nat.idxmax()]
+        # membership is a pure function: second run identical
+        again = analysis.temperature_mixed_docs(sf).to_pandas()
+        assert list(again.doc_id) == list(kept.doc_id)
