@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pages / structure / multimodal (rows-only checks)
         "latest_capture_per_url": a.latest_capture_per_url,
         "canonical_capture_dedup": a.canonical_capture_dedup,
+        "crawl_diff": a.crawl_diff,
         "domain_page_stats": a.domain_page_stats,
         "page_links": a.page_links,
         "host_graph_edges": a.host_graph_edges,

@@ -173,6 +173,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("host_graph_edges", lambda: _pd(a.host_graph_edges(sf_dir)))
     timed("canonical_capture_dedup",
           lambda: _pd(a.canonical_capture_dedup(sf_dir)))
+    timed("crawl_diff", lambda: _pd(a.crawl_diff(sf_dir)))
     timed("bigram_freq_top", lambda: a.bigram_freq_top(sf_dir).to_pandas())
     timed("host_pagerank", lambda: _pd(a.host_pagerank(sf_dir)))
     timed("page_metadata", lambda: a.page_metadata(sf_dir).to_pandas())

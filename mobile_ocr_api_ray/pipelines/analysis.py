@@ -1912,3 +1912,39 @@ def temperature_mixed_docs(sf_dir: str, alpha: float = MIX_TEMP_ALPHA):
     return docs.map_batches(keep, batch_format="pyarrow") \
                .select_columns(["doc_id", "source", "n_tokens"]) \
                .sort("doc_id")
+
+
+def crawl_diff(sf_dir: str):
+    """Diff of two simulated crawl generations over the corpus: gen 2
+    drops every url with hash32%4==0, rewrites content where %4==1
+    (one appended comment byte-string), keeps %4∈{2,3} byte-identical,
+    and discovers one new '?page=2' url per %4==2 page — so every status
+    class is populated. Returns (url, status, old_digest, new_digest)
+    sorted by url."""
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+
+    def mod4(batch: pa.Table) -> np.ndarray:
+        return np.array([_hash32(u) % 4
+                         for u in batch["url"].to_pylist()], np.int64)
+
+    def gen2(batch: pa.Table) -> pa.Table:
+        m = mod4(batch)
+        keep = batch.filter(pa.array(m != 0))
+        km = m[m != 0]
+        html = keep["html"].to_pylist()
+        html = [h + b"<!-- rev2 -->" if g == 1 else h
+                for h, g in zip(html, km)]
+        urls = keep["url"].to_pylist()
+        add_urls = [u + "?page=2" for u, g in zip(urls, km) if g == 2]
+        add_html = [b"<p>continuation page body for the new capture</p>"
+                    ] * len(add_urls)
+        return pa.table({
+            "url": pa.array(urls + add_urls, pa.string()),
+            "html": pa.array(html + add_html, pa.binary())})
+
+    out = crawl.diff_by_key(pages,
+                            pages.map_batches(gen2, batch_format="pyarrow"),
+                            n_coarse=_docs_coarse_hint(sf_dir, 2))
+    return out if isinstance(out, pa.Table) else out.sort("url")

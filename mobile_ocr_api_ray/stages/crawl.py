@@ -152,3 +152,67 @@ def canonical_urls(urls: "pa.ChunkedArray | pa.Array") -> pa.Array:
     vals = urls.to_pylist()
     return pa.array([None if u is None else canonical_url_one(u)
                      for u in vals], pa.string())
+
+
+# ----------------------------------------------------------- crawl diff
+
+def diff_by_key(old_ds, new_ds, key: str = "url", value_col: str = "html",
+                n_coarse: int | None = None):
+    """CDX-style diff of two crawl generations: per key →
+    status ∈ {added, removed, changed, unchanged} with the content digests
+    that justify it. The incremental-crawl planning primitive (what to
+    refetch, what to expire) — and the batch analogue of the reference
+    cache's "same key, new content" invalidation decision
+    (/root/reference/app2.py:329-336).
+
+    One bucketed shuffle: each side maps to (key, side, md5(value)) rows —
+    content never leaves its batch, only 32-hex digests ride the exchange
+    — co-partitioned by crc32(key), resolved with a vectorized pandas
+    outer merge per partition. Assumes each side is already one row per
+    key (run latest_rows_per_key first on raw capture logs).
+    """
+    import hashlib
+
+    from .dedup import N_COARSE, nonempty_or_typed_table
+
+    nc = n_coarse or N_COARSE
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key].to_pylist()
+            vals = batch[value_col].to_pylist()
+            digs = [hashlib.md5(v if isinstance(v, bytes)
+                                else (v or "").encode()).hexdigest()
+                    for v in vals]
+            coarse = np.fromiter(
+                (zlib.crc32((s or "").encode()) for s in keys),
+                np.int64, len(keys)) % nc
+            return pa.table({
+                "key": pa.array(keys, pa.string()),
+                "side": pa.array(np.full(len(keys), side, np.int8)),
+                "digest": pa.array(digs, pa.string()),
+                "coarse": pa.array(coarse.astype(np.int32))})
+        return fn
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["side"] == 0][["key", "digest"]] \
+            .rename(columns={"digest": "old_digest"})
+        new = df[df["side"] == 1][["key", "digest"]] \
+            .rename(columns={"digest": "new_digest"})
+        m = old.merge(new, on="key", how="outer")
+        old_d = m["old_digest"]
+        new_d = m["new_digest"]
+        status = np.where(
+            old_d.isna(), "added",
+            np.where(new_d.isna(), "removed",
+                     np.where(old_d == new_d, "unchanged", "changed")))
+        return pd.DataFrame({
+            "url": m["key"], "status": status,
+            "old_digest": old_d, "new_digest": new_d})
+
+    out = (old_ds.map_batches(tag(0), batch_format="pyarrow")
+           .union(new_ds.map_batches(tag(1), batch_format="pyarrow"))
+           .groupby("coarse").map_groups(resolve, batch_format="pandas"))
+    return nonempty_or_typed_table(out, {
+        "url": pa.string(), "status": pa.string(),
+        "old_digest": pa.string(), "new_digest": pa.string()})

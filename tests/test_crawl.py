@@ -147,3 +147,50 @@ class TestCanonicalUrl:
         assert df.url.str.startswith("https://site").all()
         assert not df.url.str.contains("utm_").any()
         assert df.url.is_unique
+
+
+class TestCrawlDiff:
+    def _ds(self, rows):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "html": pa.array([r[1] for r in rows], pa.binary())}))
+
+    def test_all_statuses(self, ray_session):
+        from mobile_ocr_api_ray.stages import crawl as c
+        old = self._ds([("u1", b"a"), ("u2", b"b"), ("u3", b"c")])
+        new = self._ds([("u2", b"b"), ("u3", b"CHANGED"), ("u4", b"d")])
+        out = c.diff_by_key(old, new)
+        df = (out.to_pandas() if not isinstance(out, pa.Table)
+              else out.to_pandas()).sort_values("url").reset_index(drop=True)
+        assert list(zip(df.url, df.status)) == [
+            ("u1", "removed"), ("u2", "unchanged"),
+            ("u3", "changed"), ("u4", "added")]
+        assert pd.isna(df.new_digest[0]) and pd.isna(df.old_digest[3])
+
+    def test_partition_invariance(self, ray_session):
+        from mobile_ocr_api_ray.stages import crawl as c
+        old = self._ds([(f"u{i}", str(i).encode()) for i in range(40)])
+        new = self._ds([(f"u{i}", str(i * (i % 3)).encode())
+                        for i in range(5, 45)])
+        a = c.diff_by_key(old, new, n_coarse=1).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        b = c.diff_by_key(old, new, n_coarse=13).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_corpus_query_statuses(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        df = analysis.crawl_diff(SF).to_pandas()
+        counts = df.status.value_counts()
+        assert set(counts.index) == {"added", "removed", "changed",
+                                     "unchanged"}
+        # differential: statuses follow the documented hash32%4 rule
+        from mobile_ocr_api_ray.pipelines.analysis import _hash32
+        for u, s in zip(df.url, df.status):
+            if u.endswith("?page=2"):
+                assert s == "added"
+            else:
+                g = _hash32(u) % 4
+                assert s == {0: "removed", 1: "changed",
+                             2: "unchanged", 3: "unchanged"}[g]
