@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": a.incremental_dedup_docs,
         "mixed_sample_docs": a.mixed_sample_docs,
         "temperature_mixed_docs": a.temperature_mixed_docs,
+        "corpus_datasheet": a.corpus_datasheet,
         "normalize_docs": a.normalize_docs,
         "chunk_docs": a.chunk_docs,
         "train_val_test_split": a.train_val_test_split,
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_capture_per_url": a.latest_capture_per_url,
         "canonical_capture_dedup": a.canonical_capture_dedup,
         "crawl_diff": a.crawl_diff,
+        "host_capped_pages": a.host_capped_pages,
         "domain_page_stats": a.domain_page_stats,
         "page_links": a.page_links,
         "host_graph_edges": a.host_graph_edges,
@@ -963,6 +965,21 @@ def oracle_sql() -> dict[str, str]:
                         1, 8)) AS UBIGINT)
                   < cast(floor(4294967296.0 * r.rate) AS UBIGINT)
             ORDER BY t.doc_id""",
+        # per-(source, lang) datasheet rollup: int-exact sums, averages
+        # as float division of those sums on both sides
+        "corpus_datasheet": r"""
+            SELECT source, lang,
+                   cast(count(*) AS BIGINT) AS n_docs,
+                   cast(sum(length(regexp_extract_all(coalesce(text, ''),
+                        '\S+'))) AS BIGINT) AS total_tokens,
+                   cast(sum(length(coalesce(text, ''))) AS BIGINT)
+                       AS total_chars,
+                   cast(cast(sum(length(regexp_extract_all(
+                        coalesce(text, ''), '\S+'))) AS BIGINT) AS DOUBLE)
+                       / cast(count(*) AS DOUBLE) AS avg_tokens,
+                   cast(cast(sum(length(coalesce(text, ''))) AS BIGINT)
+                        AS DOUBLE) / cast(count(*) AS DOUBLE) AS avg_chars
+            FROM documents GROUP BY source, lang ORDER BY source, lang""",
         # α-temperature source mixing: share w_s = tok^0.7 / Σ tok^0.7;
         # the Σ is a defined LEFT FOLD over lexicographically-ordered
         # sources (list_reduce == functools.reduce) so the only

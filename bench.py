@@ -174,6 +174,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("canonical_capture_dedup",
           lambda: _pd(a.canonical_capture_dedup(sf_dir)))
     timed("crawl_diff", lambda: _pd(a.crawl_diff(sf_dir)))
+    timed("host_capped_pages", lambda: _pd(a.host_capped_pages(sf_dir)))
+    timed("corpus_datasheet", lambda: a.corpus_datasheet(sf_dir).to_pandas())
     timed("bigram_freq_top", lambda: a.bigram_freq_top(sf_dir).to_pandas())
     timed("host_pagerank", lambda: _pd(a.host_pagerank(sf_dir)))
     timed("page_metadata", lambda: a.page_metadata(sf_dir).to_pandas())

@@ -1948,3 +1948,92 @@ def crawl_diff(sf_dir: str):
                             pages.map_batches(gen2, batch_format="pyarrow"),
                             n_coarse=_docs_coarse_hint(sf_dir, 2))
     return out if isinstance(out, pa.Table) else out.sort("url")
+
+
+def corpus_datasheet(sf_dir: str):
+    """Per-(source, lang) corpus datasheet — the 'datasheets for datasets'
+    rollup every release ships: doc/token/char totals plus integer-exact
+    averages (float division of exact int sums, so the SQL oracle agrees
+    bit-for-bit). One in-batch combiner pass → one tiny groupby; null
+    text counts as zero tokens/chars but still a doc."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        tb = pa.table({
+            "source": batch["source"],
+            "lang": batch["lang"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "tok": pc.cast(pc.count_substring_regex(t, r"\S+"), pa.int64()),
+            "ch": pc.cast(pc.utf8_length(t), pa.int64())})
+        g = tb.group_by(["source", "lang"]).aggregate(
+            [("one", "sum"), ("tok", "sum"), ("ch", "sum")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "n_docs": g["one_sum"], "tok": g["tok_sum"],
+                         "ch": g["ch_sum"]})
+
+    agg = (_docs(sf_dir, ["text", "lang", "source"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "lang"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("tok", alias_name="total_tokens"),
+                      Sum("ch", alias_name="total_chars")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_docs"].cast(pa.int64())
+        tok = batch["total_tokens"].cast(pa.int64())
+        ch = batch["total_chars"].cast(pa.int64())
+        return pa.table({
+            "source": batch["source"], "lang": batch["lang"],
+            "n_docs": nd, "total_tokens": tok, "total_chars": ch,
+            "avg_tokens": pc.divide(pc.cast(tok, pa.float64()),
+                                    pc.cast(nd, pa.float64())),
+            "avg_chars": pc.divide(pc.cast(ch, pa.float64()),
+                                   pc.cast(nd, pa.float64()))})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+              .sort(["source", "lang"])
+
+
+HOST_CAP_K = 5
+
+
+def host_capped_pages(sf_dir: str, k: int = HOST_CAP_K):
+    """Per-host crawl-budget cap: at most k pages per host — the
+    anti-spam / politeness sampler every web corpus applies so no domain
+    dominates training data (C4 and RefinedWeb both cap per-domain
+    contributions). Membership is the k smallest md5(url) hashes per host
+    (pure function of the key: stable across runs, partitionings, cluster
+    sizes). Per-batch PARTIAL top-k per host combines before the shuffle,
+    so the exchange carries ≤ k rows per (host, batch) — never the crawl.
+    Returns (host, rank, url)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        df = pd.DataFrame({
+            "host": crawl.host_of(batch["url"]).to_pylist(),
+            "url": urls,
+            "h": [_hash32(u) for u in urls]})
+        d = df.sort_values(["host", "h", "url"], kind="mergesort")
+        d = d[d.groupby("host").cumcount() < k]
+        coarse = np.fromiter(
+            (zlib.crc32((s or "").encode()) for s in d["host"]),
+            np.int64, len(d)) % dedup.N_COARSE
+        t = pa.Table.from_pandas(d, preserve_index=False)
+        return t.append_column("coarse",
+                               pa.array(coarse.astype(np.int32)))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["host", "h", "url"], kind="mergesort")
+        d = d.assign(rank=d.groupby("host").cumcount() + 1)
+        d = d[d["rank"] <= k]
+        return pd.DataFrame({"host": d["host"],
+                             "rank": d["rank"].astype("int64"),
+                             "url": d["url"]})
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"), columns=["url"])
+    out = (pages.map_batches(partial, batch_format="pyarrow")
+           .groupby("coarse").map_groups(resolve, batch_format="pandas"))
+    out = dedup.nonempty_or_typed_table(out, {
+        "host": pa.string(), "rank": pa.int64(), "url": pa.string()})
+    return out if isinstance(out, pa.Table) else out.sort(["host", "rank"])

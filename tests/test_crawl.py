@@ -194,3 +194,28 @@ class TestCrawlDiff:
                 g = _hash32(u) % 4
                 assert s == {0: "removed", 1: "changed",
                              2: "unchanged", 3: "unchanged"}[g]
+
+
+class TestHostCap:
+    def test_cap_and_differential(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        from mobile_ocr_api_ray.pipelines.analysis import _hash32
+        from mobile_ocr_api_ray.stages import crawl as c
+        import pyarrow.parquet as pq_, os, pyarrow as pa_
+
+        df = analysis.host_capped_pages(SF, k=3)
+        df = df.to_pandas() if not isinstance(df, pa.Table) else df.to_pandas()
+        assert (df.groupby("host").size() <= 3).all()
+        assert (df.groupby("host")["rank"].max()
+                == df.groupby("host").size()).all()
+
+        # differential: pandas recompute of the full rule
+        d = analysis._pages_dir_for(SF)
+        pages = pq_.read_table(os.path.join(d, "pages.parquet"),
+                               columns=["url"]).to_pandas()
+        pages["host"] = c.host_of(pa_.array(pages.url)).to_pylist()
+        pages["h"] = [_hash32(u) for u in pages.url]
+        want = pages.sort_values(["host", "h", "url"])
+        want = want[want.groupby("host").cumcount() < 3]
+        got = set(df.url)
+        assert got == set(want.url)
