@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "line_dedup_docs": a.line_dedup_docs,
         "dup_window_stats": a.dup_window_stats_docs,
+        "window_dedup_docs": a.window_dedup_docs,
         "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
         "sample_docs": a.sample_docs,
         "stratified_sample_docs": a.stratified_sample_docs,
@@ -1225,6 +1226,51 @@ def oracle_sql() -> dict[str, str]:
                    cast(coalesce(c.nd, 0) AS BIGINT) AS n_dup_windows,
                    coalesce(c.nd, 0) * 1.0 / e.nw AS dup_ratio
             FROM e LEFT JOIN c USING (doc_id) ORDER BY doc_id""",
+        # duplicated-window REMOVAL (Lee et al. full semantics): a window
+        # occurring ≥2 times survives only at min (doc_id, offset); other
+        # occurrences remove their k covered tokens; docs reassemble from
+        # the token stream (single-space join on both sides)
+        "window_dedup_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            w AS (SELECT doc_id, i.i - 1 AS woff,
+                         array_to_string(list_slice(toks, i.i, i.i + 12),
+                                         ' ') AS win
+                  FROM t, LATERAL unnest(generate_series(1, len(toks) - 12))
+                       AS i(i)
+                  WHERE len(toks) >= 13),
+            own AS (SELECT win, count(*) AS cnt,
+                           min(doc_id * 100000000 + woff) AS okey
+                    FROM w GROUP BY win),
+            rem AS (SELECT w.doc_id, w.woff
+                    FROM w JOIN own USING (win)
+                    WHERE own.cnt >= 2
+                      AND w.doc_id * 100000000 + w.woff <> own.okey),
+            cov AS (SELECT DISTINCT r.doc_id, r.woff + j.j AS pos
+                    FROM rem r, LATERAL unnest(generate_series(0, 12))
+                         AS j(j)),
+            tok AS (SELECT doc_id, p.p - 1 AS pos, toks[p.p] AS tk
+                    FROM t, LATERAL unnest(generate_series(1, len(toks)))
+                         AS p(p)),
+            agg AS (SELECT tok.doc_id,
+                           coalesce(string_agg(tok.tk, ' '
+                                               ORDER BY tok.pos)
+                                    FILTER (cov.pos IS NULL), '')
+                               AS clean_text,
+                           cast(count(*) FILTER (cov.pos IS NOT NULL)
+                                AS BIGINT) AS n_removed_tokens,
+                           cast(count(*) AS BIGINT) AS n_tokens
+                    FROM tok LEFT JOIN cov
+                      ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+                    GROUP BY tok.doc_id)
+            SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+                   coalesce(agg.n_removed_tokens, 0) AS n_removed_tokens,
+                   coalesce(agg.n_tokens, 0) AS n_tokens
+            FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""",
         "line_dedup_docs": r"""
             WITH d AS (
               SELECT doc_id, coalesce(text, '') AS t FROM documents

@@ -2037,3 +2037,15 @@ def host_capped_pages(sf_dir: str, k: int = HOST_CAP_K):
     out = dedup.nonempty_or_typed_table(out, {
         "host": pa.string(), "rank": pa.int64(), "url": pa.string()})
     return out if isinstance(out, pa.Table) else out.sort(["host", "rank"])
+
+
+def window_dedup_docs(sf_dir: str):
+    """Lee-et-al-style duplicated-window REMOVAL over documents: every
+    13-token window occurring twice anywhere in the corpus survives only
+    at its lexicographically-first (doc_id, offset) occurrence; covered
+    tokens elsewhere are removed and docs reassembled from the token
+    stream. Value-exact SQL oracle (strings included)."""
+    nc = _docs_coarse_hint(sf_dir)
+    out = dedup.window_dedup(_docs(sf_dir, ["doc_id", "text"]),
+                             n_coarse=nc, n_coarse_docs=nc)
+    return out if isinstance(out, pa.Table) else out.sort("doc_id")

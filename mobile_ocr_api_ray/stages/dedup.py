@@ -1244,14 +1244,14 @@ def _window_hashes(tokens_per_doc: "list[list[str]]", k: int):
     the document are masked out, and the cross-doc prefix-sum terms cancel
     in the S difference for every retained window.
 
-    Returns (doc_index_per_window, h1, h2) numpy arrays.
+    Returns (doc_index_per_window, within_doc_offset, h1, h2) numpy arrays.
     """
     lens = np.fromiter((len(t) for t in tokens_per_doc), np.int64,
                        len(tokens_per_doc))
     n = int(lens.sum())
     if n == 0:
         z = np.array([], np.int64)
-        return z, z.astype(np.uint64), z.astype(np.uint64)
+        return z, z, z.astype(np.uint64), z.astype(np.uint64)
     flat = [tok for doc in tokens_per_doc for tok in doc]
     th = np.fromiter((zlib.crc32(t.encode()) for t in flat), np.uint64, n)
 
@@ -1261,7 +1261,7 @@ def _window_hashes(tokens_per_doc: "list[list[str]]", k: int):
     total_w = int(nw.sum())
     if total_w == 0:
         z = np.array([], np.int64)
-        return z, z.astype(np.uint64), z.astype(np.uint64)
+        return z, z, z.astype(np.uint64), z.astype(np.uint64)
     wdoc = np.repeat(np.arange(len(lens), dtype=np.int64), nw)
     wends = np.cumsum(nw)
     woff = np.arange(total_w, dtype=np.int64) - np.repeat(wends - nw, nw)
@@ -1277,7 +1277,7 @@ def _window_hashes(tokens_per_doc: "list[list[str]]", k: int):
             ([np.uint64(0)], np.cumsum(th * binv_pow[:n], dtype=np.uint64)))
         return (s[wpos + k] - s[wpos]) * b_pow[wpos]
 
-    return wdoc, poly(_WIN_B1), poly(_WIN_B2)
+    return wdoc, woff, poly(_WIN_B1), poly(_WIN_B2)
 
 
 def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -1312,7 +1312,7 @@ def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         toks = [(t or "").split() for t in texts]
-        wdoc, h1, h2 = _window_hashes(toks, k)
+        wdoc, _, h1, h2 = _window_hashes(toks, k)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(wdoc) == 0:
             return pa.table({"_id": pa.array([], pa.int64()),
@@ -1367,3 +1367,126 @@ def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
     return nonempty_or_typed_table(out, {
         id_col: pa.int64(), "n_windows": pa.int64(),
         "n_dup_windows": pa.int64(), "dup_ratio": pa.float64()})
+
+
+_OWNER_OFF_BASE = 100_000_000  # owner key = doc_id·BASE + offset (offsets ≪ BASE)
+
+
+def window_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                 k: int = WINDOW_K,
+                 n_coarse: int | None = None,
+                 n_coarse_docs: int | None = None):
+    """Duplicated-substring REMOVAL at k-token window granularity — the
+    full Lee et al. (ACL'22) semantics the stats operator only measures:
+    every k-token window occurring ≥2 times in the corpus (any positions,
+    within-doc repeats included) survives only at its OWNER occurrence
+    (lexicographic min (doc_id, offset)); every other occurrence marks its
+    k token positions for removal; documents are reassembled from the
+    uncovered tokens (single-space join — removal operates on the token
+    stream, so original whitespace is normalized; mirrored exactly in the
+    SQL oracle).
+
+    Two bucketed shuffles, hash-only exchange:
+      1. window-hash-keyed rows (doc, off, h1, h2) — within a coarse
+         partition every occurrence of a window value is present, so
+         occurrence count and owner resolve locally; only NON-owner
+         occurrences (the removal set, proportional to the dup rate)
+         leave the partition;
+      2. doc-keyed: removal offsets rejoin the doc's token list (text
+         rides this exchange once, like line_dedup); coverage is a
+         vectorized diff-array cumsum per doc.
+    Returns (doc_id, clean_text, n_removed_tokens, n_tokens).
+    """
+    nc = n_coarse or N_COARSE
+    ncd = n_coarse_docs or nc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        toks = [(t or "").split() for t in texts]
+        wdoc, woff, h1, h2 = _window_hashes(toks, k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(wdoc) == 0:
+            return pa.table({"_id": pa.array([], pa.int64()),
+                             "off": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "coarse": pa.array([], pa.int32())})
+        coarse = (h1 % np.uint64(nc)).astype(np.int32)
+        return pa.table({"_id": pa.array(ids[wdoc]),
+                         "off": pa.array(woff),
+                         "h1": pa.array(h1.view(np.int64)),
+                         "h2": pa.array(h2.view(np.int64)),
+                         "coarse": pa.array(coarse)})
+
+    def removals(df: pd.DataFrame) -> pd.DataFrame:
+        okey = (df["_id"].to_numpy(np.int64) * _OWNER_OFF_BASE
+                + df["off"].to_numpy(np.int64))
+        d = df.assign(okey=okey)
+        g = d.groupby(["h1", "h2"])["okey"]
+        cnt = g.transform("size").to_numpy()
+        owner = g.transform("min").to_numpy()
+        rem = d[(cnt >= 2) & (okey != owner)]
+        out = pd.DataFrame({"_id": rem["_id"], "off": rem["off"]})
+        out["dcoarse"] = (out["_id"] % ncd).astype(np.int32)
+        return out
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_id": pa.array(ids),
+            "off": pa.array(np.full(len(ids), -1, np.int64)),  # text row
+            "text": pc.cast(pc.fill_null(batch[text_col], ""), pa.string()),
+            "dcoarse": pa.array((ids % ncd).astype(np.int32))})
+
+    def tag_removals(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "_id": batch["_id"], "off": batch["off"],
+            "text": pa.array([None] * n, pa.string()),
+            "dcoarse": batch["dcoarse"]})
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_txt, out_rm, out_nt = [], [], [], []
+        for did, grp in df.groupby("_id", sort=True):
+            trow = grp[grp["off"] < 0]
+            if not len(trow):        # removal rows for a doc outside ds —
+                continue             # impossible by construction; be total
+            toks = (trow["text"].iloc[0] or "").split()
+            n = len(toks)
+            offs = grp.loc[grp["off"] >= 0, "off"] \
+                .to_numpy(np.int64)
+            cover = np.zeros(n + 1, np.int64)
+            if len(offs):
+                np.add.at(cover, offs, 1)
+                np.add.at(cover, np.minimum(offs + k, n), -1)
+            covered = np.cumsum(cover[:-1]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out_id.append(did)
+            out_txt.append(" ".join(kept))
+            out_rm.append(int(covered.sum()))
+            out_nt.append(n)
+        return pd.DataFrame({
+            "_id": pd.array(out_id, "int64"),
+            "clean_text": pd.array(out_txt, "string"),
+            "n_removed_tokens": pd.array(out_rm, "int64"),
+            "n_tokens": pd.array(out_nt, "int64")})
+
+    rem = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("coarse").map_groups(removals, batch_format="pandas")
+           .map_batches(tag_removals, batch_format="pyarrow"))
+    out = (ds.map_batches(doc_rows, batch_format="pyarrow")
+           .union(rem)
+           .groupby("dcoarse").map_groups(reassemble,
+                                          batch_format="pandas"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["_id"],
+                         "clean_text": pc.cast(batch["clean_text"],
+                                               pa.string()),
+                         "n_removed_tokens": batch["n_removed_tokens"],
+                         "n_tokens": batch["n_tokens"]})
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    return nonempty_or_typed_table(out, {
+        id_col: pa.int64(), "clean_text": pa.string(),
+        "n_removed_tokens": pa.int64(), "n_tokens": pa.int64()})

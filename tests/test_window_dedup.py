@@ -104,3 +104,93 @@ class TestDupWindowStats:
         assert list(out.columns) == ["doc_id", "n_windows",
                                      "n_dup_windows", "dup_ratio"]
         assert len(out) == 0
+
+
+def brute_window_dedup(docs, k=13):
+    wins: dict[str, list[tuple[int, int]]] = {}
+    toks_by: dict[int, list[str]] = {}
+    for did, text in docs:
+        toks = (text or "").split()
+        toks_by[did] = toks
+        for i in range(len(toks) - k + 1):
+            wins.setdefault(" ".join(toks[i:i + k]), []).append((did, i))
+    cover: dict[int, set] = {d: set() for d, _ in docs}
+    for occs in wins.values():
+        if len(occs) < 2:
+            continue
+        owner = min(occs)
+        for d, i in occs:
+            if (d, i) != owner:
+                cover[d].update(range(i, i + k))
+    rows = []
+    for did, _ in sorted(docs):
+        toks = toks_by[did]
+        kept = [t for p, t in enumerate(toks) if p not in cover[did]]
+        rows.append({"doc_id": did, "clean_text": " ".join(kept),
+                     "n_removed_tokens": len(toks) - len(kept),
+                     "n_tokens": len(toks)})
+    return pd.DataFrame(rows)
+
+
+def run_dedup(ray_session, docs, **kw) -> pd.DataFrame:
+    import ray.data
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string())}))
+    out = dedup.window_dedup(ds, **kw)
+    if isinstance(out, pa.Table):
+        return out.to_pandas()
+    return out.sort("doc_id").to_pandas()
+
+
+class TestWindowDedup:
+    W = " ".join(f"w{i}" for i in range(13))
+
+    def test_owner_keeps_copy_loses(self, ray_session):
+        docs = [(0, self.W + " tail"), (1, "head " + self.W)]
+        out = run_dedup(ray_session, docs)
+        # doc0 owns (0,0): untouched; doc1's copy at offset 1 removed
+        assert out.clean_text[0] == self.W + " tail"
+        assert out.clean_text[1] == "head"
+        assert list(out.n_removed_tokens) == [0, 13]
+
+    def test_within_doc_repeat_removed(self, ray_session):
+        docs = [(5, self.W + " " + self.W)]
+        out = run_dedup(ray_session, docs)
+        assert out.clean_text[0] == self.W
+        assert out.n_removed_tokens[0] == 13
+
+    def test_overlap_coverage_union(self, ray_session):
+        # doc1 contains W shifted by one token twice via a 14-token span
+        span = self.W + " w0b"
+        docs = [(0, self.W), (1, span), (2, "x " + self.W)]
+        out = run_dedup(ray_session, docs)
+        want = brute_window_dedup(docs)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), want, check_dtype=False)
+
+    def test_differential_random(self, ray_session):
+        rng = np.random.RandomState(13)
+        vocab = [f"v{i}" for i in range(9)]
+        docs = [(i, " ".join(rng.choice(vocab, rng.randint(0, 40))))
+                for i in range(50)]
+        got = run_dedup(ray_session, docs, k=5)
+        want = brute_window_dedup(docs, k=5)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), want, check_dtype=False)
+
+    def test_partition_invariance(self, ray_session):
+        rng = np.random.RandomState(21)
+        vocab = [f"u{i}" for i in range(12)]
+        docs = [(i, " ".join(rng.choice(vocab, rng.randint(4, 30))))
+                for i in range(30)]
+        a = run_dedup(ray_session, docs, k=4, n_coarse=1, n_coarse_docs=1)
+        b = run_dedup(ray_session, docs, k=4, n_coarse=11, n_coarse_docs=3)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_and_null(self, ray_session):
+        out = run_dedup(ray_session, [(0, None), (1, "")])
+        assert list(out.clean_text) == ["", ""]
+        assert list(out.n_tokens) == [0, 0]
+        out2 = run_dedup(ray_session, [])
+        assert len(out2) == 0
