@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_capture_dedup": a.canonical_capture_dedup,
         "crawl_diff": a.crawl_diff,
         "host_capped_pages": a.host_capped_pages,
+        "url_filtered_pages": a.url_filtered_pages,
         "domain_page_stats": a.domain_page_stats,
         "page_links": a.page_links,
         "host_graph_edges": a.host_graph_edges,

@@ -176,6 +176,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: _pd(a.canonical_capture_dedup(sf_dir)))
     timed("crawl_diff", lambda: _pd(a.crawl_diff(sf_dir)))
     timed("host_capped_pages", lambda: _pd(a.host_capped_pages(sf_dir)))
+    timed("url_filtered_pages", lambda: a.url_filtered_pages(sf_dir).to_pandas())
     timed("corpus_datasheet", lambda: a.corpus_datasheet(sf_dir).to_pandas())
     timed("bigram_freq_top", lambda: a.bigram_freq_top(sf_dir).to_pandas())
     timed("host_pagerank", lambda: _pd(a.host_pagerank(sf_dir)))

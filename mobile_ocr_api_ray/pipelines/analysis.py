@@ -2049,3 +2049,26 @@ def window_dedup_docs(sf_dir: str):
     out = dedup.window_dedup(_docs(sf_dir, ["doc_id", "text"]),
                              n_coarse=nc, n_coarse_docs=nc)
     return out if isinstance(out, pa.Table) else out.sort("doc_id")
+
+
+def url_filtered_pages(sf_dir: str):
+    """URL blocklist gate over a simulated messy crawl log: each corpus
+    url spawns one trap variant by hash32%4 (media asset, session-id,
+    calendar trap, deep pagination) alongside the clean original; the
+    filter must quarantine every variant and keep every original.
+    Returns the quarantined rows (url, rule_idx, status) sorted."""
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"), columns=["url"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        out = list(urls)
+        for u in urls:
+            g = _hash32(u) % 4
+            out.append(u + ["/img.jpeg", "?phpsessid=abc123",
+                            "/calendar/2024/01/15", "?page=1234"][g])
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    kept, quarantined = crawl.url_filter(
+        pages.map_batches(messy, batch_format="pyarrow"))
+    return quarantined.sort("url")

@@ -216,3 +216,65 @@ def diff_by_key(old_ds, new_ds, key: str = "url", value_col: str = "html",
     return nonempty_or_typed_table(out, {
         "url": pa.string(), "status": pa.string(),
         "old_digest": pa.string(), "new_digest": pa.string()})
+
+
+# ------------------------------------------------------- URL pattern filter
+
+# UT1-blocklist-style default rules: crawl pipelines drop media/binary
+# paths, calendar/faceted-search traps, and session-id urls before fetch
+DEFAULT_URL_BLOCK_PATTERNS = (
+    r"\.(?:jpe?g|png|gif|bmp|tiff?|webp|mp[34]|avi|mov|zip|gz|exe|dmg)(?:$|\?)",
+    r"[?&](?:sessionid|sid|phpsessid)=",
+    r"/calendar/\d{4}/\d{2}/\d{2}",
+    r"[?&]page=\d{3,}",
+)
+
+
+def url_filter(ds, patterns: "tuple[str, ...]" = DEFAULT_URL_BLOCK_PATTERNS,
+               url_col: str = "url"):
+    """Split a crawl table into (kept, quarantined) by URL blocklist —
+    the reference's extension-whitelist gate (S2, app.py:317-320)
+    generalized to the pattern blocklist every crawler ships (UT1-style).
+    ONE vectorized RE2 match per batch (patterns pre-joined into a single
+    alternation at call time — compiled once, not per batch); rejected
+    rows become data (status='rejected', matched rule index) rather than
+    dropped silently, the S2 quarantine convention.
+
+    Returns (kept_ds, quarantined_ds); quarantined carries
+    (url, rule_idx). Both stream — no shuffle, no materialization.
+    """
+    alternation = "|".join(f"(?:{p})" for p in patterns)
+
+    def mask(batch: pa.Table) -> pa.Array:
+        urls = pc.fill_null(pc.cast(batch[url_col], pa.string()), "")
+        return pc.match_substring_regex(urls, alternation)
+
+    kept = ds.map_batches(
+        lambda b: b.filter(pc.invert(mask(b))), batch_format="pyarrow")
+
+    def quarantine(batch: pa.Table) -> pa.Table:
+        m = mask(batch)
+        bad = batch.filter(m)
+        urls = bad[url_col].to_pylist()
+        idx = []
+        for u in urls:
+            for i, p in enumerate(_compiled_block(patterns)):
+                if p.search(u or ""):
+                    idx.append(i)
+                    break
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "rule_idx": pa.array(idx, pa.int64()),
+            "status": pa.array(["rejected"] * len(urls), pa.string())})
+
+    return kept, ds.map_batches(quarantine, batch_format="pyarrow")
+
+
+def _compiled_block(patterns):
+    import re as _re
+    key = tuple(patterns)
+    cached = _compiled_block.__dict__.get("cache", {})
+    if key not in cached:
+        cached[key] = [_re.compile(p) for p in patterns]
+        _compiled_block.cache = cached
+    return cached[key]

@@ -219,3 +219,49 @@ class TestHostCap:
         want = want[want.groupby("host").cumcount() < 3]
         got = set(df.url)
         assert got == set(want.url)
+
+
+class TestUrlFilter:
+    def test_split_and_rules(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages import crawl as c
+        urls = ["https://a.ex/page", "https://a.ex/img.jpeg",
+                "https://a.ex/x?phpsessid=9", "https://a.ex/doc.pdf",
+                "https://a.ex/calendar/2024/02/01", "https://a.ex/p?page=5",
+                "https://a.ex/p?page=500", None]
+        ds = ray.data.from_arrow(pa.table({"url": pa.array(urls,
+                                                           pa.string())}))
+        kept, quar = c.url_filter(ds)
+        kd = kept.to_pandas()
+        qd = quar.to_pandas().sort_values("url").reset_index(drop=True)
+        assert set(kd.url.fillna("∅")) == {"https://a.ex/page",
+                                           "https://a.ex/doc.pdf",
+                                           "https://a.ex/p?page=5", "∅"}
+        assert list(qd.url) == ["https://a.ex/calendar/2024/02/01",
+                                "https://a.ex/img.jpeg",
+                                "https://a.ex/p?page=500",
+                                "https://a.ex/x?phpsessid=9"]
+        assert (qd.status == "rejected").all()
+        # rule_idx = first matching pattern, re/RE2 agree
+        import re
+        from mobile_ocr_api_ray.stages.crawl import \
+            DEFAULT_URL_BLOCK_PATTERNS as P
+        for u, i in zip(qd.url, qd.rule_idx):
+            assert next(j for j, p in enumerate(P)
+                        if re.search(p, u)) == i
+
+    def test_corpus_query(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        df = analysis.url_filtered_pages(SF).to_pandas()
+        # exactly one quarantined variant per corpus page
+        import pyarrow.parquet as pq_, os
+        d = analysis._pages_dir_for(SF)
+        n = pq_.read_metadata(
+            os.path.join(d, "pages.parquet",
+                         sorted(os.listdir(
+                             os.path.join(d, "pages.parquet")))[0]))
+        total = sum(pq_.read_metadata(
+            os.path.join(d, "pages.parquet", f)).num_rows
+            for f in os.listdir(os.path.join(d, "pages.parquet")))
+        assert len(df) == total
+        assert set(df.rule_idx) <= {0, 1, 2, 3}
