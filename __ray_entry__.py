@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": a.extract_pages,
         "extract_pages_dedup": a.extract_pages_dedup,
         "extract_lang_stats": a.extract_lang_stats,
+        "extraction_eval": a.extraction_eval,
         # pages / structure / multimodal (rows-only checks)
         "latest_capture_per_url": a.latest_capture_per_url,
         "canonical_capture_dedup": a.canonical_capture_dedup,

@@ -105,6 +105,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings["extract"] = min(first, timings["extract"])
 
     timed("extract_lang_stats", lambda: a.extract_lang_stats(sf_dir).to_pandas())
+    timed("extraction_eval", lambda: a.extraction_eval(sf_dir).to_pandas())
     timed("lineitem_pricing", lambda: r.lineitem_pricing(sf_dir).to_pandas())
     timed("events_hourly", lambda: r.events_hourly(sf_dir).to_pandas())
     timed("sessionize_events", lambda: r.sessionize_events(sf_dir).to_pandas())

@@ -2072,3 +2072,48 @@ def url_filtered_pages(sf_dir: str):
     kept, quarantined = crawl.url_filter(
         pages.map_batches(messy, batch_format="pyarrow"))
     return quarantined.sort("url")
+
+
+def extraction_eval(sf_dir: str):
+    """Corpus-wide self-evaluation of the byte-identical invariant (the
+    north rule's per-row check, as a first-class operator): run the
+    flagship extraction, hash-join the results back to the generation-time
+    golden table on url, and roll up per payload kind — rows, rows with a
+    golden byte-equality guarantee (golden_exact), and how many of those
+    matched byte-for-byte. The per-url flags reduce via an in-batch
+    combiner; only (kind, 3 ints) rows reach the driver."""
+    from ..stages.joins import hash_join
+
+    d = _pages_dir_for(sf_dir)
+    extracted = extract_pipeline(
+        read_pages(os.path.join(d, "pages.parquet"))) \
+        .select_columns(["url", "extracted_text", "status"])
+    golden = reads.read_small_aware(
+        os.path.join(d, "golden.parquet"),
+        columns=["url", "golden_text", "golden_exact", "payload_kind"])
+    joined = hash_join(extracted, golden, "url", "url", how="inner",
+                       n_coarse=_docs_coarse_hint(sf_dir, 2))
+
+    def flags(batch: pa.Table) -> pa.Table:
+        exact = pc.fill_null(batch["golden_exact"], False)
+        match = pc.and_kleene(
+            exact, pc.equal(pc.fill_null(batch["extracted_text"], ""),
+                            pc.fill_null(batch["golden_text"], "")))
+        t = pa.table({
+            "payload_kind": batch["payload_kind"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "guaranteed": pc.cast(exact, pa.int64()),
+            "matched": pc.cast(pc.fill_null(match, False), pa.int64())})
+        g = t.group_by("payload_kind").aggregate(
+            [("one", "sum"), ("guaranteed", "sum"), ("matched", "sum")])
+        return pa.table({"payload_kind": g["payload_kind"],
+                         "n_rows": g["one_sum"],
+                         "n_guaranteed": g["guaranteed_sum"],
+                         "n_byte_exact": g["matched_sum"]})
+
+    return (joined.map_batches(flags, batch_format="pyarrow")
+            .groupby("payload_kind")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("n_guaranteed", alias_name="n_guaranteed"),
+                       Sum("n_byte_exact", alias_name="n_byte_exact"))
+            .sort("payload_kind"))

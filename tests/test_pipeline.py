@@ -157,3 +157,15 @@ class TestSummarizeStage:
         rej = extracted[extracted.status == "rejected"]
         assert rej.summary.isna().all()
         assert rej.compression_ratio.isna().all()
+
+
+class TestExtractionEval:
+    def test_all_guaranteed_rows_byte_exact(self, ray_session):
+        """The north-rule invariant as an aggregate: every golden_exact row
+        must extract byte-identically, corpus-wide, for every payload
+        kind."""
+        from mobile_ocr_api_ray.pipelines import analysis
+        df = analysis.extraction_eval("/root/testdata/sf0.001").to_pandas()
+        assert (df.n_byte_exact == df.n_guaranteed).all()
+        assert df.n_rows.sum() >= 1000
+        assert set(df.payload_kind) >= {"html", "image", "pdf"}
