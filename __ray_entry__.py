@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (SQL-checked)
         "token_counts": a.token_counts_docs,
         "quality_scores": a.quality_docs,
+        "compressibility_docs": a.compressibility_docs,
         "quality_filtered": a.quality_filtered,
         "quality_median_filtered": a.quality_median_filtered,
         "label_centroids": a.label_centroids,

@@ -111,6 +111,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("sessionize_events", lambda: r.sessionize_events(sf_dir).to_pandas())
     timed("token_counts", lambda: a.token_counts_docs(sf_dir).to_pandas())
     timed("quality_scores", lambda: a.quality_docs(sf_dir).to_pandas())
+    timed("compressibility_docs",
+          lambda: a.compressibility_docs(sf_dir).to_pandas())
     timed("exact_dedup", lambda: a.exact_dedup_docs(sf_dir).to_pandas())
     timed("minhash_pairs_doubled", lambda: a.minhash_pairs_doubled(sf_dir).to_pandas())
     timed("minhash_pairs_two_pass_doubled",

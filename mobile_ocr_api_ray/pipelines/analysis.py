@@ -2117,3 +2117,11 @@ def extraction_eval(sf_dir: str):
                        Sum("n_guaranteed", alias_name="n_guaranteed"),
                        Sum("n_byte_exact", alias_name="n_byte_exact"))
             .sort("payload_kind"))
+
+
+def compressibility_docs(sf_dir: str):
+    """Per-doc zlib compression ratio over documents (repetitiveness
+    gate signal; not SQL-expressible — differentially tested)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text_analysis.compressibility, batch_format="pyarrow") \
+        .sort("doc_id")

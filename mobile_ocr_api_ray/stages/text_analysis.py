@@ -450,3 +450,24 @@ def gopher_flags(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "flag_top_word": pa.array(f_top),
         "flag_dup_2gram": pa.array(f_dup),
         "keep": pa.array(f_wc & f_mwl & f_stop & f_top & f_dup)})
+
+
+def compressibility(batch: pa.Table, text_col: str = "text",
+                    level: int = 6) -> pa.Table:
+    """Per-doc zlib compressibility — the cheap repetitiveness signal
+    (machine-generated / boilerplate-heavy text compresses far better
+    than natural prose; RefinedWeb and MassiveText both gate on it).
+    ratio = compressed_bytes / utf8_bytes, 1.0 for empty docs. zlib level
+    fixed → deterministic across runs and platforms (zlib output is
+    stable for a given level). C-speed per row, no shuffle."""
+    texts = batch[text_col].to_pylist()
+    nb, nc = [], []
+    for t in texts:
+        raw = (t or "").encode("utf-8")
+        nb.append(len(raw))
+        nc.append(len(zlib.compress(raw, level)) if raw else 0)
+    ratio = [c / b if b else 1.0 for b, c in zip(nb, nc)]
+    return _emit(batch, {
+        "n_bytes": pa.array(nb, pa.int64()),
+        "n_compressed": pa.array(nc, pa.int64()),
+        "compress_ratio": pa.array(ratio, pa.float64())})

@@ -835,3 +835,27 @@ class TestHashJoin:
                       .to_pandas().sort_values(["k", "a", "b"])
                       .reset_index(drop=True))
             pd.testing.assert_frame_equal(plain, salted)
+
+
+class TestCompressibility:
+    def test_repetitive_compresses_better(self, ray_session):
+        import zlib as _z
+        rep = "the same phrase again and again " * 50
+        rng = np.random.RandomState(2)
+        natural = " ".join(
+            "".join(chr(97 + c) for c in rng.randint(0, 26, 8))
+            for _ in range(200))
+        t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array([rep, natural, None])})
+        out = text_analysis.compressibility(t).to_pandas()
+        assert out.compress_ratio[0] < out.compress_ratio[1]
+        assert out.compress_ratio[2] == 1.0 and out.n_bytes[2] == 0
+        # differential: exact zlib recompute
+        assert out.n_compressed[0] == len(_z.compress(rep.encode(), 6))
+
+    def test_query(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        df = analysis.compressibility_docs("/root/testdata/sf0.001") \
+            .to_pandas()
+        assert len(df) > 0
+        assert ((df.compress_ratio > 0) & (df.compress_ratio <= 1.5)).all()
