@@ -2125,3 +2125,26 @@ def compressibility_docs(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         text_analysis.compressibility, batch_format="pyarrow") \
         .sort("doc_id")
+
+
+def training_shards_manifest(sf_dir: str):
+    """Sharded training-data export end to end: documents → 16
+    deterministic md5-hash shards under /tmp, one atomic parquet +
+    lineage-manifest row each (state/manifest machinery), returning the
+    manifest (shard_id, row_count, content_digest). A fresh export each
+    call (scratch dir wiped) so the digests pin byte-determinism of the
+    whole write path; resume-after-preemption is exercised separately in
+    tests/test_training_export.py."""
+    import shutil
+
+    from ..state import manifest as mstate
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    out_dir = f"/tmp/mobile_ocr_training_shards/n{n_docs}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mstate.export_training_shards(_docs(sf_dir, ["doc_id", "text"]),
+                                  out_dir, n_shards=16)
+    t = mstate.shard_manifest_table(out_dir)
+    return t.select(["shard_id", "row_count", "content_digest"]) \
+            .sort_by("shard_id")

@@ -64,20 +64,24 @@ def completed_partitions(out_dir: str) -> set[int]:
 
 
 def write_partition(table: pa.Table, out_dir: str, partition_id: int,
-                    input_shard: str, t_start: float) -> dict:
+                    input_shard: str, t_start: float,
+                    key_col: str = "url",
+                    text_col: str = "extracted_text") -> dict:
     """Atomic partition write + manifest: parquet to a temp name, fsync-free
     rename, then the manifest row (the rename is the commit point; a crash
     leaves either nothing or a complete pair). ``t_start`` is when this
     partition's task began — wall_ms covers sort + digest + write for THIS
-    partition only."""
+    partition only. ``key_col``/``text_col`` select the lineage-digest
+    columns (url/extracted_text for the flagship; doc_id/text for
+    training-shard exports)."""
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     final = os.path.join(out_dir, f"part-{partition_id:05d}.parquet")
     tmp = final + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, final)
 
-    urls = table["url"].to_pylist()
-    texts = table["extracted_text"].to_pylist() if "extracted_text" in table.column_names else []
+    urls = [str(u) for u in table[key_col].to_pylist()]
+    texts = table[text_col].to_pylist() if text_col in table.column_names else []
     h = hashlib.sha256()
     for u, t in zip(urls, texts):
         h.update((u or "").encode())
@@ -171,3 +175,71 @@ def read_output(out_dir: str):
     files = [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
              if f.endswith(".parquet")]
     return ray.data.read_parquet(files)
+
+
+def export_training_shards(ds, out_dir: str, n_shards: int = 16,
+                           key_col: str = "doc_id",
+                           text_col: str = "text") -> dict:
+    """Deterministic sharded training-data export — the final step of a
+    curation pipeline: shard = md5-hash32(key) % n_shards (the samplers'
+    pure-function rule, so shard membership is stable across runs,
+    partitionings and cluster sizes), one atomic parquet + manifest row
+    per shard (same commit-point discipline as the flagship writer), and
+    exact resume: completed shards are filtered out BEFORE any work runs.
+    Returns {completed_before, completed_now, out_dir, n_shards}."""
+    import hashlib as _hl
+
+    def h32(v) -> int:
+        return int(_hl.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    done = completed_partitions(out_dir)
+    todo = sorted(set(range(n_shards)) - done)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        sh = [h32(v) % n_shards for v in batch[key_col].to_pylist()]
+        return batch.append_column("partition_id",
+                                   pa.array(sh, pa.int32()))
+
+    ds = ds.map_batches(add_shard, batch_format="pyarrow")
+    if len(todo) < n_shards:
+        todo_arr = pa.array(todo, pa.int32())
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b["partition_id"],
+                                        value_set=todo_arr)),
+            batch_format="pyarrow")
+
+    def write_group(group: pa.Table) -> pa.Table:
+        g0 = time.time()
+        pid = int(group["partition_id"][0].as_py())
+        table = group.drop_columns(["partition_id"]).sort_by(key_col)
+        m = write_partition(table, out_dir, pid, "training_export", g0,
+                            key_col=key_col, text_col=text_col)
+        return pa.table({"partition_id": pa.array([pid], pa.int32()),
+                         "row_count": pa.array([m["row_count"]],
+                                               pa.int64())})
+
+    written = ds.groupby("partition_id").map_groups(
+        write_group, batch_format="pyarrow")
+    n_new = len(written.to_pandas())
+    return {"completed_before": len(done), "completed_now": n_new,
+            "out_dir": out_dir, "n_shards": n_shards}
+
+
+def shard_manifest_table(out_dir: str) -> pa.Table:
+    """The export's lineage manifest as a table (shard_id, row_count,
+    bytes, content_digest) sorted by shard — per-partition lineage +
+    metrics per the north rule."""
+    mdir = os.path.join(out_dir, "_manifest")
+    rows = []
+    for f in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        if f.startswith("part-") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            if m.get("status") == "complete":
+                rows.append(m)
+    return pa.table({
+        "shard_id": pa.array([r["partition_id"] for r in rows], pa.int32()),
+        "row_count": pa.array([r["row_count"] for r in rows], pa.int64()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.int64()),
+        "content_digest": pa.array([r["content_digest"] for r in rows],
+                                   pa.string())})

@@ -1,0 +1,63 @@
+"""Sharded training-data export: determinism, resume, round-trip."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from mobile_ocr_api_ray.state import manifest as mstate
+
+SF = "/root/testdata/sf0.001"
+OUT = "/tmp/test_training_export"
+
+
+def docs_ds(n=60):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array([f"doc body {i} " * 4 for i in range(n)],
+                         pa.string())}))
+
+
+class TestTrainingExport:
+    def test_export_and_roundtrip(self, ray_session):
+        shutil.rmtree(OUT, ignore_errors=True)
+        s = mstate.export_training_shards(docs_ds(), OUT, n_shards=8)
+        assert s["completed_now"] == 8 and s["completed_before"] == 0
+        m = mstate.shard_manifest_table(OUT)
+        assert m.num_rows == 8
+        assert sum(m["row_count"].to_pylist()) == 60
+        back = mstate.read_output(OUT).to_pandas().sort_values("doc_id")
+        assert list(back.doc_id) == list(range(60))
+
+    def test_resume_skips_completed(self, ray_session):
+        shutil.rmtree(OUT, ignore_errors=True)
+        mstate.export_training_shards(docs_ds(), OUT, n_shards=8)
+        # delete two shards + their manifests → only those re-export
+        for pid in (1, 5):
+            os.remove(os.path.join(OUT, f"part-{pid:05d}.parquet"))
+            os.remove(os.path.join(OUT, "_manifest", f"part-{pid:05d}.json"))
+        s = mstate.export_training_shards(docs_ds(), OUT, n_shards=8)
+        assert s["completed_before"] == 6 and s["completed_now"] == 2
+        back = mstate.read_output(OUT).to_pandas()
+        assert len(back) == 60
+
+    def test_digests_deterministic(self, ray_session):
+        shutil.rmtree(OUT, ignore_errors=True)
+        mstate.export_training_shards(docs_ds(), OUT, n_shards=4)
+        d1 = mstate.shard_manifest_table(OUT)["content_digest"].to_pylist()
+        shutil.rmtree(OUT)
+        mstate.export_training_shards(docs_ds(), OUT, n_shards=4)
+        d2 = mstate.shard_manifest_table(OUT)["content_digest"].to_pylist()
+        assert d1 == d2
+
+    def test_query_manifest(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        t = analysis.training_shards_manifest(SF)
+        assert t.num_rows == 16
+        import pyarrow.parquet as pq
+        n = pq.read_metadata(os.path.join(SF, "documents.parquet")).num_rows
+        assert sum(t["row_count"].to_pylist()) == n
