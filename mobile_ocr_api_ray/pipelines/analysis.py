@@ -1647,12 +1647,7 @@ def extract_lang_stats(sf_dir: str):
     return agg.sort("lang")
 
 
-def _hash32(doc_id) -> int:
-    """THE sampling hash every sampler (and its SQL oracle) shares: the
-    first 8 hex digits of md5(str(id)) as a 32-bit int."""
-    import hashlib
-
-    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+from ..hashing import hash32 as _hash32  # noqa: E402 — shared sampling hash
 
 
 def _hash_keep(doc_id, pct: int) -> bool:
@@ -2009,8 +2004,12 @@ def host_capped_pages(sf_dir: str, k: int = HOST_CAP_K):
 
     def partial(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
+        hosts = crawl.host_of(batch["url"]).to_pylist()
         df = pd.DataFrame({
-            "host": crawl.host_of(batch["url"]).to_pylist(),
+            # schemeless/malformed urls (host None) group under "" and are
+            # capped like any host — pandas groupby drops NaN keys, which
+            # would silently delete those rows instead
+            "host": ["" if h is None else h for h in hosts],
             "url": urls,
             "h": [_hash32(u) for u in urls]})
         d = df.sort_values(["host", "h", "url"], kind="mergesort")
@@ -2141,7 +2140,10 @@ def training_shards_manifest(sf_dir: str):
 
     n_docs = pq.read_metadata(
         os.path.join(sf_dir, "documents.parquet")).num_rows
-    out_dir = f"/tmp/mobile_ocr_training_shards/n{n_docs}"
+    # per-process dir: concurrent sessions (bench + oracle runner) must
+    # not rmtree each other mid-export; digests are content-derived so
+    # determinism is unaffected
+    out_dir = f"/tmp/mobile_ocr_training_shards/n{n_docs}_p{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     mstate.export_training_shards(_docs(sf_dir, ["doc_id", "text"]),
                                   out_dir, n_shards=16)

@@ -342,11 +342,16 @@ def kmeans_labels(ds, k: int = 8, n_iter: int = 5,
     (vectorized ||x||² − 2xCᵀ + ||c||², ties → lowest centroid id) and
     emits per-label partial sums (Σvec, count) keyed by the batch's min
     vec_id. Partials — ≤ k rows per block, never vectors — are combined on
-    the driver in (label, part_key)-sorted order, so centroids are
-    bit-identical across block counts and parallelism (same sorted-
-    summation discipline as stages/linkgraph.pagerank). Empty clusters
-    keep their previous centroid. Init = the k lowest-vec_id vectors
-    (distributed min-k, deterministic).
+    the driver in (label, part_key)-sorted order, making a run exactly
+    reproducible for a FIXED block layout. Across different block layouts
+    the partial sums associate differently, so centroids agree only to
+    float rounding (measured ≲1e-15 relative) and a label can flip for a
+    vector within that epsilon of a centroid-boundary tie — the tests pin
+    allclose-equality across layouts, not bit-equality (contrast
+    linkgraph.pagerank, whose per-node sums are computed inside key
+    partitions and ARE layout-invariant). Empty clusters keep their
+    previous centroid. Init = the k lowest-vec_id vectors (distributed
+    min-k, deterministic).
 
     Returns (vec_id, label, dist) — dist the euclidean distance to the
     winning centroid.

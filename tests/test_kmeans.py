@@ -64,13 +64,26 @@ class TestKMeans:
         assert list(df.label) == list(lab)
         assert np.allclose(df.dist, dist, atol=1e-9)
 
-    def test_partition_invariance_bit_exact(self, ray_session):
+    def test_partition_invariance_allclose(self, ray_session):
+        # across block layouts partial sums associate differently →
+        # centroids agree to float rounding, not bit-exactly (the
+        # docstring's documented contract; 400x8 experiment measured
+        # ~1e-16 relative drift)
         rng = np.random.RandomState(9)
         X = rng.randn(50, 4)
         ids = np.arange(50)
         a = run(emb_ds(ids, X, blocks=1))
         b = run(emb_ds(ids, X, blocks=7))
-        pd.testing.assert_frame_equal(a, b)   # exact, incl. float dist
+        assert list(a.label) == list(b.label)
+        assert np.allclose(a.dist, b.dist, rtol=1e-9)
+
+    def test_same_layout_reproducible(self, ray_session):
+        rng = np.random.RandomState(14)
+        X = rng.randn(60, 5)
+        ids = np.arange(60)
+        a = run(emb_ds(ids, X, blocks=6))
+        b = run(emb_ds(ids, X, blocks=6))
+        pd.testing.assert_frame_equal(a, b)   # exact for a fixed layout
 
     def test_k_exceeds_corpus(self, ray_session):
         X = np.eye(2)

@@ -236,3 +236,8 @@ class TestAnchorTextIndex:
         b = linkgraph.anchor_text_index(links, n_coarse=11).to_pandas() \
             .sort_values("dst_url").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+    def test_meta_content_with_gt(self):
+        from mobile_ocr_api_ray.stages.html_extract import page_metadata
+        html = b'<meta name="description" content="a > b and c">'
+        assert page_metadata(html) == ("", "a > b and c")
