@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_pairs_doubled": a.fingerprint_pairs_doubled,
         "dup_clusters_doubled": a.dup_clusters_doubled,
         "exact_dup_clusters_doubled": a.exact_dup_clusters_doubled,
+        "embedding_dup_clusters_doubled": a.embedding_dup_clusters_doubled,
+        "vocab_coverage": a.vocab_coverage,
         "near_dedup_kept_doubled": a.near_dedup_kept_doubled,
         "decontaminate_docs": a.decontaminate_docs,
         "bloom_decontaminate_docs": a.bloom_decontaminate_docs,
@@ -1317,6 +1319,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS src, m.label
             FROM d JOIN m ON d.text = m.text
             WHERE m.c > 1 ORDER BY src""",
+        # embedding-side cluster ground truth: doubled corpus → every
+        # near-pair is an exact clone, label = min vec_id per embedding
+        "embedding_dup_clusters_doubled": r"""
+            WITH d AS (SELECT vec_id, embedding FROM embeddings
+                       UNION ALL
+                       SELECT vec_id + 1000000, embedding FROM embeddings),
+            m AS (SELECT embedding, min(vec_id) AS label, count(*) AS c
+                  FROM d GROUP BY embedding)
+            SELECT d.vec_id AS src, m.label
+            FROM d JOIN m ON d.embedding = m.embedding
+            WHERE m.c > 1 ORDER BY src""",
+        # top-k word-vocabulary coverage: float division of exact int sums
+        "vocab_coverage": r"""
+            WITH w AS (SELECT unnest(regexp_extract_all(lower(text),
+                                                        '\w+')) AS word
+                       FROM documents),
+            c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+            t AS (SELECT cast(sum(n) AS BIGINT) AS n_total FROM c),
+            topk AS (SELECT n FROM c ORDER BY n DESC, word LIMIT 100)
+            SELECT t.n_total,
+                   cast((SELECT sum(n) FROM topk) AS BIGINT) AS n_covered,
+                   cast(cast((SELECT sum(n) FROM topk) AS BIGINT)
+                        AS DOUBLE) / cast(t.n_total AS DOUBLE) AS coverage
+            FROM t""",
         # anti-join: no qualifying fact row
         "quiet_customers": r"""
             SELECT c_custkey, c_name, c_acctbal FROM customer c

@@ -2150,3 +2150,53 @@ def training_shards_manifest(sf_dir: str):
     t = mstate.shard_manifest_table(out_dir)
     return t.select(["shard_id", "row_count", "content_digest"]) \
             .sort_by("shard_id")
+
+
+def embedding_dup_clusters_doubled(sf_dir: str):
+    """Connected components over the embedding-cosine near-dup pair graph
+    (doubled corpus → every pair is an exact clone at cosine 1.0, so the
+    cluster fixpoint has a SQL ground truth: label = min vec_id per
+    identical embedding). Composes the sign-LSH pair generator with the
+    distributed label-propagation operator — the embedding-side twin of
+    exact_dup_clusters_doubled."""
+    base = _embeddings(sf_dir)
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.add(batch["vec_id"],
+                             pa.scalar(DOUBLE_OFFSET, pa.int64())),
+            "embedding": batch["embedding"]})
+
+    doubled = base.union(base.map_batches(shift, batch_format="pyarrow"))
+    nc = _coarse_hint_for(os.path.join(sf_dir, "embeddings.parquet"), 2)
+    pairs = dedup.embedding_near_pairs(doubled, threshold=0.999999,
+                                       n_coarse=nc)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"]})
+
+    out = dedup.dup_clusters(pairs.map_batches(to_ids,
+                                               batch_format="pyarrow"))
+    return out if isinstance(out, pa.Table) else out.sort("src")
+
+
+def vocab_coverage(sf_dir: str, k: int = 100):
+    """Coverage of the top-k word vocabulary: what fraction of all corpus
+    word occurrences the k most frequent words account for (the first
+    statistic a tokenizer-budget decision reads). Reuses the wordcount
+    combiner; one bounded groupby + a driver-side k-row reduce; single
+    output row (n_total, n_covered, coverage = float division of exact int
+    sums — bit-identical in SQL)."""
+    agg = (_docs(sf_dir, ["text"])
+           .map_batches(_word_count_partial, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    total = int(agg.sum("n") or 0)
+    top = agg.sort(["n", "word"], descending=[True, False]).limit(k) \
+        .to_pandas()
+    covered = int(top["n"].sum())
+    return pa.table({
+        "n_total": pa.array([total], pa.int64()),
+        "n_covered": pa.array([covered], pa.int64()),
+        "coverage": pa.array([float(covered) / float(total)
+                              if total else 0.0], pa.float64())})
