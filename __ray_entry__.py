@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_clusters_doubled": a.exact_dup_clusters_doubled,
         "embedding_dup_clusters_doubled": a.embedding_dup_clusters_doubled,
         "vocab_coverage": a.vocab_coverage,
+        "length_quartile_docs": a.length_quartile_docs,
         "near_dedup_kept_doubled": a.near_dedup_kept_doubled,
         "decontaminate_docs": a.decontaminate_docs,
         "bloom_decontaminate_docs": a.bloom_decontaminate_docs,
@@ -1330,6 +1331,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.vec_id AS src, m.label
             FROM d JOIN m ON d.embedding = m.embedding
             WHERE m.c > 1 ORDER BY src""",
+        # length quartiles via quantile_disc (engine pins the same
+        # ceil(p·n)−1 sorted-index rule)
+        "length_quartile_docs": r"""
+            WITH q AS (SELECT quantile_disc(n_chars, [0.25, 0.5, 0.75])
+                           AS qs FROM documents)
+            SELECT d.doc_id, d.n_chars,
+                   CASE WHEN d.n_chars <= q.qs[1] THEN 'q1'
+                        WHEN d.n_chars <= q.qs[2] THEN 'q2'
+                        WHEN d.n_chars <= q.qs[3] THEN 'q3'
+                        ELSE 'q4' END AS quartile
+            FROM documents d CROSS JOIN q ORDER BY d.doc_id""",
         # top-k word-vocabulary coverage: float division of exact int sums
         "vocab_coverage": r"""
             WITH w AS (SELECT unnest(regexp_extract_all(lower(text),

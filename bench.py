@@ -129,6 +129,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("embedding_dup_clusters_doubled",
           lambda: _pd(a.embedding_dup_clusters_doubled(sf_dir)))
     timed("vocab_coverage", lambda: _pd(a.vocab_coverage(sf_dir)))
+    timed("length_quartile_docs",
+          lambda: a.length_quartile_docs(sf_dir).to_pandas())
     timed("line_dedup_docs", lambda: a.line_dedup_docs(sf_dir).to_pandas())
     timed("dup_window_stats", lambda: _pd(a.dup_window_stats_docs(sf_dir)))
     timed("window_dedup_docs", lambda: _pd(a.window_dedup_docs(sf_dir)))

@@ -2200,3 +2200,45 @@ def vocab_coverage(sf_dir: str, k: int = 100):
         "n_covered": pa.array([covered], pa.int64()),
         "coverage": pa.array([float(covered) / float(total)
                               if total else 0.0], pa.float64())})
+
+
+def length_quartile_docs(sf_dir: str):
+    """Per-doc length-quartile label (q1..q4) against exact corpus-wide
+    n_chars quartiles — the bucketing a curation pipeline uses to
+    stratify by length. Thresholds follow DuckDB's quantile_disc rule
+    (sorted index ceil(p·n)−1, pinned empirically) computed from a
+    distinct-value CDF: per-batch Arrow value-count combiner → one
+    bounded groupby (≤ distinct lengths rows, never the corpus) → tiny
+    driver reduce; assignment is one vectorized pass. Value-exact SQL
+    oracle."""
+    docs = _docs(sf_dir, ["doc_id", "n_chars"]).materialize()
+
+    def vc(batch: pa.Table) -> pa.Table:
+        g = pa.table({"v": batch["n_chars"],
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))}) \
+            .group_by("v").aggregate([("one", "sum")])
+        return pa.table({"v": g["v"], "n": g["one_sum"]})
+
+    cdf = (docs.map_batches(vc, batch_format="pyarrow")
+           .groupby("v").sum("n").to_pandas().sort_values("v"))
+    vals = cdf["v"].to_numpy(np.int64)
+    cnts = cdf["sum(n)"].to_numpy(np.int64)
+    n = int(cnts.sum())
+    cum = np.cumsum(cnts)
+
+    def q_disc(p: float) -> int:
+        target = int(np.ceil(p * n)) - 1          # 0-indexed rank
+        return int(vals[np.searchsorted(cum, target + 1)])
+
+    q1, q2, q3 = (q_disc(p) for p in (0.25, 0.5, 0.75))
+
+    def label(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        lab = np.where(v <= q1, "q1",
+                       np.where(v <= q2, "q2",
+                                np.where(v <= q3, "q3", "q4")))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_chars": batch["n_chars"],
+                         "quartile": pa.array(lab, pa.string())})
+
+    return docs.map_batches(label, batch_format="pyarrow").sort("doc_id")

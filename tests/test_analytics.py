@@ -719,3 +719,21 @@ class TestTemperatureMixing:
         # membership is a pure function: second run identical
         again = analysis.temperature_mixed_docs(sf).to_pandas()
         assert list(again.doc_id) == list(kept.doc_id)
+
+
+class TestLengthQuartiles:
+    def test_labels_match_pandas_rule(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        import numpy as _np
+        sf = "/root/testdata/sf0.001"
+        df = analysis.length_quartile_docs(sf).to_pandas()
+        v = df.n_chars.to_numpy()
+        n = len(v)
+        sv = _np.sort(v)
+        qs = [sv[int(_np.ceil(p * n)) - 1] for p in (0.25, 0.5, 0.75)]
+        want = _np.where(v <= qs[0], "q1",
+                         _np.where(v <= qs[1], "q2",
+                                   _np.where(v <= qs[2], "q3", "q4")))
+        assert list(df.quartile) == list(want)
+        # every quartile bucket non-empty on a 500-doc tier
+        assert set(df.quartile) == {"q1", "q2", "q3", "q4"}
