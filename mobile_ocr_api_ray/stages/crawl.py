@@ -179,7 +179,10 @@ def diff_by_key(old_ds, new_ds, key: str = "url", value_col: str = "html",
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch[key].to_pylist()
+            # null keys normalize to "" so the two generations MATCH on
+            # them (pandas merge treats None as missing and would report
+            # a null-url row as removed+added instead of unchanged)
+            keys = ["" if k is None else k for k in batch[key].to_pylist()]
             vals = batch[value_col].to_pylist()
             digs = [hashlib.md5(v if isinstance(v, bytes)
                                 else (v or "").encode()).hexdigest()

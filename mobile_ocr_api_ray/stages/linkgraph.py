@@ -108,8 +108,10 @@ def host_edges(links_ds, n_coarse: int | None = None):
     nc = n_coarse or N_COARSE
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"src_host": host_of(batch["src_url"]),
-                      "dst_host": host_of(batch["dst_url"]),
+        # unparseable hosts (host_of → null) roll up under "" — the later
+        # pandas groupby drops NaN keys, which would silently delete rows
+        t = pa.table({"src_host": pc.fill_null(host_of(batch["src_url"]), ""),
+                      "dst_host": pc.fill_null(host_of(batch["dst_url"]), ""),
                       "one": pa.array(np.ones(batch.num_rows, np.int64))})
         g = t.group_by(["src_host", "dst_host"]).aggregate([("one", "sum")])
         coarse = np.fromiter(

@@ -241,3 +241,29 @@ class TestAnchorTextIndex:
         from mobile_ocr_api_ray.stages.html_extract import page_metadata
         html = b'<meta name="description" content="a > b and c">'
         assert page_metadata(html) == ("", "a > b and c")
+
+
+class TestNullKeyHardening:
+    def test_host_edges_null_host_kept(self, ray_session):
+        import ray.data
+        links = ray.data.from_arrow(pa.table({
+            "src_url": pa.array(["not-a-url", "https://a.ex/"]),
+            "dst_url": pa.array(["https://b.ex/", "https://b.ex/"]),
+            "anchor_text": pa.array(["", ""])}))
+        out = linkgraph.host_edges(links)
+        df = out.to_pandas() if not isinstance(out, pa.Table) \
+            else out.to_pandas()
+        df = df.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+        assert list(df.itertuples(index=False, name=None)) == [
+            ("", "b.ex", 1), ("a.ex", "b.ex", 1)]
+
+    def test_diff_null_key_unchanged(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages import crawl as c
+        t = pa.table({"url": pa.array([None, "u1"], pa.string()),
+                      "html": pa.array([b"x", b"y"], pa.binary())})
+        ds = ray.data.from_arrow(t)
+        out = c.diff_by_key(ds, ds)
+        df = out.to_pandas() if not isinstance(out, pa.Table) \
+            else out.to_pandas()
+        assert sorted(df.status) == ["unchanged", "unchanged"]
