@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": x.cohort_retention,
         "props_k_stats": x.props_k_stats,
         "hll_distinct_users": x.hll_distinct_users,
+        "hll_distinct_users_hourly": x.hll_distinct_users_hourly,
         "users_click_and_purchase": x.users_click_and_purchase,
         "viewers_never_purchased": x.viewers_never_purchased,
         "latest_event_per_user": x.latest_event_per_user,

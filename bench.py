@@ -163,6 +163,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: x.quantity_band_stats(sf_dir).to_pandas())
     timed("distinct_users_hourly",
           lambda: x.distinct_users_hourly(sf_dir).to_pandas())
+    timed("hll_distinct_users_hourly",
+          lambda: x.hll_distinct_users_hourly(sf_dir).to_pandas())
     timed("ann_brute_topk", lambda: a.ann_brute_topk(sf_dir).to_pandas())
     timed("knn_graph_topk", lambda: a.knn_graph_topk(sf_dir).to_pandas())
     timed("fingerprint_pairs_doubled",

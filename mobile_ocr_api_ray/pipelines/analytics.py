@@ -1292,3 +1292,91 @@ def quiet_customers(sf_dir: str, threshold: float = QUIET_THRESHOLD):
     return _typed_empty_union(filtered, {
         "c_custkey": pa.int64(), "c_name": pa.string(),
         "c_acctbal": pa.float64()})
+
+
+WHLL_P = 8                        # 256 registers/window → ~6.5% std error
+WHLL_M = 1 << WHLL_P
+_WHLL_ALPHA = 0.7213 / (1 + 1.079 / WHLL_M)
+
+
+def _whll_partial(keys: np.ndarray) -> np.ndarray:
+    """256-register HLL partial for ONE window's keys (same splitmix64
+    mix as the global sketch, narrower index)."""
+    regs = np.zeros(WHLL_M, np.int8)
+    if len(keys) == 0:
+        return regs
+    h = keys.astype(np.uint64)
+    h = (h + np.uint64(0x9E3779B97F4A7C15))
+    h ^= h >> np.uint64(30); h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27); h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    idx = (h >> np.uint64(64 - WHLL_P)).astype(np.int64)
+    rest = (h << np.uint64(WHLL_P)) | np.uint64((1 << WHLL_P) - 1)
+    lz = np.zeros(len(h), np.int8)
+    cur = rest
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        cur = np.where(mask, cur << np.uint64(shift), cur)
+    np.maximum.at(regs, idx, lz + 1)
+    return regs
+
+
+def _whll_estimate(regs: np.ndarray) -> float:
+    est = _WHLL_ALPHA * WHLL_M * WHLL_M / np.sum(
+        np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * WHLL_M and zeros:
+        est = WHLL_M * np.log(WHLL_M / zeros)
+    return float(est)
+
+
+def hll_distinct_users_hourly(sf_dir: str):
+    """Approximate count(DISTINCT user_id) PER HOUR — the windowed sketch
+    path: when per-window cardinalities are huge, the exact pair-dedupe
+    shuffle (distinct_users_hourly) carries the true (hour, user)
+    cardinality, while this carries exactly 256 bytes per (hour, batch)
+    REGARDLESS of how many users the window saw. Per-batch per-hour
+    register partials → one hour-keyed groupby with an element-wise max
+    merge (HLL merge is lossless, tested). Rows-only; the estimator is
+    differentially tested against the exact query (±15% at m=256)."""
+    nc = _coarse_events(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                       pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        users = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(hour, kind="mergesort")
+        hour, users = hour[order], users[order]
+        bounds = np.flatnonzero(np.diff(hour.astype(np.int64))) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(hour)]))
+        hs, regs = [], []
+        for s, e in zip(starts, ends):
+            if s == e:
+                continue
+            hs.append(hour[s])
+            regs.append(_whll_partial(users[s:e]).tobytes())
+        coarse = (np.array(hs, "datetime64[h]").astype(np.int64)
+                  % nc).astype(np.int32)
+        return pa.table({
+            "hour": pa.array(list(hs), pa.timestamp("us")),
+            "regs": pa.array(regs, pa.binary()),
+            "coarse": pa.array(coarse)})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        hours, ests = [], []
+        for hr, grp in df.groupby("hour", sort=True):
+            m = np.zeros(WHLL_M, np.int8)
+            for b in grp["regs"]:
+                np.maximum(m, np.frombuffer(b, np.int8), out=m)
+            hours.append(hr)
+            ests.append(round(_whll_estimate(m)))
+        return pd.DataFrame({"hour": hours,
+                             "n_users_approx": pd.array(ests, "int64")})
+
+    return (_pq(sf_dir, "events", ["ts", "user_id"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("coarse").map_groups(merge, batch_format="pandas")
+            .sort("hour"))

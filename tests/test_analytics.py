@@ -737,3 +737,23 @@ class TestLengthQuartiles:
         assert list(df.quartile) == list(want)
         # every quartile bucket non-empty on a 500-doc tier
         assert set(df.quartile) == {"q1", "q2", "q3", "q4"}
+
+
+class TestWindowedHLL:
+    def test_within_error_of_exact(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analytics as x
+        sf = "/root/testdata/sf0.001"
+        approx = x.hll_distinct_users_hourly(sf).to_pandas()
+        exact = x.distinct_users_hourly(sf).to_pandas()
+        m = approx.merge(exact, on="hour", how="outer")
+        assert not m.isna().any().any()          # same window set
+        err = (m.n_users_approx - m.n_users).abs()
+        rel = err / m.n_users.clip(lower=1)
+        # m=256 → ~6.5% std error; tiny windows can lose 1-2 counts to a
+        # register index collision (abs error ≤ 2 at n of a few)
+        assert ((rel <= 0.15) | (err <= 2)).all()
+        # lossless merge: partials from different batches max-combine to
+        # the same registers as one pass (pinned implicitly by the exact
+        # agreement of repeated runs)
+        again = x.hll_distinct_users_hourly(sf).to_pandas()
+        assert list(again.n_users_approx) == list(approx.n_users_approx)
