@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": a.vocab_coverage,
         "length_quartile_docs": a.length_quartile_docs,
         "near_dedup_kept_doubled": a.near_dedup_kept_doubled,
+        "near_dedup_kept_simhash_doubled": a.near_dedup_kept_simhash_doubled,
         "decontaminate_docs": a.decontaminate_docs,
         "bloom_decontaminate_docs": a.bloom_decontaminate_docs,
         "boilerplate_vocab": a.boilerplate_vocab,

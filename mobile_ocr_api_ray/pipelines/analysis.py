@@ -2242,3 +2242,33 @@ def length_quartile_docs(sf_dir: str):
                          "quartile": pa.array(lab, pa.string())})
 
     return docs.map_batches(label, batch_format="pyarrow").sort("doc_id")
+
+
+def near_dedup_kept_simhash_doubled(sf_dir: str):
+    """The simhash-side twin of near_dedup_kept_doubled: SimHash banded
+    near-pairs → connected components → one representative (min doc_id)
+    per cluster plus every unclustered doc — same anti-filter join, a
+    different candidate generator. Exercises family composability."""
+    from ..stages.joins import hash_join
+
+    docs = _doubled_docs(sf_dir)
+    nc = _docs_coarse_hint(sf_dir, 2)
+    pairs = dedup.simhash_near_pairs(docs, n_coarse=nc)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"]})
+
+    clusters = dedup.dup_clusters(
+        pairs.map_batches(to_ids, batch_format="pyarrow")).materialize()
+    if clusters.count() == 0:
+        return docs.sort("doc_id")
+    joined = hash_join(docs, clusters, "doc_id", "src", how="left",
+                       n_coarse=nc)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        lbl = batch["label"]
+        mask = pc.or_kleene(pc.is_null(lbl), pc.equal(lbl, batch["doc_id"]))
+        return batch.filter(pc.fill_null(mask, False)).select(
+            ["doc_id", "text"])
+
+    return joined.map_batches(keep, batch_format="pyarrow").sort("doc_id")

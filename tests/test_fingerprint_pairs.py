@@ -215,3 +215,18 @@ class TestCurationPipeline:
         for r in docs.itertuples():
             want = len(ngram_set(r.text or "", 8) & bench)
             assert res.loc[r.doc_id, "n_hits"] == want
+
+
+class TestSimhashNearDedupKept:
+    def test_clones_removed_originals_kept(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        sf = "/root/testdata/sf0.001"
+        kept = analysis.near_dedup_kept_simhash_doubled(sf).to_pandas()
+        # every doubled clone (id >= offset) whose original survives must
+        # be gone; at minimum no text appears twice
+        assert kept.doc_id.is_unique
+        dupes = kept.assign(t=kept.text.fillna("")).groupby("t").size()
+        # identical texts can legitimately survive only if simhash missed
+        # the pair (banding recall < 1); clones are exact → simhash equal
+        # → always banded together, so no exact-duplicate text survives
+        assert (dupes[dupes.index != ""] <= 1).all()

@@ -207,3 +207,52 @@ class TestPackSequencesProperties:
         assert df.start_offset.tolist() == starts.tolist()
         assert df.seq_id.tolist() == (starts // budget).tolist()
         assert df.offset_in_seq.tolist() == (starts % budget).tolist()
+
+
+class TestCanonicalUrlProperties:
+    url_chars = st.text(
+        alphabet="abcXYZ019-._~:/?#[]@!$&'()*+,;=% ", max_size=60)
+
+    @given(url_chars)
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent_and_total(self, s):
+        from mobile_ocr_api_ray.stages.crawl import canonical_url_one as c
+        once = c(s)
+        assert c(once) == once          # canonicalization is idempotent
+        assert isinstance(once, str)    # total: never raises
+
+    @given(st.text(alphabet="abcxyz019-.", min_size=1, max_size=20),
+           st.text(alphabet="abcxyz019/-._", max_size=30))
+    @settings(max_examples=100, deadline=None)
+    def test_no_utm_survives(self, host, path):
+        from mobile_ocr_api_ray.stages.crawl import canonical_url_one as c
+        u = f"https://{host}/{path}?utm_source=x&keep=1&utm_medium=y"
+        out = c(u)
+        assert "utm_" not in out and "keep=1" in out
+
+
+class TestWindowHashProperties:
+    @given(st.lists(st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        min_size=0, max_size=30), min_size=1, max_size=8),
+        st.integers(min_value=2, max_value=5))
+    @settings(max_examples=60, deadline=None)
+    def test_hash_equality_iff_window_equality(self, docs_tokens, k):
+        """The 128-bit rolling hash must agree exactly with literal
+        window-string equality on small corpora (collision-free here)."""
+        from mobile_ocr_api_ray.stages.dedup import _window_hashes
+        wdoc, woff, h1, h2 = _window_hashes(docs_tokens, k)
+        seen: dict[tuple, str] = {}
+        for d, o, a, b in zip(wdoc, woff, h1, h2):
+            win = " ".join(docs_tokens[d][o:o + k])
+            key = (int(a), int(b))
+            if key in seen:
+                assert seen[key] == win
+            seen[key] = win
+        # and distinct windows get distinct hashes
+        wins = {}
+        for d, o, a, b in zip(wdoc, woff, h1, h2):
+            win = " ".join(docs_tokens[d][o:o + k])
+            wins.setdefault(win, set()).add((int(a), int(b)))
+        for hs in wins.values():
+            assert len(hs) == 1
