@@ -171,6 +171,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: a.fingerprint_pairs_doubled(sf_dir).to_pandas())
     timed("ann_ivf_topk", lambda: a.ann_ivf_topk(sf_dir).to_pandas())
     timed("kmeans_labels", lambda: _pd(a.kmeans_labels(sf_dir)))
+    timed("doc_cluster_labels", lambda: _pd(a.doc_cluster_labels(sf_dir)))
     timed("image_meta", lambda: a.image_meta(sf_dir).to_pandas())
     timed("pdf_page_rows", lambda: a.pdf_page_rows(sf_dir).to_pandas())
     timed("boilerplate_scrubbed_docs",

@@ -2272,3 +2272,14 @@ def near_dedup_kept_simhash_doubled(sf_dir: str):
             ["doc_id", "text"])
 
     return joined.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_cluster_labels(sf_dir: str):
+    """End-to-end text clustering with zero external models: documents →
+    feature-hashed bag-of-words vectors (hashing trick, 128-dim) →
+    full-corpus Lloyd k-means (k=8). The whole chain is deterministic, so
+    labels are a pure function of the corpus."""
+    vecs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        text_analysis.hashed_doc_vectors, batch_format="pyarrow")
+    out = similarity.kmeans_labels(vecs, k=8, n_iter=5)
+    return out if isinstance(out, pa.Table) else out.sort("vec_id")

@@ -471,3 +471,36 @@ def compressibility(batch: pa.Table, text_col: str = "text",
         "n_bytes": pa.array(nb, pa.int64()),
         "n_compressed": pa.array(nc, pa.int64()),
         "compress_ratio": pa.array(ratio, pa.float64())})
+
+
+HASH_VEC_DIM = 128
+
+
+def hashed_doc_vectors(batch: pa.Table, text_col: str = "text",
+                       dim: int = HASH_VEC_DIM) -> pa.Table:
+    """Feature-hashed bag-of-words document vectors (Weinberger et al.,
+    ICML'09 hashing trick): token → index crc32(tok) % dim with a sign bit
+    from the same hash, counts accumulated and L2-normalized. Gives every
+    doc a dense float64[dim] embedding from text alone — feeds the ANN /
+    k-means / centroid operators without any external model. Deterministic
+    (crc32), one pass, no shuffle."""
+    texts = batch[text_col].to_pylist()
+    out = np.zeros((len(texts), dim), np.float64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if not toks:
+            continue
+        hs = np.fromiter((zlib.crc32(w.encode()) for w in toks),
+                         np.uint64, len(toks))
+        idx = (hs % np.uint64(dim)).astype(np.int64)
+        sign = np.where((hs >> np.uint64(16)) & np.uint64(1), 1.0, -1.0)
+        np.add.at(out[i], idx, sign)
+    norms = np.linalg.norm(out, axis=1)
+    norms[norms == 0] = 1.0
+    out /= norms[:, None]
+    ids = batch["doc_id"] if "doc_id" in batch.column_names else \
+        pa.array(np.arange(len(texts), dtype=np.int64))
+    return pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([r.tolist() for r in out],
+                              pa.list_(pa.float64()))})

@@ -100,3 +100,36 @@ class TestKMeans:
         out = similarity.kmeans_labels(ds)
         assert isinstance(out, pa.Table)
         assert out.num_rows == 0
+
+
+class TestHashedVectors:
+    def test_deterministic_and_unit_norm(self):
+        from mobile_ocr_api_ray.stages import text_analysis as ta
+        t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array(["alpha beta gamma", "alpha beta gamma",
+                                        None])})
+        a = ta.hashed_doc_vectors(t)
+        b = ta.hashed_doc_vectors(t)
+        assert a.equals(b)
+        v0 = np.array(a["embedding"][0].as_py())
+        v1 = np.array(a["embedding"][1].as_py())
+        assert np.allclose(v0, v1)
+        assert abs(np.linalg.norm(v0) - 1.0) < 1e-12
+        assert np.allclose(a["embedding"][2].as_py(), 0.0)  # empty → zero
+
+    def test_disjoint_vocab_orthogonalish(self):
+        from mobile_ocr_api_ray.stages import text_analysis as ta
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["cat dog bird fish " * 10,
+                                        "table chair lamp desk " * 10])})
+        v = ta.hashed_doc_vectors(t)
+        a = np.array(v["embedding"][0].as_py())
+        b = np.array(v["embedding"][1].as_py())
+        assert abs(float(a @ b)) < 0.5   # disjoint vocab → low cosine
+
+    def test_cluster_query(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        df1 = analysis.doc_cluster_labels("/root/testdata/sf0.001")
+        df1 = df1.to_pandas() if not isinstance(df1, pa.Table) \
+            else df1.to_pandas()
+        assert len(df1) > 0 and df1.label.nunique() > 1
