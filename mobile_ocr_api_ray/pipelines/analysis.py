@@ -2143,7 +2143,16 @@ def training_shards_manifest(sf_dir: str):
     # per-process dir: concurrent sessions (bench + oracle runner) must
     # not rmtree each other mid-export; digests are content-derived so
     # determinism is unaffected
-    out_dir = f"/tmp/mobile_ocr_training_shards/n{n_docs}_p{os.getpid()}"
+    base = "/tmp/mobile_ocr_training_shards"
+    out_dir = f"{base}/n{n_docs}_p{os.getpid()}"
+    # reap scratch dirs left by exited processes (per-PID isolation keeps
+    # concurrent runs safe; dead owners' dirs would otherwise accumulate)
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            pid = d.rsplit("_p", 1)[-1]
+            if pid.isdigit() and int(pid) != os.getpid() \
+                    and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     mstate.export_training_shards(_docs(sf_dir, ["doc_id", "text"]),
                                   out_dir, n_shards=16)

@@ -179,10 +179,12 @@ def diff_by_key(old_ds, new_ds, key: str = "url", value_col: str = "html",
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            # null keys normalize to "" so the two generations MATCH on
-            # them (pandas merge treats None as missing and would report
-            # a null-url row as removed+added instead of unchanged)
-            keys = ["" if k is None else k for k in batch[key].to_pylist()]
+            # null keys normalize to a NUL sentinel (cannot appear in a
+            # real url, so no collision with a genuine "" key) so the two
+            # generations MATCH on them — pandas merge treats None as
+            # missing and would report a null-url row as removed+added
+            keys = ["\x00" if k is None else k
+                    for k in batch[key].to_pylist()]
             vals = batch[value_col].to_pylist()
             digs = [hashlib.md5(v if isinstance(v, bytes)
                                 else (v or "").encode()).hexdigest()
@@ -198,9 +200,17 @@ def diff_by_key(old_ds, new_ds, key: str = "url", value_col: str = "html",
         return fn
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # defensive: the documented precondition is one row per key per
+        # side (run latest_rows_per_key first); if violated, keep the
+        # lexicographically-smallest digest deterministically instead of
+        # letting the outer merge cross-product duplicate keys
         old = df[df["side"] == 0][["key", "digest"]] \
+            .sort_values(["key", "digest"], kind="mergesort") \
+            .drop_duplicates("key") \
             .rename(columns={"digest": "old_digest"})
         new = df[df["side"] == 1][["key", "digest"]] \
+            .sort_values(["key", "digest"], kind="mergesort") \
+            .drop_duplicates("key") \
             .rename(columns={"digest": "new_digest"})
         m = old.merge(new, on="key", how="outer")
         old_d = m["old_digest"]

@@ -97,8 +97,11 @@ def extract_html(html_bytes: bytes) -> tuple[str, float, list[dict]]:
 
 _TITLE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>",
                     re.IGNORECASE | re.DOTALL)
-# quoted attribute values may contain '>' — consume quoted runs atomically
-_META = re.compile(r"""<meta\b(?:[^>"']|"[^"]*"|'[^']*')*>""", re.IGNORECASE)
+# quoted attribute values may contain '>' — consume quoted runs atomically;
+# the quoted runs exclude '<' so an UNCLOSED quote can't swallow following
+# markup (it just fails the tag match → meta skipped, desc stays "")
+_META = re.compile(r"""<meta\b(?:[^>"']|"[^"<]*"|'[^'<]*')*>""",
+                   re.IGNORECASE)
 _META_NAME_DESC = re.compile(
     r"""\bname\s*=\s*("description"|'description'|description\b)""",
     re.IGNORECASE)

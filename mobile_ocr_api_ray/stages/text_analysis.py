@@ -498,8 +498,11 @@ def hashed_doc_vectors(batch: pa.Table, text_col: str = "text",
     norms = np.linalg.norm(out, axis=1)
     norms[norms == 0] = 1.0
     out /= norms[:, None]
-    ids = batch["doc_id"] if "doc_id" in batch.column_names else \
-        pa.array(np.arange(len(texts), dtype=np.int64))
+    if "doc_id" not in batch.column_names:
+        # a per-batch arange would restart at 0 in every batch and
+        # silently conflate documents downstream — ids must come in
+        raise ValueError("hashed_doc_vectors requires a doc_id column")
+    ids = batch["doc_id"]
     return pa.table({
         "vec_id": ids,
         "embedding": pa.array([r.tolist() for r in out],

@@ -89,7 +89,10 @@ def write_partition(table: pa.Table, out_dir: str, partition_id: int,
         h.update(b"\x00")
         h.update((t or "").encode())
         h.update(b"\x01")
-    row_range = [min(urls), max(urls)] if urls else [None, None]
+    # range over the ORIGINAL key values (stringified ints sort
+    # lexicographically — "10" < "2" — which would invert the range)
+    raw_keys = [k for k in table[key_col].to_pylist() if k is not None]
+    row_range = [min(raw_keys), max(raw_keys)] if raw_keys else [None, None]
     nbytes = os.path.getsize(final)
     wall_ms = (time.time() - t_start) * 1e3  # sort + write + digest, as documented
     manifest = {
@@ -192,6 +195,10 @@ def export_training_shards(ds, out_dir: str, n_shards: int = 16,
 
     done = completed_partitions(out_dir)
     todo = sorted(set(range(n_shards)) - done)
+    if not todo:
+        # exact resume of a finished export must not re-scan the corpus
+        return {"completed_before": len(done), "completed_now": 0,
+                "out_dir": out_dir, "n_shards": n_shards}
 
     def add_shard(batch: pa.Table) -> pa.Table:
         sh = [h32(v) % n_shards for v in batch[key_col].to_pylist()]

@@ -61,3 +61,19 @@ class TestTrainingExport:
         import pyarrow.parquet as pq
         n = pq.read_metadata(os.path.join(SF, "documents.parquet")).num_rows
         assert sum(t["row_count"].to_pylist()) == n
+
+    def test_resume_of_finished_export_is_noop(self, ray_session):
+        shutil.rmtree(OUT, ignore_errors=True)
+        mstate.export_training_shards(docs_ds(), OUT, n_shards=8)
+        s = mstate.export_training_shards(docs_ds(), OUT, n_shards=8)
+        assert s == {"completed_before": 8, "completed_now": 0,
+                     "out_dir": OUT, "n_shards": 8}
+
+    def test_row_range_numeric_not_lexicographic(self, ray_session):
+        shutil.rmtree(OUT, ignore_errors=True)
+        mstate.export_training_shards(docs_ds(30), OUT, n_shards=1)
+        import json, os as _os
+        m = json.load(open(_os.path.join(OUT, "_manifest",
+                                         "part-00000.json")))
+        lo, hi = m["row_range"]
+        assert lo <= hi and lo == 0 and hi == 29
