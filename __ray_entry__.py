@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": a.ann_lsh_topk,
         "kmeans_labels": a.kmeans_labels,
         "doc_cluster_labels": a.doc_cluster_labels,
+        "nb_source_predictions": a.nb_source_predictions,
         "ann_ivf_topk": a.ann_ivf_topk,
         "minhash_pairs_doubled": a.minhash_pairs_doubled,
         "minhash_pairs_two_pass_doubled": a.minhash_pairs_two_pass_doubled,

@@ -172,6 +172,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("ann_ivf_topk", lambda: a.ann_ivf_topk(sf_dir).to_pandas())
     timed("kmeans_labels", lambda: _pd(a.kmeans_labels(sf_dir)))
     timed("doc_cluster_labels", lambda: _pd(a.doc_cluster_labels(sf_dir)))
+    timed("nb_source_predictions",
+          lambda: a.nb_source_predictions(sf_dir).to_pandas())
     timed("image_meta", lambda: a.image_meta(sf_dir).to_pandas())
     timed("pdf_page_rows", lambda: a.pdf_page_rows(sf_dir).to_pandas())
     timed("boilerplate_scrubbed_docs",

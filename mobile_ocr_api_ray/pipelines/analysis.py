@@ -2292,3 +2292,33 @@ def doc_cluster_labels(sf_dir: str):
         text_analysis.hashed_doc_vectors, batch_format="pyarrow")
     out = similarity.kmeans_labels(vecs, k=8, n_iter=5)
     return out if isinstance(out, pa.Table) else out.sort("vec_id")
+
+
+def nb_source_predictions(sf_dir: str):
+    """Self-train/self-predict Naive Bayes over documents: fit P(word |
+    source) with one distributed count aggregation, broadcast the bounded
+    model (top-2000-word vocab) into a vectorized predict pass, emit
+    (doc_id, source, pred, correct). The end-to-end 'train a filter model
+    on the corpus' loop (fastText-style quality/source classifiers) with
+    zero external dependencies."""
+    docs = _docs(sf_dir, ["doc_id", "text", "source"]).materialize()
+    model = text_analysis.nb_fit(docs)
+    mref = ray.put(model)
+
+    class Predict:
+        def __init__(self, ref):
+            self.model = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = text_analysis.nb_predict(batch, self.model)
+            correct = pc.equal(out["pred"],
+                               pc.cast(batch["source"], pa.string()))
+            return pa.table({
+                "doc_id": out["doc_id"],
+                "source": batch["source"],
+                "pred": out["pred"],
+                "correct": pc.fill_null(correct, False)})
+
+    return docs.map_batches(Predict, fn_constructor_kwargs={"ref": mref},
+                            batch_format="pyarrow", concurrency=4,
+                            num_cpus=0.5).sort("doc_id")

@@ -507,3 +507,100 @@ def hashed_doc_vectors(batch: pa.Table, text_col: str = "text",
         "vec_id": ids,
         "embedding": pa.array([r.tolist() for r in out],
                               pa.list_(pa.float64()))})
+
+
+NB_VOCAB_K = 2000
+
+
+def nb_fit(docs_ds, text_col: str = "text", label_col: str = "source",
+           vocab_k: int = NB_VOCAB_K) -> dict:
+    """Fit a multinomial Naive Bayes text classifier ON the engine —
+    count-based fitting is exactly a distributed aggregation:
+      1. per-batch (word, label) count combiner (Arrow group_by) →
+         one bounded groupby — the only shuffle;
+      2. vocabulary capped to the top ``vocab_k`` corpus words
+         (count desc, word asc — the word_freq_top rule) so the broadcast
+         model is bounded regardless of corpus vocabulary;
+      3. Laplace-smoothed log P(w|label) + log prior per label.
+    Tokens are lowered ``\\w+`` words (the wordcount tokenizer). Returns a
+    plain dict model (labels, vocab index, log-prob matrix) — small enough
+    to ride task closures."""
+    import re as _re
+
+    word_re = _re.compile(r"\w+")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: "Counter[tuple]" = Counter()
+        docs_per: "Counter[str]" = Counter()
+        for t, lab in zip(batch[text_col].to_pylist(),
+                          batch[label_col].to_pylist()):
+            lab = lab or ""
+            docs_per[lab] += 1
+            c.update((w, lab) for w in word_re.findall((t or "").lower()))
+        rows = [(w, lab, n, 0) for (w, lab), n in c.items()]
+        rows += [("", lab, 0, n) for lab, n in docs_per.items()]
+        return pa.table({
+            "word": pa.array([r[0] for r in rows], pa.string()),
+            "label": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[3] for r in rows], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (docs_ds.map_batches(counts, batch_format="pyarrow")
+           .groupby(["word", "label"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    doc_rows = agg[agg["word"] == ""]
+    wc = agg[agg["word"] != ""]
+    labels = sorted(doc_rows["label"].unique())
+    n_docs_per = {r.label: int(r.n_docs)
+                  for r in doc_rows.itertuples()}
+    total_docs = sum(n_docs_per.values())
+
+    totals = wc.groupby("word", as_index=False)["n"].sum() \
+        .sort_values(["n", "word"], ascending=[False, True],
+                     kind="mergesort").head(vocab_k)
+    vocab = {w: i for i, w in enumerate(totals["word"])}
+
+    v = len(vocab)
+    mat = np.zeros((len(labels), v), np.int64)
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    in_vocab = wc[wc["word"].isin(vocab)]
+    mat[[lab_idx[l] for l in in_vocab["label"]],
+        [vocab[w] for w in in_vocab["word"]]] = in_vocab["n"].to_numpy()
+    tok_per_label = mat.sum(axis=1)
+    logp = np.log((mat + 1).astype(np.float64)
+                  / (tok_per_label + v)[:, None].astype(np.float64))
+    log_prior = np.log(np.array([n_docs_per[l] for l in labels],
+                                np.float64) / float(total_docs))
+    return {"labels": labels, "vocab": vocab, "logp": logp,
+            "log_prior": log_prior}
+
+
+def nb_predict(batch: pa.Table, model: dict, text_col: str = "text",
+               id_col: str = "doc_id") -> pa.Table:
+    """Vectorized prediction against a broadcast NB model: per doc, a
+    sparse count vector over the model vocabulary → counts · logpᵀ +
+    prior, argmax (tie → first/lexicographically-smallest label)."""
+    import re as _re
+
+    word_re = _re.compile(r"\w+")
+    vocab = model["vocab"]
+    logp = model["logp"]
+    texts = batch[text_col].to_pylist()
+    scores = np.tile(model["log_prior"], (len(texts), 1))
+    for i, t in enumerate(texts):
+        idxs = [vocab[w] for w in word_re.findall((t or "").lower())
+                if w in vocab]
+        if idxs:
+            cnt = np.bincount(idxs, minlength=logp.shape[1])
+            scores[i] += logp @ cnt.astype(np.float64)
+    pred = np.argmax(scores, axis=1)   # argmax ties → lowest index
+    labels = model["labels"]
+    return pa.table({
+        id_col: batch[id_col],
+        "pred": pa.array([labels[p] for p in pred], pa.string())})

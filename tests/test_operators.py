@@ -859,3 +859,83 @@ class TestCompressibility:
             .to_pandas()
         assert len(df) > 0
         assert ((df.compress_ratio > 0) & (df.compress_ratio <= 1.5)).all()
+
+
+class TestNaiveBayes:
+    def _fit_brute(self, docs, vocab_k=2000):
+        """Pure-python NB recompute with the same rules."""
+        import re, math
+        from collections import Counter
+        wre = re.compile(r"\w+")
+        wc, dc, tot = Counter(), Counter(), Counter()
+        for _, t, lab in docs:
+            dc[lab] += 1
+            for w in wre.findall((t or "").lower()):
+                wc[(w, lab)] += 1
+                tot[w] += 1
+        vocab = [w for w, _ in sorted(tot.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:vocab_k]]
+        vset = {w: i for i, w in enumerate(vocab)}
+        labels = sorted(dc)
+        return wre, vset, labels, wc, dc
+
+    def _predict_brute(self, fit, text):
+        import math
+        wre, vset, labels, wc, dc = fit
+        v = len(vset)
+        tok_per = {l: sum(n for (w, ll), n in wc.items()
+                          if ll == l and w in vset) for l in labels}
+        total = sum(dc.values())
+        best, best_s = None, None
+        for l in labels:
+            s = math.log(dc[l] / total)
+            for w in wre.findall((text or "").lower()):
+                if w in vset:
+                    s += math.log((wc.get((w, l), 0) + 1) / (tok_per[l] + v))
+            if best_s is None or s > best_s + 1e-12:
+                best, best_s = l, s
+        return best
+
+    def test_separable_sources(self, ray_session):
+        import ray.data
+        docs = [(i, "alpha beta gamma delta " * 3, "s1") for i in range(10)]
+        docs += [(i + 10, "omega psi chi phi " * 3, "s2") for i in range(10)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "source": pa.array([d[2] for d in docs])}))
+        model = text_analysis.nb_fit(ds)
+        out = text_analysis.nb_predict(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["beta gamma alpha", "chi phi omega"])}), model)
+        assert out["pred"].to_pylist() == ["s1", "s2"]
+
+    def test_differential_vs_brute(self, ray_session):
+        import ray.data
+        rng = np.random.RandomState(6)
+        vocabs = {"a": [f"w{i}" for i in range(15)],
+                  "b": [f"w{i}" for i in range(8, 25)]}
+        docs = []
+        for i in range(40):
+            lab = "a" if i % 2 else "b"
+            docs.append((i, " ".join(rng.choice(vocabs[lab], 20)), lab))
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "source": pa.array([d[2] for d in docs])}))
+        model = text_analysis.nb_fit(ds)
+        fit = self._fit_brute(docs)
+        batch = pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs])})
+        got = text_analysis.nb_predict(batch, model)["pred"].to_pylist()
+        want = [self._predict_brute(fit, d[1]) for d in docs]
+        assert got == want
+
+    def test_corpus_accuracy_above_chance(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        df = analysis.nb_source_predictions("/root/testdata/sf0.001") \
+            .to_pandas()
+        n_sources = df.source.nunique()
+        acc = df.correct.mean()
+        assert acc > 1.5 / n_sources
