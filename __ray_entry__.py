@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_labels": a.kmeans_labels,
         "doc_cluster_labels": a.doc_cluster_labels,
         "nb_source_predictions": a.nb_source_predictions,
+        "kwic_snippets": a.kwic_snippets,
         "ann_ivf_topk": a.ann_ivf_topk,
         "minhash_pairs_doubled": a.minhash_pairs_doubled,
         "minhash_pairs_two_pass_doubled": a.minhash_pairs_two_pass_doubled,
@@ -1335,6 +1336,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.vec_id AS src, m.label
             FROM d JOIN m ON d.embedding = m.embedding
             WHERE m.c > 1 ORDER BY src""",
+        # keyword-in-context snippets: 1-based pos + fixed-width window,
+        # substring/position semantics shared with the engine slice
+        "kwic_snippets": r"""
+            SELECT doc_id,
+                   cast(position('data' IN lower(coalesce(text, '')))
+                        AS BIGINT) AS pos,
+                   substring(coalesce(text, ''),
+                             greatest(1, position('data' IN
+                                 lower(coalesce(text, ''))) - 40),
+                             80 + length('data')) AS snippet
+            FROM documents
+            WHERE position('data' IN lower(coalesce(text, ''))) > 0
+            ORDER BY doc_id""",
         # length quartiles via quantile_disc (engine pins the same
         # ceil(p·n)−1 sorted-index rule)
         "length_quartile_docs": r"""

@@ -2322,3 +2322,45 @@ def nb_source_predictions(sf_dir: str):
     return docs.map_batches(Predict, fn_constructor_kwargs={"ref": mref},
                             batch_format="pyarrow", concurrency=4,
                             num_cpus=0.5).sort("doc_id")
+
+
+KWIC_TERM = "data"
+KWIC_CTX = 40
+
+
+def kwic_snippets(sf_dir: str, term: str = KWIC_TERM, ctx: int = KWIC_CTX):
+    """Keyword-in-context snippets: for every doc containing ``term``
+    (case-insensitive, first occurrence), a ±ctx-char window around the
+    match — the search-result/debug view over an extracted corpus. One
+    vectorized find + slice per batch, no shuffle; value-exact SQL oracle
+    (DuckDB position/substring agree with the codeunit slice on this
+    ASCII corpus). Returns (doc_id, pos — 1-based like SQL, snippet)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        pos = pc.find_substring(pc.utf8_lower(txt), term.lower())
+        mask = pc.greater_equal(pos, 0)
+        t = batch.filter(mask)
+        txt_f = pc.fill_null(t["text"], "")
+        p = pos.to_numpy(zero_copy_only=False)
+        p = p[mask.to_numpy(zero_copy_only=False)]
+        starts = np.maximum(0, p - ctx)
+        width = 2 * ctx + len(term)
+        # per-distinct-start slices (starts vary per row; slice kernel is
+        # scalar-offset — group rows by start offset, one kernel call per
+        # distinct offset present in the batch)
+        snips = np.empty(len(p), object)
+        for s in np.unique(starts):
+            rows = np.flatnonzero(starts == s)
+            sub = pc.utf8_slice_codeunits(
+                txt_f.combine_chunks().take(pa.array(rows)),
+                int(s), int(s) + width)
+            for j, r in enumerate(rows):
+                snips[r] = sub[j].as_py()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pos": pa.array((p + 1).astype(np.int64)),
+            "snippet": pa.array(list(snips), pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(kernel, batch_format="pyarrow").sort("doc_id")
