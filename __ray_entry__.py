@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": a.line_dedup_docs,
         "dup_window_stats": a.dup_window_stats_docs,
         "window_dedup_docs": a.window_dedup_docs,
+        "cross_corpus_overlap": a.cross_corpus_overlap,
         "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
         "sample_docs": a.sample_docs,
         "stratified_sample_docs": a.stratified_sample_docs,

@@ -134,6 +134,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("line_dedup_docs", lambda: a.line_dedup_docs(sf_dir).to_pandas())
     timed("dup_window_stats", lambda: _pd(a.dup_window_stats_docs(sf_dir)))
     timed("window_dedup_docs", lambda: _pd(a.window_dedup_docs(sf_dir)))
+    timed("cross_corpus_overlap",
+          lambda: _pd(a.cross_corpus_overlap(sf_dir)))
     timed("packed_sequences", lambda: _pd(a.packed_sequences(sf_dir)))
     timed("gopher_quality_flags",
           lambda: a.gopher_quality_flags(sf_dir).to_pandas())

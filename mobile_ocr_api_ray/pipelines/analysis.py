@@ -2364,3 +2364,20 @@ def kwic_snippets(sf_dir: str, term: str = KWIC_TERM, ctx: int = KWIC_CTX):
 
     return _docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(kernel, batch_format="pyarrow").sort("doc_id")
+
+
+def cross_corpus_overlap(sf_dir: str):
+    """Documents × extracted-web-text window overlap: run the flagship
+    extraction over the crawl corpus, then measure per-document 13-token
+    window overlap against the extracted text — the cross-dataset eval-
+    decontamination check (GPT-3 App. C at 13-gram granularity), with the
+    reference side produced by the engine's own extraction pipeline."""
+    d = _pages_dir_for(sf_dir)
+    extracted = extract_pipeline(
+        read_pages(os.path.join(d, "pages.parquet"))) \
+        .select_columns(["extracted_text"])
+    nc = _docs_coarse_hint(sf_dir, 2)
+    out = dedup.cross_window_overlap(
+        _docs(sf_dir, ["doc_id", "text"]), extracted,
+        ref_text_col="extracted_text", n_coarse=nc, n_coarse_docs=nc)
+    return out if isinstance(out, pa.Table) else out.sort("doc_id")

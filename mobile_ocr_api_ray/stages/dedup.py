@@ -1490,3 +1490,105 @@ def window_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return nonempty_or_typed_table(out, {
         id_col: pa.int64(), "clean_text": pa.string(),
         "n_removed_tokens": pa.int64(), "n_tokens": pa.int64()})
+
+
+def cross_window_overlap(docs_ds, ref_ds, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         ref_text_col: str = "text",
+                         k: int = WINDOW_K,
+                         n_coarse: int | None = None,
+                         n_coarse_docs: int | None = None):
+    """Cross-corpus window overlap: for every doc, how many of its k-token
+    windows also occur ANYWHERE in a reference corpus — the cross-dataset
+    form of eval decontamination (Brown et al. GPT-3 App. C measure
+    overlap of training docs against benchmarks at 13-gram granularity;
+    here either side can be 100 TB). Same two-bucketed-shuffle shape as
+    dup_window_stats: window hashes only (never text) cross the first
+    exchange; the reference side pre-collapses to DISTINCT hashes per
+    batch (combiner) so a massive reference costs its distinct-window
+    count, not its token count. Returns (doc_id, n_windows,
+    n_overlap_windows, overlap_ratio) for docs with ≥1 window."""
+    nc = n_coarse or N_COARSE
+    ncd = n_coarse_docs or nc
+
+    def explode_docs(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        toks = [(t or "").split() for t in texts]
+        wdoc, _, h1, h2 = _window_hashes(toks, k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(wdoc) == 0:
+            return pa.table({"_id": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "coarse": pa.array([], pa.int32())})
+        t = pa.table({"_id": pa.array(ids[wdoc]),
+                      "h1": pa.array(h1.view(np.int64)),
+                      "h2": pa.array(h2.view(np.int64)),
+                      "one": pa.array(np.ones(len(wdoc), np.int64))})
+        g = t.group_by(["_id", "h1", "h2"]).aggregate([("one", "sum")])
+        coarse = (g["h1"].to_numpy().view(np.uint64) % np.uint64(nc))
+        return pa.table({"_id": g["_id"], "h1": g["h1"], "h2": g["h2"],
+                         "cnt": g["one_sum"],
+                         "coarse": pa.array(coarse.astype(np.int32))})
+
+    def explode_ref(batch: pa.Table) -> pa.Table:
+        texts = batch[ref_text_col].to_pylist()
+        toks = [(t or "").split() for t in texts]
+        _, _, h1, h2 = _window_hashes(toks, k)
+        if len(h1) == 0:
+            return pa.table({"_id": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "coarse": pa.array([], pa.int32())})
+        # reference side: DISTINCT hashes only (membership, not counts)
+        t = pa.table({"h1": pa.array(h1.view(np.int64)),
+                      "h2": pa.array(h2.view(np.int64))})
+        g = t.group_by(["h1", "h2"]).aggregate([])
+        n = g.num_rows
+        coarse = (g["h1"].to_numpy().view(np.uint64) % np.uint64(nc))
+        return pa.table({
+            "_id": pa.array(np.full(n, -1, np.int64)),   # ref sentinel
+            "h1": g["h1"], "h2": g["h2"],
+            "cnt": pa.array(np.zeros(n, np.int64)),
+            "coarse": pa.array(coarse.astype(np.int32))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        ref = df[df["_id"] < 0][["h1", "h2"]].drop_duplicates()
+        doc = df[df["_id"] >= 0]
+        hit = doc.merge(ref.assign(_in=True), on=["h1", "h2"], how="left")
+        cnt = hit["cnt"].to_numpy()
+        out = pd.DataFrame({
+            "_id": hit["_id"].to_numpy(),
+            "n_part": cnt,
+            "n_hit_part": np.where(hit["_in"].notna(), cnt, 0)})
+        out = out.groupby("_id", as_index=False).sum()
+        out["dcoarse"] = (out["_id"] % ncd).astype(np.int32)
+        return out
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_id", as_index=False)[["n_part", "n_hit_part"]] \
+            .sum()
+        return pd.DataFrame({
+            "_id": g["_id"].astype("int64"),
+            "n_windows": g["n_part"].astype("int64"),
+            "n_overlap_windows": g["n_hit_part"].astype("int64"),
+            "overlap_ratio": g["n_hit_part"].to_numpy(np.float64)
+                             / g["n_part"].to_numpy(np.float64)})
+
+    out = (docs_ds.map_batches(explode_docs, batch_format="pyarrow")
+           .union(ref_ds.map_batches(explode_ref, batch_format="pyarrow"))
+           .groupby("coarse").map_groups(resolve, batch_format="pandas")
+           .groupby("dcoarse").map_groups(per_doc, batch_format="pandas"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["_id"],
+                         "n_windows": batch["n_windows"],
+                         "n_overlap_windows": batch["n_overlap_windows"],
+                         "overlap_ratio": batch["overlap_ratio"]})
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    return nonempty_or_typed_table(out, {
+        id_col: pa.int64(), "n_windows": pa.int64(),
+        "n_overlap_windows": pa.int64(), "overlap_ratio": pa.float64()})

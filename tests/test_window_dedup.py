@@ -194,3 +194,56 @@ class TestWindowDedup:
         assert list(out.n_tokens) == [0, 0]
         out2 = run_dedup(ray_session, [])
         assert len(out2) == 0
+
+
+class TestCrossWindowOverlap:
+    def _run(self, ray_session, docs, refs, **kw):
+        import ray.data
+        dds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string())}))
+        rds = ray.data.from_arrow(pa.table({
+            "text": pa.array(refs, pa.string())}))
+        out = dedup.cross_window_overlap(dds, rds, **kw)
+        if isinstance(out, pa.Table):
+            return out.to_pandas()
+        return out.sort("doc_id").to_pandas()
+
+    W = " ".join(f"w{i}" for i in range(13))
+
+    def test_hand_overlap(self, ray_session):
+        docs = [(0, self.W + " tail x y"),          # first window overlaps
+                (1, "totally different tokens " + " ".join(
+                    f"z{i}" for i in range(12)))]
+        refs = ["prefix " + self.W + " suffix"]
+        out = self._run(ray_session, docs, refs)
+        assert list(out.n_overlap_windows) == [1, 0]
+        assert out.overlap_ratio[0] == 1.0 / out.n_windows[0]
+
+    def test_within_ref_repeats_count_once(self, ray_session):
+        docs = [(0, self.W)]
+        refs = [self.W, self.W, self.W]   # membership, not multiplicity
+        out = self._run(ray_session, docs, refs)
+        assert list(out.n_overlap_windows) == [1]
+
+    def test_differential_random(self, ray_session):
+        rng = np.random.RandomState(17)
+        vocab = [f"v{i}" for i in range(8)]
+        docs = [(i, " ".join(rng.choice(vocab, rng.randint(0, 30))))
+                for i in range(30)]
+        refs = [" ".join(rng.choice(vocab, rng.randint(0, 30)))
+                for _ in range(10)]
+        k = 4
+        out = self._run(ray_session, docs, refs, k=k)
+        ref_wins = set()
+        for t in refs:
+            tk = t.split()
+            ref_wins.update(" ".join(tk[i:i + k])
+                            for i in range(len(tk) - k + 1))
+        for _, row in out.iterrows():
+            tk = dict(docs)[row.doc_id].split()
+            wins = [" ".join(tk[i:i + k])
+                    for i in range(len(tk) - k + 1)]
+            want = sum(1 for w in wins if w in ref_wins)
+            assert row.n_overlap_windows == want
+            assert row.n_windows == len(wins)
