@@ -2311,8 +2311,10 @@ def nb_source_predictions(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             out = text_analysis.nb_predict(batch, self.model)
+            # fit maps null labels to '' — compare against the same
             correct = pc.equal(out["pred"],
-                               pc.cast(batch["source"], pa.string()))
+                               pc.fill_null(pc.cast(batch["source"],
+                                                    pa.string()), ""))
             return pa.table({
                 "doc_id": out["doc_id"],
                 "source": batch["source"],
@@ -2341,29 +2343,25 @@ def kwic_snippets(sf_dir: str, term: str = KWIC_TERM, ctx: int = KWIC_CTX):
         pos = pc.find_substring(pc.utf8_lower(txt), term.lower())
         mask = pc.greater_equal(pos, 0)
         t = batch.filter(mask)
-        txt_f = pc.fill_null(t["text"], "")
         p = pos.to_numpy(zero_copy_only=False)
         p = p[mask.to_numpy(zero_copy_only=False)]
         starts = np.maximum(0, p - ctx)
         width = 2 * ctx + len(term)
-        # per-distinct-start slices (starts vary per row; slice kernel is
-        # scalar-offset — group rows by start offset, one kernel call per
-        # distinct offset present in the batch)
-        snips = np.empty(len(p), object)
-        for s in np.unique(starts):
-            rows = np.flatnonzero(starts == s)
-            sub = pc.utf8_slice_codeunits(
-                txt_f.combine_chunks().take(pa.array(rows)),
-                int(s), int(s) + width)
-            for j, r in enumerate(rows):
-                snips[r] = sub[j].as_py()
+        # per-row offsets vary, so the scalar-offset Arrow slice kernel
+        # doesn't apply; plain code-point slicing matches DuckDB
+        # substring exactly and is one pass
+        texts = pc.fill_null(t["text"], "").to_pylist()
+        snips = [x[s:s + width] for x, s in zip(texts, starts)]
         return pa.table({
             "doc_id": t["doc_id"],
             "pos": pa.array((p + 1).astype(np.int64)),
-            "snippet": pa.array(list(snips), pa.string())})
+            "snippet": pa.array(snips, pa.string())})
 
-    return _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(kernel, batch_format="pyarrow").sort("doc_id")
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(kernel, batch_format="pyarrow")
+    out = dedup.nonempty_or_typed_table(out, {
+        "doc_id": pa.int64(), "pos": pa.int64(), "snippet": pa.string()})
+    return out if isinstance(out, pa.Table) else out.sort("doc_id")
 
 
 def cross_corpus_overlap(sf_dir: str):

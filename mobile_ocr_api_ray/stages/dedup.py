@@ -1280,6 +1280,46 @@ def _window_hashes(tokens_per_doc: "list[list[str]]", k: int):
     return wdoc, woff, poly(_WIN_B1), poly(_WIN_B2)
 
 
+def _window_count_rows(batch: pa.Table, id_col: str, text_col: str,
+                       k: int, nc: int, side: int) -> pa.Table:
+    """Shared window combiner for dup_window_stats / cross_window_overlap:
+    (id, h1, h2) copy counts per batch, coarse = h1 % nc, plus a ``side``
+    tag (0 = doc side, 1 = reference side) so the two operators key their
+    shuffles identically by construction."""
+    texts = batch[text_col].to_pylist()
+    toks = [(t or "").split() for t in texts]
+    wdoc, _, h1, h2 = _window_hashes(toks, k)
+    empty = pa.table({"_id": pa.array([], pa.int64()),
+                      "side": pa.array([], pa.int8()),
+                      "h1": pa.array([], pa.int64()),
+                      "h2": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64()),
+                      "coarse": pa.array([], pa.int32())})
+    if len(wdoc) == 0:
+        return empty
+    if id_col is not None:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"_id": pa.array(ids[wdoc]),
+                      "h1": pa.array(h1.view(np.int64)),
+                      "h2": pa.array(h2.view(np.int64)),
+                      "one": pa.array(np.ones(len(wdoc), np.int64))})
+        g = t.group_by(["_id", "h1", "h2"]).aggregate([("one", "sum")])
+        cnt = g["one_sum"]
+    else:
+        # reference side: DISTINCT window membership, ids irrelevant
+        t = pa.table({"h1": pa.array(h1.view(np.int64)),
+                      "h2": pa.array(h2.view(np.int64))})
+        g = t.group_by(["h1", "h2"]).aggregate([])
+        g = g.append_column("_id", pa.array(
+            np.zeros(g.num_rows, np.int64)))
+        cnt = pa.array(np.zeros(g.num_rows, np.int64))
+    coarse = (g["h1"].to_numpy().view(np.uint64) % np.uint64(nc))
+    return pa.table({"_id": g["_id"],
+                     "side": pa.array(np.full(g.num_rows, side, np.int8)),
+                     "h1": g["h1"], "h2": g["h2"], "cnt": cnt,
+                     "coarse": pa.array(coarse.astype(np.int32))})
+
+
 def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
                      k: int = WINDOW_K, min_docs: int = 2,
                      n_coarse: int | None = None,
@@ -1310,25 +1350,7 @@ def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
     ncd = n_coarse_docs or nc
 
     def explode(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        toks = [(t or "").split() for t in texts]
-        wdoc, _, h1, h2 = _window_hashes(toks, k)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(wdoc) == 0:
-            return pa.table({"_id": pa.array([], pa.int64()),
-                             "h1": pa.array([], pa.int64()),
-                             "h2": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64()),
-                             "coarse": pa.array([], pa.int32())})
-        t = pa.table({"_id": pa.array(ids[wdoc]),
-                      "h1": pa.array(h1.view(np.int64)),
-                      "h2": pa.array(h2.view(np.int64)),
-                      "one": pa.array(np.ones(len(wdoc), np.int64))})
-        g = t.group_by(["_id", "h1", "h2"]).aggregate([("one", "sum")])
-        coarse = (g["h1"].to_numpy().view(np.uint64) % np.uint64(nc))
-        return pa.table({"_id": g["_id"], "h1": g["h1"], "h2": g["h2"],
-                         "cnt": g["one_sum"],
-                         "coarse": pa.array(coarse.astype(np.int32))})
+        return _window_count_rows(batch, id_col, text_col, k, nc, side=0)
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         # all copies of a given (h1, h2) are in this partition
@@ -1512,51 +1534,18 @@ def cross_window_overlap(docs_ds, ref_ds, id_col: str = "doc_id",
     ncd = n_coarse_docs or nc
 
     def explode_docs(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        toks = [(t or "").split() for t in texts]
-        wdoc, _, h1, h2 = _window_hashes(toks, k)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(wdoc) == 0:
-            return pa.table({"_id": pa.array([], pa.int64()),
-                             "h1": pa.array([], pa.int64()),
-                             "h2": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64()),
-                             "coarse": pa.array([], pa.int32())})
-        t = pa.table({"_id": pa.array(ids[wdoc]),
-                      "h1": pa.array(h1.view(np.int64)),
-                      "h2": pa.array(h2.view(np.int64)),
-                      "one": pa.array(np.ones(len(wdoc), np.int64))})
-        g = t.group_by(["_id", "h1", "h2"]).aggregate([("one", "sum")])
-        coarse = (g["h1"].to_numpy().view(np.uint64) % np.uint64(nc))
-        return pa.table({"_id": g["_id"], "h1": g["h1"], "h2": g["h2"],
-                         "cnt": g["one_sum"],
-                         "coarse": pa.array(coarse.astype(np.int32))})
+        return _window_count_rows(batch, id_col, text_col, k, nc, side=0)
 
     def explode_ref(batch: pa.Table) -> pa.Table:
-        texts = batch[ref_text_col].to_pylist()
-        toks = [(t or "").split() for t in texts]
-        _, _, h1, h2 = _window_hashes(toks, k)
-        if len(h1) == 0:
-            return pa.table({"_id": pa.array([], pa.int64()),
-                             "h1": pa.array([], pa.int64()),
-                             "h2": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64()),
-                             "coarse": pa.array([], pa.int32())})
-        # reference side: DISTINCT hashes only (membership, not counts)
-        t = pa.table({"h1": pa.array(h1.view(np.int64)),
-                      "h2": pa.array(h2.view(np.int64))})
-        g = t.group_by(["h1", "h2"]).aggregate([])
-        n = g.num_rows
-        coarse = (g["h1"].to_numpy().view(np.uint64) % np.uint64(nc))
-        return pa.table({
-            "_id": pa.array(np.full(n, -1, np.int64)),   # ref sentinel
-            "h1": g["h1"], "h2": g["h2"],
-            "cnt": pa.array(np.zeros(n, np.int64)),
-            "coarse": pa.array(coarse.astype(np.int32))})
+        # reference side: DISTINCT hashes only (membership, not counts);
+        # an explicit side tag — NOT an id sentinel — separates the
+        # streams, so negative doc ids on the docs side stay valid
+        return _window_count_rows(batch, None, ref_text_col, k, nc,
+                                  side=1)
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        ref = df[df["_id"] < 0][["h1", "h2"]].drop_duplicates()
-        doc = df[df["_id"] >= 0]
+        ref = df[df["side"] == 1][["h1", "h2"]].drop_duplicates()
+        doc = df[df["side"] == 0]
         hit = doc.merge(ref.assign(_in=True), on=["h1", "h2"], how="left")
         cnt = hit["cnt"].to_numpy()
         out = pd.DataFrame({

@@ -527,7 +527,8 @@ def nb_fit(docs_ds, text_col: str = "text", label_col: str = "source",
     to ride task closures."""
     import re as _re
 
-    word_re = _re.compile(r"\w+")
+    # ASCII \w+ — the same tokenizer class as the wordcount oracle family
+    word_re = _re.compile(r"\w+", _re.ASCII)
 
     def counts(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -553,18 +554,30 @@ def nb_fit(docs_ds, text_col: str = "text", label_col: str = "source",
            .groupby(["word", "label"])
            .aggregate(Sum("n", alias_name="n"),
                       Sum("n_docs", alias_name="n_docs"))
-           .to_pandas())
-    doc_rows = agg[agg["word"] == ""]
-    wc = agg[agg["word"] != ""]
+           .materialize())
+    # top-k vocab computed ON the engine (word_freq_top's sort/limit
+    # rule) — the driver pulls k rows, never the full (word, label)
+    # aggregate (O(vocab × labels) on web text)
+    totals = (agg.groupby("word").sum("n")
+              .sort(["sum(n)", "word"], descending=[True, False])
+              .limit(vocab_k + 1).to_pandas())
+    totals = totals[totals["word"] != ""].head(vocab_k)
+    vocab = {w: i for i, w in enumerate(totals["word"])}
+
+    vocab_arr = pa.array(list(vocab), pa.string())
+
+    def in_model(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.is_in(batch["word"], value_set=vocab_arr),
+                      pc.equal(batch["word"], ""))
+        return batch.filter(keep)
+
+    pulled = agg.map_batches(in_model, batch_format="pyarrow").to_pandas()
+    doc_rows = pulled[pulled["word"] == ""]
+    wc = pulled[pulled["word"] != ""]
     labels = sorted(doc_rows["label"].unique())
     n_docs_per = {r.label: int(r.n_docs)
                   for r in doc_rows.itertuples()}
     total_docs = sum(n_docs_per.values())
-
-    totals = wc.groupby("word", as_index=False)["n"].sum() \
-        .sort_values(["n", "word"], ascending=[False, True],
-                     kind="mergesort").head(vocab_k)
-    vocab = {w: i for i, w in enumerate(totals["word"])}
 
     v = len(vocab)
     mat = np.zeros((len(labels), v), np.int64)
@@ -588,7 +601,7 @@ def nb_predict(batch: pa.Table, model: dict, text_col: str = "text",
     prior, argmax (tie → first/lexicographically-smallest label)."""
     import re as _re
 
-    word_re = _re.compile(r"\w+")
+    word_re = _re.compile(r"\w+", _re.ASCII)
     vocab = model["vocab"]
     logp = model["logp"]
     texts = batch[text_col].to_pylist()
