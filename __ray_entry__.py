@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_scrubbed_docs": a.boilerplate_scrubbed_docs,
         "curated_docs": a.curated_docs,
         "langid_docs": a.langid_docs,
+        "langid_confusion": a.langid_confusion,
         "fingerprint_docs": a.fingerprint_docs,
         "tfidf_top_terms": a.tfidf_top_terms,
         "summarize_docs": a.summarize_docs,
@@ -227,6 +228,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_eng > c_ind THEN 'eng' ELSE 'ind' END AS lang_pred,
                    cast(greatest(c_eng, c_ind) AS BIGINT) AS lang_evidence
             FROM c ORDER BY doc_id""",
+        # confusion matrix over the same langid expression
+        "langid_confusion": rf"""
+            WITH c AS (
+              SELECT doc_id, coalesce(lang, '') AS lang,
+                     length(regexp_extract_all(lower(coalesce(text, '')), '{alt_eng}')) AS c_eng,
+                     length(regexp_extract_all(lower(coalesce(text, '')), '{alt_ind}')) AS c_ind
+              FROM documents),
+            p AS (SELECT lang,
+                         CASE WHEN greatest(c_eng, c_ind) = 0
+                                   OR c_eng = c_ind THEN 'und'
+                              WHEN c_eng > c_ind THEN 'eng'
+                              ELSE 'ind' END AS lang_pred
+                  FROM c)
+            SELECT lang, lang_pred, cast(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
         # doubled-corpus embedding near-dups: the only pairs with cosine ≥
         # 0.999999 among gaussian vectors are the exact clones → list equality
         "embedding_pairs_doubled": r"""

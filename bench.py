@@ -177,6 +177,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("nb_source_predictions",
           lambda: a.nb_source_predictions(sf_dir).to_pandas())
     timed("kwic_snippets", lambda: a.kwic_snippets(sf_dir).to_pandas())
+    timed("langid_confusion", lambda: a.langid_confusion(sf_dir).to_pandas())
     timed("image_meta", lambda: a.image_meta(sf_dir).to_pandas())
     timed("pdf_page_rows", lambda: a.pdf_page_rows(sf_dir).to_pandas())
     timed("boilerplate_scrubbed_docs",

@@ -2379,3 +2379,29 @@ def cross_corpus_overlap(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"]), extracted,
         ref_text_col="extracted_text", n_coarse=nc, n_coarse_docs=nc)
     return out if isinstance(out, pa.Table) else out.sort("doc_id")
+
+
+def langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: predicted lang (n-gram heuristic) vs
+    the table's lang label, with counts — the eval view of the lang-ID
+    operator. In-batch combiner → one tiny groupby; value-exact oracle
+    reuses the langid SQL expression."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = text_analysis.lang_id(batch)
+        t = pa.table({
+            "lang": pc.fill_null(pc.cast(batch["lang"], pa.string()), ""),
+            "lang_pred": pred["lang_pred"],
+            "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(["lang", "lang_pred"]).aggregate([("one", "sum")])
+        return pa.table({"lang": g["lang"], "lang_pred": g["lang_pred"],
+                         "n": g["one_sum"]})
+
+    return (_docs(sf_dir, ["doc_id", "text", "lang"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "lang_pred"]).sum("n")
+            .map_batches(lambda b: pa.table({
+                "lang": b["lang"], "lang_pred": b["lang_pred"],
+                "n": pc.cast(b["sum(n)"], pa.int64())}),
+                batch_format="pyarrow")
+            .sort(["lang", "lang_pred"]))

@@ -256,3 +256,23 @@ class TestWindowHashProperties:
             wins.setdefault(win, set()).add((int(a), int(b)))
         for hs in wins.values():
             assert len(hs) == 1
+
+
+class TestHtmlKernelTotality:
+    raw = st.binary(max_size=400)
+
+    @given(raw)
+    @settings(max_examples=150, deadline=None)
+    def test_page_metadata_total(self, payload):
+        from mobile_ocr_api_ray.stages.html_extract import page_metadata
+        t, d = page_metadata(payload)
+        assert isinstance(t, str) and isinstance(d, str)
+
+    @given(raw)
+    @settings(max_examples=150, deadline=None)
+    def test_page_out_links_total(self, payload):
+        from mobile_ocr_api_ray.stages.linkgraph import page_out_links
+        out = page_out_links("https://h.example/p", payload)
+        for u, txt in out:
+            assert u.startswith(("http://", "https://"))
+            assert "#" not in u
