@@ -160,6 +160,7 @@ def _pagerank_local(edges: pd.DataFrame, damping: float,
     partition-invariance property of the distributed path (sums don't
     depend on n_coarse) is exactly what makes this 1-partition execution
     equal it float-for-float — pinned by test_local_matches_distributed."""
+    edges = edges[edges["w"] > 0]
     out_w = edges.groupby("src")["w"].sum()
     nodes = sorted(set(edges["src"]) | set(edges["dst"]))
     n = len(nodes)
@@ -178,7 +179,7 @@ def _pagerank_local(edges: pd.DataFrame, damping: float,
         base = (1.0 - damping) / n + damping * dmass / n
         c = pd.DataFrame({"dst": edges["dst"], "src": edges["src"],
                           "c": frac * pr[edges["src"]].to_numpy(np.float64)})
-        g = c.sort_values(["dst", "src"], kind="mergesort") \
+        g = c.sort_values(["dst", "src", "c"], kind="mergesort") \
              .groupby("dst", sort=True)["c"].sum()
         pr = base + damping * g.reindex(nodes, fill_value=0.0)
     return pa.table({"node": pa.array(nodes, pa.string()),
@@ -211,7 +212,12 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
 
     nc = n_coarse or N_COARSE
 
-    edges_mat = edges_ds.materialize()
+    def positive(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(
+            batch[weight_col].cast(pa.int64()), pa.scalar(0, pa.int64())))
+
+    edges_mat = edges_ds.map_batches(positive,
+                                     batch_format="pyarrow").materialize()
     n_edges = edges_mat.count()
     if n_edges == 0:
         return pa.table({"node": pa.array([], pa.string()),
@@ -328,7 +334,7 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
         if combine:
             # partial per (dst, partition): sorted by src first so the
             # partial itself is deterministic for a fixed n_coarse
-            out = out.sort_values(["dst", "src"], kind="mergesort")
+            out = out.sort_values(["dst", "src", "c"], kind="mergesort")
             out = out.groupby("dst", as_index=False)["c"].sum()
             out["src"] = ""   # partial rows: combiner id not needed
         out_t = pa.table({
@@ -381,7 +387,9 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
         base = (1.0 - damping) / n_nodes + damping * dmass / n_nodes
 
         def new_rank(df: pd.DataFrame, base=base) -> pd.DataFrame:
-            d = df.sort_values(["dst", "src"], kind="mergesort")
+            # (dst, src, c): parallel duplicate edges tie on (dst, src) —
+            # the value key fixes their summation order too
+            d = df.sort_values(["dst", "src", "c"], kind="mergesort")
             g = d.groupby("dst", sort=True)["c"].sum()
             return pd.DataFrame({
                 "node": g.index.to_numpy(),

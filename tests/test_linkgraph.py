@@ -267,3 +267,34 @@ class TestNullKeyHardening:
         df = out.to_pandas() if not isinstance(out, pa.Table) \
             else out.to_pandas()
         assert sorted(df.status) == ["unchanged", "unchanged"]
+
+
+class TestPageRankEdgeCases:
+    def test_zero_weight_edges_mean_dangling(self, ray_session):
+        # b's only out-edge has weight 0 → b must be treated as dangling
+        # (0-weight fracs would otherwise NaN-poison or vanish b's mass)
+        rows = [("a", "b", 1), ("b", "a", 0)]
+        out = pr_of(linkgraph.pagerank(edges_ds(rows)))
+        assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+        assert all(np.isfinite(v) for v in out.values())
+
+    def test_self_loop(self, ray_session):
+        rows = [("a", "a", 2), ("a", "b", 1), ("b", "a", 1)]
+        out = pr_of(linkgraph.pagerank(edges_ds(rows)))
+        assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+        assert out["a"] > out["b"]
+
+    def test_parallel_duplicate_edges_deterministic(self, ray_session):
+        # duplicate (src, dst) rows: each contributes its own share; the
+        # (dst, src, c) sort key keeps sums bit-deterministic
+        rows = [("a", "b", 1), ("a", "b", 2), ("b", "a", 1)]
+        a = pr_of(linkgraph.pagerank(edges_ds(rows), n_coarse=3,
+                                     local_edges_max=0))
+        b = pr_of(linkgraph.pagerank(edges_ds(rows), n_coarse=3,
+                                     local_edges_max=0))
+        assert a == b
+        # numerically equals the graph with the parallel edges merged
+        merged = pr_of(linkgraph.pagerank(edges_ds(
+            [("a", "b", 3), ("b", "a", 1)])))
+        for k in merged:
+            assert a[k] == pytest.approx(merged[k], rel=1e-12)
