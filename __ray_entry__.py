@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph_edges": a.host_graph_edges,
         "host_pagerank": a.host_pagerank,
         "page_metadata": a.page_metadata,
+        "title_body_pairs": a.title_body_pairs,
         "anchor_text_summary": a.anchor_text_summary,
         "pdf_page_rows": a.pdf_page_rows,
         "doc_structure_stats": a.doc_structure_stats,

@@ -200,6 +200,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("bigram_freq_top", lambda: a.bigram_freq_top(sf_dir).to_pandas())
     timed("host_pagerank", lambda: _pd(a.host_pagerank(sf_dir)))
     timed("page_metadata", lambda: a.page_metadata(sf_dir).to_pandas())
+    timed("title_body_pairs", lambda: a.title_body_pairs(sf_dir).to_pandas())
     timed("anchor_text_summary", lambda: _pd(a.anchor_text_summary(sf_dir)))
     timed("sliding_event_counts",
           lambda: x.sliding_event_counts(sf_dir).to_pandas())

@@ -2405,3 +2405,57 @@ def langid_confusion(sf_dir: str):
                 "n": pc.cast(b["sum(n)"], pa.int64())}),
                 batch_format="pyarrow")
             .sort(["lang", "lang_pred"]))
+
+
+PAIR_BODY_CHARS = 200
+
+
+def title_body_pairs(sf_dir: str):
+    """Retrieval-style training pairs from the crawl: per page, (title →
+    body) as the positive and the PREVIOUS page's body in the batch as the
+    in-batch negative (np.roll — the standard contrastive construction;
+    negatives are deliberately batch-local, which is exactly how they are
+    consumed at training time). Title comes from page metadata, body from
+    the flagship extraction, joined on url; pages with an empty title or
+    body drop out. Returns (url, title, body, neg_body) with bodies
+    truncated to 200 chars."""
+    from ..stages import html_extract
+    from ..stages.joins import hash_join
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+
+    def meta(batch: pa.Table) -> pa.Table:
+        titles = []
+        for p in batch["html"].to_pylist():
+            titles.append(html_extract.page_metadata(p)[0]
+                          if p is not None else "")
+        return pa.table({"url": batch["url"],
+                         "title": pa.array(titles, pa.string())})
+
+    titles = pages.map_batches(meta, batch_format="pyarrow")
+    bodies = extract_pipeline(
+        read_pages(os.path.join(d, "pages.parquet"))) \
+        .select_columns(["url", "extracted_text"])
+    joined = hash_join(titles, bodies, "url", "url", how="inner",
+                       n_coarse=_docs_coarse_hint(sf_dir, 2))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["title"], "")
+        b = pc.utf8_slice_codeunits(
+            pc.fill_null(batch["extracted_text"], ""), 0, PAIR_BODY_CHARS)
+        keep = pc.and_(pc.greater(pc.utf8_length(t), 0),
+                       pc.greater(pc.utf8_length(b), 0))
+        f = pa.table({"url": batch["url"], "title": t, "body": b}) \
+            .filter(keep)
+        if f.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "title": pa.array([], pa.string()),
+                             "body": pa.array([], pa.string()),
+                             "neg_body": pa.array([], pa.string())})
+        bod = f["body"].to_pylist()
+        neg = np.roll(np.array(bod, object), 1).tolist()
+        return f.append_column("neg_body", pa.array(neg, pa.string()))
+
+    return joined.map_batches(pairs, batch_format="pyarrow").sort("url")

@@ -169,3 +169,19 @@ class TestExtractionEval:
         assert (df.n_byte_exact == df.n_guaranteed).all()
         assert df.n_rows.sum() >= 1000
         assert set(df.payload_kind) >= {"html", "image", "pdf"}
+
+
+class TestTitleBodyPairs:
+    def test_pairs_shape(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        df = analysis.title_body_pairs("/root/testdata/sf0.001").to_pandas()
+        assert len(df) > 500                      # most pages are HTML
+        assert (df.title.str.len() > 0).all()
+        assert (df.body.str.len() > 0).all()
+        assert (df.neg_body.str.len() > 0).all()
+        # in-batch negative: overwhelmingly different from the positive
+        assert (df.body != df.neg_body).mean() > 0.99
+        # titles match the independent metadata kernel output
+        meta = analysis.page_metadata("/root/testdata/sf0.001").to_pandas()
+        m = df.merge(meta, on="url")
+        assert (m.title_x == m.title_y).all()
