@@ -1815,32 +1815,35 @@ def kmeans_labels(sf_dir: str):
     return out if isinstance(out, pa.Table) else out.sort("vec_id")
 
 
+def _page_meta_kernel(batch: pa.Table) -> pa.Table:
+    """Shared per-batch metadata kernel: (url, title, meta_description),
+    empty strings for null/non-HTML payloads."""
+    from ..stages import html_extract
+
+    titles, descs = [], []
+    for p in batch["html"].to_pylist():
+        if p is None:
+            titles.append("")
+            descs.append("")
+            continue
+        t, m = html_extract.page_metadata(p)
+        titles.append(t)
+        descs.append(m)
+    return pa.table({
+        "url": batch["url"],
+        "title": pa.array(titles, pa.string()),
+        "meta_description": pa.array(descs, pa.string())})
+
+
 def page_metadata(sf_dir: str):
     """Per-page metadata (title, meta description) over the crawl corpus
     — empty strings for non-HTML payloads. Vectorized over the html
     column with the same per-row kernel class as extraction."""
-    from ..stages import html_extract
-
     d = _pages_dir_for(sf_dir)
     pages = read_pages(os.path.join(d, "pages.parquet"),
                        columns=["url", "html"])
-
-    def kernel(batch: pa.Table) -> pa.Table:
-        titles, descs = [], []
-        for p in batch["html"].to_pylist():
-            if p is None:
-                titles.append("")
-                descs.append("")
-                continue
-            t, m = html_extract.page_metadata(p)
-            titles.append(t)
-            descs.append(m)
-        return pa.table({
-            "url": batch["url"],
-            "title": pa.array(titles, pa.string()),
-            "meta_description": pa.array(descs, pa.string())})
-
-    return pages.map_batches(kernel, batch_format="pyarrow").sort("url")
+    return pages.map_batches(_page_meta_kernel,
+                             batch_format="pyarrow").sort("url")
 
 
 def anchor_text_summary(sf_dir: str):
@@ -2397,7 +2400,7 @@ def langid_confusion(sf_dir: str):
         return pa.table({"lang": g["lang"], "lang_pred": g["lang_pred"],
                          "n": g["one_sum"]})
 
-    return (_docs(sf_dir, ["doc_id", "text", "lang"])
+    return (_docs(sf_dir, ["text", "lang"])
             .map_batches(partial, batch_format="pyarrow")
             .groupby(["lang", "lang_pred"]).sum("n")
             .map_batches(lambda b: pa.table({
@@ -2419,29 +2422,20 @@ def title_body_pairs(sf_dir: str):
     the flagship extraction, joined on url; pages with an empty title or
     body drop out. Returns (url, title, body, neg_body) with bodies
     truncated to 200 chars."""
-    from ..stages import html_extract
     from ..stages.joins import hash_join
 
     d = _pages_dir_for(sf_dir)
     pages = read_pages(os.path.join(d, "pages.parquet"),
                        columns=["url", "html"])
-
-    def meta(batch: pa.Table) -> pa.Table:
-        titles = []
-        for p in batch["html"].to_pylist():
-            titles.append(html_extract.page_metadata(p)[0]
-                          if p is not None else "")
-        return pa.table({"url": batch["url"],
-                         "title": pa.array(titles, pa.string())})
-
-    titles = pages.map_batches(meta, batch_format="pyarrow")
+    titles = pages.map_batches(_page_meta_kernel, batch_format="pyarrow") \
+        .select_columns(["url", "title"])
     bodies = extract_pipeline(
         read_pages(os.path.join(d, "pages.parquet"))) \
         .select_columns(["url", "extracted_text"])
     joined = hash_join(titles, bodies, "url", "url", how="inner",
                        n_coarse=_docs_coarse_hint(sf_dir, 2))
 
-    def pairs(batch: pa.Table) -> pa.Table:
+    def project(batch: pa.Table) -> pa.Table:
         t = pc.fill_null(batch["title"], "")
         b = pc.utf8_slice_codeunits(
             pc.fill_null(batch["extracted_text"], ""), 0, PAIR_BODY_CHARS)
@@ -2449,13 +2443,27 @@ def title_body_pairs(sf_dir: str):
                        pc.greater(pc.utf8_length(b), 0))
         f = pa.table({"url": batch["url"], "title": t, "body": b}) \
             .filter(keep)
-        if f.num_rows == 0:
-            return pa.table({"url": pa.array([], pa.string()),
-                             "title": pa.array([], pa.string()),
-                             "body": pa.array([], pa.string()),
-                             "neg_body": pa.array([], pa.string())})
-        bod = f["body"].to_pylist()
-        neg = np.roll(np.array(bod, object), 1).tolist()
-        return f.append_column("neg_body", pa.array(neg, pa.string()))
+        urls = f["url"].to_pylist()
+        coarse = np.fromiter((zlib.crc32((u or "").encode())
+                              for u in urls), np.int64, len(urls)) % 64
+        return f.append_column("negc",
+                               pa.array(coarse.astype(np.int32)))
 
-    return joined.map_batches(pairs, batch_format="pyarrow").sort("url")
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # negatives assigned within a url-hash bucket, rows url-sorted →
+        # deterministic across runs/partitionings (bucket membership is a
+        # pure function of the key); single-row buckets (no true negative
+        # available) drop rather than emit neg == pos
+        d = df.sort_values("url", kind="mergesort")
+        if len(d) < 2:
+            return pd.DataFrame({"url": pd.array([], "string"),
+                                 "title": pd.array([], "string"),
+                                 "body": pd.array([], "string"),
+                                 "neg_body": pd.array([], "string")})
+        neg = np.roll(d["body"].to_numpy(object), 1)
+        return pd.DataFrame({"url": d["url"], "title": d["title"],
+                             "body": d["body"], "neg_body": neg})
+
+    return (joined.map_batches(project, batch_format="pyarrow")
+            .groupby("negc").map_groups(pairs, batch_format="pandas")
+            .sort("url"))

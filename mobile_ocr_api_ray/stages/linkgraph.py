@@ -65,6 +65,8 @@ def page_out_links(url: str, html_bytes: bytes) -> list[tuple[str, str]]:
     """
     doc = html_bytes.decode("utf-8", errors="replace")
     doc = _DROP_ELEMENTS.sub(" ", doc)
+    from urllib.parse import urlunsplit
+
     out: list[tuple[str, str]] = []
     for m in _ANCHOR_HREF.finditer(doc):
         href = _html.unescape(m.group(2) if m.group(2) is not None
@@ -72,12 +74,20 @@ def page_out_links(url: str, html_bytes: bytes) -> list[tuple[str, str]]:
         href = href.strip()
         if not href:
             continue
-        resolved = urljoin(url, href)
-        resolved, _, _ = resolved.partition("#")
-        parts = urlsplit(resolved)
-        if parts.scheme not in _KEEP_SCHEMES or not parts.netloc:
+        try:
+            resolved = urljoin(url, href)
+            resolved, _, _ = resolved.partition("#")
+            parts = urlsplit(resolved)
+        except ValueError:
+            # stdlib raises on e.g. malformed IPv6-bracket hosts — one
+            # bad href on one page must not kill the task (kernel is
+            # total, like every extraction kernel)
             continue
-        out.append((resolved, _visible_text(m.group(4))))
+        if parts.scheme.lower() not in _KEEP_SCHEMES or not parts.netloc:
+            continue
+        out.append((urlunsplit((parts.scheme.lower(), parts.netloc,
+                                parts.path, parts.query, "")),
+                    _visible_text(m.group(4))))
     return out
 
 
@@ -160,6 +170,7 @@ def _pagerank_local(edges: pd.DataFrame, damping: float,
     partition-invariance property of the distributed path (sums don't
     depend on n_coarse) is exactly what makes this 1-partition execution
     equal it float-for-float — pinned by test_local_matches_distributed."""
+    # guard for DIRECT local calls; pagerank() pre-filters via positive()
     edges = edges[edges["w"] > 0]
     out_w = edges.groupby("src")["w"].sum()
     nodes = sorted(set(edges["src"]) | set(edges["dst"]))

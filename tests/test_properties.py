@@ -276,3 +276,15 @@ class TestHtmlKernelTotality:
         for u, txt in out:
             assert u.startswith(("http://", "https://"))
             assert "#" not in u
+
+    def test_malformed_ipv6_href_skipped(self):
+        from mobile_ocr_api_ray.stages.linkgraph import page_out_links
+        html = b'<a href="http://[x">bad</a><a href="/ok">ok</a>'
+        out = page_out_links("https://h.example/p", html)
+        assert out == [("https://h.example/ok", "ok")]
+
+    def test_uppercase_scheme_normalized(self):
+        from mobile_ocr_api_ray.stages.linkgraph import page_out_links
+        out = page_out_links("https://h.example/p",
+                             b'<a href="HTTP://EX.COM/x">a</a>')
+        assert out == [("http://EX.COM/x", "a")]
