@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewers_never_purchased": x.viewers_never_purchased,
         "latest_event_per_user": x.latest_event_per_user,
         "sliding_event_counts": x.sliding_event_counts,
+        "event_type_transitions": x.event_type_transitions,
         "monthly_revenue_growth": x.monthly_revenue_growth,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
@@ -1391,6 +1392,17 @@ def oracle_sql() -> dict[str, str]:
                    cast(cast((SELECT sum(n) FROM topk) AS BIGINT)
                         AS DOUBLE) / cast(t.n_total AS DOUBLE) AS coverage
             FROM t""",
+        # per-user consecutive event-type transition counts (lag window)
+        "event_type_transitions": r"""
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                         AS prev_type
+              FROM events)
+            SELECT prev_type, event_type, cast(count(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         # anti-join: no qualifying fact row
         "quiet_customers": r"""
             SELECT c_custkey, c_name, c_acctbal FROM customer c

@@ -204,6 +204,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("anchor_text_summary", lambda: _pd(a.anchor_text_summary(sf_dir)))
     timed("sliding_event_counts",
           lambda: x.sliding_event_counts(sf_dir).to_pandas())
+    timed("event_type_transitions",
+          lambda: x.event_type_transitions(sf_dir).to_pandas())
     timed("latest_event_per_user",
           lambda: x.latest_event_per_user(sf_dir).to_pandas())
 

@@ -1380,3 +1380,44 @@ def hll_distinct_users_hourly(sf_dir: str):
             .map_batches(partials, batch_format="pyarrow")
             .groupby("coarse").map_groups(merge, batch_format="pandas")
             .sort("hour"))
+
+
+def event_type_transitions(sf_dir: str):
+    """Per-user event-type transition counts (the Markov/funnel matrix):
+    for each user's (ts, event_id)-ordered stream, count consecutive
+    (prev_type → type) pairs corpus-wide. One user-coarse shuffle; inside
+    each partition a single vectorized sort + shift produces every
+    transition (the lag-window shape); per-partition pair-count combiner
+    → tiny (type × type) groupby. Value-exact lag-window oracle."""
+    nc = _coarse_events(sf_dir)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "coarse", pa.array((u % nc).astype(np.int32)))
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = d["user_id"].to_numpy()
+        t = d["event_type"].to_numpy(object)
+        same_user = u[1:] == u[:-1]
+        prev = t[:-1][same_user]
+        cur = t[1:][same_user]
+        out = pd.DataFrame({"prev_type": prev, "event_type": cur})
+        return out.groupby(["prev_type", "event_type"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    agg = (_pq(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+           .map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("coarse").map_groups(transitions,
+                                         batch_format="pandas")
+           .groupby(["prev_type", "event_type"]).sum("n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"prev_type": batch["prev_type"],
+                         "event_type": batch["event_type"],
+                         "n": pc.cast(batch["sum(n)"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+              .sort(["prev_type", "event_type"])

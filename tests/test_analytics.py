@@ -757,3 +757,26 @@ class TestWindowedHLL:
         # agreement of repeated runs)
         again = x.hll_distinct_users_hourly(sf).to_pandas()
         assert list(again.n_users_approx) == list(approx.n_users_approx)
+
+
+class TestEventTransitions:
+    def test_matches_pandas_lag(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analytics as x
+        import pyarrow.parquet as pq_
+        sf = "/root/testdata/sf0.001"
+        got = x.event_type_transitions(sf).to_pandas()
+        ev = pq_.read_table(sf + "/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"]).to_pandas()
+        ev = ev.sort_values(["user_id", "ts", "event_id"])
+        prev = ev.groupby("user_id")["event_type"].shift(1)
+        want = (pd.DataFrame({"prev_type": prev,
+                              "event_type": ev["event_type"]})
+                .dropna().groupby(["prev_type", "event_type"],
+                                  as_index=False).size()
+                .rename(columns={"size": "n"})
+                .sort_values(["prev_type", "event_type"])
+                .reset_index(drop=True))
+        got = got.reset_index(drop=True)
+        got["n"] = got["n"].astype(want["n"].dtype)
+        pd.testing.assert_frame_equal(got, want)
