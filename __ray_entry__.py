@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": x.latest_event_per_user,
         "sliding_event_counts": x.sliding_event_counts,
         "event_type_transitions": x.event_type_transitions,
+        "user_stickiness_daily": x.user_stickiness_daily,
         "monthly_revenue_growth": x.monthly_revenue_growth,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
@@ -1392,6 +1393,23 @@ def oracle_sql() -> dict[str, str]:
                    cast(cast((SELECT sum(n) FROM topk) AS BIGINT)
                         AS DOUBLE) / cast(t.n_total AS DOUBLE) AS coverage
             FROM t""",
+        # DAU/MAU stickiness: exact distinct counts, float division
+        "user_stickiness_daily": r"""
+            WITH d AS (SELECT date_trunc('day', ts) AS day,
+                              date_trunc('month', ts) AS month, user_id
+                       FROM events),
+            dau AS (SELECT day, any_value(month) AS month,
+                           count(DISTINCT user_id) AS dau
+                    FROM d GROUP BY day),
+            mau AS (SELECT month, count(DISTINCT user_id) AS mau
+                    FROM d GROUP BY month)
+            SELECT cast(dau.day AS TIMESTAMP) AS day,
+                   cast(dau.dau AS BIGINT) AS dau,
+                   cast(mau.mau AS BIGINT) AS mau,
+                   cast(dau.dau AS DOUBLE) / cast(mau.mau AS DOUBLE)
+                       AS stickiness
+            FROM dau JOIN mau ON dau.month = mau.month
+            ORDER BY day""",
         # per-user consecutive event-type transition counts (lag window)
         "event_type_transitions": r"""
             WITH s AS (

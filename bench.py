@@ -206,6 +206,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: x.sliding_event_counts(sf_dir).to_pandas())
     timed("event_type_transitions",
           lambda: x.event_type_transitions(sf_dir).to_pandas())
+    timed("user_stickiness_daily",
+          lambda: _pd(x.user_stickiness_daily(sf_dir)))
     timed("latest_event_per_user",
           lambda: x.latest_event_per_user(sf_dir).to_pandas())
 

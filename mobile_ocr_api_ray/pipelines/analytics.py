@@ -1421,3 +1421,73 @@ def event_type_transitions(sf_dir: str):
 
     return agg.map_batches(finish, batch_format="pyarrow") \
               .sort(["prev_type", "event_type"])
+
+
+def user_stickiness_daily(sf_dir: str):
+    """DAU / MAU stickiness per day — the engagement ratio every product
+    dashboard tracks. One streaming pass builds (day, user) and
+    (month, user) distinct pairs via the in-batch dedupe combiner
+    (exchange bounded by true pair cardinality, not event count); two
+    small groupbys count them; the tiny month table broadcasts back as a
+    dict into a vectorized day-level projection. stickiness = float
+    division of exact int counts (bit-matches SQL)."""
+    nc = _coarse_events(sf_dir)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch["ts"], unit="day")
+        month = pc.floor_temporal(batch["ts"], unit="month")
+        t = pa.table({"day": day.cast(pa.timestamp("us")),
+                      "month": month.cast(pa.timestamp("us")),
+                      "user_id": batch["user_id"]})
+        t = t.group_by(["day", "month", "user_id"]).aggregate([])
+        d = t["day"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return t.append_column("coarse",
+                               pa.array((d % nc).astype(np.int32)))
+
+    deduped = (_pq(sf_dir, "events", ["ts", "user_id"])
+               .map_batches(pairs, batch_format="pyarrow")
+               .groupby("coarse")
+               .map_groups(lambda df: df.drop_duplicates(
+                   ["day", "month", "user_id"]),
+                   batch_format="pandas")
+               .materialize())
+
+    def dau_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["day", "user_id"]) \
+            .groupby(["day", "month"], as_index=False).size()
+        return g.rename(columns={"size": "dau"})
+
+    dau = (deduped.groupby("coarse")
+           .map_groups(dau_part, batch_format="pandas").to_pandas())
+
+    # month-level distinct users: re-key the pair table by MONTH (a day's
+    # users all share its coarse partition, but a month spans several) —
+    # in-batch distinct first, exact dedupe + count inside the month
+    # partition; only (month, mau) rows reach the driver
+    def month_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"month": batch["month"],
+                      "user_id": batch["user_id"]})
+        t = t.group_by(["month", "user_id"]).aggregate([])
+        m = t["month"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        return t.append_column("mcoarse",
+                               pa.array((m % nc).astype(np.int32)))
+
+    def mau_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["month", "user_id"]) \
+            .groupby("month", as_index=False).size()
+        return g.rename(columns={"size": "mau"})
+
+    mau_df = (deduped.map_batches(month_pairs, batch_format="pyarrow")
+              .groupby("mcoarse")
+              .map_groups(mau_part, batch_format="pandas").to_pandas())
+    mau = dict(zip(mau_df["month"], mau_df["mau"]))
+
+    out = dau.sort_values("day").reset_index(drop=True)
+    out["mau"] = out["month"].map(mau).astype("int64")
+    out["dau"] = out["dau"].astype("int64")
+    out["stickiness"] = out["dau"].to_numpy(np.float64) \
+        / out["mau"].to_numpy(np.float64)
+    return pa.Table.from_pandas(
+        out[["day", "dau", "mau", "stickiness"]], preserve_index=False)

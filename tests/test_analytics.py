@@ -780,3 +780,25 @@ class TestEventTransitions:
         got = got.reset_index(drop=True)
         got["n"] = got["n"].astype(want["n"].dtype)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestStickiness:
+    def test_matches_pandas(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analytics as x
+        import pyarrow.parquet as pq_
+        got = x.user_stickiness_daily(SF)
+        got = got.to_pandas() if not isinstance(got, pa.Table) \
+            else got.to_pandas()
+        ev = pq_.read_table(SF + "/events.parquet",
+                            columns=["ts", "user_id"]).to_pandas()
+        ev["day"] = ev["ts"].dt.floor("d")
+        ev["month"] = ev["ts"].dt.to_period("M").dt.start_time
+        dau = ev.groupby("day")["user_id"].nunique()
+        mau = ev.groupby("month")["user_id"].nunique()
+        for _, r in got.iterrows():
+            assert r.dau == dau[r.day]
+            m = pd.Timestamp(r.day).to_period("M").start_time
+            assert r.mau == mau[m]
+            assert r.stickiness == r.dau / r.mau
+        assert len(got) == dau.size
+        assert (got.stickiness <= 1.0).all()
