@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join / window / quantile families (SQL-checked)
         "unshipped_orders_topk": x.unshipped_orders_topk,
         "regional_revenue": x.regional_revenue,
+        "nation_revenue_share": x.nation_revenue_share,
         "clicks_last_view": x.clicks_last_view,
         "purchases_after_click": x.purchases_after_click,
         "event_value_stats": x.event_value_stats,
@@ -573,6 +574,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1 ORDER BY 1""",
+        # ratio-to-parent: per-nation revenue + share of its region total
+        "nation_revenue_share": r"""
+            WITH a AS (
+              SELECT r.r_name, n.n_name,
+                     sum(cast(round(l.l_extendedprice*(1.0 - l.l_discount)
+                              *10000, 0) AS BIGINT)) AS rev_c
+              FROM lineitem l
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY 1, 2)
+            SELECT r_name, n_name,
+                   cast(rev_c AS DOUBLE)/10000.0 AS revenue,
+                   cast(rev_c AS DOUBLE)
+                     / cast(sum(rev_c) OVER (PARTITION BY r_name)
+                            AS DOUBLE) AS region_share
+            FROM a ORDER BY r_name, n_name""",
         # backward as-of join via last_value IGNORE NULLS over (ts, event_id)
         "clicks_last_view": r"""
             WITH t AS (

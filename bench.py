@@ -208,6 +208,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: x.event_type_transitions(sf_dir).to_pandas())
     timed("user_stickiness_daily",
           lambda: _pd(x.user_stickiness_daily(sf_dir)))
+    timed("nation_revenue_share",
+          lambda: _pd(x.nation_revenue_share(sf_dir)))
     timed("latest_event_per_user",
           lambda: x.latest_event_per_user(sf_dir).to_pandas())
 

@@ -1491,3 +1491,47 @@ def user_stickiness_daily(sf_dir: str):
         / out["mau"].to_numpy(np.float64)
     return pa.Table.from_pandas(
         out[["day", "dau", "mau", "stickiness"]], preserve_index=False)
+
+
+def nation_revenue_share(sf_dir: str):
+    """Ratio-to-parent rollup: per-nation revenue plus its share of the
+    region total (the two-level percent-of-parent window shape). Facts
+    probe the broadcast supplier→nation→region chain once; the bounded
+    (nation, region) aggregate lands on the driver where region totals
+    divide the integer-cent nation sums (float division of exact ints —
+    bit-matches SQL's ratio over sum() OVER (PARTITION BY region))."""
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                        columns=["r_regionkey", "r_name"])
+    dim = (sup.join(nat, keys=["s_nationkey"], right_keys=["n_nationkey"])
+           .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
+           .select(["s_suppkey", "n_name", "r_name"]))
+    ref = ray.put(dim.combine_chunks())
+
+    def tag(batch: pa.Table) -> pa.Table:
+        rev_c = _rev_cents(batch)
+        probe = pa.table({"s_suppkey": batch["l_suppkey"], "rev_c": rev_c})
+        return (probe.join(ray.get(ref), keys=["s_suppkey"],
+                           join_type="inner")
+                .select(["n_name", "r_name", "rev_c"]))
+
+    agg = (_pq(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+           .map_batches(tag, batch_format="pyarrow")
+           .groupby(["n_name", "r_name"])
+           .aggregate(Sum("rev_c", alias_name="rev_c"))
+           .to_pandas())          # bounded: one row per nation
+
+    reg_tot = agg.groupby("r_name")["rev_c"].transform("sum")
+    agg = agg.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    reg_tot = reg_tot.loc[agg.index]
+    out = pd.DataFrame({
+        "r_name": agg["r_name"], "n_name": agg["n_name"],
+        "revenue": agg["rev_c"].to_numpy(np.float64) / 10000.0,
+        "region_share": agg["rev_c"].to_numpy(np.float64)
+                        / agg.groupby("r_name")["rev_c"]
+                        .transform("sum").to_numpy(np.float64)})
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -802,3 +802,17 @@ class TestStickiness:
             assert r.stickiness == r.dau / r.mau
         assert len(got) == dau.size
         assert (got.stickiness <= 1.0).all()
+
+
+class TestNationShare:
+    def test_shares_sum_to_one_per_region(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analytics as x
+        t = x.nation_revenue_share(SF)
+        df = t.to_pandas() if isinstance(t, pa.Table) else t.to_pandas()
+        sums = df.groupby("r_name")["region_share"].sum()
+        assert np.allclose(sums, 1.0, atol=1e-12)
+        # consistency with the region rollup query
+        reg = x.regional_revenue(SF).to_pandas().set_index("r_name")
+        per_reg = df.groupby("r_name")["revenue"].sum()
+        for r, v in per_reg.items():
+            assert v == pytest.approx(reg.loc[r, "revenue"], rel=1e-12)
