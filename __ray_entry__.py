@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": x.event_type_transitions,
         "user_stickiness_daily": x.user_stickiness_daily,
         "monthly_revenue_growth": x.monthly_revenue_growth,
+        "monthly_cumulative_revenue": x.monthly_cumulative_revenue,
         # relational / windowed (SQL-checked)
         "lineitem_pricing": r.lineitem_pricing,
         "top_customers": r.top_customers,
@@ -574,6 +575,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1 ORDER BY 1""",
+        # running-total window: cumulative monthly revenue
+        "monthly_cumulative_revenue": r"""
+            WITH m AS (
+              SELECT date_trunc('month', o_orderdate) AS month,
+                     sum(cast(round(o_totalprice*100, 0) AS BIGINT))
+                         AS rev_c
+              FROM orders GROUP BY 1)
+            SELECT cast(month AS TIMESTAMP) AS month,
+                   cast(rev_c AS DOUBLE)/100.0 AS revenue,
+                   cast(sum(rev_c) OVER (ORDER BY month) AS DOUBLE)/100.0
+                       AS cum_revenue
+            FROM m ORDER BY month""",
         # ratio-to-parent: per-nation revenue + share of its region total
         "nation_revenue_share": r"""
             WITH a AS (

@@ -210,6 +210,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: _pd(x.user_stickiness_daily(sf_dir)))
     timed("nation_revenue_share",
           lambda: _pd(x.nation_revenue_share(sf_dir)))
+    timed("monthly_cumulative_revenue",
+          lambda: _pd(x.monthly_cumulative_revenue(sf_dir)))
     timed("latest_event_per_user",
           lambda: x.latest_event_per_user(sf_dir).to_pandas())
 

@@ -1535,3 +1535,32 @@ def nation_revenue_share(sf_dir: str):
                         / agg.groupby("r_name")["rev_c"]
                         .transform("sum").to_numpy(np.float64)})
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def monthly_cumulative_revenue(sf_dir: str):
+    """Running-total window shape: per-month order revenue plus the
+    cumulative revenue to date (sum() OVER (ORDER BY month)). Facts
+    aggregate to the bounded month table; the cumsum runs over exact
+    integer cents on the driver and divides once — bit-matching the SQL
+    window over the same BIGINT sums."""
+
+    def month_cents(batch: pa.Table) -> pa.Table:
+        m = pc.floor_temporal(batch["o_orderdate"], unit="month")
+        return pa.table({
+            "month": m.cast(pa.timestamp("us")),
+            "rev_c": _cents_arr(batch["o_totalprice"])})
+
+    agg = (_pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+           .map_batches(month_cents, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Sum("rev_c", alias_name="rev_c"))
+           .to_pandas())          # bounded: one row per month
+    df = agg.sort_values("month").reset_index(drop=True)
+    rev = df["rev_c"].to_numpy(np.int64)
+    cum = np.cumsum(rev)
+    return pa.table({
+        "month": pa.array(df["month"].to_numpy().astype("datetime64[us]"),
+                          pa.timestamp("us")),
+        "revenue": pa.array(rev.astype(np.float64) / 100.0, pa.float64()),
+        "cum_revenue": pa.array(cum.astype(np.float64) / 100.0,
+                                pa.float64())})

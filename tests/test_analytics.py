@@ -816,3 +816,14 @@ class TestNationShare:
         per_reg = df.groupby("r_name")["revenue"].sum()
         for r, v in per_reg.items():
             assert v == pytest.approx(reg.loc[r, "revenue"], rel=1e-12)
+
+
+class TestCumulativeRevenue:
+    def test_cumsum_consistency(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analytics as x
+        t = x.monthly_cumulative_revenue(SF)
+        df = t.to_pandas() if isinstance(t, pa.Table) else t.to_pandas()
+        assert df.month.is_monotonic_increasing
+        assert np.allclose(df.cum_revenue, df.revenue.cumsum(), atol=1e-6)
+        assert df.cum_revenue.iloc[-1] == pytest.approx(
+            df.revenue.sum(), rel=1e-12)
