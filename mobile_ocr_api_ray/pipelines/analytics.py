@@ -1525,9 +1525,7 @@ def nation_revenue_share(sf_dir: str):
            .aggregate(Sum("rev_c", alias_name="rev_c"))
            .to_pandas())          # bounded: one row per nation
 
-    reg_tot = agg.groupby("r_name")["rev_c"].transform("sum")
     agg = agg.sort_values(["r_name", "n_name"]).reset_index(drop=True)
-    reg_tot = reg_tot.loc[agg.index]
     out = pd.DataFrame({
         "r_name": agg["r_name"], "n_name": agg["n_name"],
         "revenue": agg["rev_c"].to_numpy(np.float64) / 10000.0,

@@ -271,10 +271,16 @@ def url_filter(ds, patterns: "tuple[str, ...]" = DEFAULT_URL_BLOCK_PATTERNS,
         urls = bad[url_col].to_pylist()
         idx = []
         for u in urls:
+            # -1 sentinel when no Python pattern matches a row the RE2
+            # alternation masked (the two engines can disagree on exotic
+            # caller-supplied syntax) — degrade to "rule unknown" rather
+            # than a rule_idx/urls length mismatch that kills the task
             for i, p in enumerate(_compiled_block(patterns)):
                 if p.search(u or ""):
                     idx.append(i)
                     break
+            else:
+                idx.append(-1)
         return pa.table({
             "url": pa.array(urls, pa.string()),
             "rule_idx": pa.array(idx, pa.int64()),

@@ -1441,8 +1441,22 @@ def window_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                          "coarse": pa.array(coarse)})
 
     def removals(df: pd.DataFrame) -> pd.DataFrame:
-        okey = (df["_id"].to_numpy(np.int64) * _OWNER_OFF_BASE
-                + df["off"].to_numpy(np.int64))
+        ids_a = df["_id"].to_numpy(np.int64)
+        offs_a = df["off"].to_numpy(np.int64)
+        # the packed owner key (doc_id·BASE + off) totally orders
+        # (doc_id, off) ONLY while off < BASE and |doc_id| stays clear of
+        # int64 overflow; a violation would silently misresolve owners
+        # (and the SQL oracle, which mirrors the packing, couldn't catch
+        # it) — so reject loudly instead
+        if len(offs_a) and (int(offs_a.max()) >= _OWNER_OFF_BASE
+                            or int(np.abs(ids_a).max())
+                            >= (2**63 - 1) // _OWNER_OFF_BASE):
+            raise ValueError(
+                f"window_dedup owner-key overflow: need off < "
+                f"{_OWNER_OFF_BASE} (got max {int(offs_a.max())}) and "
+                f"|doc_id| < {(2**63 - 1) // _OWNER_OFF_BASE} "
+                f"(got max {int(np.abs(ids_a).max())})")
+        okey = ids_a * _OWNER_OFF_BASE + offs_a
         d = df.assign(okey=okey)
         g = d.groupby(["h1", "h2"])["okey"]
         cnt = g.transform("size").to_numpy()

@@ -393,8 +393,14 @@ def pagerank(edges_ds, damping: float = 0.85, n_iter: int = 10,
         parts = (dang_rows.groupby("dcoarse")
                  .map_groups(per_bucket, batch_format="pandas")
                  .to_pandas()) if dang_rows.count() else pd.DataFrame()
-        dmass = (float(parts.sort_values("b")["s"].sum())
-                 if len(parts) else 0.0)
+        # sequential fold in bucket order — the SAME associativity as
+        # _pagerank_local's per-bucket `dmass +=` loop (pandas .sum() is
+        # pairwise/unrolled and diverges in the last ulp once >8 buckets
+        # are populated, silently breaking local==distributed bit-equality)
+        dmass = 0.0
+        if len(parts):
+            for s in parts.sort_values("b")["s"]:
+                dmass += float(s)
         base = (1.0 - damping) / n_nodes + damping * dmass / n_nodes
 
         def new_rank(df: pd.DataFrame, base=base) -> pd.DataFrame:

@@ -250,6 +250,22 @@ class TestUrlFilter:
             assert next(j for j, p in enumerate(P)
                         if re.search(p, u)) == i
 
+    def test_engine_disagreement_degrades(self, ray_session):
+        # [[:digit:]] is a POSIX class in RE2 (the masking engine) but a
+        # plain char class {[,:,d,i,g,t} in Python re (the attribution
+        # engine) — a masked row no Python pattern matches must surface
+        # with the -1 "rule unknown" sentinel, not kill the task with a
+        # column length mismatch
+        import ray.data
+        from mobile_ocr_api_ray.stages import crawl as c
+        ds = ray.data.from_arrow(pa.table({"url": pa.array(
+            ["https://a.ex/q5q", "https://a.ex/clean"], pa.string())}))
+        kept, quar = c.url_filter(ds, patterns=("q[[:digit:]]q",))
+        qd = quar.to_pandas()
+        assert list(qd.url) == ["https://a.ex/q5q"]
+        assert list(qd.rule_idx) == [-1]
+        assert list(kept.to_pandas().url) == ["https://a.ex/clean"]
+
     def test_corpus_query(self, ray_session):
         from mobile_ocr_api_ray.pipelines import analysis
         df = analysis.url_filtered_pages(SF).to_pandas()

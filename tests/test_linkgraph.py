@@ -168,6 +168,18 @@ class TestPageRank:
                                         local_edges_max=0))
         assert local == dist   # bit-identical, not just allclose
 
+    def test_local_matches_distributed_many_dangling(self, ray_session):
+        # >8 populated dangling buckets: pandas' pairwise/unrolled sum
+        # over the bucket partials would diverge from the local loop's
+        # sequential fold in the last ulp — both paths now fold
+        # sequentially in bucket order, so equality stays bit-exact
+        rows = [("hub", f"d{i}", 1) for i in range(40)] \
+            + [(f"s{i}", "hub", 1 + i % 3) for i in range(6)]
+        local = pr_of(linkgraph.pagerank(edges_ds(rows)))
+        dist = pr_of(linkgraph.pagerank(edges_ds(rows), n_coarse=7,
+                                        local_edges_max=0))
+        assert local == dist
+
     def test_combine_mode_allclose(self, ray_session):
         rows = [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("a", "c", 1)]
         a = pr_of(linkgraph.pagerank(edges_ds(rows), combine=False))

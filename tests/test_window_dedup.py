@@ -195,6 +195,19 @@ class TestWindowDedup:
         out2 = run_dedup(ray_session, [])
         assert len(out2) == 0
 
+    def test_owner_key_overflow_rejected(self, ray_session):
+        # packed owner key doc_id·1e8 + off only orders (doc_id, off)
+        # within range; out-of-range doc_ids must fail loudly, not
+        # silently misresolve owners (the SQL oracle mirrors the packing
+        # so a value-exact check could never catch the corruption)
+        big = (2**63 - 1) // dedup._OWNER_OFF_BASE  # first out-of-range id
+        docs = [(big, self.W), (1, self.W)]
+        with pytest.raises(Exception, match="owner-key overflow"):
+            run_dedup(ray_session, docs)
+        # in-range ids untouched by the guard
+        ok = run_dedup(ray_session, [(big - 1, self.W), (1, self.W)])
+        assert list(ok.n_removed_tokens) == [0, 13]
+
 
 class TestCrossWindowOverlap:
     def _run(self, ray_session, docs, refs, **kw):
