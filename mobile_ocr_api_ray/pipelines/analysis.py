@@ -19,7 +19,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Sum
 
-from .. import corpus
+from .. import corpus, str_hash
 from ..functions.textproc import compression_ratio, summarize
 from ..stages import crawl, dedup, similarity, text_analysis
 from . import reads
@@ -493,11 +493,10 @@ def source_overlap_matrix(sf_dir: str):
         g2 = (pd.Series(w[:-1][adj]) + " " + pd.Series(w[1:][adj])) \
             .to_numpy()
         df = pd.DataFrame({"source": src[gp], "g": g2}).drop_duplicates()
-        coarse = np.fromiter((zlib.crc32(s.encode()) for s in df["g"]),
-                             np.int64, len(df)) % nc
+        coarse = str_hash.str_coarse(df["g"], nc)
         return pa.table({"source": pa.array(df["source"], pa.string()),
                          "g": pa.array(df["g"], pa.string()),
-                         "coarse": pa.array(coarse.astype(np.int32))})
+                         "coarse": pa.array(coarse)})
 
     def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates(["source", "g"])
@@ -1423,6 +1422,13 @@ def _pages_dir_for(sf_dir: str) -> str:
     return corpus.ensure_corpus(n_rows=n_docs * 2, seed=42)
 
 
+def _corpus_rows(corpus_dir: str) -> int:
+    """Row count of a pages corpus — parquet shard METADATA only, no scan."""
+    pdir = os.path.join(corpus_dir, "pages.parquet")
+    return sum(pq.read_metadata(os.path.join(pdir, f)).num_rows
+               for f in sorted(os.listdir(pdir)))
+
+
 def extract_pages(sf_dir: str):
     d = _pages_dir_for(sf_dir)
     out = extract_pipeline(read_pages(os.path.join(d, "pages.parquet")))
@@ -2017,12 +2023,9 @@ def host_capped_pages(sf_dir: str, k: int = HOST_CAP_K):
             "h": [_hash32(u) for u in urls]})
         d = df.sort_values(["host", "h", "url"], kind="mergesort")
         d = d[d.groupby("host").cumcount() < k]
-        coarse = np.fromiter(
-            (zlib.crc32((s or "").encode()) for s in d["host"]),
-            np.int64, len(d)) % dedup.N_COARSE
+        coarse = str_hash.str_coarse(d["host"], dedup.N_COARSE)
         t = pa.Table.from_pandas(d, preserve_index=False)
-        return t.append_column("coarse",
-                               pa.array(coarse.astype(np.int32)))
+        return t.append_column("coarse", pa.array(coarse))
 
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["host", "h", "url"], kind="mergesort")
@@ -2411,49 +2414,45 @@ def langid_confusion(sf_dir: str):
 
 
 PAIR_BODY_CHARS = 200
+PAIR_BUCKET_ROWS = 2_000   # target rows per negative-sampling bucket
 
 
-def title_body_pairs(sf_dir: str):
-    """Retrieval-style training pairs from the crawl: per page, (title →
-    body) as the positive and the PREVIOUS page's body in the batch as the
-    in-batch negative (np.roll — the standard contrastive construction;
-    negatives are deliberately batch-local, which is exactly how they are
-    consumed at training time). Title comes from page metadata, body from
-    the flagship extraction, joined on url; pages with an empty title or
-    body drop out. Returns (url, title, body, neg_body) with bodies
-    truncated to 200 chars."""
-    from ..stages.joins import hash_join
+def _pair_bucket_count(n_rows: int) -> int:
+    """Negative-sampling bucket count for ``contrastive_pairs``: sized so
+    each bucket's pandas group stays ~PAIR_BUCKET_ROWS rows REGARDLESS of
+    corpus size. Deliberately NOT capped at dedup.N_COARSE — these
+    buckets become whole in-memory map_groups frames, so a cap would make
+    group size corpus/cap (the round-2 scale-killer: a fixed %64 put
+    corpus/64 rows in one pandas frame)."""
+    return max(1, n_rows // PAIR_BUCKET_ROWS + 1)
 
-    d = _pages_dir_for(sf_dir)
-    pages = read_pages(os.path.join(d, "pages.parquet"),
-                       columns=["url", "html"])
-    titles = pages.map_batches(_page_meta_kernel, batch_format="pyarrow") \
-        .select_columns(["url", "title"])
-    bodies = extract_pipeline(
-        read_pages(os.path.join(d, "pages.parquet"))) \
-        .select_columns(["url", "extracted_text"])
-    joined = hash_join(titles, bodies, "url", "url", how="inner",
-                       n_coarse=_docs_coarse_hint(sf_dir, 2))
+
+def contrastive_pairs(joined, n_buckets: int,
+                      text_col: str = "extracted_text"):
+    """(url, title, text) rows → (url, title, body, neg_body) contrastive
+    training pairs: the positive is the row's own body, the negative is
+    the PREVIOUS row's body within the row's url-hash bucket (np.roll over
+    url-sorted bucket rows — the standard in-batch-negative construction,
+    made deterministic by keying bucket membership on crc32(url) %
+    n_buckets instead of physical batch boundaries). Bucket membership is
+    a pure function of (url, n_buckets) and rows are url-sorted inside the
+    bucket, so the output is partition-invariant (pinned by
+    tests/test_pipeline.py::TestTitleBodyPairs). Single-row buckets (no
+    true negative available) drop rather than emit neg == pos. Bodies
+    truncate to PAIR_BODY_CHARS."""
 
     def project(batch: pa.Table) -> pa.Table:
         t = pc.fill_null(batch["title"], "")
         b = pc.utf8_slice_codeunits(
-            pc.fill_null(batch["extracted_text"], ""), 0, PAIR_BODY_CHARS)
+            pc.fill_null(batch[text_col], ""), 0, PAIR_BODY_CHARS)
         keep = pc.and_(pc.greater(pc.utf8_length(t), 0),
                        pc.greater(pc.utf8_length(b), 0))
         f = pa.table({"url": batch["url"], "title": t, "body": b}) \
             .filter(keep)
-        urls = f["url"].to_pylist()
-        coarse = np.fromiter((zlib.crc32((u or "").encode())
-                              for u in urls), np.int64, len(urls)) % 64
-        return f.append_column("negc",
-                               pa.array(coarse.astype(np.int32)))
+        return f.append_column(
+            "negc", pa.array(str_hash.str_coarse(f["url"], n_buckets)))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # negatives assigned within a url-hash bucket, rows url-sorted →
-        # deterministic across runs/partitionings (bucket membership is a
-        # pure function of the key); single-row buckets (no true negative
-        # available) drop rather than emit neg == pos
         d = df.sort_values("url", kind="mergesort")
         if len(d) < 2:
             return pd.DataFrame({"url": pd.array([], "string"),
@@ -2467,3 +2466,26 @@ def title_body_pairs(sf_dir: str):
     return (joined.map_batches(project, batch_format="pyarrow")
             .groupby("negc").map_groups(pairs, batch_format="pandas")
             .sort("url"))
+
+
+def title_body_pairs(sf_dir: str):
+    """Retrieval-style training pairs from the crawl: per page, (title →
+    body) as the positive and a url-hash-bucket neighbor's body as the
+    negative (see ``contrastive_pairs``). Title comes from page metadata,
+    body from the flagship extraction, joined on url; pages with an empty
+    title or body drop out. Bucket count adapts to the corpus (~2k rows
+    per bucket at any scale). Returns (url, title, body, neg_body)."""
+    from ..stages.joins import hash_join
+
+    d = _pages_dir_for(sf_dir)
+    n_pages = _corpus_rows(d)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    titles = pages.map_batches(_page_meta_kernel, batch_format="pyarrow") \
+        .select_columns(["url", "title"])
+    bodies = extract_pipeline(
+        read_pages(os.path.join(d, "pages.parquet"))) \
+        .select_columns(["url", "extracted_text"])
+    joined = hash_join(titles, bodies, "url", "url", how="inner",
+                       n_coarse=_docs_coarse_hint(sf_dir, 2))
+    return contrastive_pairs(joined, _pair_bucket_count(n_pages))

@@ -19,12 +19,12 @@ n_coarse) or strings (crc32 routing, same convention as stages/joins).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .. import str_hash
 
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/?#]+)"
 
@@ -62,10 +62,7 @@ def latest_rows_per_key(ds, key: str, order_by: list[str],
         d = _argmax_block(df, key, order_by)
         k = d[key]
         if k.dtype == object or pd.api.types.is_string_dtype(k):
-            coarse = np.fromiter(
-                (zlib.crc32(s.encode()) if s is not None else 0
-                 for s in k),
-                np.int64, len(k)) % n_coarse
+            coarse = str_hash.crc32_of_strings(k) % n_coarse
         else:
             coarse = k.to_numpy().astype(np.int64) % n_coarse
         return d.assign(_coarse=coarse.astype(np.int32))
@@ -189,9 +186,7 @@ def diff_by_key(old_ds, new_ds, key: str = "url", value_col: str = "html",
             digs = [hashlib.md5(v if isinstance(v, bytes)
                                 else (v or "").encode()).hexdigest()
                     for v in vals]
-            coarse = np.fromiter(
-                (zlib.crc32((s or "").encode()) for s in keys),
-                np.int64, len(keys)) % nc
+            coarse = str_hash.str_coarse(keys, nc)
             return pa.table({
                 "key": pa.array(keys, pa.string()),
                 "side": pa.array(np.full(len(keys), side, np.int8)),

@@ -340,9 +340,11 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def _band_coarse(batch: pa.Table, nc: int = N_COARSE) -> pa.Table:
-    coarse = [(zlib.crc32(h.encode()) ^ b) % nc for b, h in
-              zip(batch["band_id"].to_pylist(), batch["band_hash"].to_pylist())]
-    return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+    from ..str_hash import crc32_of_strings
+    bid = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    coarse = ((crc32_of_strings(batch["band_hash"]) ^ bid) % nc) \
+        .astype(np.int32)
+    return batch.append_column("coarse", pa.array(coarse))
 
 
 def _minhash_pairs_two_pass(ds, id_col: str, text_col: str, threshold: float,
@@ -703,8 +705,8 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
                  .drop_duplicates("id").rename(columns={"text": "doc_text"}))
         refs = df[df["side"] != "t"][["id", "pid", "side", "est_jaccard"]]
         out = refs.merge(texts, on="id", how="inner")
-        out["pcoarse"] = out["pid"].map(
-            lambda p: zlib.crc32(p.encode()) % nc).astype("int32")
+        from ..str_hash import str_coarse
+        out["pcoarse"] = str_coarse(out["pid"], nc)
         return out[["pid", "pcoarse", "side", "doc_text", "est_jaccard"]]
 
     def verify_coarse(df: pd.DataFrame) -> pd.DataFrame:
@@ -1158,12 +1160,11 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         elig = nch >= min_chars
         coarse = (rids * 1000003 + idxs) % nc          # spread, no skew
         if elig.any():
-            # only eligible lines leave Arrow — the exempt short/blank
-            # majority never pays Python-object conversion
-            vals = flat.filter(pa.array(elig)).to_pylist()
-            coarse[elig] = np.fromiter(
-                (zlib.crc32(s.encode()) for s in vals),
-                np.int64, int(elig.sum())) % nc
+            # only eligible lines are hashed — straight off the Arrow
+            # buffer (str_hash), no Python-object conversion at all
+            from ..str_hash import crc32_of_strings
+            coarse[elig] = crc32_of_strings(
+                flat.filter(pa.array(elig))) % nc
         return pa.table({
             "_id": pa.array(rids, pa.int64()),
             "line_idx": pa.array(idxs, pa.int64()),

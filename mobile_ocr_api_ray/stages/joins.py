@@ -88,13 +88,12 @@ def hash_join(left, right, left_key: str, right_key: str,
     def _key_ints(col) -> np.ndarray:
         if not str_keys:
             return col.to_numpy(zero_copy_only=False).astype(np.int64)
-        # crc32 per string; nulls → -1 on the left / -2 on the right is
-        # unnecessary: the equality filter drops null-null candidates, so
-        # one sentinel suffices for partition routing
-        import zlib
-        return np.fromiter(
-            (zlib.crc32(s.encode()) if s is not None else -1
-             for s in col.to_pylist()), np.int64, col.length())
+        # crc32 per string (shared buffer-slice helper — no per-row
+        # Python str round-trip); nulls → -1 on the left / -2 on the
+        # right is unnecessary: the equality filter drops null-null
+        # candidates, so one sentinel suffices for partition routing
+        from ..str_hash import crc32_of_strings
+        return crc32_of_strings(col, null_value=-1)
 
     # tagged union: one uniform schema; each side contributes nulls for the
     # other side's columns. kind 0 = left (probe), kind 1 = right (build).

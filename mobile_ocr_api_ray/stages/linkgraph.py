@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import html as _html
 import re
-import zlib
 from urllib.parse import urljoin, urlsplit
 
 import numpy as np
@@ -124,10 +123,12 @@ def host_edges(links_ds, n_coarse: int | None = None):
                       "dst_host": pc.fill_null(host_of(batch["dst_url"]), ""),
                       "one": pa.array(np.ones(batch.num_rows, np.int64))})
         g = t.group_by(["src_host", "dst_host"]).aggregate([("one", "sum")])
-        coarse = np.fromiter(
-            (zlib.crc32(f"{a}|{b}".encode()) for a, b in
-             zip(g["src_host"].to_pylist(), g["dst_host"].to_pylist())),
-            np.int64, g.num_rows) % nc
+        # composite routing key "src|dst" built with one Arrow kernel,
+        # hashed with the shared buffer-slice crc32 (same bytes as the
+        # old f"{a}|{b}".encode() per-row form)
+        from ..str_hash import str_coarse
+        key = pc.binary_join_element_wise(g["src_host"], g["dst_host"], "|")
+        coarse = str_coarse(key, nc)
         return pa.table({"src_host": g["src_host"],
                          "dst_host": g["dst_host"],
                          "n": g["one_sum"],
@@ -156,9 +157,10 @@ def _as_array(col) -> pa.Array:
 
 
 def _str_coarse(arr, nc: int) -> np.ndarray:
-    vals = arr.to_pylist() if hasattr(arr, "to_pylist") else list(arr)
-    return (np.fromiter((zlib.crc32((s or "").encode()) for s in vals),
-                        np.int64, len(vals)) % nc).astype(np.int32)
+    # shared buffer-slice crc32 (str_hash) — null hashes as '' (crc 0),
+    # the same (s or '') convention as before
+    from ..str_hash import str_coarse
+    return str_coarse(arr, nc)
 
 
 def _pagerank_local(edges: pd.DataFrame, damping: float,

@@ -38,8 +38,10 @@ def partition_of(urls: list[str], n_partitions: int) -> list[int]:
 
 
 def add_partition_column(batch: pa.Table, n_partitions: int) -> pa.Table:
-    parts = partition_of(batch["url"].to_pylist(), n_partitions)
-    return batch.append_column("partition_id", pa.array(parts, pa.int32()))
+    # same crc32 % n as partition_of, via the shared buffer-slice helper
+    from ..str_hash import str_coarse
+    parts = str_coarse(batch["url"], n_partitions)
+    return batch.append_column("partition_id", pa.array(parts))
 
 
 def _manifest_path(out_dir: str, partition_id: int) -> str:

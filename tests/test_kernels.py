@@ -336,3 +336,49 @@ class TestV1Tier:
         out = ExtractorActor(quality="v1")(batch).to_pandas()
         assert out.extracted_text[0] == "HELLO WORLD"
         assert out.quality[0] == "v1"
+
+
+class TestCrc32SharedHelper:
+    """str_hash.crc32_of_strings: the ONE routing hash every coarse
+    shuffle shares — must be bit-identical to zlib.crc32(s.encode())."""
+
+    def _want(self, vals, null_value):
+        import zlib
+        import numpy as np
+        return np.array([zlib.crc32(s.encode()) if s is not None
+                         else null_value for s in vals], np.int64)
+
+    def test_exact_vs_zlib(self):
+        import numpy as np
+        from mobile_ocr_api_ray.str_hash import crc32_of_strings
+        rng = np.random.RandomState(3)
+        vals = ["", "a", "héllo ✓ wörld", "x" * 300, "y" * 5000, None]
+        vals += ["".join(chr(rng.randint(32, 0x2FF))
+                         for _ in range(rng.randint(0, 150)))
+                 for _ in range(300)]
+        arr = pa.array(vals, pa.string())
+        want = self._want(vals, -1)
+        assert (crc32_of_strings(arr, null_value=-1) == want).all()
+        # sliced array (nonzero Arrow offset) and chunked array
+        assert (crc32_of_strings(arr.slice(5, 200), null_value=-1)
+                == want[5:205]).all()
+        ch = pa.chunked_array([pa.array(vals[:50], pa.string()),
+                               pa.array(vals[50:], pa.string())])
+        assert (crc32_of_strings(ch, null_value=-1) == want).all()
+
+    def test_pandas_list_and_empty_inputs(self):
+        import pandas as pd
+        from mobile_ocr_api_ray.str_hash import crc32_of_strings
+        vals = ["alpha", None, "", "beta"]
+        want = self._want(vals, 0)
+        assert (crc32_of_strings(pd.Series(vals, dtype=object)) == want).all()
+        assert (crc32_of_strings(vals) == want).all()
+        assert len(crc32_of_strings(pa.array([], pa.string()))) == 0
+
+    def test_str_coarse_null_convention(self):
+        # null hashes as '' (crc 0) — the pervasive (s or '') convention
+        import numpy as np
+        from mobile_ocr_api_ray.str_hash import str_coarse
+        out = str_coarse(pa.array([None, "", "k"], pa.string()), 7)
+        assert out.dtype == np.int32
+        assert out[0] == out[1] == 0

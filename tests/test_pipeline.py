@@ -185,3 +185,39 @@ class TestTitleBodyPairs:
         meta = analysis.page_metadata("/root/testdata/sf0.001").to_pandas()
         m = df.merge(meta, on="url")
         assert (m.title_x == m.title_y).all()
+
+    def test_contrastive_pairs_partition_invariant(self, ray_session):
+        # negatives are keyed on crc32(url) % n_buckets with url-sorted
+        # bucket rows — a pure function of the data, so the SAME pairs
+        # must come out under any physical block layout
+        import pyarrow as pa
+        import ray.data
+        from mobile_ocr_api_ray.pipelines import analysis
+        rows = pa.table({
+            "url": pa.array([f"https://h{i % 7}.ex/p{i}" for i in range(90)],
+                            pa.string()),
+            "title": pa.array([f"title {i}" for i in range(90)], pa.string()),
+            "extracted_text": pa.array([f"body text {i} " * 3
+                                        for i in range(90)], pa.string())})
+
+        import pandas as pd
+
+        def run(n_blocks):
+            ds = ray.data.from_arrow(rows).repartition(n_blocks)
+            return analysis.contrastive_pairs(ds, 11).to_pandas() \
+                .reset_index(drop=True)
+
+        a, b, c = run(1), run(4), run(13)
+        pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, c)
+        assert len(a) == 90 and (a.body != a.neg_body).all()
+
+    def test_pair_bucket_count_scales(self):
+        # bucket size stays ~PAIR_BUCKET_ROWS at ANY corpus size (the
+        # round-2 %64 put corpus/64 rows in one pandas group)
+        from mobile_ocr_api_ray.pipelines.analysis import (PAIR_BUCKET_ROWS,
+                                                           _pair_bucket_count)
+        for n in (0, 1, 1999, 2000, 10**6, 10**12):
+            nb = _pair_bucket_count(n)
+            assert nb >= 1
+            assert n / nb <= PAIR_BUCKET_ROWS
