@@ -307,24 +307,141 @@ class KnnGraphStage:
                                pa.float64())})
 
 
-def knn_graph(ds, k: int = 5, concurrency: int | None = None):
-    """Exact cosine k-nearest-neighbor graph over the corpus (self
-    excluded): (vec_id, rank, nbr_id, cosine). The corpus doubles as the
-    broadcast index; each block streams through the actor pool once."""
+KNN_INDEX_CAP_ROWS = 2_000_000  # exact path: index must fit ONE node
+KNN_LSH_TABLES = 4              # scale path: LSH tables (replication ×T)
+KNN_LSH_BUCKET_ROWS = 1_024     # scale path: target rows per bucket
+
+
+def _knn_index_from_blocks(block_tables, id_col: str, emb_col: str):
+    """Concatenate dataset blocks into the (ids, unit matrix) broadcast
+    index. Runs INSIDE a Ray task — blocks go object store → worker, the
+    corpus never passes through the driver heap."""
     import ray
 
-    parts = [_batch_matrix(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    tables = ray.get(list(block_tables))
+    parts = [_batch_matrix(t, id_col, emb_col) for t in tables]
     parts = [p for p in parts if len(p[0])]
-    ids = np.concatenate([p[0] for p in parts]) if parts else np.array([], np.int64)
+    ids = (np.concatenate([p[0] for p in parts]) if parts
+           else np.array([], np.int64))
     mat = (_normalize(np.concatenate([p[1] for p in parts]))
            if parts else np.zeros((0, 1)))
-    index_ref = ray.put((ids, mat))
+    return ids, mat
+
+
+def knn_graph(ds, k: int = 5, concurrency: int | None = None,
+              index_cap_rows: int = KNN_INDEX_CAP_ROWS):
+    """Cosine k-nearest-neighbor graph over the corpus (self excluded):
+    (vec_id, rank, nbr_id, cosine).
+
+    ≤ ``index_cap_rows`` rows (the standard fits-one-node ANN-index
+    assumption): EXACT — the corpus doubles as the broadcast index, built
+    by a Ray task from the dataset's own block refs (``to_arrow_refs``;
+    the driver handles only ObjectRefs, never the vectors) and streamed
+    against once via the actor pool. Past the cap: routes to the bucketed
+    approximate ``knn_graph_lsh`` — no single node can hold the index, so
+    candidates are co-located by sign-LSH bucket instead (recall measured
+    in tests/test_fingerprint_pairs.py)."""
+    import ray
+
+    ds = ds.materialize()           # blocks land in the (spillable) store
+    if ds.count() > index_cap_rows:
+        return knn_graph_lsh(ds, k=k)
+    refs = ds.to_arrow_refs()
+    build = ray.remote(num_cpus=1)(_knn_index_from_blocks)
+    index_ref = build.remote(refs, "vec_id", "embedding")
 
     return ds.map_batches(
         KnnGraphStage,
         fn_constructor_kwargs={"index_ref": index_ref, "k": k},
         batch_format="pyarrow", batch_size=4096,
         concurrency=concurrency or 4, num_cpus=0.5)
+
+
+def knn_graph_lsh(ds, k: int = 5, n_tables: int = KNN_LSH_TABLES,
+                  n_planes: int | None = None,
+                  bucket_rows: int = KNN_LSH_BUCKET_ROWS,
+                  n_rows_hint: int | None = None):
+    """Approximate kNN graph for corpora past the one-node index cap:
+    multi-table sign-LSH bucketing. Each vector is replicated into one
+    bucket per table (fixed hyperplanes, RandomState(42+t) — deterministic
+    across runs and partitionings); inside a bucket group the members
+    matmul against each other (bucket ≈ ``bucket_rows`` rows, so the local
+    work is bounded at any corpus size); per-vector candidates merge
+    across tables with nbr-dedup and reduce to the global top-k under the
+    exact-path tie order (cosine desc, nbr_id asc).
+
+    Partitioning assumption: the shuffle key is (table, bucket); vectors
+    ride the exchange ×``n_tables``. Plane count sizes buckets to
+    ``bucket_rows`` from the corpus row count (``n_rows_hint`` or a
+    metadata count). Output schema matches ``knn_graph``; ranks are dense
+    1..≤k (a vector sharing no bucket with ≥1 other vector yields no
+    rows — approximate by contract, recall pinned by tests)."""
+    n = n_rows_hint if n_rows_hint is not None else ds.count()
+    if n_planes is None:
+        n_planes = max(2, int(np.ceil(np.log2(max(n, 1) / bucket_rows)))
+                       if n > bucket_rows else 2)
+    n_planes = min(n_planes, 30)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+                "tb": pa.array([], pa.int64())})
+        vecs = _normalize(mat)
+        out_id, out_emb, out_tb = [], [], []
+        for t in range(n_tables):
+            planes = np.random.RandomState(42 + t).normal(
+                size=(n_planes, vecs.shape[1]))
+            b = _bucket_of(vecs, planes)
+            out_id.append(ids)
+            out_emb.append(vecs)
+            # composite shuffle key table*2^planes + bucket
+            out_tb.append(b + (t << n_planes))
+        emb = np.concatenate(out_emb)
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+            "tb": pa.array(np.concatenate(out_tb))})
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array(df["embedding"].to_numpy()[order].tolist(),
+                       np.float64)
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"vec_id": pd.array([], "int64"),
+                                 "nbr_id": pd.array([], "int64"),
+                                 "cosine": pd.array([], "float64")})
+        sims = mat @ mat.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k, m - 1)
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, kk),
+            "nbr_id": ids[top].ravel(),
+            "cosine": np.take_along_axis(sims, top, axis=1)[:, :kk].ravel()})
+
+    def merge_tables(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.sort_values(["cosine", "nbr_id"], ascending=[False, True],
+                            kind="mergesort")
+             .drop_duplicates(["vec_id", "nbr_id"]).head(k)
+             .reset_index(drop=True))
+        d["rank"] = np.arange(1, len(d) + 1, dtype=np.int64)
+        return d[["vec_id", "rank", "nbr_id", "cosine"]]
+
+    from .dedup import nonempty_or_typed_table
+    out = (ds.map_batches(bucketize, batch_format="pyarrow",
+                          batch_size=4096)
+           .groupby("tb").map_groups(bucket_topk, batch_format="pandas")
+           .groupby("vec_id").map_groups(merge_tables,
+                                         batch_format="pandas"))
+    return nonempty_or_typed_table(out, {
+        "vec_id": pa.int64(), "rank": pa.int64(),
+        "nbr_id": pa.int64(), "cosine": pa.float64()})
 
 
 # ------------------------------------------------------- full-corpus k-means

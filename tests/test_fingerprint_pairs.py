@@ -110,6 +110,70 @@ class TestKnnGraph:
         assert res.groupby("vec_id")["rank"].apply(
             lambda r: list(r) == list(range(1, len(r) + 1))).all()
 
+    def _blob_ds(self, n=240, dim=16, n_blobs=6, seed=11):
+        import ray.data
+        rng = np.random.RandomState(seed)
+        centers = rng.normal(size=(n_blobs, dim)) * 4.0
+        vecs = centers[np.arange(n) % n_blobs] + rng.normal(size=(n, dim)) * 0.2
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64()))}))
+
+    def test_cap_routes_to_lsh_path(self, ray_session, monkeypatch):
+        # past index_cap_rows the exact broadcast index cannot fit one
+        # node — knn_graph must route to the bucketed LSH path
+        from mobile_ocr_api_ray.stages import similarity
+        calls = {}
+        real = similarity.knn_graph_lsh
+        monkeypatch.setattr(similarity, "knn_graph_lsh",
+                            lambda ds, k: calls.setdefault("k", k) or real(ds, k=k))
+        ds = self._blob_ds(n=60)
+        similarity.knn_graph(ds, k=3, index_cap_rows=50)
+        assert calls.get("k") == 3
+        calls.clear()
+        similarity.knn_graph(ds, k=3, index_cap_rows=60)  # at cap: exact
+        assert "k" not in calls
+
+    def test_lsh_recall_vs_exact(self, ray_session):
+        # clustered corpus: multi-table LSH must recover most true
+        # neighbors (they share blob buckets with high probability)
+        from mobile_ocr_api_ray.stages import similarity
+        ds = self._blob_ds()
+        exact = similarity.knn_graph(ds, k=5).to_pandas()
+        approx = similarity.knn_graph_lsh(ds, k=5, n_planes=4).to_pandas()
+        t = set(map(tuple, exact[["vec_id", "nbr_id"]].to_numpy()))
+        a = set(map(tuple, approx[["vec_id", "nbr_id"]].to_numpy()))
+        recall = len(t & a) / len(t)
+        assert recall >= 0.8, recall
+        assert (approx.vec_id != approx.nbr_id).all()
+
+    def test_lsh_partition_invariant(self, ray_session):
+        from mobile_ocr_api_ray.stages import similarity
+        ds = self._blob_ds(n=120)
+        a = similarity.knn_graph_lsh(ds.repartition(1), k=4,
+                                     n_planes=3).to_pandas() \
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        b = similarity.knn_graph_lsh(ds.repartition(7), k=4,
+                                     n_planes=3).to_pandas() \
+            .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_exact_build_never_iterates_on_driver(self, ray_session,
+                                                  monkeypatch):
+        # the index build must consume block refs via a Ray task — a
+        # driver-side iter_batches over the corpus is the 100-TB OOM the
+        # round-2 verdict flagged
+        import ray.data
+        from mobile_ocr_api_ray.stages import similarity
+        ds = self._blob_ds(n=40)
+
+        def boom(self, *a, **kw):
+            raise AssertionError("driver iter_batches in knn_graph build")
+        monkeypatch.setattr(ray.data.Dataset, "iter_batches", boom)
+        res = similarity.knn_graph(ds, k=3)   # eager index build happens here
+        monkeypatch.undo()                     # result collection may iterate
+        assert len(res.to_pandas()) == 40 * 3
+
 
 class TestTfidf:
     def test_matches_pandas_recompute(self, ray_session):
