@@ -204,6 +204,42 @@ def _ann_query_values() -> str:
     return ", ".join(rows)
 
 
+def _pages_glob() -> str:
+    """Glob of the deterministic pages-corpus shards for the oracle tier
+    (GRAFT_SF_DIR, default sf0.01 — the driver's correctness tier), built
+    on demand (ensure_corpus is idempotent and ray-free). DuckDB reads the
+    same shards the engine queries read, so the page-corpus oracles are
+    value-exact end to end."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mobile_ocr_api_ray import corpus
+
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    n_docs = pq.read_metadata(
+        os.path.join(sf, "documents.parquet")).num_rows
+    d = corpus.ensure_corpus(n_rows=n_docs * 2, seed=42)
+    return os.path.join(d, "pages.parquet", "*")
+
+
+# url → lowercase host, the crawl.host_of RE2 (stages/crawl.py:29)
+_HOST_SQL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+# html BLOB → scannable text, total on EVERY payload: DuckDB's blob cast
+# escapes rather than decodes (quote → \x22, newline → \x0A — the only
+# two sequences the ASCII corpus html produces), so the cast never raises
+# on binary payloads the way decode() does (and decode() in a filtered
+# CTE still crashed: the optimizer evaluated it pre-filter). Rows are
+# gated on the DOCTYPE prefix — the engine decodes everything with
+# errors='replace', but binary payloads contain no anchors/title/meta, so
+# both sides extract nothing from them (validated value-exact at sf0.001
+# and sf0.01).
+_HTML_DOC_SQL = ("replace(replace(CAST(html AS VARCHAR), '\\x22', '\"'), "
+                 "'\\x0A', chr(10))")
+_ANCHOR_SQL_RE = r"""(?is)<a\b[^>]*?\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>"""
+
+
 def _stop_case_sum() -> str:
     """Distinct-stopword presence count as a sum of per-word regex CASEs —
     the same one-RE2-pass-per-stopword rule as stages.text_analysis
@@ -219,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
     alt = _alt_regex(QUALITY_STOPWORDS)
     alt_eng = _alt_regex(LANG_PROFILES["eng"])
     alt_ind = _alt_regex(LANG_PROFILES["ind"])
+    pg = _pages_glob()
     return {
         # language-ID heuristic: profile hit counts via the same RE2 engine
         # on both sides; argmax order is irrelevant because ties → 'und'
@@ -1484,4 +1521,129 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN (SELECT * FROM embeddings
                                  WHERE embedding IS NOT NULL) e)
             WHERE rnk <= 10 ORDER BY query_id, rnk""",
+        # URL blocklist over the simulated messy crawl: clean corpus urls
+        # + one md5-hash-routed trap variant each; first-matching-rule
+        # attribution mirrors the engine's pattern order (RE2 both sides)
+        "url_filtered_pages": rf"""
+            WITH p AS (SELECT url FROM read_parquet('{pg}')),
+            v AS (
+              SELECT url FROM p
+              UNION ALL
+              SELECT url || CASE cast(('0x' || substring(md5(url), 1, 8))
+                                 AS UBIGINT) % 4
+                  WHEN 0 THEN '/img.jpeg' WHEN 1 THEN '?phpsessid=abc123'
+                  WHEN 2 THEN '/calendar/2024/01/15' ELSE '?page=1234' END
+              FROM p),
+            q AS (SELECT url,
+              CASE WHEN regexp_matches(url, '\.(?:jpe?g|png|gif|bmp|tiff?|webp|mp[34]|avi|mov|zip|gz|exe|dmg)(?:$|\?)') THEN 0
+                   WHEN regexp_matches(url, '[?&](?:sessionid|sid|phpsessid)=') THEN 1
+                   WHEN regexp_matches(url, '/calendar/\d{{4}}/\d{{2}}/\d{{2}}') THEN 2
+                   WHEN regexp_matches(url, '[?&]page=\d{{3,}}') THEN 3
+                   ELSE -1 END AS rule_idx
+              FROM v)
+            SELECT url, cast(rule_idx AS BIGINT) AS rule_idx,
+                   'rejected' AS status
+            FROM q WHERE rule_idx >= 0 ORDER BY url""",
+        # per-domain crawl rollup: host RE2 + blob byte length + max ts
+        "domain_page_stats": rf"""
+            SELECT lower(regexp_extract(url, '{_HOST_SQL_RE}', 1)) AS domain,
+                   count(*) AS n_pages,
+                   cast(sum(octet_length(html)) AS BIGINT)
+                       AS total_html_bytes,
+                   max(warc_ts) AS last_capture
+            FROM read_parquet('{pg}') GROUP BY 1 ORDER BY 1""",
+        # title/meta-description extraction: drop script/style/noscript/
+        # template content, first <title> / first meta-description, tag
+        # strip + whitespace collapse — the html_extract.page_metadata
+        # spec re-expressed over the unescaped blob cast; non-HTML
+        # payloads left-join back as empty strings
+        "page_metadata": rf"""
+            WITH hp AS (SELECT url, {_HTML_DOC_SQL} AS doc
+                        FROM read_parquet('{pg}')
+                        WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'),
+            allp AS (SELECT url FROM read_parquet('{pg}')),
+            d AS (SELECT url,
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                      doc,
+                      '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                      '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                      '(?is)<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'g'),
+                      '(?is)<template\b[^>]*>.*?</template\s*>', ' ', 'g') AS doc
+                  FROM hp)
+            SELECT a.url,
+                   coalesce(trim(regexp_replace(regexp_replace(
+                     regexp_extract(doc, '(?is)<title\b[^>]*>(.*?)</title\s*>', 1),
+                     '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')), '') AS title,
+                   coalesce(trim(regexp_replace(
+                     regexp_extract(doc, '(?is)<meta\b[^>]*\bname\s*=\s*"description"[^>]*\bcontent\s*=\s*"([^"]*)"', 1),
+                     '\s+', ' ', 'g')), '') AS meta_description
+            FROM allp a LEFT JOIN d ON a.url = d.url ORDER BY a.url""",
+        # per-page out-links: anchor regex (href + visible text via
+        # parallel unnest of the SAME pattern's two groups), relative
+        # hrefs resolved against the page's scheme://host (the corpus
+        # emits no ./.. relatives, so RFC 3986 reduces to concat)
+        "page_links": rf"""
+            WITH p AS (SELECT url, {_HTML_DOC_SQL} AS doc
+                       FROM read_parquet('{pg}')
+                       WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'),
+            l AS (SELECT url AS src_url,
+                         unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 1)) AS href,
+                         unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 2)) AS atext
+                  FROM p),
+            r AS (SELECT src_url,
+                         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                              THEN href
+                              ELSE regexp_extract(src_url,
+                                     '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)
+                                   || href END AS dst_url,
+                         trim(regexp_replace(regexp_replace(atext,
+                              '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g'))
+                             AS anchor_text
+                  FROM l WHERE trim(href) <> '')
+            SELECT src_url, dst_url, anchor_text FROM r
+            ORDER BY src_url, dst_url, anchor_text""",
+        # host→host edge rollup of the same link extraction
+        "host_graph_edges": rf"""
+            WITH p AS (SELECT url, {_HTML_DOC_SQL} AS doc
+                       FROM read_parquet('{pg}')
+                       WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'),
+            l AS (SELECT url AS src_url,
+                         unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 1)) AS href
+                  FROM p),
+            e AS (SELECT lower(regexp_extract(src_url, '{_HOST_SQL_RE}', 1)) AS src_host,
+                         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                              THEN lower(regexp_extract(href, '{_HOST_SQL_RE}', 1))
+                              ELSE lower(regexp_extract(src_url, '{_HOST_SQL_RE}', 1))
+                         END AS dst_host
+                  FROM l WHERE trim(href) <> '')
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+        # 64-bit frequency-weighted simhash: md5-top-64 token hash + per-
+        # bit vote sums, reassembled and viewed as two's-complement int64
+        # (dedup.simhash64 mirrored bit for bit)
+        "simhash_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(
+                  lower(coalesce(text, '')), '\w+')) AS tok
+              FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            bits AS (
+              SELECT doc_id, j.j AS j,
+                     sum(CASE WHEN (cast(('0x' || substring(md5(tok), 1, 16))
+                                    AS UBIGINT) >> j.j) & 1 = 1
+                              THEN c ELSE -c END) AS vote
+              FROM tc CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+              GROUP BY 1, 2),
+            h AS (SELECT doc_id,
+                         sum(CASE WHEN vote > 0
+                                  THEN cast(cast(1 AS UBIGINT)
+                                       << cast(j AS INTEGER) AS HUGEINT)
+                                  ELSE 0 END) AS hu
+                  FROM bits GROUP BY 1)
+            SELECT d.doc_id,
+                   cast(CASE WHEN coalesce(h.hu, 0) >= 9223372036854775808
+                             THEN coalesce(h.hu, 0) - 18446744073709551616
+                             ELSE coalesce(h.hu, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+            ORDER BY d.doc_id""",
     }

@@ -466,14 +466,19 @@ def _minhash_pairs_two_pass(ds, id_col: str, text_col: str, threshold: float,
 # ---------------------------------------------------------------- SimHash
 
 def _token_hash64(token: str) -> int:
-    return int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "big")
+    """Top-64 bits of md5(token) — md5 (not blake2) so the simhash_docs
+    SQL oracle reproduces it exactly:
+    ``cast(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT)``."""
+    return int(hashlib.md5(token.encode()).hexdigest()[:16], 16)
 
 
 def simhash64(text: str) -> int:
-    """64-bit frequency-weighted simhash over \\w+ tokens (lowercased)."""
+    """64-bit frequency-weighted simhash over \\w+ tokens (lowercased).
+    ASCII \\w — the engine-wide RE2 tokenizer convention (pyarrow/DuckDB
+    \\w is ASCII-only), so the SQL oracle tokenizes identically."""
     import re
     counts: dict[str, int] = {}
-    for tok in re.findall(r"\w+", (text or "").lower()):
+    for tok in re.findall(r"\w+", (text or "").lower(), re.ASCII):
         counts[tok] = counts.get(tok, 0) + 1
     if not counts:
         return 0

@@ -65,6 +65,9 @@ def compare(name: str, ours: pd.DataFrame, theirs: pd.DataFrame) -> list[str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracle_sql() derives tier-dependent constants (ANN query dim, pages-
+    # corpus glob) from this env var — pin it to the tier under check
+    os.environ["GRAFT_SF_DIR"] = sf_dir
 
     import ray
     if not ray.is_initialized():
