@@ -185,7 +185,8 @@ def read_output(out_dir: str):
 
 def export_training_shards(ds, out_dir: str, n_shards: int = 16,
                            key_col: str = "doc_id",
-                           text_col: str = "text") -> dict:
+                           text_col: str = "text",
+                           max_shards: int | None = None) -> dict:
     """Deterministic sharded training-data export — the final step of a
     curation pipeline: shard = md5-hash32(key) % n_shards (the samplers'
     pure-function rule, so shard membership is stable across runs,
@@ -197,6 +198,11 @@ def export_training_shards(ds, out_dir: str, n_shards: int = 16,
 
     done = completed_partitions(out_dir)
     todo = sorted(set(range(n_shards)) - done)
+    if max_shards is not None:
+        # preemption simulation / bounded-work mode, same contract as
+        # run_partitioned_extract(max_partitions=...): stop after k
+        # shards; a later call resumes the remainder exactly
+        todo = todo[:max_shards]
     if not todo:
         # exact resume of a finished export must not re-scan the corpus
         return {"completed_before": len(done), "completed_now": 0,

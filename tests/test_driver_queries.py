@@ -218,3 +218,30 @@ def test_train_val_test_split(queries):
         h = _hash32(r.doc_id)
         assert r.split == ("train" if h < lo else
                            "val" if h < hi else "test")
+
+
+class TestUnknownPayloadQuarantine:
+    def test_rejected_rows_surface_through_extract_pages(self, queries):
+        """S2 end to end at the QUERY surface: every corpus row whose
+        payload sniffs empty/unknown must come out of extract_pages as a
+        status='rejected' quarantine DATA row (zero confidence, no text,
+        no summary) — exactly the rows the generation-time golden table
+        marked 'rejected', never silently dropped."""
+        import pyarrow.parquet as pq
+
+        from mobile_ocr_api_ray.pipelines.analysis import _pages_dir_for
+
+        df = queries["extract_pages"](SF).to_pandas()
+        golden = pq.read_table(
+            os.path.join(_pages_dir_for(SF), "golden.parquet"),
+            columns=["url", "source"]).to_pandas()
+        want = set(golden[golden.source == "rejected"].url)
+        assert want, "corpus must contain degenerate payload rows"
+        rej = df[df.status == "rejected"]
+        assert set(rej.url) == want
+        assert set(rej.payload_kind) <= {"empty", "unknown"}
+        assert (rej.confidence == 0.0).all()
+        assert (rej.extracted_text.fillna("") == "").all()
+        assert rej.summary.isna().all()
+        # and nothing was dropped: one output row per corpus page
+        assert len(df) == len(golden)

@@ -76,3 +76,69 @@ class TestManifest:
             assert m["bytes"] > 0
             assert len(m["content_digest"]) == 64
             assert m["input_shard"] == pages
+
+
+@pytest.mark.slow
+class TestResumeBenchTier:
+    """Kill-and-resume at a multi-block tier (VERDICT r2 item 6): both
+    writers stop after ~half their partitions, resume, and the final
+    output must be BYTE-identical (per-partition sha256 content digests)
+    to a never-preempted run. Tier defaults to 20k pages so the suite
+    stays bounded at the 4-CPU test session; set GRAFT_RESUME_ROWS=320000
+    to run the full bench tier (done standalone; recorded in
+    BASELINE.md)."""
+
+    def test_extract_kill_half_resume_bytediff(self, ray_session, tmp_path):
+        import json
+
+        from mobile_ocr_api_ray import corpus
+
+        rows = int(os.environ.get("GRAFT_RESUME_ROWS", "20000"))
+        d = corpus.ensure_corpus(rows, seed=42)
+        pages = os.path.join(d, "pages.parquet")
+        nparts = 32
+
+        def digests(out):
+            mdir = os.path.join(out, "_manifest")
+            rows_ = [json.load(open(os.path.join(mdir, f)))
+                     for f in sorted(os.listdir(mdir))]
+            return {r["partition_id"]: (r["content_digest"], r["row_count"])
+                    for r in rows_}
+
+        ref_dir = str(tmp_path / "ref")
+        manifest.run_partitioned_extract(pages, ref_dir, n_partitions=nparts,
+                                         concurrency=4)
+        out_dir = str(tmp_path / "out")
+        manifest.run_partitioned_extract(pages, out_dir, n_partitions=nparts,
+                                         concurrency=4,
+                                         max_partitions=nparts // 2)
+        half = manifest.completed_partitions(out_dir)
+        assert 0 < len(half) < nparts          # genuinely preempted
+        r = manifest.run_partitioned_extract(pages, out_dir,
+                                             n_partitions=nparts,
+                                             concurrency=4)
+        assert r["completed_before"] == len(half)
+        assert manifest.completed_partitions(out_dir) == set(range(nparts))
+        assert digests(out_dir) == digests(ref_dir)   # byte-identical
+
+        # ---- training-shard export over the extracted output ----
+        import ray.data
+        ext = ray.data.read_parquet(
+            [os.path.join(out_dir, f) for f in sorted(os.listdir(out_dir))
+             if f.endswith(".parquet")],
+            columns=["url", "extracted_text"])
+        ref_exp = str(tmp_path / "exp_ref")
+        manifest.export_training_shards(ext, ref_exp, n_shards=16,
+                                        key_col="url",
+                                        text_col="extracted_text")
+        out_exp = str(tmp_path / "exp_out")
+        manifest.export_training_shards(ext, out_exp, n_shards=16,
+                                        key_col="url",
+                                        text_col="extracted_text",
+                                        max_shards=8)
+        assert len(manifest.completed_partitions(out_exp)) == 8
+        r2 = manifest.export_training_shards(ext, out_exp, n_shards=16,
+                                             key_col="url",
+                                             text_col="extracted_text")
+        assert r2["completed_before"] == 8 and r2["completed_now"] == 8
+        assert digests(out_exp) == digests(ref_exp)
