@@ -1618,6 +1618,73 @@ def oracle_sql() -> dict[str, str]:
                   FROM l WHERE trim(href) <> '')
             SELECT src_host, dst_host, count(*) AS n_links
             FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+        # recrawl capture dedup: gen1 ∪ (gen2 = +7 days), newest capture
+        # per url under the engine's (warc_ts, crawl_gen) total order
+        "latest_capture_per_url": rf"""
+            WITH base AS (SELECT url, warc_ts, lang FROM read_parquet('{pg}')),
+            g AS (SELECT url, warc_ts, lang, cast(1 AS BIGINT) AS crawl_gen
+                  FROM base
+                  UNION ALL
+                  SELECT url, warc_ts + INTERVAL 7 DAY, lang, 2 FROM base)
+            SELECT url, warc_ts, lang, crawl_gen FROM (
+              SELECT *, row_number() OVER (PARTITION BY url
+                         ORDER BY warc_ts DESC, crawl_gen DESC) AS rn FROM g)
+            WHERE rn = 1 ORDER BY url""",
+        # canonical-url capture dedup: gen2 re-observes each page under a
+        # mangled variant (uppercased scheme + utm params + fragment);
+        # the SQL replicates crawl.canonical_url_one's rules (lowercase
+        # scheme/host, strip fragment, drop utm_* params, empty path →
+        # '/'), so each variant collapses onto its original
+        "canonical_capture_dedup": rf"""
+            WITH base AS (SELECT url, warc_ts FROM read_parquet('{pg}')),
+            g AS (SELECT url AS raw, warc_ts, cast(1 AS BIGINT) AS crawl_gen
+                  FROM base
+                  UNION ALL
+                  SELECT replace(url, 'https://', 'HTTPS://')
+                           || '?utm_source=recrawl&utm_campaign=x#top',
+                         warc_ts + INTERVAL 7 DAY, 2 FROM base),
+            parts AS (
+              SELECT raw, warc_ts, crawl_gen,
+                     lower(regexp_extract(raw,
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(raw,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS netloc,
+                     coalesce(nullif(regexp_extract(raw,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                         ''), '/') AS path,
+                     coalesce(nullif(regexp_extract(raw, '\?([^#]*)', 1),
+                                     ''), '') AS rawq
+              FROM g),
+            canon AS (
+              SELECT warc_ts, crawl_gen,
+                     scheme || '://' || netloc || path
+                       || CASE WHEN coalesce(q, '') = '' THEN ''
+                               ELSE '?' || q END AS url
+              FROM (SELECT *, array_to_string(list_filter(
+                          string_split(rawq, '&'),
+                          p -> p <> '' AND NOT starts_with(lower(p),
+                                                           'utm_')),
+                          '&') AS q
+                    FROM parts))
+            SELECT url, warc_ts, crawl_gen FROM (
+              SELECT *, row_number() OVER (PARTITION BY url
+                         ORDER BY warc_ts DESC, crawl_gen DESC) AS rn
+              FROM canon)
+            WHERE rn = 1 ORDER BY url""",
+        # per-host crawl-budget cap: k smallest md5-hash32(url) per host
+        # (the samplers' pure-function membership rule), ties → url asc
+        "host_capped_pages": rf"""
+            WITH p AS (SELECT url,
+                coalesce(lower(regexp_extract(url, '{_HOST_SQL_RE}', 1)),
+                         '') AS host,
+                cast(('0x' || substring(md5(url), 1, 8)) AS UBIGINT) AS h
+              FROM read_parquet('{pg}'))
+            SELECT host, cast(rn AS BIGINT) AS "rank", url FROM (
+              SELECT host, url, h,
+                     row_number() OVER (PARTITION BY host
+                                        ORDER BY h, url) AS rn
+              FROM p)
+            WHERE rn <= 5 ORDER BY host, rn""",
         # 64-bit frequency-weighted simhash: md5-top-64 token hash + per-
         # bit vote sums, reassembled and viewed as two's-complement int64
         # (dedup.simhash64 mirrored bit for bit)

@@ -303,6 +303,37 @@ def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+    if "--pair" in sys.argv:
+        # interleaved N↔4N sweeps: each sweep runs BOTH legs back to back,
+        # so the efficiency ratio is computed within one hypervisor-steal
+        # window instead of comparing legs measured minutes apart (the
+        # sequential --scaling protocol's main noise source on this host).
+        i = sys.argv.index("--pair")
+        lo, hi = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        mult = int(os.environ.get("GRAFT_SCALING_MULT", "8"))
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+        sweeps = []
+        for _ in range(reps):
+            a = run_headline_subprocess(sf_dir, lo, rows_mult=mult)
+            b = run_headline_subprocess(sf_dir, hi, rows_mult=mult)
+            sweeps.append({
+                "docs_per_s_lo": a["docs_per_s"],
+                "docs_per_s_hi": b["docs_per_s"],
+                "eff": round((b["docs_per_s"] / a["docs_per_s"])
+                             / (hi / lo), 3)})
+        ceil = machine_ceiling(levels=(lo, hi))
+        effs = sorted(s["eff"] for s in sweeps)
+        print(json.dumps({
+            "metric": f"interleaved {lo}->{hi} CPU scaling efficiency "
+                      "(per-sweep ratio, both legs in one window)",
+            "sf": sf_of(sf_dir), "rows_mult": mult,
+            "sweeps": sweeps,
+            "eff_median": effs[len(effs) // 2],
+            "eff_best": effs[-1],
+            "machine_ceiling_eff": round((ceil[hi] / ceil[lo]) / (hi / lo), 3),
+        }))
+        return
+
     if "--scaling" in sys.argv:
         # identical job, fresh ray sessions, three N-vs-4N parallelism
         # pairs (2->8, 4->16, 8->32) on a corpus sized so per-worker work
