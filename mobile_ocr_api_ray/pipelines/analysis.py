@@ -2463,29 +2463,47 @@ def contrastive_pairs(joined, n_buckets: int,
         return pd.DataFrame({"url": d["url"], "title": d["title"],
                              "body": d["body"], "neg_body": neg})
 
+    # no trailing global sort: the pair SET is deterministic (bucket
+    # membership + url-sorted rows inside each bucket), the driver check
+    # is order-insensitive, and a second all-to-all barrier just to
+    # prettify row order costs more than the whole pair construction at
+    # the small-block tail (measured: 64-block sort ≈ 2.7 s of pure
+    # per-block fixed cost at sf0.1)
     return (joined.map_batches(project, batch_format="pyarrow")
-            .groupby("negc").map_groups(pairs, batch_format="pandas")
-            .sort("url"))
+            .groupby("negc").map_groups(pairs, batch_format="pandas"))
+
+
+def _meta_body_kernel(batch: pa.Table) -> pa.Table:
+    """Fused (title, extracted body) in ONE pass over the html batch:
+    both the metadata kernel and the extraction kernel are row-wise over
+    the same payloads, so running them side by side per batch removes the
+    second corpus read AND the url hash-join barrier that composing the
+    two pipelines costs (measured: title_body_pairs 10.8 s → the
+    extraction path + two small exchanges at sf0.1). Identical values to
+    the composed form — title_body_pairs' test checks title ≡ the
+    page_metadata query per url."""
+    from ..pipelines.extract import _worker_extractor
+
+    meta = _page_meta_kernel(batch)
+    ext = _worker_extractor("medium", True, False, False)(batch)  # flagship params
+    return pa.table({"url": batch["url"],
+                     "title": meta["title"],
+                     "extracted_text": ext["extracted_text"]})
 
 
 def title_body_pairs(sf_dir: str):
     """Retrieval-style training pairs from the crawl: per page, (title →
     body) as the positive and a url-hash-bucket neighbor's body as the
-    negative (see ``contrastive_pairs``). Title comes from page metadata,
-    body from the flagship extraction, joined on url; pages with an empty
-    title or body drop out. Bucket count adapts to the corpus (~2k rows
-    per bucket at any scale). Returns (url, title, body, neg_body)."""
-    from ..stages.joins import hash_join
-
+    negative (see ``contrastive_pairs``). Title and body come from one
+    fused kernel pass over the pages (``_meta_body_kernel``); pages with
+    an empty title or body drop out. Bucket count adapts to the corpus
+    (~2k rows per bucket at any scale). Returns
+    (url, title, body, neg_body)."""
     d = _pages_dir_for(sf_dir)
     n_pages = _corpus_rows(d)
+    # text + lang ride along: the direct-text cheap path (M5) and lang
+    # routing must behave exactly as in the flagship extraction
     pages = read_pages(os.path.join(d, "pages.parquet"),
-                       columns=["url", "html"])
-    titles = pages.map_batches(_page_meta_kernel, batch_format="pyarrow") \
-        .select_columns(["url", "title"])
-    bodies = extract_pipeline(
-        read_pages(os.path.join(d, "pages.parquet"))) \
-        .select_columns(["url", "extracted_text"])
-    joined = hash_join(titles, bodies, "url", "url", how="inner",
-                       n_coarse=_docs_coarse_hint(sf_dir, 2))
+                       columns=["url", "html", "text", "lang"])
+    joined = pages.map_batches(_meta_body_kernel, batch_format="pyarrow")
     return contrastive_pairs(joined, _pair_bucket_count(n_pages))

@@ -205,7 +205,7 @@ class TestTitleBodyPairs:
         def run(n_blocks):
             ds = ray.data.from_arrow(rows).repartition(n_blocks)
             return analysis.contrastive_pairs(ds, 11).to_pandas() \
-                .reset_index(drop=True)
+                .sort_values("url").reset_index(drop=True)
 
         a, b, c = run(1), run(4), run(13)
         pd.testing.assert_frame_equal(a, b)
