@@ -1685,6 +1685,32 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY h, url) AS rn
               FROM p)
             WHERE rn <= 5 ORDER BY host, rn""",
+        # anchor-text index: per dst_url, in-link count + first 5 distinct
+        # non-empty anchor texts in lexicographic order, ' | '-joined —
+        # same link extraction as page_links
+        "anchor_text_summary": rf"""
+            WITH p AS (SELECT url, {_HTML_DOC_SQL} AS doc
+                       FROM read_parquet('{pg}')
+                       WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'),
+            l AS (SELECT url AS src_url,
+                         unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 1)) AS href,
+                         unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 2)) AS atext
+                  FROM p),
+            r AS (SELECT CASE WHEN href LIKE 'http://%'
+                                OR href LIKE 'https://%' THEN href
+                         ELSE regexp_extract(src_url,
+                                '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)
+                              || href END AS dst_url,
+                         trim(regexp_replace(regexp_replace(atext,
+                              '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g'))
+                             AS anchor_text
+                  FROM l WHERE trim(href) <> '')
+            SELECT dst_url, count(*) AS n_inlinks,
+                   coalesce(array_to_string(list_slice(list_sort(
+                       list_distinct(list(anchor_text)
+                                     FILTER (anchor_text <> ''))), 1, 5),
+                       ' | '), '') AS anchor_texts
+            FROM r GROUP BY 1 ORDER BY 1""",
         # 64-bit frequency-weighted simhash: md5-top-64 token hash + per-
         # bit vote sums, reassembled and viewed as two's-complement int64
         # (dedup.simhash64 mirrored bit for bit)
@@ -1713,4 +1739,59 @@ def oracle_sql() -> dict[str, str]:
                              ELSE coalesce(h.hu, 0) END AS BIGINT) AS simhash
             FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
             ORDER BY d.doc_id""",
+        # simhash near-dup pairs over the doubled corpus: the engine's
+        # 4×16-bit banding has FULL recall at hamming ≤ 3 (pigeonhole: 3
+        # flipped bits leave ≥1 band intact) and verifies exact hamming,
+        # so its output IS the exact hamming-≤3 pair set — expressible as
+        # a self-join over the simhash CTE with bit_count(xor)
+        "simhash_pairs_doubled": r"""
+            WITH d AS (SELECT doc_id, text FROM documents
+                       UNION ALL SELECT doc_id + 1000000, text FROM documents),
+            toks AS (SELECT doc_id, unnest(regexp_extract_all(
+                         lower(coalesce(text, '')), '\w+')) AS tok FROM d),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            bits AS (SELECT doc_id, j.j AS j,
+                            sum(CASE WHEN (cast(('0x' || substring(md5(tok), 1, 16))
+                                           AS UBIGINT) >> j.j) & 1 = 1
+                                     THEN c ELSE -c END) AS vote
+                     FROM tc CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+                     GROUP BY 1, 2),
+            h AS (SELECT doc_id,
+                         sum(CASE WHEN vote > 0
+                                  THEN cast(cast(1 AS UBIGINT)
+                                       << cast(j AS INTEGER) AS HUGEINT)
+                                  ELSE 0 END) AS hu
+                  FROM bits GROUP BY 1),
+            sh AS (SELECT d2.doc_id,
+                          cast(CASE WHEN coalesce(h.hu, 0) >= 9223372036854775808
+                                    THEN coalesce(h.hu, 0) - 18446744073709551616
+                                    ELSE coalesce(h.hu, 0) END AS BIGINT) AS simhash
+                   FROM (SELECT DISTINCT doc_id FROM d) d2
+                   LEFT JOIN h ON d2.doc_id = h.doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY 1, 2""",
+        # per-doc top-k TF-IDF terms, integer-exact surface (rank, word,
+        # tf, df): ranking is ulp-stable across numpy log / DuckDB ln
+        # (exact ties share (tf, df) and break by word on both sides)
+        "tfidf_top_terms": r"""
+            WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(
+                              lower(coalesce(text, '')), '\w+')) AS word
+                          FROM documents),
+            tc AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfr AS (SELECT word, count(*) AS df FROM tc GROUP BY 1),
+            s AS (SELECT tc.doc_id, tc.word, tc.tf, dfr.df,
+                         tc.tf * ln((SELECT count(*) FROM documents)
+                                    / cast(dfr.df AS DOUBLE)) AS tfidf
+                  FROM tc JOIN dfr USING (word)),
+            r AS (SELECT doc_id, word, tf, df,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf DESC, word) AS rnk
+                  FROM s)
+            SELECT doc_id, rnk AS "rank", word, cast(tf AS BIGINT) AS tf,
+                   cast(df AS BIGINT) AS df
+            FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""",
     }

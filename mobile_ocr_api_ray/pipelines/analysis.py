@@ -552,13 +552,19 @@ def source_overlap_matrix(sf_dir: str):
 
 def tfidf_top_terms(sf_dir: str, k: int = 5):
     """Per-doc top-k TF-IDF terms over the documents table (distributed df
-    count + word-keyed join back — no vocabulary broadcast). Rows-only
-    check: float log scores aren't cross-engine hashable; exactness is
-    pinned by the pandas recompute test instead."""
+    count + word-keyed join back — no vocabulary broadcast). The query
+    surface emits the integer-exact columns (rank, word, tf, df): the
+    RANKING is ulp-stable across engines (exact (tf, df) ties break by
+    word on both sides; numpy log and DuckDB ln differ only in the last
+    ulp), so it has a value-exact oracle — the float score itself is
+    pinned by the pandas-recompute test instead (np.log vs ln disagree
+    bitwise on ~28% of inputs, measured)."""
     n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     return text_analysis.tfidf_top_terms(
         _docs(sf_dir, ["doc_id", "text"]), n_docs=n, k=k,
-        n_coarse=_docs_coarse_hint(sf_dir, 8)).sort(["doc_id", "rank"])
+        n_coarse=_docs_coarse_hint(sf_dir, 8)) \
+        .select_columns(["doc_id", "rank", "word", "tf", "df"]) \
+        .sort(["doc_id", "rank"])
 
 
 SCRUB_PATTERN = r"\b(spark|hash)\b"

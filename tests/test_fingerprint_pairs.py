@@ -198,8 +198,12 @@ class TestTfidf:
             scored = sorted(((tfv * np.log(n / df[w]), w)
                              for w, tfv in c.items()),
                             key=lambda s: (-s[0], s[1]))[:3]
-            got = list(zip(g.sort_values("rank")["tfidf"],
-                           g.sort_values("rank")["word"]))
+            gs = g.sort_values("rank")
+            # the float score is recomputable exactly from (tf, df) — the
+            # query surface emits the integer-exact columns only
+            got = list(zip(gs["tf"].to_numpy()
+                           * np.log(n / gs["df"].to_numpy()),
+                           gs["word"]))
             want = [(s[0], s[1]) for s in scored]
             assert [w for _, w in got] == [w for _, w in want], doc_id
             assert np.allclose([v for v, _ in got], [v for v, _ in want],
