@@ -204,23 +204,34 @@ def _ann_query_values() -> str:
     return ", ".join(rows)
 
 
-def _pages_glob() -> str:
+def _pages_glob() -> "str | None":
     """Glob of the deterministic pages-corpus shards for the oracle tier
     (GRAFT_SF_DIR, default sf0.01 — the driver's correctness tier), built
-    on demand (ensure_corpus is idempotent and ray-free). DuckDB reads the
-    same shards the engine queries read, so the page-corpus oracles are
-    value-exact end to end."""
+    on demand. DuckDB reads the same shards the engine queries read, so
+    the page-corpus oracles are value-exact end to end. The corpus
+    derivation is the ENGINE's own ``_pages_dir_for`` (one definition of
+    rows/seed — an oracle reading a different corpus than the queries
+    would be worse than no oracle). Returns None when the tier's inputs
+    are unavailable — the page-corpus oracles then degrade to rows-only
+    instead of poisoning every other oracle."""
     import os
 
-    import pyarrow.parquet as pq
-
-    from mobile_ocr_api_ray import corpus
+    from mobile_ocr_api_ray.pipelines.analysis import _pages_dir_for
 
     sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    n_docs = pq.read_metadata(
-        os.path.join(sf, "documents.parquet")).num_rows
-    d = corpus.ensure_corpus(n_rows=n_docs * 2, seed=42)
-    return os.path.join(d, "pages.parquet", "*")
+    try:
+        return os.path.join(_pages_dir_for(sf), "pages.parquet", "*")
+    except Exception:
+        return None
+
+
+# oracle entries that read the pages corpus — dropped (rows-only) when
+# _pages_glob() cannot derive it
+_PAGE_CORPUS_ORACLES = (
+    "url_filtered_pages", "domain_page_stats", "page_metadata",
+    "page_links", "host_graph_edges", "anchor_text_summary",
+    "latest_capture_per_url", "canonical_capture_dedup",
+    "host_capped_pages")
 
 
 # url → lowercase host, the crawl.host_of RE2 (stages/crawl.py:29)
@@ -256,7 +267,7 @@ def oracle_sql() -> dict[str, str]:
     alt_eng = _alt_regex(LANG_PROFILES["eng"])
     alt_ind = _alt_regex(LANG_PROFILES["ind"])
     pg = _pages_glob()
-    return {
+    out = {
         # language-ID heuristic: profile hit counts via the same RE2 engine
         # on both sides; argmax order is irrelevant because ties → 'und'
         "langid_docs": rf"""
@@ -1546,7 +1557,8 @@ def oracle_sql() -> dict[str, str]:
             FROM q WHERE rule_idx >= 0 ORDER BY url""",
         # per-domain crawl rollup: host RE2 + blob byte length + max ts
         "domain_page_stats": rf"""
-            SELECT lower(regexp_extract(url, '{_HOST_SQL_RE}', 1)) AS domain,
+            SELECT coalesce(lower(regexp_extract(url, '{_HOST_SQL_RE}', 1)),
+                            '') AS domain,
                    count(*) AS n_pages,
                    cast(sum(octet_length(html)) AS BIGINT)
                        AS total_html_bytes,
@@ -1579,9 +1591,13 @@ def oracle_sql() -> dict[str, str]:
                      '\s+', ' ', 'g')), '') AS meta_description
             FROM allp a LEFT JOIN d ON a.url = d.url ORDER BY a.url""",
         # per-page out-links: anchor regex (href + visible text via
-        # parallel unnest of the SAME pattern's two groups), relative
-        # hrefs resolved against the page's scheme://host (the corpus
-        # emits no ./.. relatives, so RFC 3986 reduces to concat)
+        # parallel unnest of the SAME pattern's two groups). Fidelity vs
+        # page_out_links: trim, fragment strip, http(s)-or-'/'-relative
+        # gate (scheme'd non-http like mailto: drops, as the engine
+        # does); '/'-relatives resolve as scheme://host + href. Residual
+        # corpus coupling (documented, validated value-exact on the
+        # deterministic corpus): single-quoted hrefs, HTML entities in
+        # hrefs and dot-relative paths are engine-only territory
         "page_links": rf"""
             WITH p AS (SELECT url, {_HTML_DOC_SQL} AS doc
                        FROM read_parquet('{pg}')
@@ -1590,16 +1606,22 @@ def oracle_sql() -> dict[str, str]:
                          unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 1)) AS href,
                          unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 2)) AS atext
                   FROM p),
+            l2 AS (SELECT src_url, trim(href) AS href, atext FROM l
+                   WHERE trim(href) <> ''
+                     AND (starts_with(trim(href), '/')
+                          OR lower(trim(href)) LIKE 'http://%'
+                          OR lower(trim(href)) LIKE 'https://%')),
             r AS (SELECT src_url,
-                         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                         split_part(CASE WHEN lower(href) LIKE 'http://%'
+                                           OR lower(href) LIKE 'https://%'
                               THEN href
                               ELSE regexp_extract(src_url,
                                      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)
-                                   || href END AS dst_url,
+                                   || href END, '#', 1) AS dst_url,
                          trim(regexp_replace(regexp_replace(atext,
                               '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g'))
                              AS anchor_text
-                  FROM l WHERE trim(href) <> '')
+                  FROM l2)
             SELECT src_url, dst_url, anchor_text FROM r
             ORDER BY src_url, dst_url, anchor_text""",
         # host→host edge rollup of the same link extraction
@@ -1610,12 +1632,18 @@ def oracle_sql() -> dict[str, str]:
             l AS (SELECT url AS src_url,
                          unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 1)) AS href
                   FROM p),
+            l2 AS (SELECT src_url, trim(href) AS href FROM l
+                   WHERE trim(href) <> ''
+                     AND (starts_with(trim(href), '/')
+                          OR lower(trim(href)) LIKE 'http://%'
+                          OR lower(trim(href)) LIKE 'https://%')),
             e AS (SELECT lower(regexp_extract(src_url, '{_HOST_SQL_RE}', 1)) AS src_host,
-                         CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                         CASE WHEN lower(href) LIKE 'http://%'
+                                OR lower(href) LIKE 'https://%'
                               THEN lower(regexp_extract(href, '{_HOST_SQL_RE}', 1))
                               ELSE lower(regexp_extract(src_url, '{_HOST_SQL_RE}', 1))
                          END AS dst_host
-                  FROM l WHERE trim(href) <> '')
+                  FROM l2)
             SELECT src_host, dst_host, count(*) AS n_links
             FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
         # recrawl capture dedup: gen1 ∪ (gen2 = +7 days), newest capture
@@ -1696,15 +1724,20 @@ def oracle_sql() -> dict[str, str]:
                          unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 1)) AS href,
                          unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 2)) AS atext
                   FROM p),
-            r AS (SELECT CASE WHEN href LIKE 'http://%'
-                                OR href LIKE 'https://%' THEN href
+            l2 AS (SELECT src_url, trim(href) AS href, atext FROM l
+                   WHERE trim(href) <> ''
+                     AND (starts_with(trim(href), '/')
+                          OR lower(trim(href)) LIKE 'http://%'
+                          OR lower(trim(href)) LIKE 'https://%')),
+            r AS (SELECT split_part(CASE WHEN lower(href) LIKE 'http://%'
+                                OR lower(href) LIKE 'https://%' THEN href
                          ELSE regexp_extract(src_url,
                                 '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)
-                              || href END AS dst_url,
+                              || href END, '#', 1) AS dst_url,
                          trim(regexp_replace(regexp_replace(atext,
                               '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g'))
                              AS anchor_text
-                  FROM l WHERE trim(href) <> '')
+                  FROM l2)
             SELECT dst_url, count(*) AS n_inlinks,
                    coalesce(array_to_string(list_slice(list_sort(
                        list_distinct(list(anchor_text)
@@ -1795,3 +1828,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(df AS BIGINT) AS df
             FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""",
     }
+    if pg is None:
+        for name in _PAGE_CORPUS_ORACLES:
+            out.pop(name, None)
+    return out

@@ -384,15 +384,19 @@ def main():
 
     out = run_bench(sf_dir, num_cpus)
     # the driver captures only the TAIL bytes of stdout (BENCH_r02's JSON
-    # was truncated mid-dict); persist the full per-query dict in-repo so
-    # rounds can diff every operator, not just the ones that survive
-    try:
-        rnd = os.environ.get("GRAFT_ROUND", "LOCAL")
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               f"BENCH_LOCAL_r{rnd}.json"), "w") as f:
-            json.dump(out, f, indent=1)
-    except OSError:
-        pass  # read-only checkout must not fail the bench
+    # was truncated mid-dict); when GRAFT_ROUND is set, persist the full
+    # per-query dict in-repo so rounds can diff every operator. Opt-in
+    # only: an unstamped ad-hoc run (different sf / CPU count) must not
+    # silently clobber a committed round dump.
+    rnd = os.environ.get("GRAFT_ROUND")
+    if rnd:
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    f"BENCH_LOCAL_r{rnd}.json"), "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError:
+            pass  # read-only checkout must not fail the bench
     print(json.dumps(out))
 
 

@@ -1612,7 +1612,10 @@ def domain_page_stats(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         tb = pa.table({
-            "domain": crawl.host_of(batch["url"]),
+            # schemeless/malformed urls roll up under "" — the host_edges
+            # / host_capped_pages convention (a null group would also be
+            # dropped by some group paths)
+            "domain": pc.fill_null(crawl.host_of(batch["url"]), ""),
             "b": pc.binary_length(batch["html"]).cast(pa.int64()),
             "ts_us": batch["warc_ts"].cast(pa.int64())})
         g = tb.group_by("domain").aggregate(
@@ -2465,9 +2468,15 @@ def contrastive_pairs(joined, n_buckets: int,
                                  "title": pd.array([], "string"),
                                  "body": pd.array([], "string"),
                                  "neg_body": pd.array([], "string")})
-        neg = np.roll(d["body"].to_numpy(object), 1)
+        body = d["body"].to_numpy(object)
+        neg = np.roll(body, 1)
+        # degenerate pairs drop: adjacent url-sorted rows can share the
+        # same truncated body (duplicate boilerplate openings) and a
+        # neg == pos row is a broken training example, not a pair
+        keep = neg != body
+        d = d[keep]
         return pd.DataFrame({"url": d["url"], "title": d["title"],
-                             "body": d["body"], "neg_body": neg})
+                             "body": d["body"], "neg_body": neg[keep]})
 
     # no trailing global sort: the pair SET is deterministic (bucket
     # membership + url-sorted rows inside each bucket), the driver check

@@ -29,7 +29,6 @@ independent); permutation constants derive from numpy RandomState(42).
 from __future__ import annotations
 
 import hashlib
-import itertools
 import zlib
 
 import numpy as np
@@ -222,14 +221,21 @@ def _typed_empty_union(ds, cols: "dict[str, pa.DataType]"):
 
 
 def _bucket_pairs(df: pd.DataFrame, key_cols: list[str], id_col: str,
-                  pair_fn, pair_fn_vec) -> tuple[list, list, list]:
+                  pair_fn, pair_fn_vec,
+                  max_bucket: "int | None" = MAX_BUCKET) -> tuple[list, list, list]:
     """Shared bucket-walk for banded LSH pair generation, vectorized.
 
     Sorts rows by bucket, handles the dominant size-2 buckets in one numpy
-    pass (``pair_fn_vec`` over stacked adjacent rows) and the rare larger
-    buckets (3..MAX_BUCKET) with an explicit combinations loop (``pair_fn``
-    per pair). Buckets of size 1 (the vast majority at corpus scale) and
-    degenerate buckets > MAX_BUCKET cost one vectorized mask, no Python.
+    pass and larger buckets with one vectorized triu-indices pair sweep
+    per bucket (``pair_fn_vec`` over fancy-indexed payload arrays — no
+    per-pair Python). ``max_bucket``: buckets larger than this emit NO
+    pairs — the salt guard for candidate generators whose contract is
+    already approximate (MinHash banding); pass ``None`` for generators
+    whose output is a documented EXACT pair set (simhash hamming ≤ k —
+    its SQL oracle is a full self-join, so a silent cap would surface as
+    an oracle mismatch on any corpus with a >max_bucket near-dup family;
+    the quadratic per-bucket cost IS that operator's honest semantics).
+    ``pair_fn`` is the scalar fallback, kept for API/debug parity.
     Returns (id_a[], id_b[], value[]) with id_a < id_b.
     """
     if len(df) == 0:
@@ -251,15 +257,20 @@ def _bucket_pairs(df: pd.DataFrame, key_cols: list[str], id_col: str,
         keep = e[0]
         ida.extend(lo[keep].tolist()); idb.extend(hi[keep].tolist())
         vals.extend(e[1][keep].tolist())
-    big = (sizes >= 3) & (sizes <= MAX_BUCKET)
+    lim = len(df) if max_bucket is None else max_bucket
+    big = (sizes >= 3) & (sizes <= lim)
     if big.any():
         for c in np.unique(code[big]):
             rows = np.where(code == c)[0]
-            recs = sorted(zip(ids[rows].tolist(), payload[rows]), key=lambda r: r[0])
-            for (xa, pa_), (xb, pb) in itertools.combinations(recs, 2):
-                v = pair_fn(pa_, pb)
-                if v is not None:
-                    ida.append(xa); idb.append(xb); vals.append(v)
+            o = np.argsort(ids[rows], kind="stable")
+            bids = ids[rows][o]
+            bpay = payload[rows][o]
+            a_i, b_i = np.triu_indices(len(bids), 1)
+            e = pair_fn_vec(bpay[a_i], bpay[b_i])
+            keep = e[0]
+            ida.extend(bids[a_i][keep].tolist())
+            idb.extend(bids[b_i][keep].tolist())
+            vals.extend(e[1][keep].tolist())
     return ida, idb, vals
 
 
@@ -536,7 +547,12 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             ham = bin(int(x)).count("1")
             return ham if ham <= max_hamming else None
 
-        ida, idb, ham = _bucket_pairs(df, ["band_id", "band_val"], id_col, one, vec)
+        # max_bucket=None: simhash banding + hamming verify is an EXACT
+        # pair set (full recall at hamming ≤ max for 4×16 bands) and its
+        # oracle is a full self-join — a capped bucket would silently
+        # under-emit on any corpus with a big near-identical family
+        ida, idb, ham = _bucket_pairs(df, ["band_id", "band_val"], id_col,
+                                      one, vec, max_bucket=None)
         out = pd.DataFrame({"id_a": pd.array(ida, "int64"),
                             "id_b": pd.array(idb, "int64"),
                             "hamming": pd.array(ham, "int64")})

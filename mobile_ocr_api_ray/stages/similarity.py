@@ -345,7 +345,13 @@ def knn_graph(ds, k: int = 5, concurrency: int | None = None,
 
     ds = ds.materialize()           # blocks land in the (spillable) store
     if ds.count() > index_cap_rows:
-        return knn_graph_lsh(ds, k=k)
+        out = knn_graph_lsh(ds, k=k)
+        # normalize the return type: knn_graph_lsh's empty-result guard
+        # yields a typed pa.Table — callers of knn_graph uniformly get a
+        # Dataset regardless of which route ran
+        import ray.data
+        return (ray.data.from_arrow(out) if isinstance(out, pa.Table)
+                else out)
     refs = ds.to_arrow_refs()
     build = ray.remote(num_cpus=1)(_knn_index_from_blocks)
     index_ref = build.remote(refs, "vec_id", "embedding")

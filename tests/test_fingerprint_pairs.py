@@ -134,6 +134,20 @@ class TestKnnGraph:
         similarity.knn_graph(ds, k=3, index_cap_rows=60)  # at cap: exact
         assert "k" not in calls
 
+    def test_lsh_route_returns_dataset_even_when_empty(self, ray_session):
+        # all-null embeddings past the cap: the LSH route's empty-result
+        # guard yields a typed table internally, but knn_graph callers
+        # must uniformly get a Dataset whichever route ran
+        import ray.data
+        from mobile_ocr_api_ray.stages import similarity
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([None, None, None],
+                                  pa.list_(pa.float64()))}))
+        out = similarity.knn_graph(ds, k=2, index_cap_rows=1)
+        assert isinstance(out, ray.data.Dataset)
+        assert out.count() == 0
+
     def test_lsh_recall_vs_exact(self, ray_session):
         # clustered corpus: multi-table LSH must recover most true
         # neighbors (they share blob buckets with high probability)
@@ -208,6 +222,48 @@ class TestTfidf:
             assert [w for _, w in got] == [w for _, w in want], doc_id
             assert np.allclose([v for v, _ in got], [v for v, _ in want],
                                rtol=0, atol=0)
+
+    def test_no_cross_pair_exact_score_ties(self):
+        """Oracle-safety guard: the value-exact tfidf rank oracle relies
+        on exact ties occurring only at equal (tf, df) — two DIFFERENT
+        (tf, df) pairs with mathematically equal scores (t1·ln(N/d1) ==
+        t2·ln(N/d2) ⟺ N^t1·d2^t2 == N^t2·d1^t1, e.g. (tf=2, df=N/k²) vs
+        (tf=1, df=N/k)) could round to opposite orders under numpy log vs
+        DuckDB ln. Assert the oracle-tier corpus contains no such tie
+        within any document, so a future corpus change that introduces
+        one fails HERE, loudly, before the driver's oracle flakes."""
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            docs = pq.read_table(os.path.join(sf, "documents.parquet"),
+                                 columns=["doc_id", "text"]).to_pandas()
+            n = len(docs)
+            word_re = re.compile(r"\w+", re.ASCII)
+            tf_doc = [Counter(word_re.findall((t or "").lower()))
+                      for t in docs.text]
+            df = Counter()
+            for c in tf_doc:
+                df.update(c.keys())
+            for c in tf_doc:
+                pairs = sorted({(t, df[w]) for w, t in c.items()})
+                scores = np.array([t * np.log(n / d) for t, d in pairs])
+                order = np.argsort(scores, kind="stable")
+                for i, j in zip(order[:-1], order[1:]):
+                    (t1, d1), (t2, d2) = pairs[i], pairs[j]
+                    if (t1, d1) == (t2, d2):
+                        continue
+                    if abs(scores[i] - scores[j]) < 1e-9:
+                        # float-close: verify exactly in the integers.
+                        # df == N scores are EXACTLY 0.0 in both engines
+                        # (ln(1) = 0), so those ties are cross-engine
+                        # safe and allowed
+                        if d1 == n and d2 == n:
+                            continue
+                        assert n**t1 * d2**t2 != n**t2 * d1**t1, \
+                            (t1, d1, t2, d2)
 
     def test_empty_corpus_keeps_schema(self, ray_session):
         import ray.data

@@ -939,3 +939,33 @@ class TestNaiveBayes:
         n_sources = df.source.nunique()
         acc = df.correct.mean()
         assert acc > 1.5 / n_sources
+
+
+class TestBigBucketPairs:
+    def test_simhash_large_identical_family_exact(self, ray_session):
+        # >MAX_BUCKET identical docs: every band bucket holds all of them;
+        # the exact-pair contract (full recall at hamming<=3, full
+        # self-join oracle) requires ALL C(n,2) pairs — a capped bucket
+        # walk would silently emit none
+        import ray.data
+        n = 70
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["same words everywhere"] * n, pa.string())}))
+        out = dedup.simhash_near_pairs(ds).to_pandas()
+        assert len(out) == n * (n - 1) // 2
+        assert (out.hamming == 0).all()
+        assert (out.id_a < out.id_b).all()
+
+    def test_minhash_keeps_salt_guard(self, ray_session):
+        # MinHash banding stays capped (approximate-by-contract): a
+        # degenerate >MAX_BUCKET bucket emits no pairs rather than a
+        # quadratic blowup
+        import ray.data
+        n = dedup.MAX_BUCKET + 6
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["alpha beta gamma delta epsilon"] * n,
+                             pa.string())}))
+        out = dedup.minhash_dedup_pairs(ds).to_pandas()
+        assert len(out) == 0

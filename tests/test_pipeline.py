@@ -212,6 +212,25 @@ class TestTitleBodyPairs:
         pd.testing.assert_frame_equal(a, c)
         assert len(a) == 90 and (a.body != a.neg_body).all()
 
+    def test_duplicate_bodies_never_emit_neg_eq_pos(self, ray_session):
+        # adjacent url-sorted rows sharing a truncated body must DROP,
+        # not ship a neg == pos training pair
+        import pyarrow as pa
+        import ray.data
+        from mobile_ocr_api_ray.pipelines import analysis
+        rows = pa.table({
+            "url": pa.array([f"https://h.ex/p{i}" for i in range(6)],
+                            pa.string()),
+            "title": pa.array(["t"] * 6, pa.string()),
+            "extracted_text": pa.array(
+                ["same body"] * 4 + ["other body", "third body"],
+                pa.string())})
+        df = analysis.contrastive_pairs(
+            ray.data.from_arrow(rows), 1).to_pandas()
+        assert (df.body != df.neg_body).all()
+        # the distinct-body rows still pair up
+        assert {"other body", "third body"} <= set(df.body)
+
     def test_pair_bucket_count_scales(self):
         # bucket size stays ~PAIR_BUCKET_ROWS at ANY corpus size (the
         # round-2 %64 put corpus/64 rows in one pandas group)
