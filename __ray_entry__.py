@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": a.vocab_coverage,
         "length_quartile_docs": a.length_quartile_docs,
         "near_dedup_kept_doubled": a.near_dedup_kept_doubled,
+        "embedding_dedup_kept_doubled": a.embedding_dedup_kept_doubled,
         "near_dedup_kept_simhash_doubled": a.near_dedup_kept_simhash_doubled,
         "decontaminate_docs": a.decontaminate_docs,
         "bloom_decontaminate_docs": a.bloom_decontaminate_docs,
@@ -1772,6 +1773,19 @@ def oracle_sql() -> dict[str, str]:
                              ELSE coalesce(h.hu, 0) END AS BIGINT) AS simhash
             FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
             ORDER BY d.doc_id""",
+        # semantic-dedup keep over the doubled embeddings: kept = the
+        # min-vec_id representative per identical-embedding clone group
+        # (gaussian vectors: only exact clones reach cosine 0.999999)
+        "embedding_dedup_kept_doubled": r"""
+            WITH d AS (SELECT vec_id, embedding FROM embeddings
+                       UNION ALL
+                       SELECT vec_id + 1000000, embedding FROM embeddings)
+            SELECT vec_id FROM d
+            WHERE embedding IS NULL
+               OR vec_id IN (SELECT min(vec_id) FROM d
+                             WHERE embedding IS NOT NULL
+                             GROUP BY embedding)
+            ORDER BY vec_id""",
         # simhash near-dup pairs over the doubled corpus: the engine's
         # 4×16-bit banding has FULL recall at hamming ≤ 3 (pigeonhole: 3
         # flipped bits leave ≥1 band intact) and verifies exact hamming,

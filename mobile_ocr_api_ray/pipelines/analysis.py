@@ -2268,6 +2268,52 @@ def length_quartile_docs(sf_dir: str):
     return docs.map_batches(label, batch_format="pyarrow").sort("doc_id")
 
 
+def embedding_dedup_kept_doubled(sf_dir: str):
+    """SemDeDup-style semantic-dedup KEEP over the doubled embeddings
+    corpus: embedding-cosine near-pairs (≥ 0.999999 — among gaussian
+    vectors only the exact clones qualify, the same ground-truth trick as
+    ``embedding_pairs_doubled``) → connected components → one
+    representative (min vec_id) per cluster plus every unclustered
+    vector. The embedding-side member of the near-dedup-keep family
+    (minhash / simhash twins above) — value-exact SQL oracle: kept =
+    min(vec_id) per identical embedding list. Returns (vec_id)."""
+    from ..stages.joins import hash_join
+
+    base = _embeddings(sf_dir)
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.add(batch["vec_id"],
+                             pa.scalar(DOUBLE_OFFSET, pa.int64())),
+            "embedding": batch["embedding"]})
+
+    doubled = base.union(base.map_batches(shift, batch_format="pyarrow"))
+    nc = _coarse_hint_for(os.path.join(sf_dir, "embeddings.parquet"), 2)
+    pairs = dedup.embedding_near_pairs(doubled, threshold=0.999999,
+                                       n_coarse=nc)
+
+    def to_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"]})
+
+    ids = doubled.map_batches(
+        lambda b: pa.table({"vec_id": b["vec_id"]}),
+        batch_format="pyarrow")
+    clusters = dedup.dup_clusters(
+        pairs.map_batches(to_ids, batch_format="pyarrow")).materialize()
+    if clusters.count() == 0:
+        return ids.sort("vec_id")
+    joined = hash_join(ids, clusters, "vec_id", "src", how="left",
+                       n_coarse=nc)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        lbl = batch["label"]
+        mask = pc.or_kleene(pc.is_null(lbl), pc.equal(lbl, batch["vec_id"]))
+        return batch.filter(pc.fill_null(mask, False)) \
+            .select(["vec_id"])
+
+    return joined.map_batches(keep, batch_format="pyarrow").sort("vec_id")
+
+
 def near_dedup_kept_simhash_doubled(sf_dir: str):
     """The simhash-side twin of near_dedup_kept_doubled: SimHash banded
     near-pairs → connected components → one representative (min doc_id)

@@ -354,3 +354,15 @@ class TestSimhashNearDedupKept:
         # the pair (banding recall < 1); clones are exact → simhash equal
         # → always banded together, so no exact-duplicate text survives
         assert (dupes[dupes.index != ""] <= 1).all()
+
+
+class TestEmbeddingDedupKept:
+    def test_clones_removed_originals_kept(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis
+        import pyarrow.parquet as pq
+        kept = analysis.embedding_dedup_kept_doubled(SF).to_pandas()
+        emb = pq.read_table(os.path.join(SF, "embeddings.parquet"),
+                            columns=["vec_id"]).to_pandas()
+        # every +1e6 clone collapses onto its original (min vec_id); all
+        # originals survive — SemDeDup keep semantics end to end
+        assert sorted(kept.vec_id) == sorted(emb.vec_id)
