@@ -2095,24 +2095,42 @@ def extraction_eval(sf_dir: str):
     golden table on url, and roll up per payload kind — rows, rows with a
     golden byte-equality guarantee (golden_exact), and how many of those
     matched byte-for-byte. The per-url flags reduce via an in-batch
-    combiner; only (kind, 3 ints) rows reach the driver."""
+    combiner; only (kind, 3 ints) rows reach the driver. Byte equality is
+    checked as md5-digest equality computed BEFORE the url shuffle — the
+    crawl_diff convention: only 32-hex digests ride the exchange, never
+    the two text corpora."""
+    import hashlib
+
     from ..stages.joins import hash_join
+
+    def dig(col: str, out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = batch[col].to_pylist()
+            digs = [hashlib.md5((v or "").encode()).hexdigest()
+                    for v in vals]
+            return batch.drop_columns([col]).append_column(
+                out, pa.array(digs, pa.string()))
+        return fn
 
     d = _pages_dir_for(sf_dir)
     extracted = extract_pipeline(
         read_pages(os.path.join(d, "pages.parquet"))) \
-        .select_columns(["url", "extracted_text", "status"])
+        .select_columns(["url", "extracted_text"]) \
+        .map_batches(dig("extracted_text", "ext_digest"),
+                     batch_format="pyarrow")
     golden = reads.read_small_aware(
         os.path.join(d, "golden.parquet"),
-        columns=["url", "golden_text", "golden_exact", "payload_kind"])
+        columns=["url", "golden_text", "golden_exact", "payload_kind"]) \
+        .map_batches(dig("golden_text", "gold_digest"),
+                     batch_format="pyarrow")
     joined = hash_join(extracted, golden, "url", "url", how="inner",
                        n_coarse=_docs_coarse_hint(sf_dir, 2))
 
     def flags(batch: pa.Table) -> pa.Table:
         exact = pc.fill_null(batch["golden_exact"], False)
         match = pc.and_kleene(
-            exact, pc.equal(pc.fill_null(batch["extracted_text"], ""),
-                            pc.fill_null(batch["golden_text"], "")))
+            exact, pc.equal(pc.fill_null(batch["ext_digest"], ""),
+                            pc.fill_null(batch["gold_digest"], "")))
         t = pa.table({
             "payload_kind": batch["payload_kind"],
             "one": pa.array(np.ones(batch.num_rows, np.int64)),
