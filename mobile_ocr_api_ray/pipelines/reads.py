@@ -50,3 +50,44 @@ def embedding_dim(path: str) -> int:
             if col[i].is_valid:
                 return len(col[i])
     raise ValueError(f"no non-null embedding rows in {path}")
+
+
+def read_table_auto(path: str, columns=None, schema_like: str | None = None):
+    """Format-dispatching reader: parquet / JSONL (.jsonl/.json/.ndjson) /
+    CSV by extension — the ingestion front door for corpora that arrive as
+    exports rather than parquet. Streams through Ray's native readers (no
+    driver materialization); column pruning happens at the read for
+    parquet and immediately after for the text formats (their readers
+    can't prune). ``schema_like`` optionally names a parquet file whose
+    schema the text formats are cast to — JSONL/CSV carry weaker types
+    (int downcasts, no timestamps), and a pipeline written against the
+    parquet schema must see identical Arrow types from any source."""
+    import pyarrow as pa
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in ("", ".parquet"):
+        return read_small_aware(path, columns=columns)
+    if ext in (".jsonl", ".json", ".ndjson"):
+        ds = ray.data.read_json(path)
+    elif ext in (".csv", ".tsv"):
+        import pyarrow.csv as pacsv
+        opts = (pacsv.ParseOptions(delimiter="\t") if ext == ".tsv"
+                else None)
+        ds = ray.data.read_csv(path, **({"parse_options": opts}
+                                        if opts else {}))
+    else:
+        raise ValueError(f"read_table_auto: unsupported extension {ext!r}")
+    if columns is not None:
+        ds = ds.select_columns(list(columns))
+    if schema_like is not None:
+        want = pq.read_schema(schema_like)
+        fields = [want.field(c) for c in (columns or want.names)
+                  if c in want.names]
+        target = pa.schema(fields)
+
+        def cast(batch: "pa.Table") -> "pa.Table":
+            cols = [batch[f.name].cast(f.type) for f in target]
+            return pa.table(dict(zip(target.names, cols)))
+
+        ds = ds.map_batches(cast, batch_format="pyarrow")
+    return ds

@@ -969,3 +969,47 @@ class TestBigBucketPairs:
                              pa.string())}))
         out = dedup.minhash_dedup_pairs(ds).to_pandas()
         assert len(out) == 0
+
+
+class TestReadTableAuto:
+    """Format-agnostic ingestion: the same query over parquet, JSONL and
+    CSV exports of one table must return identical results."""
+
+    @pytest.fixture(scope="class")
+    def exports(self, tmp_path_factory):
+        import pyarrow.parquet as pq_
+        src = "/root/testdata/sf0.001/documents.parquet"
+        t = pq_.read_table(src, columns=["doc_id", "lang", "n_chars"])
+        d = tmp_path_factory.mktemp("exports")
+        df = t.to_pandas()
+        df.to_json(d / "documents.jsonl", orient="records", lines=True)
+        df.to_csv(d / "documents.csv", index=False)
+        return src, str(d / "documents.jsonl"), str(d / "documents.csv")
+
+    def test_same_rollup_from_all_formats(self, ray_session, exports):
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+        src, jsonl, csv = exports
+
+        def rollup(path):
+            ds = read_table_auto(path, columns=["doc_id", "lang", "n_chars"],
+                                 schema_like=src)
+            return (ds.groupby("lang")
+                    .sum("n_chars").to_pandas()
+                    .sort_values("lang").reset_index(drop=True))
+
+        a, b, c = rollup(src), rollup(jsonl), rollup(csv)
+        pd.testing.assert_frame_equal(a, b)
+        pd.testing.assert_frame_equal(a, c)
+
+    def test_schema_cast_matches_parquet(self, ray_session, exports):
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+        src, jsonl, _ = exports
+        want = read_table_auto(src, columns=["doc_id", "n_chars"]).schema()
+        got = read_table_auto(jsonl, columns=["doc_id", "n_chars"],
+                              schema_like=src).schema()
+        assert [str(t) for t in got.types] == [str(t) for t in want.types]
+
+    def test_unknown_extension_rejected(self):
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+        with pytest.raises(ValueError, match="unsupported extension"):
+            read_table_auto("/tmp/x.avro")
