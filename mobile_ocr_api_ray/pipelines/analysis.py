@@ -1348,22 +1348,36 @@ def _embeddings(sf_dir: str):
                                   columns=["vec_id", "embedding"])
 
 
-def embedding_pairs_doubled(sf_dir: str):
+def _doubled_embeddings(sf_dir: str):
+    """embeddings ∪ (embeddings with vec_id + DOUBLE_OFFSET): every vector
+    duplicated exactly once — the _doubled_docs twin for the embedding
+    family (one definition; three ops share it)."""
     base = _embeddings(sf_dir)
 
     def shift(batch: pa.Table) -> pa.Table:
-        return pa.table({"vec_id": pc.add(batch["vec_id"], pa.scalar(DOUBLE_OFFSET, pa.int64())),
-                         "embedding": batch["embedding"]})
+        return pa.table({
+            "vec_id": pc.add(batch["vec_id"],
+                             pa.scalar(DOUBLE_OFFSET, pa.int64())),
+            "embedding": batch["embedding"]})
 
-    doubled = base.union(base.map_batches(shift, batch_format="pyarrow"))
+    return base.union(base.map_batches(shift, batch_format="pyarrow"))
+
+
+def _doubled_clone_pairs(sf_dir: str):
+    """Exact-clone pair graph of the doubled embeddings (cosine ≥
+    0.999999 — only the clones qualify among gaussian vectors), id
+    columns only. Shared by the pairs / clusters / keep ops."""
     pairs = dedup.embedding_near_pairs(
-        doubled, threshold=0.999999,
-        n_coarse=_coarse_hint_for(os.path.join(sf_dir, "embeddings.parquet"), 2))
+        _doubled_embeddings(sf_dir), threshold=0.999999,
+        n_coarse=_coarse_hint_for(
+            os.path.join(sf_dir, "embeddings.parquet"), 2))
+    return pairs.map_batches(
+        lambda b: pa.table({"id_a": b["id_a"], "id_b": b["id_b"]}),
+        batch_format="pyarrow")
 
-    def strip(batch: pa.Table) -> pa.Table:
-        return batch.select(["id_a", "id_b"])  # cosine==1.0 exact dup pairs
 
-    return pairs.map_batches(strip, batch_format="pyarrow").sort(["id_a", "id_b"])
+def embedding_pairs_doubled(sf_dir: str):
+    return _doubled_clone_pairs(sf_dir).sort(["id_a", "id_b"])
 
 
 # ------------------------------------------------------- similarity search
@@ -2099,17 +2113,13 @@ def extraction_eval(sf_dir: str):
     checked as md5-digest equality computed BEFORE the url shuffle — the
     crawl_diff convention: only 32-hex digests ride the exchange, never
     the two text corpora."""
-    import hashlib
-
     from ..stages.joins import hash_join
 
     def dig(col: str, out: str):
+        # ONE digest convention repo-wide: dedup.add_md5_digest
         def fn(batch: pa.Table) -> pa.Table:
-            vals = batch[col].to_pylist()
-            digs = [hashlib.md5((v or "").encode()).hexdigest()
-                    for v in vals]
-            return batch.drop_columns([col]).append_column(
-                out, pa.array(digs, pa.string()))
+            return dedup.add_md5_digest(batch, text_col=col, out_col=out) \
+                .drop_columns([col])
         return fn
 
     d = _pages_dir_for(sf_dir)
@@ -2201,24 +2211,7 @@ def embedding_dup_clusters_doubled(sf_dir: str):
     identical embedding). Composes the sign-LSH pair generator with the
     distributed label-propagation operator — the embedding-side twin of
     exact_dup_clusters_doubled."""
-    base = _embeddings(sf_dir)
-
-    def shift(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "vec_id": pc.add(batch["vec_id"],
-                             pa.scalar(DOUBLE_OFFSET, pa.int64())),
-            "embedding": batch["embedding"]})
-
-    doubled = base.union(base.map_batches(shift, batch_format="pyarrow"))
-    nc = _coarse_hint_for(os.path.join(sf_dir, "embeddings.parquet"), 2)
-    pairs = dedup.embedding_near_pairs(doubled, threshold=0.999999,
-                                       n_coarse=nc)
-
-    def to_ids(batch: pa.Table) -> pa.Table:
-        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"]})
-
-    out = dedup.dup_clusters(pairs.map_batches(to_ids,
-                                               batch_format="pyarrow"))
+    out = dedup.dup_clusters(_doubled_clone_pairs(sf_dir))
     return out if isinstance(out, pa.Table) else out.sort("src")
 
 
@@ -2297,27 +2290,9 @@ def embedding_dedup_kept_doubled(sf_dir: str):
     min(vec_id) per identical embedding list. Returns (vec_id)."""
     from ..stages.joins import hash_join
 
-    base = _embeddings(sf_dir)
-
-    def shift(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "vec_id": pc.add(batch["vec_id"],
-                             pa.scalar(DOUBLE_OFFSET, pa.int64())),
-            "embedding": batch["embedding"]})
-
-    doubled = base.union(base.map_batches(shift, batch_format="pyarrow"))
     nc = _coarse_hint_for(os.path.join(sf_dir, "embeddings.parquet"), 2)
-    pairs = dedup.embedding_near_pairs(doubled, threshold=0.999999,
-                                       n_coarse=nc)
-
-    def to_ids(batch: pa.Table) -> pa.Table:
-        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"]})
-
-    ids = doubled.map_batches(
-        lambda b: pa.table({"vec_id": b["vec_id"]}),
-        batch_format="pyarrow")
-    clusters = dedup.dup_clusters(
-        pairs.map_batches(to_ids, batch_format="pyarrow")).materialize()
+    ids = _doubled_embeddings(sf_dir).select_columns(["vec_id"])
+    clusters = dedup.dup_clusters(_doubled_clone_pairs(sf_dir)).materialize()
     if clusters.count() == 0:
         return ids.sort("vec_id")
     joined = hash_join(ids, clusters, "vec_id", "src", how="left",

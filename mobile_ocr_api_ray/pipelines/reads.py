@@ -53,21 +53,29 @@ def embedding_dim(path: str) -> int:
 
 
 def read_table_auto(path: str, columns=None, schema_like: str | None = None):
-    """Format-dispatching reader: parquet / JSONL (.jsonl/.json/.ndjson) /
-    CSV by extension — the ingestion front door for corpora that arrive as
-    exports rather than parquet. Streams through Ray's native readers (no
-    driver materialization); column pruning happens at the read for
+    """Format-dispatching reader: parquet / NDJSON (.jsonl/.ndjson) / CSV
+    / TSV by extension — the ingestion front door for corpora that arrive
+    as exports rather than parquet. Streams through Ray's native readers
+    (no driver materialization); column pruning happens at the read for
     parquet and immediately after for the text formats (their readers
-    can't prune). ``schema_like`` optionally names a parquet file whose
-    schema the text formats are cast to — JSONL/CSV carry weaker types
-    (int downcasts, no timestamps), and a pipeline written against the
-    parquet schema must see identical Arrow types from any source."""
+    can't prune). ``schema_like`` names a parquet file whose schema the
+    result is cast to — applied to EVERY format, parquet included (a
+    narrower-typed parquet export must come out reference-typed too), so
+    a pipeline written against the reference schema sees identical Arrow
+    types from any source. A requested column missing from the reference
+    schema is an error, never a silent drop. Top-level-array ``.json`` is
+    rejected explicitly (Ray/Arrow parse NDJSON only — re-export with
+    lines=True as .jsonl)."""
     import pyarrow as pa
 
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".json":
+        raise ValueError(
+            "read_table_auto: '.json' (top-level array) is not streamable "
+            "— export newline-delimited records as .jsonl/.ndjson")
     if ext in ("", ".parquet"):
-        return read_small_aware(path, columns=columns)
-    if ext in (".jsonl", ".json", ".ndjson"):
+        ds = read_small_aware(path, columns=columns)
+    elif ext in (".jsonl", ".ndjson"):
         ds = ray.data.read_json(path)
     elif ext in (".csv", ".tsv"):
         import pyarrow.csv as pacsv
@@ -77,13 +85,17 @@ def read_table_auto(path: str, columns=None, schema_like: str | None = None):
                                         if opts else {}))
     else:
         raise ValueError(f"read_table_auto: unsupported extension {ext!r}")
-    if columns is not None:
+    if columns is not None and ext not in ("", ".parquet"):
         ds = ds.select_columns(list(columns))
     if schema_like is not None:
         want = pq.read_schema(schema_like)
-        fields = [want.field(c) for c in (columns or want.names)
-                  if c in want.names]
-        target = pa.schema(fields)
+        names = list(columns) if columns is not None else want.names
+        missing = [c for c in names if c not in want.names]
+        if missing:
+            raise ValueError(
+                f"read_table_auto: columns {missing} not in the reference "
+                f"schema {schema_like!r}")
+        target = pa.schema([want.field(c) for c in names])
 
         def cast(batch: "pa.Table") -> "pa.Table":
             cols = [batch[f.name].cast(f.type) for f in target]

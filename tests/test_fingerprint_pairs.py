@@ -366,3 +366,19 @@ class TestEmbeddingDedupKept:
         # every +1e6 clone collapses onto its original (min vec_id); all
         # originals survive — SemDeDup keep semantics end to end
         assert sorted(kept.vec_id) == sorted(emb.vec_id)
+
+    def test_fixture_has_no_degenerate_vectors(self):
+        """Oracle-safety guard (same spirit as the tfidf tie guard): the
+        kept/pairs/clusters oracles encode 'identical list => clone pair',
+        which the ENGINE only guarantees for nonzero finite vectors (a
+        zero-norm pair has cosine 0 after norm-guarding; NaN never passes
+        the threshold). Assert the oracle tiers contain neither, so a
+        fixture change that introduces one fails here, loudly."""
+        import pyarrow.parquet as pq
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            emb = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                                columns=["embedding"]).to_pandas()
+            mat = np.array([v for v in emb.embedding if v is not None],
+                           np.float64)
+            assert np.isfinite(mat).all()
+            assert (np.linalg.norm(mat, axis=1) > 0).all()
