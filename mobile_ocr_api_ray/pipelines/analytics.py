@@ -99,42 +99,87 @@ def unshipped_orders_topk(sf_dir: str, k: int = 10):
             "o_orderpriority": batch["o_orderpriority"],
             "revenue": pc.divide(pc.cast(batch["rev_c"], pa.float64()), 10000.0)})
 
-    return (agg.map_batches(finalize, batch_format="pyarrow")
-            .sort(["revenue", "o_orderkey"], descending=[True, False])
-            .limit(k))
+    # distributed partial-top-k finisher: no global sort to keep k rows
+    from ..stages.topk import topk_table
+    return topk_table(agg.map_batches(finalize, batch_format="pyarrow"),
+                      [("revenue", "descending"), ("o_orderkey", "ascending")],
+                      k)
 
 
 # ---------------------------------------------------------------------------
-# Q5-style: fact table ⨝ composed dimension chain (broadcast once)
+# Q5-style: fact table ⨝ composed dimension chain (size-routed broadcast)
 
 
-def regional_revenue(sf_dir: str):
+def _supplier_chain(sf_dir: str, select, broadcast_cap_rows: int | None):
+    """Size-routed supplier→nation→region dimension chain
+    (stages/dim_broadcast). Returns ``(ref, None)`` on the broadcast route
+    (a Ray task composed the chain; the driver holds only the ObjectRef)
+    or ``(None, dataset)`` on the shuffle route — supplier grows linearly
+    with scale factor, so past the cap the bounded nation⨝region (25 / 5
+    rows at ANY scale) broadcasts onto the supplier SCAN and the composed
+    dimension Dataset meets the fact table via stages/joins.hash_join."""
+    from ..stages.dim_broadcast import broadcast_dim
+
+    specs = [(os.path.join(sf_dir, "supplier.parquet"),
+              ["s_suppkey", "s_nationkey"]),
+             (os.path.join(sf_dir, "nation.parquet"),
+              ["n_nationkey", "n_name", "n_regionkey"]),
+             (os.path.join(sf_dir, "region.parquet"),
+              ["r_regionkey", "r_name"])]
+    ref = broadcast_dim(specs,
+                        joins=[(["s_nationkey"], ["n_nationkey"]),
+                               (["n_regionkey"], ["r_regionkey"])],
+                        select=select, cap_rows=broadcast_cap_rows)
+    if ref is not None:
+        return ref, None
+
+    nr_ref = broadcast_dim(specs[1:],
+                           joins=[(["n_regionkey"], ["r_regionkey"])])
+
+    def compose(batch: pa.Table) -> pa.Table:
+        return (batch.join(ray.get(nr_ref), keys=["s_nationkey"],
+                           right_keys=["n_nationkey"], join_type="inner")
+                .select(select))
+
+    dim_ds = (_pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+              .map_batches(compose, batch_format="pyarrow"))
+    return None, dim_ds
+
+
+def regional_revenue(sf_dir: str, broadcast_cap_rows: int | None = None):
     """Revenue per region: lineitem ⨝ supplier ⨝ nation ⨝ region.
 
-    The three dimension tables are tiny at any scale (suppliers ≪ facts);
-    they compose into one (s_suppkey → r_name) Arrow table on the driver
-    and broadcast via ray.put ONCE. The fact scan probes it with an acero
-    hash join inside map_batches — the fact table never shuffles."""
-    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                        columns=["s_suppkey", "s_nationkey"])
-    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
-                        columns=["n_nationkey", "n_regionkey"])
-    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
-                        columns=["r_regionkey", "r_name"])
-    dim = (sup.join(nat, keys=["s_nationkey"], right_keys=["n_nationkey"])
-           .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
-           .select(["s_suppkey", "r_name"]))
-    ref = ray.put(dim.combine_chunks())
+    The dimension chain is size-routed (see _supplier_chain): broadcast
+    probe inside map_batches below the cap, co-partitioned hash_join above
+    it — the fact table never shuffles on the broadcast route, and shuffles
+    exactly once on the big route."""
+    from ..stages.joins import hash_join
 
-    def tag(batch: pa.Table) -> pa.Table:
-        rev_c = _rev_cents(batch)
-        probe = pa.table({"s_suppkey": batch["l_suppkey"], "rev_c": rev_c})
-        return (probe.join(ray.get(ref), keys=["s_suppkey"], join_type="inner")
-                .select(["r_name", "rev_c"]))
+    ref, dim_ds = _supplier_chain(sf_dir, ["s_suppkey", "r_name"],
+                                  broadcast_cap_rows)
 
-    agg = (_pq(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
-           .map_batches(tag, batch_format="pyarrow")
-           .groupby("r_name")
+    if ref is not None:
+        def tag(batch: pa.Table) -> pa.Table:
+            rev_c = _rev_cents(batch)
+            probe = pa.table({"s_suppkey": batch["l_suppkey"], "rev_c": rev_c})
+            return (probe.join(ray.get(ref), keys=["s_suppkey"],
+                               join_type="inner")
+                    .select(["r_name", "rev_c"]))
+
+        tagged = (_pq(sf_dir, "lineitem",
+                      ["l_suppkey", "l_extendedprice", "l_discount"])
+                  .map_batches(tag, batch_format="pyarrow"))
+    else:
+        probe = (_pq(sf_dir, "lineitem",
+                     ["l_suppkey", "l_extendedprice", "l_discount"])
+                 .map_batches(
+                     lambda b: pa.table({"s_suppkey": b["l_suppkey"],
+                                         "rev_c": _rev_cents(b)}),
+                     batch_format="pyarrow"))
+        tagged = hash_join(probe, dim_ds, "s_suppkey", "s_suppkey") \
+            .select_columns(["r_name", "rev_c"])
+
+    agg = (tagged.groupby("r_name")
            .aggregate(Count(alias_name="n_items"), Sum("rev_c", alias_name="rev_c")))
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -617,28 +662,62 @@ def user_event_gaps(sf_dir: str):
 # Semi-join: fact rows whose key appears in a filtered dimension
 
 
-def segment_order_priorities(sf_dir: str, segment: str = "BUILDING"):
+@ray.remote(num_cpus=1)
+def _segment_keys_task(path: str, segment: str):
+    """Qualifying custkey SET built INSIDE a Ray task — the driver holds
+    only the ObjectRef (dim_broadcast convention for a filtered key set)."""
+    import numpy as _np
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pqt
+
+    cust = _pqt.read_table(path, columns=["c_custkey", "c_mktsegment"])
+    return _np.sort(cust.filter(
+        _pc.equal(cust["c_mktsegment"], segment))["c_custkey"].to_numpy())
+
+
+def segment_order_priorities(sf_dir: str, segment: str = "BUILDING",
+                             broadcast_cap_rows: int | None = None):
     """Order counts by priority, restricted to customers in one market
-    segment — a broadcast SEMI-join: only the qualifying custkey SET ships
-    (ray.put once, np.isin probe per batch); no dimension columns attach,
-    no shuffle of the fact table before the tiny groupby."""
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_mktsegment"])
-    keys = np.sort(cust.filter(
-        pc.equal(cust["c_mktsegment"], segment))["c_custkey"].to_numpy())
-    ref = ray.put(keys)
+    segment — a size-routed SEMI-join (stages/dim_broadcast cap). Below
+    the cap, only the qualifying custkey SET ships (built by a Ray task,
+    broadcast once, searchsorted probe per batch — no dimension columns
+    attach, no fact shuffle). Customer grows with scale factor, so above
+    the cap the filtered key Dataset meets orders through the
+    co-partitioned stages/joins.hash_join (custkey is unique in customer,
+    so inner ≡ semi)."""
+    from ..stages.dim_broadcast import DIM_BROADCAST_CAP_ROWS, parquet_num_rows
+    from ..stages.joins import hash_join
 
-    def semi(batch: pa.Table) -> pa.Table:
-        have = ray.get(ref)   # sorted — probe via searchsorted membership
-        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(have, ck)
-        mask = (pos < len(have)) & (have[np.minimum(pos, len(have) - 1)] == ck) \
-            if len(have) else np.zeros(len(ck), bool)
-        return batch.filter(pa.array(mask)).select(["o_orderpriority"])
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    cap = DIM_BROADCAST_CAP_ROWS if broadcast_cap_rows is None \
+        else broadcast_cap_rows
 
-    agg = (_pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-           .map_batches(semi, batch_format="pyarrow")
-           .groupby("o_orderpriority")
+    if parquet_num_rows(cust_path) <= cap:
+        ref = _segment_keys_task.remote(cust_path, segment)
+
+        def semi(batch: pa.Table) -> pa.Table:
+            have = ray.get(ref)   # sorted — probe via searchsorted membership
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(have, ck)
+            mask = (pos < len(have)) & (have[np.minimum(pos, len(have) - 1)] == ck) \
+                if len(have) else np.zeros(len(ck), bool)
+            return batch.filter(pa.array(mask)).select(["o_orderpriority"])
+
+        filtered = (_pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+                    .map_batches(semi, batch_format="pyarrow"))
+    else:
+        cust_keys = (_pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+                     .map_batches(
+                         lambda b: b.filter(
+                             pc.equal(b["c_mktsegment"], segment))
+                         .select(["c_custkey"]),
+                         batch_format="pyarrow"))
+        filtered = hash_join(
+            _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+            cust_keys, "o_custkey", "c_custkey") \
+            .select_columns(["o_orderpriority"])
+
+    agg = (filtered.groupby("o_orderpriority")
            .aggregate(Count(alias_name="n_orders")))
     return agg.sort("o_orderpriority")
 
@@ -1255,37 +1334,71 @@ def monthly_revenue_growth(sf_dir: str):
 QUIET_THRESHOLD = 400000.0
 
 
-def quiet_customers(sf_dir: str, threshold: float = QUIET_THRESHOLD):
+@ray.remote(num_cpus=1)
+def _sorted_int_keys_task(refs, col: str):
+    """Concatenate + sort one int64 key column from Arrow block refs INSIDE
+    a Ray task (knn_graph index convention — the driver handles only
+    ObjectRefs, never the key bytes)."""
+    tabs = ray.get(list(refs))
+    arrs = [t[col].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows]
+    return np.sort(np.concatenate(arrs)) if arrs else np.array([], np.int64)
+
+
+def quiet_customers(sf_dir: str, threshold: float = QUIET_THRESHOLD,
+                    broadcast_cap_rows: int | None = None):
     """Customers with NO order above ``threshold`` — distributed anti-join.
 
     The fact side (orders) reduces to its DISTINCT qualifying keys first —
-    a shuffle bounded by the DIMENSION cardinality, not the fact count —
-    and that bounded key set broadcasts back as a sorted numpy array for a
-    vectorized np.isin anti-filter over customer. The only driver
-    materialization is the distinct key set (≤ |customer|, the same
-    bounded-set argument as the IVF training sample)."""
+    a shuffle bounded by the DIMENSION cardinality, not the fact count.
+    That key set is ≤ |customer|, which grows with scale factor, so it is
+    size-routed (stages/dim_broadcast cap): below the cap a Ray task
+    concatenates the distinct keys from the aggregate's own block refs
+    (driver holds only the ObjectRef) and customer takes a vectorized
+    np.isin anti-filter; above the cap the key Dataset meets customer
+    through a LEFT stages/joins.hash_join and unmatched rows survive
+    (null marker ⇒ anti)."""
     import pyarrow.dataset as pds
+    from ..stages.dim_broadcast import DIM_BROADCAST_CAP_ROWS, parquet_num_rows
+    from ..stages.joins import hash_join
 
     keys = (_pq(sf_dir, "orders", ["o_custkey"],
                 filter=(pds.field("o_totalprice") > threshold))
             .groupby("o_custkey").aggregate(Count(alias_name="_n")))
-    key_arr = np.sort(np.concatenate(
-        [b["o_custkey"].to_numpy(zero_copy_only=False)
-         for b in keys.select_columns(["o_custkey"])
-                      .iter_batches(batch_format="pyarrow")] or
-        [np.array([], np.int64)]))
-    ref = ray.put(key_arr)
 
-    def anti(batch: pa.Table) -> pa.Table:
-        have = ray.get(ref)
-        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        mask = np.isin(ck, have, assume_unique=False, invert=True)
-        return batch.filter(pa.array(mask))
+    cap = DIM_BROADCAST_CAP_ROWS if broadcast_cap_rows is None \
+        else broadcast_cap_rows
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+
+    if parquet_num_rows(cust_path) <= cap:
+        refs = keys.select_columns(["o_custkey"]).to_arrow_refs()
+        ref = _sorted_int_keys_task.remote(refs, "o_custkey")
+
+        def anti(batch: pa.Table) -> pa.Table:
+            have = ray.get(ref)
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            mask = np.isin(ck, have, assume_unique=False, invert=True)
+            return batch.filter(pa.array(mask))
+
+        filtered = _pq(sf_dir, "customer",
+                       ["c_custkey", "c_name", "c_acctbal"]) \
+            .map_batches(anti, batch_format="pyarrow")
+    else:
+        marked = keys.map_batches(
+            lambda b: pa.table({
+                "o_custkey": b["o_custkey"],
+                "_hit": pa.array(np.ones(b.num_rows, np.int8))}),
+            batch_format="pyarrow")
+        joined = hash_join(
+            _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]),
+            marked, "c_custkey", "o_custkey", how="left")
+        filtered = joined.map_batches(
+            lambda b: b.filter(pc.is_null(b["_hit"]))
+            .select(["c_custkey", "c_name", "c_acctbal"]),
+            batch_format="pyarrow")
 
     from ..stages.dedup import _typed_empty_union
 
-    filtered = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"]) \
-        .map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+    filtered = filtered.sort("c_custkey")
     # typed-empty union AFTER the sort: sort() on an all-empty dataset
     # erases its schema (documented erosion trap); a 0-row prefix block
     # keeps the schema without disturbing the sorted order
@@ -1493,35 +1606,41 @@ def user_stickiness_daily(sf_dir: str):
         out[["day", "dau", "mau", "stickiness"]], preserve_index=False)
 
 
-def nation_revenue_share(sf_dir: str):
+def nation_revenue_share(sf_dir: str, broadcast_cap_rows: int | None = None):
     """Ratio-to-parent rollup: per-nation revenue plus its share of the
-    region total (the two-level percent-of-parent window shape). Facts
-    probe the broadcast supplier→nation→region chain once; the bounded
+    region total (the two-level percent-of-parent window shape). The
+    supplier→nation→region chain is size-routed (see _supplier_chain:
+    broadcast probe below the cap, hash_join above); the bounded
     (nation, region) aggregate lands on the driver where region totals
     divide the integer-cent nation sums (float division of exact ints —
     bit-matches SQL's ratio over sum() OVER (PARTITION BY region))."""
-    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                        columns=["s_suppkey", "s_nationkey"])
-    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
-                        columns=["n_nationkey", "n_name", "n_regionkey"])
-    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"),
-                        columns=["r_regionkey", "r_name"])
-    dim = (sup.join(nat, keys=["s_nationkey"], right_keys=["n_nationkey"])
-           .join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
-           .select(["s_suppkey", "n_name", "r_name"]))
-    ref = ray.put(dim.combine_chunks())
+    from ..stages.joins import hash_join
 
-    def tag(batch: pa.Table) -> pa.Table:
-        rev_c = _rev_cents(batch)
-        probe = pa.table({"s_suppkey": batch["l_suppkey"], "rev_c": rev_c})
-        return (probe.join(ray.get(ref), keys=["s_suppkey"],
-                           join_type="inner")
-                .select(["n_name", "r_name", "rev_c"]))
+    ref, dim_ds = _supplier_chain(sf_dir, ["s_suppkey", "n_name", "r_name"],
+                                  broadcast_cap_rows)
 
-    agg = (_pq(sf_dir, "lineitem",
-               ["l_suppkey", "l_extendedprice", "l_discount"])
-           .map_batches(tag, batch_format="pyarrow")
-           .groupby(["n_name", "r_name"])
+    if ref is not None:
+        def tag(batch: pa.Table) -> pa.Table:
+            rev_c = _rev_cents(batch)
+            probe = pa.table({"s_suppkey": batch["l_suppkey"], "rev_c": rev_c})
+            return (probe.join(ray.get(ref), keys=["s_suppkey"],
+                               join_type="inner")
+                    .select(["n_name", "r_name", "rev_c"]))
+
+        tagged = (_pq(sf_dir, "lineitem",
+                      ["l_suppkey", "l_extendedprice", "l_discount"])
+                  .map_batches(tag, batch_format="pyarrow"))
+    else:
+        probe = (_pq(sf_dir, "lineitem",
+                     ["l_suppkey", "l_extendedprice", "l_discount"])
+                 .map_batches(
+                     lambda b: pa.table({"s_suppkey": b["l_suppkey"],
+                                         "rev_c": _rev_cents(b)}),
+                     batch_format="pyarrow"))
+        tagged = hash_join(probe, dim_ds, "s_suppkey", "s_suppkey") \
+            .select_columns(["n_name", "r_name", "rev_c"])
+
+    agg = (tagged.groupby(["n_name", "r_name"])
            .aggregate(Sum("rev_c", alias_name="rev_c"))
            .to_pandas())          # bounded: one row per nation
 

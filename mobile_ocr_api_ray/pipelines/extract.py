@@ -209,15 +209,19 @@ def extract_pipeline_dedup(ds: "ray.data.Dataset", quality: str = "medium",
     every duplicate row (D1). Output rows additionally carry
     ``dedup_source_url`` = the representative url for true duplicates.
 
-    The shuffle groups on a coarse digest prefix (256 partitions), and the
+    The shuffle groups on a coarse digest hash (256 partitions), and the
     group fn walks the exact digests inside — one Ray group dispatch per
     partition instead of per distinct document (see dedup.py rationale).
+    Routing uses the shared str_hash.str_coarse convention (crc32 over the
+    Arrow buffer — no per-row Python str round-trip); the group fn is
+    routing-agnostic, so output is identical under any bucket assignment.
     """
+    from ..str_hash import str_coarse
 
     def add_keys(batch: pa.Table) -> pa.Table:
         t = add_digest(batch, quality)
-        coarse = [int(d[:4], 16) % N_DEDUP_COARSE for d in t["digest"].to_pylist()]
-        return t.append_column("coarse", pa.array(coarse, pa.int32()))
+        return t.append_column(
+            "coarse", pa.array(str_coarse(t["digest"], N_DEDUP_COARSE)))
 
     def extract_coarse(group: pa.Table) -> pa.Table:
         ex = _worker_extractor(quality, build_spans, do_deskew)

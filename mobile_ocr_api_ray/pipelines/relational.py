@@ -112,28 +112,47 @@ def lineitem_pricing(sf_dir: str):
         ["l_returnflag", "l_linestatus"])
 
 
-def top_customers(sf_dir: str, k: int = 10):
-    """Broadcast hash join orders ⨝ customer → per-customer revenue → top-k.
+def top_customers(sf_dir: str, k: int = 10, broadcast_cap_rows: int | None = None):
+    """orders ⨝ customer → per-customer revenue → top-k.
 
-    The dimension side (customer) is put in the object store ONCE and read
-    in each map task — never re-shipped per batch, never shuffled."""
-    import pyarrow.parquet as pq
+    Join routing (stages/dim_broadcast): customer grows linearly with
+    scale factor, so below the row cap a Ray task loads it into the object
+    store ONCE (driver holds only the ObjectRef) and each map task probes
+    it with an acero hash join; above the cap both sides take the
+    co-partitioned stages/joins.hash_join — identical output either way
+    (pinned by tests/test_operators.py::TestDimBroadcastRouting).
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_name"])
-    cust_ref = ray.put(cust.combine_chunks())
+    The top-k final is the distributed partial-top-k finisher
+    (stages/topk) — no global sort to keep k rows."""
+    from ..stages.dim_broadcast import broadcast_dim
+    from ..stages.joins import hash_join
+    from ..stages.topk import topk_table
 
-    def join_orders(batch: pa.Table) -> pa.Table:
-        # Vectorized probe: Arrow acero hash join against the broadcast
-        # dimension table (read from the object store, never re-shipped).
-        probe = pa.table({"c_custkey": batch["o_custkey"],
-                          "price_c": _cents(batch["o_totalprice"])})
-        return probe.join(ray.get(cust_ref), keys=["c_custkey"],
-                          join_type="inner")
+    cust_ref = broadcast_dim(
+        [(os.path.join(sf_dir, "customer.parquet"), ["c_custkey", "c_name"])],
+        cap_rows=broadcast_cap_rows)
 
-    per_cust = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-                .map_batches(join_orders, batch_format="pyarrow")
-                .groupby(["c_custkey", "c_name"])
+    if cust_ref is not None:
+        def join_orders(batch: pa.Table) -> pa.Table:
+            # Vectorized probe: Arrow acero hash join against the broadcast
+            # dimension table (read from the object store, never re-shipped).
+            probe = pa.table({"c_custkey": batch["o_custkey"],
+                              "price_c": _cents(batch["o_totalprice"])})
+            return probe.join(ray.get(cust_ref), keys=["c_custkey"],
+                              join_type="inner")
+
+        joined = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                  .map_batches(join_orders, batch_format="pyarrow"))
+    else:
+        probe = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                 .map_batches(
+                     lambda b: pa.table({"c_custkey": b["o_custkey"],
+                                         "price_c": _cents(b["o_totalprice"])}),
+                     batch_format="pyarrow"))
+        cust_ds = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+        joined = hash_join(probe, cust_ds, "c_custkey", "c_custkey")
+
+    per_cust = (joined.groupby(["c_custkey", "c_name"])
                 .aggregate(Sum("price_c", alias_name="price_c"),
                            Count(alias_name="n_orders")))
 
@@ -143,36 +162,63 @@ def top_customers(sf_dir: str, k: int = 10):
             "revenue": pc.divide(pc.cast(batch["price_c"], pa.float64()), 100.0),
             "n_orders": batch["n_orders"]})
 
-    top = (per_cust.map_batches(finalize, batch_format="pyarrow")
-           .sort(["revenue", "c_custkey"], descending=[True, False])
-           .limit(k))
-    return top
+    return topk_table(per_cust.map_batches(finalize, batch_format="pyarrow"),
+                      [("revenue", "descending"), ("c_custkey", "ascending")],
+                      k)
 
 
-def nation_order_stats(sf_dir: str):
-    """customer ⨝ nation (broadcast, composed lookup) then orders groupby
-    nation name: n_orders + revenue."""
-    import pyarrow.parquet as pq
+def nation_order_stats(sf_dir: str, broadcast_cap_rows: int | None = None):
+    """customer ⨝ nation composed lookup, then orders groupby nation name:
+    n_orders + revenue.
 
-    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
-                           columns=["n_nationkey", "n_name"])
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"])
-    # Pre-join the two dimension tables on the driver (both tiny), broadcast
-    # the composed (c_custkey → n_name) Arrow table once.
-    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"],
-                    join_type="inner").select(["c_custkey", "n_name"])
-    ref = ray.put(dim.combine_chunks())
+    Join routing (stages/dim_broadcast): nation is bounded (25 rows at any
+    scale factor) but customer grows. Below the cap a Ray TASK composes
+    (c_custkey → n_name) and the driver holds only the ObjectRef; above it,
+    nation broadcasts onto the customer SCAN (map_batches probe) and the
+    composed dimension meets orders through the co-partitioned
+    stages/joins.hash_join — no driver materialization on either route."""
+    from ..stages.dim_broadcast import broadcast_dim
+    from ..stages.joins import hash_join
 
-    def tag(batch: pa.Table) -> pa.Table:
-        probe = pa.table({"c_custkey": batch["o_custkey"],
-                          "price_c": _cents(batch["o_totalprice"])})
-        return (probe.join(ray.get(ref), keys=["c_custkey"], join_type="inner")
-                .select(["n_name", "price_c"]))
+    ref = broadcast_dim(
+        [(os.path.join(sf_dir, "customer.parquet"), ["c_custkey", "c_nationkey"]),
+         (os.path.join(sf_dir, "nation.parquet"), ["n_nationkey", "n_name"])],
+        joins=[(["c_nationkey"], ["n_nationkey"])],
+        select=["c_custkey", "n_name"],
+        cap_rows=broadcast_cap_rows)
 
-    agg = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-           .map_batches(tag, batch_format="pyarrow")
-           .groupby("n_name")
+    if ref is not None:
+        def tag(batch: pa.Table) -> pa.Table:
+            probe = pa.table({"c_custkey": batch["o_custkey"],
+                              "price_c": _cents(batch["o_totalprice"])})
+            return (probe.join(ray.get(ref), keys=["c_custkey"], join_type="inner")
+                    .select(["n_name", "price_c"]))
+
+        tagged = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                  .map_batches(tag, batch_format="pyarrow"))
+    else:
+        # nation stays a broadcast at ANY scale (25 rows); only the
+        # scale-growing customer⨝orders leg takes the shuffle join.
+        nation_ref = broadcast_dim(
+            [(os.path.join(sf_dir, "nation.parquet"),
+              ["n_nationkey", "n_name"])])
+
+        def compose(batch: pa.Table) -> pa.Table:
+            return (batch.join(ray.get(nation_ref), keys=["c_nationkey"],
+                               right_keys=["n_nationkey"], join_type="inner")
+                    .select(["c_custkey", "n_name"]))
+
+        dim_ds = (_pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+                  .map_batches(compose, batch_format="pyarrow"))
+        probe = (_pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                 .map_batches(
+                     lambda b: pa.table({"o_custkey": b["o_custkey"],
+                                         "price_c": _cents(b["o_totalprice"])}),
+                     batch_format="pyarrow"))
+        tagged = hash_join(probe, dim_ds, "o_custkey", "c_custkey") \
+            .select_columns(["n_name", "price_c"])
+
+    agg = (tagged.groupby("n_name")
            .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c")))
 
     def finalize(batch: pa.Table) -> pa.Table:

@@ -1013,3 +1013,85 @@ class TestReadTableAuto:
         from mobile_ocr_api_ray.pipelines.reads import read_table_auto
         with pytest.raises(ValueError, match="unsupported extension"):
             read_table_auto("/tmp/x.avro")
+
+
+class TestDimBroadcastRouting:
+    """Size-thresholded dimension joins (stages/dim_broadcast): the cap
+    routes small dimensions to a Ray-task-built broadcast and big ones to
+    the co-partitioned hash_join — identical output on both routes."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_cap_pins_route(self, ray_session):
+        import ray
+        from mobile_ocr_api_ray.stages.dim_broadcast import (
+            broadcast_dim, parquet_num_rows)
+
+        path = f"{self.SF}/customer.parquet"
+        n = parquet_num_rows(path)
+        assert n > 0
+        # default cap (2M) → broadcast route: an ObjectRef, resolvable to
+        # the requested columns
+        ref = broadcast_dim([(path, ["c_custkey", "c_name"])])
+        assert ref is not None
+        tab = ray.get(ref)
+        assert tab.column_names == ["c_custkey", "c_name"]
+        assert tab.num_rows == n
+        # cap below the table size → hash_join route signal
+        assert broadcast_dim([(path, ["c_custkey"])], cap_rows=n - 1) is None
+        # composed chain routes on the LARGEST input
+        nref = broadcast_dim(
+            [(path, ["c_custkey", "c_nationkey"]),
+             (f"{self.SF}/nation.parquet", ["n_nationkey", "n_name"])],
+            joins=[(["c_nationkey"], ["n_nationkey"])],
+            select=["c_custkey", "n_name"], cap_rows=n - 1)
+        assert nref is None
+
+    @pytest.mark.parametrize("qname,fn", [
+        ("top_customers", "relational"),
+        ("nation_order_stats", "relational"),
+        ("regional_revenue", "analytics"),
+        ("nation_revenue_share", "analytics"),
+        ("segment_order_priorities", "analytics"),
+        ("quiet_customers", "analytics"),
+    ])
+    def test_routes_agree(self, ray_session, qname, fn):
+        from mobile_ocr_api_ray.pipelines import analytics, relational
+        mod = relational if fn == "relational" else analytics
+        f = getattr(mod, qname)
+
+        def norm(r):
+            df = r.to_pandas() if hasattr(r, "to_pandas") else r
+            return df.reset_index(drop=True)
+
+        small = norm(f(self.SF))                           # broadcast route
+        big = norm(f(self.SF, broadcast_cap_rows=0))       # hash_join route
+        pd.testing.assert_frame_equal(small, big)
+        assert len(small) > 0
+
+
+class TestTopkFinisher:
+    """stages/topk.topk_table ≡ global sort().limit(k) under a total order."""
+
+    def test_matches_global_sort(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.topk import topk_table
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        tab = pa.table({
+            "v": pa.array(rng.integers(0, 400, n), pa.int64()),
+            "id": pa.array(np.arange(n), pa.int64())})
+        ds = ray.data.from_arrow(tab).repartition(13)
+        got = topk_table(ds, [("v", "descending"), ("id", "ascending")], 10)
+        want = (ds.sort(["v", "id"], descending=[True, False])
+                .limit(10).to_pandas())
+        pd.testing.assert_frame_equal(got.to_pandas(), want)
+
+    def test_k_larger_than_corpus(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.topk import topk_table
+
+        tab = pa.table({"v": pa.array([3, 1, 2], pa.int64())})
+        got = topk_table(ray.data.from_arrow(tab), [("v", "ascending")], 10)
+        assert got["v"].to_pylist() == [1, 2, 3]
