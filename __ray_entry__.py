@@ -1820,6 +1820,9 @@ def oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+              -- tokenless docs (simhash 0) are excluded from near-pair
+              -- generation on the engine side (content-free fingerprint)
+              AND a.simhash <> 0 AND b.simhash <> 0
             ORDER BY 1, 2""",
         # per-doc top-k TF-IDF terms, integer-exact surface (rank, word,
         # tf, df): ranking is ulp-stable across numpy log / DuckDB ln

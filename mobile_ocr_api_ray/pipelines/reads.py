@@ -52,40 +52,106 @@ def embedding_dim(path: str) -> int:
     raise ValueError(f"no non-null embedding rows in {path}")
 
 
+_COMPRESSION_EXTS = (".gz", ".zst", ".zstd", ".bz2")
+
+
+def _format_ext(name: str) -> str:
+    """Format extension with any compression suffix stripped:
+    'part-0.jsonl.gz' → '.jsonl'."""
+    base = name
+    for ce in _COMPRESSION_EXTS:
+        if base.endswith(ce):
+            base = base[: -len(ce)]
+            break
+    return os.path.splitext(base)[1].lower()
+
+
 def read_table_auto(path: str, columns=None, schema_like: str | None = None):
     """Format-dispatching reader: parquet / NDJSON (.jsonl/.ndjson) / CSV
-    / TSV by extension — the ingestion front door for corpora that arrive
-    as exports rather than parquet. Streams through Ray's native readers
-    (no driver materialization); column pruning happens at the read for
-    parquet and immediately after for the text formats (their readers
-    can't prune). ``schema_like`` names a parquet file whose schema the
-    result is cast to — applied to EVERY format, parquet included (a
-    narrower-typed parquet export must come out reference-typed too), so
-    a pipeline written against the reference schema sees identical Arrow
-    types from any source. A requested column missing from the reference
-    schema is an error, never a silent drop. Top-level-array ``.json`` is
-    rejected explicitly (Ray/Arrow parse NDJSON only — re-export with
-    lines=True as .jsonl)."""
+    / TSV — the ingestion front door for corpora that arrive as exports
+    rather than parquet. Accepts a single file, a DIRECTORY of shards, or
+    a glob pattern (how 100-TB corpora actually arrive: ``part-*.jsonl.gz``
+    export dirs), and transparent gzip/zstd/bz2 compression suffixes
+    (``.jsonl.gz``, ``.csv.zst`` — pyarrow's codec auto-detect inside
+    Ray's readers, decompression runs in the read tasks, never the
+    driver). Streams through Ray's native readers (no driver
+    materialization); column pruning happens at the read for parquet and
+    immediately after for the text formats (their readers can't prune).
+
+    ``schema_like`` names a parquet file whose schema the result is cast
+    to — applied to EVERY format, parquet included (a narrower-typed
+    parquet export must come out reference-typed too), so a pipeline
+    written against the reference schema sees identical Arrow types from
+    any source. A requested column missing from the reference schema OR
+    from the actual source file raises a descriptive ValueError naming the
+    columns and the file (never a silent drop or an opaque worker error);
+    an uncastable column raises a ValueError naming the column and target
+    type. Top-level-array ``.json`` is rejected explicitly (Ray/Arrow
+    parse NDJSON only — re-export with lines=True as .jsonl)."""
     import pyarrow as pa
 
-    ext = os.path.splitext(path)[1].lower()
+    # ---- resolve glob / shard-directory inputs to a uniform-format list
+    src, ext, first_file = path, None, path
+    if any(ch in path for ch in "*?["):
+        import glob as globmod
+        files = sorted(p for p in globmod.glob(path) if os.path.isfile(p))
+        if not files:
+            raise ValueError(f"read_table_auto: no files match {path!r}")
+        src, first_file = files, files[0]
+    elif os.path.isdir(path):
+        files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                       if not f.startswith((".", "_"))
+                       and os.path.isfile(os.path.join(path, f)))
+        if not files:
+            raise ValueError(f"read_table_auto: no files in {path!r}")
+        src, first_file = files, files[0]
+    if isinstance(src, list):
+        exts = {_format_ext(p) for p in src}
+        if len(exts) != 1:
+            raise ValueError(
+                f"read_table_auto: mixed shard formats {sorted(exts)} "
+                f"under {path!r}")
+        ext = exts.pop()
+    else:
+        ext = _format_ext(path)
+
     if ext == ".json":
         raise ValueError(
             "read_table_auto: '.json' (top-level array) is not streamable "
             "— export newline-delimited records as .jsonl/.ndjson")
     if ext in ("", ".parquet"):
-        ds = read_small_aware(path, columns=columns)
+        if columns is not None:
+            have = pq.read_schema(first_file).names
+            missing = [c for c in columns if c not in have]
+            if missing:
+                raise ValueError(
+                    f"read_table_auto: columns {missing} not in "
+                    f"{first_file!r} (has {have})")
+        if isinstance(src, list):
+            ds = ray.data.read_parquet(src, columns=columns)
+        else:
+            ds = read_small_aware(src, columns=columns)
     elif ext in (".jsonl", ".ndjson"):
-        ds = ray.data.read_json(path)
+        # file_extensions=None: Ray's default filter would silently skip
+        # compressed shards (part-0.jsonl.gz fails its ["json","jsonl"]
+        # suffix test); format membership is already decided above
+        ds = ray.data.read_json(src, file_extensions=None)
     elif ext in (".csv", ".tsv"):
         import pyarrow.csv as pacsv
         opts = (pacsv.ParseOptions(delimiter="\t") if ext == ".tsv"
                 else None)
-        ds = ray.data.read_csv(path, **({"parse_options": opts}
-                                        if opts else {}))
+        ds = ray.data.read_csv(src, file_extensions=None,
+                               **({"parse_options": opts} if opts else {}))
     else:
         raise ValueError(f"read_table_auto: unsupported extension {ext!r}")
+
     if columns is not None and ext not in ("", ".parquet"):
+        actual = ds.schema().names
+        missing = [c for c in columns if c not in actual]
+        if missing:
+            raise ValueError(
+                f"read_table_auto: columns {missing} not in {path!r} "
+                f"(has {actual})")
         ds = ds.select_columns(list(columns))
     if schema_like is not None:
         want = pq.read_schema(schema_like)
@@ -95,10 +161,27 @@ def read_table_auto(path: str, columns=None, schema_like: str | None = None):
             raise ValueError(
                 f"read_table_auto: columns {missing} not in the reference "
                 f"schema {schema_like!r}")
+        if columns is None and ext not in ("", ".parquet"):
+            # casting the full reference schema: the export must actually
+            # carry every reference column — check here, not in a worker
+            actual = ds.schema().names
+            absent = [c for c in names if c not in actual]
+            if absent:
+                raise ValueError(
+                    f"read_table_auto: reference columns {absent} missing "
+                    f"from {path!r} (has {actual})")
         target = pa.schema([want.field(c) for c in names])
 
         def cast(batch: "pa.Table") -> "pa.Table":
-            cols = [batch[f.name].cast(f.type) for f in target]
+            cols = []
+            for f in target:
+                try:
+                    cols.append(batch[f.name].cast(f.type))
+                except Exception as e:
+                    raise ValueError(
+                        f"read_table_auto: column {f.name!r} of {path!r} "
+                        f"does not cast to reference type {f.type}: {e}"
+                    ) from e
             return pa.table(dict(zip(target.names, cols)))
 
         ds = ds.map_batches(cast, batch_format="pyarrow")

@@ -220,21 +220,51 @@ def _typed_empty_union(ds, cols: "dict[str, pa.DataType]"):
     return empty.union(ds)
 
 
+def _triu_chunks(m: int, pair_chunk: int):
+    """Yield (a_i, b_i) index slabs covering triu(m, 1) with ≤ pair_chunk
+    elements per slab — the bounded-memory form of np.triu_indices(m, 1),
+    which would materialize all m(m-1)/2 indices at once."""
+    i = 0
+    while i < m - 1:
+        take, total = 1, m - 1 - i
+        while i + take < m - 1 and total + (m - 1 - (i + take)) <= pair_chunk:
+            total += m - 1 - (i + take)
+            take += 1
+        rows = np.arange(i, i + take)
+        yield (np.repeat(rows, m - 1 - rows),
+               np.concatenate([np.arange(r + 1, m) for r in rows]))
+        i += take
+
+
 def _bucket_pairs(df: pd.DataFrame, key_cols: list[str], id_col: str,
                   pair_fn, pair_fn_vec,
-                  max_bucket: "int | None" = MAX_BUCKET) -> tuple[list, list, list]:
+                  max_bucket: "int | None" = MAX_BUCKET,
+                  clique_band_col: "str | None" = None,
+                  pair_chunk: int = 1 << 22) -> tuple[list, list, list]:
     """Shared bucket-walk for banded LSH pair generation, vectorized.
 
     Sorts rows by bucket, handles the dominant size-2 buckets in one numpy
-    pass and larger buckets with one vectorized triu-indices pair sweep
-    per bucket (``pair_fn_vec`` over fancy-indexed payload arrays — no
-    per-pair Python). ``max_bucket``: buckets larger than this emit NO
-    pairs — the salt guard for candidate generators whose contract is
+    pass and larger buckets with a CHUNKED triu pair sweep per bucket
+    (``pair_fn_vec`` over fancy-indexed payload arrays, ≤ ``pair_chunk``
+    index elements in flight — a large bucket never materializes its full
+    m² index arrays at once). ``max_bucket``: buckets larger than this emit
+    NO pairs — the salt guard for candidate generators whose contract is
     already approximate (MinHash banding); pass ``None`` for generators
     whose output is a documented EXACT pair set (simhash hamming ≤ k —
-    its SQL oracle is a full self-join, so a silent cap would surface as
-    an oracle mismatch on any corpus with a >max_bucket near-dup family;
-    the quadratic per-bucket cost IS that operator's honest semantics).
+    its SQL oracle is a full self-join, so a silent cap would silently
+    under-emit on any corpus with a >max_bucket near-dup family; the
+    quadratic pair COUNT is that operator's honest output size).
+
+    ``clique_band_col``: opt-in for banded generators whose payload is a
+    hashable SCALAR fingerprint (simhash). Rows with IDENTICAL payloads
+    share every band value, so (a) their intra-clique pairs are emitted
+    only in band 0 — once per corpus instead of once per band — with ONE
+    pair_fn evaluation broadcast across the clique, and (b) the bucket
+    sweep enumerates DISTINCT payloads instead of rows, so an
+    identical-fingerprint family costs O(pairs emitted), not
+    O(m² pair_fn evals) × bands. Output pair set and values are identical
+    (pinned by tests/test_operators.py::TestBigBucketPairs).
+
     ``pair_fn`` is the scalar fallback, kept for API/debug parity.
     Returns (id_a[], id_b[], value[]) with id_a < id_b.
     """
@@ -245,18 +275,26 @@ def _bucket_pairs(df: pd.DataFrame, key_cols: list[str], id_col: str,
     code = code[order]
     ids = df[id_col].to_numpy()[order]
     payload = df["_payload"].to_numpy()[order]
+    band = (df[clique_band_col].to_numpy()[order]
+            if clique_band_col is not None else None)
     sizes = np.bincount(code)[code]
     ida, idb, vals = [], [], []
     mask2 = sizes == 2
     if mask2.any():
         idx = np.where(mask2)[0].reshape(-1, 2)  # adjacent after stable sort
         a_i, b_i = idx[:, 0], idx[:, 1]
-        e = pair_fn_vec(payload[a_i], payload[b_i])
-        A, B = ids[a_i], ids[b_i]
-        lo, hi = np.minimum(A, B), np.maximum(A, B)
-        keep = e[0]
-        ida.extend(lo[keep].tolist()); idb.extend(hi[keep].tolist())
-        vals.extend(e[1][keep].tolist())
+        if band is not None:
+            # equal-payload pairs recur in EVERY band (identical
+            # fingerprints share all band values) — emit only in band 0
+            keep2 = (payload[a_i] != payload[b_i]) | (band[a_i] == 0)
+            a_i, b_i = a_i[keep2], b_i[keep2]
+        if len(a_i):
+            e = pair_fn_vec(payload[a_i], payload[b_i])
+            A, B = ids[a_i], ids[b_i]
+            lo, hi = np.minimum(A, B), np.maximum(A, B)
+            keep = e[0]
+            ida.extend(lo[keep].tolist()); idb.extend(hi[keep].tolist())
+            vals.extend(e[1][keep].tolist())
     lim = len(df) if max_bucket is None else max_bucket
     big = (sizes >= 3) & (sizes <= lim)
     if big.any():
@@ -265,13 +303,53 @@ def _bucket_pairs(df: pd.DataFrame, key_cols: list[str], id_col: str,
             o = np.argsort(ids[rows], kind="stable")
             bids = ids[rows][o]
             bpay = payload[rows][o]
-            a_i, b_i = np.triu_indices(len(bids), 1)
-            e = pair_fn_vec(bpay[a_i], bpay[b_i])
-            keep = e[0]
-            ida.extend(bids[a_i][keep].tolist())
-            idb.extend(bids[b_i][keep].tolist())
-            vals.extend(e[1][keep].tolist())
+            if band is None:
+                for a_i, b_i in _triu_chunks(len(bids), pair_chunk):
+                    e = pair_fn_vec(bpay[a_i], bpay[b_i])
+                    keep = e[0]
+                    ida.extend(bids[a_i][keep].tolist())
+                    idb.extend(bids[b_i][keep].tolist())
+                    vals.extend(e[1][keep].tolist())
+            else:
+                _sweep_cliqued(bids, bpay, int(band[rows[0]]), pair_fn_vec,
+                               pair_chunk, ida, idb, vals)
     return ida, idb, vals
+
+
+def _sweep_cliqued(bids, bpay, band_val: int, pair_fn_vec, pair_chunk: int,
+                   ida: list, idb: list, vals: list) -> None:
+    """Big-bucket sweep with identical-payload clique compression (see
+    _bucket_pairs clique_band_col). bids are id-sorted, so members within
+    each payload group and cross-group min/max keep id_a < id_b."""
+    uniq, inv = np.unique(bpay, return_inverse=True)
+    # member index lists per payload group (stable: preserves id order)
+    grp_order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[grp_order], np.arange(len(uniq) + 1))
+    members = [bids[grp_order[bounds[g]:bounds[g + 1]]]
+               for g in range(len(uniq))]
+    if band_val == 0:
+        # intra-clique pairs: one pair_fn eval per clique, broadcast
+        for g, mem in enumerate(members):
+            if len(mem) < 2:
+                continue
+            ok, val = pair_fn_vec(uniq[g:g + 1], uniq[g:g + 1])
+            if not ok[0]:
+                continue
+            for a_i, b_i in _triu_chunks(len(mem), pair_chunk):
+                ida.extend(mem[a_i].tolist())
+                idb.extend(mem[b_i].tolist())
+                vals.extend([val[0]] * len(a_i))
+    # inter-clique pairs: sweep DISTINCT payloads, expand qualifying pairs
+    for a_i, b_i in _triu_chunks(len(uniq), pair_chunk):
+        ok, val = pair_fn_vec(uniq[a_i], uniq[b_i])
+        for ga, gb, v in zip(a_i[ok].tolist(), b_i[ok].tolist(),
+                             val[ok].tolist()):
+            ma, mb = members[ga], members[gb]
+            A = np.repeat(ma, len(mb))
+            B = np.tile(mb, len(ma))
+            lo, hi = np.minimum(A, B), np.maximum(A, B)
+            ida.extend(lo.tolist()); idb.extend(hi.tolist())
+            vals.extend([v] * len(A))
 
 
 def _dedup_pairs_coarse(pairs_ds, val_col: str, val_type: "pa.DataType"):
@@ -516,7 +594,14 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id",
 def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3, n_coarse: int | None = None):
     """Near-dup pairs by simhash banding: 4 bands × 16 bits; docs sharing any
-    band collide, verified by full Hamming distance ≤ max_hamming."""
+    band collide, verified by full Hamming distance ≤ max_hamming.
+
+    Tokenless docs are EXCLUDED from pair generation: a doc with no ASCII
+    \\w token (CJK/Cyrillic/emoji-only, empty) gets simhash 0 — content-
+    free, not a fingerprint — and on a multilingual corpus every such doc
+    would otherwise collide at hamming 0 and mass-merge as one giant
+    near-dup clique. The simhash_pairs_doubled SQL oracle carries the same
+    ``simhash <> 0`` predicate on both join sides."""
     nc = n_coarse or N_COARSE
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -550,9 +635,13 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         # max_bucket=None: simhash banding + hamming verify is an EXACT
         # pair set (full recall at hamming ≤ max for 4×16 bands) and its
         # oracle is a full self-join — a capped bucket would silently
-        # under-emit on any corpus with a big near-identical family
+        # under-emit on any corpus with a big near-identical family.
+        # clique_band_col: identical simhashes share all 4 bands — their
+        # pairs emit once (band 0) with one hamming eval per clique, and
+        # the bucket sweep runs over distinct fingerprints, not rows
         ida, idb, ham = _bucket_pairs(df, ["band_id", "band_val"], id_col,
-                                      one, vec, max_bucket=None)
+                                      one, vec, max_bucket=None,
+                                      clique_band_col="band_id")
         out = pd.DataFrame({"id_a": pd.array(ida, "int64"),
                             "id_b": pd.array(idb, "int64"),
                             "hamming": pd.array(ham, "int64")})
@@ -570,6 +659,10 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     sims = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
                           batch_format="pyarrow")
+    # tokenless docs (simhash 0) carry no content signal — see docstring
+    sims = sims.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["simhash"], 0))),
+        batch_format="pyarrow")
     bands = sims.map_batches(band_rows, batch_format="pyarrow")
     pairs = (bands.map_batches(add_coarse, batch_format="pyarrow")
              .groupby("coarse").map_groups(pairs_in_coarse, batch_format="pandas"))

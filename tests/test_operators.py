@@ -1095,3 +1095,125 @@ class TestTopkFinisher:
         tab = pa.table({"v": pa.array([3, 1, 2], pa.int64())})
         got = topk_table(ray.data.from_arrow(tab), [("v", "ascending")], 10)
         assert got["v"].to_pylist() == [1, 2, 3]
+
+
+class TestSimhashCliqueAndTokenless:
+    """Round-4 hardening of the simhash pair path: tokenless docs are
+    excluded from near-pair generation (they'd all collide at simhash 0),
+    and identical-fingerprint cliques emit once via the clique-compressed
+    bucket sweep — output identical to a brute-force hamming self-join."""
+
+    def test_tokenless_docs_emit_no_pairs(self, ray_session):
+        import ray.data
+        texts = ["世界和平 世界和平", "мир во всём мире", "🎉🎉🎉", "", None,
+                 "normal ascii words here", "normal ascii words here"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        out = dedup.simhash_near_pairs(ds).to_pandas()
+        # the five tokenless docs (simhash 0) never pair with anything;
+        # exactly the two identical ascii docs pair (hamming 0)
+        assert out[["id_a", "id_b"]].values.tolist() == [[5, 6]]
+        # sanity: tokenless docs really do hash to 0
+        for t in texts[:4]:
+            assert dedup.simhash64(t or "") == 0
+
+    def test_clique_sweep_matches_bruteforce(self, ray_session):
+        import itertools
+        import ray.data
+        rng = np.random.default_rng(11)
+        base = ["alpha beta gamma delta", "epsilon zeta eta theta",
+                "iota kappa lambda mu nu xi"]
+        texts = []
+        for b in base:                      # identical-fingerprint cliques
+            texts += [b] * int(rng.integers(3, 9))
+        for i in range(12):                 # near-misses and distinct docs
+            texts.append(base[i % 3] + (" extraword" * (i % 4)))
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(4)
+        out = dedup.simhash_near_pairs(ds).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        hashes = [dedup.simhash64(t) for t in texts]
+        want = []
+        for i, j in itertools.combinations(range(len(texts)), 2):
+            if hashes[i] == 0 or hashes[j] == 0:
+                continue
+            ham = bin(hashes[i] ^ hashes[j]).count("1")
+            if ham <= 3:
+                want.append((i, j, ham))
+        want_df = pd.DataFrame(want, columns=["id_a", "id_b", "hamming"]) \
+            .astype("int64").sort_values(["id_a", "id_b"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[["id_a", "id_b", "hamming"]].astype("int64"), want_df)
+
+    def test_triu_chunks_cover_exactly(self):
+        for m in (0, 1, 2, 3, 7, 50):
+            for chunk in (1, 5, 64, 10**6):
+                got = set()
+                for a_i, b_i in dedup._triu_chunks(m, chunk):
+                    assert len(a_i) <= max(chunk, m - 1)  # one row min slab
+                    got.update(zip(a_i.tolist(), b_i.tolist()))
+                want = {(i, j) for i in range(m) for j in range(i + 1, m)}
+                assert got == want, (m, chunk)
+
+
+class TestShardedCompressedIngest:
+    """read_table_auto over shard DIRECTORIES, globs and compressed text
+    exports — the rollup must match the parquet source byte-for-byte."""
+
+    SRC = "/root/testdata/sf0.001/documents.parquet"
+    COLS = ["doc_id", "lang", "n_chars"]
+
+    @pytest.fixture(scope="class")
+    def shard_dirs(self, tmp_path_factory):
+        import gzip
+        import json
+        import pyarrow.parquet as pq_
+
+        df = pq_.read_table(self.SRC, columns=self.COLS).to_pandas()
+        d = tmp_path_factory.mktemp("shards")
+        gz_dir = d / "docs_jsonl_gz"; gz_dir.mkdir()
+        zst_dir = d / "docs_csv_zst"; zst_dir.mkdir()
+        import pyarrow as pa_
+        codec = pa_.Codec("zstd")
+        n = len(df)
+        for s in range(3):
+            part = df.iloc[s * n // 3:(s + 1) * n // 3]
+            with gzip.open(gz_dir / f"part-{s}.jsonl.gz", "wt") as f:
+                for rec in part.to_dict("records"):
+                    f.write(json.dumps(rec) + "\n")
+            payload = part.to_csv(index=False).encode()
+            (zst_dir / f"part-{s}.csv.zst").write_bytes(
+                codec.compress(payload, asbytes=True))
+        return str(gz_dir), str(zst_dir)
+
+    def _rollup(self, path):
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+        ds = read_table_auto(path, columns=self.COLS, schema_like=self.SRC)
+        return (ds.groupby("lang").sum("n_chars").to_pandas()
+                .sort_values("lang").reset_index(drop=True))
+
+    def test_jsonl_gz_dir_matches_parquet(self, ray_session, shard_dirs):
+        want = self._rollup(self.SRC)
+        pd.testing.assert_frame_equal(self._rollup(shard_dirs[0]), want)
+
+    def test_csv_zst_glob_matches_parquet(self, ray_session, shard_dirs):
+        want = self._rollup(self.SRC)
+        got = self._rollup(shard_dirs[1] + "/part-*.csv.zst")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_missing_column_is_descriptive(self, ray_session, shard_dirs):
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+        with pytest.raises(ValueError, match="no_such_col"):
+            read_table_auto(shard_dirs[0], columns=["doc_id", "no_such_col"])
+        with pytest.raises(ValueError, match="no_such_col"):
+            read_table_auto(self.SRC, columns=["doc_id", "no_such_col"])
+
+    def test_mixed_shard_formats_rejected(self, ray_session, tmp_path):
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+        (tmp_path / "a.jsonl").write_text('{"x": 1}\n')
+        (tmp_path / "b.csv").write_text("x\n1\n")
+        with pytest.raises(ValueError, match="mixed shard formats"):
+            read_table_auto(str(tmp_path))
