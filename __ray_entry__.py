@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": a.tfidf_top_terms,
         "summarize_docs": a.summarize_docs,
         "extract_pages": a.extract_pages,
+        "extract_pages_skew": a.extract_pages_skew,
         "extract_pages_dedup": a.extract_pages_dedup,
         "extract_lang_stats": a.extract_lang_stats,
         "extraction_eval": a.extraction_eval,
@@ -162,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_capture_per_url": a.latest_capture_per_url,
         "canonical_capture_dedup": a.canonical_capture_dedup,
         "crawl_diff": a.crawl_diff,
+        "crawl_diff_status": a.crawl_diff_status,
         "host_capped_pages": a.host_capped_pages,
         "url_filtered_pages": a.url_filtered_pages,
         "domain_page_stats": a.domain_page_stats,
@@ -232,7 +234,7 @@ _PAGE_CORPUS_ORACLES = (
     "url_filtered_pages", "domain_page_stats", "page_metadata",
     "page_links", "host_graph_edges", "anchor_text_summary",
     "latest_capture_per_url", "canonical_capture_dedup",
-    "host_capped_pages")
+    "host_capped_pages", "crawl_diff_status")
 
 
 # url → lowercase host, the crawl.host_of RE2 (stages/crawl.py:29)
@@ -1535,7 +1537,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 10 ORDER BY query_id, rnk""",
         # URL blocklist over the simulated messy crawl: clean corpus urls
         # + one md5-hash-routed trap variant each; first-matching-rule
-        # attribution mirrors the engine's pattern order (RE2 both sides)
+        # attribution mirrors the engine's pattern order (RE2 both sides).
+        # VALID ONLY for DEFAULT_URL_BLOCK_PATTERNS: the engine emits
+        # rule_idx=-1 when RE2 and Python regex disagree on caller-supplied
+        # syntax (impossible for the defaults) — such rows have no SQL
+        # counterpart here (see stages/crawl.py:url_filter docstring)
         "url_filtered_pages": rf"""
             WITH p AS (SELECT url FROM read_parquet('{pg}')),
             v AS (
@@ -1700,6 +1706,35 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY warc_ts DESC, crawl_gen DESC) AS rn
               FROM canon)
             WHERE rn = 1 ORDER BY url""",
+        # crawl-generation diff, STATUS surface: gen2 drops hash32(url)%4==0
+        # urls, appends one comment byte-string where %4==1, discovers one
+        # '?page=2' url per %4==2 page. Status is byte EQUALITY of the two
+        # generations' blobs — compared directly in SQL, no digest needed
+        # (full crawl_diff stays rows-only: its digest columns are
+        # hashlib-md5 over raw bytes and DuckDB's md5() is VARCHAR-only,
+        # unreproducible for the corpus's binary payloads)
+        "crawl_diff_status": rf"""
+            WITH p AS (SELECT url, html FROM read_parquet('{pg}')),
+            h AS (SELECT url, html,
+                         cast(('0x' || substring(md5(url), 1, 8))
+                              AS UBIGINT) % 4 AS g
+                  FROM p),
+            gen2 AS (
+              SELECT url,
+                     CASE WHEN g = 1 THEN html || encode('<!-- rev2 -->')
+                          ELSE html END AS html
+              FROM h WHERE g <> 0
+              UNION ALL
+              SELECT url || '?page=2',
+                     encode('<p>continuation page body for the new capture</p>')
+              FROM h WHERE g = 2)
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        WHEN o.html = n.html THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM p o FULL OUTER JOIN gen2 n ON o.url = n.url
+            ORDER BY url""",
         # per-host crawl-budget cap: k smallest md5-hash32(url) per host
         # (the samplers' pure-function membership rule), ties → url asc
         "host_capped_pages": rf"""

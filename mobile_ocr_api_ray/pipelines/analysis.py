@@ -1457,6 +1457,25 @@ def extract_pages(sf_dir: str):
                                "compression_ratio", "lang", "quality"]).sort("url")
 
 
+def extract_pages_skew(sf_dir: str):
+    """extract_pages through the SKEW-AWARE pipeline (extract_pipeline_
+    skew_aware): oversized payload rows (> BIG_ROW_BYTES ≈ 2 MiB; the
+    corpus guarantees one multi-MB row per ≥1000-row tier) are isolated
+    into BIG_ROW_BATCH-sized batches so a 16 MB blob never rides in a
+    128-row batch. Output is identical to extract_pages — the routing is
+    a pure partition of the input (pinned by
+    tests/test_pipeline.py::TestSkewQuerySurface)."""
+    from .extract import extract_pipeline_skew_aware
+
+    d = _pages_dir_for(sf_dir)
+    out = extract_pipeline_skew_aware(
+        read_pages(os.path.join(d, "pages.parquet")))
+    return out.select_columns(["url", "extracted_text", "confidence",
+                               "total_pages", "payload_kind", "source",
+                               "status", "summary", "compression_ratio",
+                               "lang", "quality"]).sort("url")
+
+
 def extract_pages_dedup(sf_dir: str):
     d = _pages_dir_for(sf_dir)
     out = extract_pipeline_dedup(read_pages(os.path.join(d, "pages.parquet")))
@@ -1975,6 +1994,21 @@ def crawl_diff(sf_dir: str):
                             pages.map_batches(gen2, batch_format="pyarrow"),
                             n_coarse=_docs_coarse_hint(sf_dir, 2))
     return out if isinstance(out, pa.Table) else out.sort("url")
+
+
+def crawl_diff_status(sf_dir: str):
+    """Value-exact surface of crawl_diff: (url, status) only.
+
+    The digest columns are hashlib-md5 over RAW bytes; DuckDB's md5() is
+    VARCHAR-only, so it cannot reproduce them for the corpus's binary
+    (non-UTF-8) payloads — that keeps full crawl_diff rows-only. But
+    status depends only on byte EQUALITY of the two generations, which
+    SQL compares directly on the BLOBs (old.html = new.html), so the diff
+    LOGIC is value-oracled end to end here."""
+    out = crawl_diff(sf_dir)
+    if isinstance(out, pa.Table):
+        return out.select(["url", "status"])
+    return out.select_columns(["url", "status"])
 
 
 def corpus_datasheet(sf_dir: str):

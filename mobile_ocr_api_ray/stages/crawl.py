@@ -250,6 +250,15 @@ def url_filter(ds, patterns: "tuple[str, ...]" = DEFAULT_URL_BLOCK_PATTERNS,
 
     Returns (kept_ds, quarantined_ds); quarantined carries
     (url, rule_idx). Both stream — no shuffle, no materialization.
+
+    rule_idx = -1 marks rows the RE2 alternation masked but no individual
+    Python pattern claims (the two engines can disagree on exotic
+    CALLER-SUPPLIED syntax; impossible for DEFAULT_URL_BLOCK_PATTERNS,
+    whose syntax is identical under both). The url_filtered_pages SQL
+    oracle keeps rule_idx >= 0 and is therefore valid ONLY for the default
+    pattern set — callers wiring custom patterns into an oracle must
+    either derive the SQL CASE rules from the same pattern list or accept
+    that -1 rows exist on the engine side alone.
     """
     alternation = "|".join(f"(?:{p})" for p in patterns)
 

@@ -329,7 +329,8 @@ def _knn_index_from_blocks(block_tables, id_col: str, emb_col: str):
 
 
 def knn_graph(ds, k: int = 5, concurrency: int | None = None,
-              index_cap_rows: int = KNN_INDEX_CAP_ROWS):
+              index_cap_rows: int = KNN_INDEX_CAP_ROWS,
+              on_overflow: str = "lsh"):
     """Cosine k-nearest-neighbor graph over the corpus (self excluded):
     (vec_id, rank, nbr_id, cosine).
 
@@ -337,14 +338,38 @@ def knn_graph(ds, k: int = 5, concurrency: int | None = None,
     assumption): EXACT — the corpus doubles as the broadcast index, built
     by a Ray task from the dataset's own block refs (``to_arrow_refs``;
     the driver handles only ObjectRefs, never the vectors) and streamed
-    against once via the actor pool. Past the cap: routes to the bucketed
-    approximate ``knn_graph_lsh`` — no single node can hold the index, so
-    candidates are co-located by sign-LSH bucket instead (recall measured
-    in tests/test_fingerprint_pairs.py)."""
+    against once via the actor pool. Past the cap, ``on_overflow`` decides:
+
+    - ``'lsh'`` (default): route to the bucketed approximate
+      ``knn_graph_lsh`` — no single node can hold the index, so candidates
+      are co-located by sign-LSH bucket instead (recall measured in
+      tests/test_fingerprint_pairs.py). The CONTRACT CHANGES: vectors
+      sharing no bucket emit no rows, ranks can be < k, cosine ties may
+      resolve differently — so the switch is surfaced with a
+      RuntimeWarning (never silent; a value-exact knn oracle would
+      mismatch above the cap).
+    - ``'error'``: raise ValueError — for callers (and oracle harnesses)
+      that depend on the documented exact graph."""
+    import warnings
+
     import ray
 
     ds = ds.materialize()           # blocks land in the (spillable) store
-    if ds.count() > index_cap_rows:
+    n = ds.count()
+    if n > index_cap_rows:
+        if on_overflow == "error":
+            raise ValueError(
+                f"knn_graph: {n} rows exceed index_cap_rows="
+                f"{index_cap_rows} and on_overflow='error' — the exact "
+                "graph needs a one-node index; use on_overflow='lsh' for "
+                "the approximate bucketed route")
+        if on_overflow != "lsh":
+            raise ValueError(f"knn_graph: unknown on_overflow={on_overflow!r}")
+        warnings.warn(
+            f"knn_graph: {n} rows > index_cap_rows={index_cap_rows}; "
+            "routing to APPROXIMATE knn_graph_lsh (bucketed sign-LSH: "
+            "missing-bucket pairs emit no rows, ranks may be < k)",
+            RuntimeWarning, stacklevel=2)
         out = knn_graph_lsh(ds, k=k)
         # normalize the return type: knn_graph_lsh's empty-result guard
         # yields a typed pa.Table — callers of knn_graph uniformly get a

@@ -1217,3 +1217,40 @@ class TestShardedCompressedIngest:
         (tmp_path / "b.csv").write_text("x\n1\n")
         with pytest.raises(ValueError, match="mixed shard formats"):
             read_table_auto(str(tmp_path))
+
+
+class TestKnnOverflowSurfacing:
+    """knn_graph's past-the-cap reroute to the approximate LSH path is
+    surfaced (RuntimeWarning) or refusable (on_overflow='error') — never a
+    silent contract change."""
+
+    def _ds(self, n=12, dim=8):
+        import ray.data
+        rs = np.random.RandomState(2)
+        v = rs.normal(size=(n, dim))
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(x) for x in v],
+                                  pa.list_(pa.float64()))}))
+
+    def test_overflow_warns(self, ray_session):
+        import warnings
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            similarity.knn_graph(self._ds(), k=2, index_cap_rows=5)
+            assert any("APPROXIMATE" in str(x.message)
+                       and issubclass(x.category, RuntimeWarning) for x in w)
+
+    def test_overflow_error_optin(self, ray_session):
+        with pytest.raises(ValueError, match="index_cap_rows"):
+            similarity.knn_graph(self._ds(), k=2, index_cap_rows=5,
+                                 on_overflow="error")
+
+    def test_below_cap_no_warning(self, ray_session):
+        import warnings
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = similarity.knn_graph(self._ds(), k=2).to_pandas()
+            assert not any(issubclass(x.category, RuntimeWarning)
+                           and "APPROXIMATE" in str(x.message) for x in w)
+        assert len(out) == 24

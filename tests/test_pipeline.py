@@ -240,3 +240,39 @@ class TestTitleBodyPairs:
             nb = _pair_bucket_count(n)
             assert nb >= 1
             assert n / nb <= PAIR_BUCKET_ROWS
+
+
+class TestSkewQuerySurface:
+    """extract_pages_skew (the queries() surface for the skew-aware
+    branch): output identical to extract_pages, with the big-row branch
+    demonstrably taken — the corpus's guaranteed multi-MB row lands in it
+    and rides only BIG_ROW_BATCH-sized batches."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_big_branch_taken_and_batch_bounded(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import _pages_dir_for
+        from mobile_ocr_api_ray.pipelines.extract import (
+            BIG_ROW_BATCH, BIG_ROW_BYTES, _payload_len)
+        import pyarrow.compute as pc
+
+        ds = read_pages(os.path.join(_pages_dir_for(self.SF),
+                                     "pages.parquet"))
+        big = ds.map_batches(
+            lambda b: b.filter(pc.greater(_payload_len(b), BIG_ROW_BYTES)),
+            batch_format="pyarrow")
+        n_big = big.count()
+        assert n_big >= 1      # the corpus's guaranteed oversized row
+        # the big branch's batches never exceed BIG_ROW_BATCH rows
+        sizes = big.map_batches(
+            lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
+            batch_format="pyarrow", batch_size=BIG_ROW_BATCH).to_pandas()
+        assert (sizes.n <= BIG_ROW_BATCH).all()
+
+    def test_skew_query_matches_plain(self, ray_session):
+        import pandas as pd
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            extract_pages, extract_pages_skew)
+        a = extract_pages(self.SF).to_pandas().reset_index(drop=True)
+        b = extract_pages_skew(self.SF).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
