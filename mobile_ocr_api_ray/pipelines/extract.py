@@ -76,7 +76,18 @@ ACTOR_NUM_CPUS = 0.8  # pool of size <cluster CPUs> reserves 80% — the
 # (a num_cpus=1 pool sized to the cluster starves the read stage and the
 # pipeline deadlocks — observed empirically; SURVEY.md §4 pool-sizing rule).
 
+# Default batch granularity for extraction is the whole BLOCK
+# (batch_size=None): with no explicit batch size, Ray fuses
+# ReadParquet→extract→summarize into ONE task per block, so raw payloads
+# never take an extra object-store round trip between read and extract
+# (measured at 32 CPUs / 10k pages: 4.8k → 6.3k docs/s, stats() shows the
+# fused single operator). Per-task memory stays bounded by the BLOCK size
+# (DataContext.target_max_block_size caps it at real scale), and
+# multi-MB rows are bounded separately by extract_pipeline_skew_aware's
+# BIG_ROW_BATCH branch. EXTRACT_BATCH_SIZE remains the explicit sub-block
+# option for payload-heavy corpora where a caller wants finer batches.
 EXTRACT_BATCH_SIZE = 128
+DEFAULT_EXTRACT_BATCH: "int | None" = None
 
 
 def extract_batch(batch: pa.Table, quality: str = "medium",
@@ -109,7 +120,7 @@ def _payload_len(batch: pa.Table) -> "pa.Array":
 
 def extract_pipeline_skew_aware(ds: "ray.data.Dataset", quality: str = "medium",
                                 big_row_bytes: int = BIG_ROW_BYTES,
-                                batch_size: int = EXTRACT_BATCH_SIZE,
+                                batch_size: "int | None" = DEFAULT_EXTRACT_BATCH,
                                 **kwargs) -> "ray.data.Dataset":
     """Skew-aware variant (SURVEY.md §4, north-star requirement): oversized
     payload rows are isolated into their own tiny batches so one 16 MB blob
@@ -140,7 +151,7 @@ def extract_pipeline_skew_aware(ds: "ray.data.Dataset", quality: str = "medium",
 
 def extract_pipeline(ds: "ray.data.Dataset", quality: str = "medium",
                      concurrency: int | None = None,
-                     batch_size: int = EXTRACT_BATCH_SIZE,
+                     batch_size: "int | None" = DEFAULT_EXTRACT_BATCH,
                      with_summary: bool = True, build_spans: bool = True,
                      do_deskew: bool = False, with_visualization: bool = False,
                      use_actors: bool = False) -> "ray.data.Dataset":
