@@ -358,6 +358,7 @@ def main():
                 "eff": round(eff, 3),
                 "ceiling_eff": round(ceff, 3),
                 "engine_over_ceiling": round(eff / ceff, 3)})
+        import statistics
         ratios = sorted(s["engine_over_ceiling"] for s in sweeps)
         effs = [s["eff"] for s in sweeps]
         ceffs = [s["ceiling_eff"] for s in sweeps]
@@ -370,7 +371,7 @@ def main():
                       "(ceiling + both legs per window)",
             "sf": sf_of(sf_dir), "rows_mult": mult,
             "sweeps": sweeps,
-            "engine_over_ceiling_median": ratios[len(ratios) // 2],
+            "engine_over_ceiling_median": round(statistics.median(ratios), 3),
             "engine_over_ceiling_best": ratios[-1],
             "eff_on_ceiling_slope": round(cov / var, 3) if var > 1e-9
             else None,

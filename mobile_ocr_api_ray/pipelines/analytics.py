@@ -153,7 +153,7 @@ def regional_revenue(sf_dir: str, broadcast_cap_rows: int | None = None):
     probe inside map_batches below the cap, co-partitioned hash_join above
     it — the fact table never shuffles on the broadcast route, and shuffles
     exactly once on the big route."""
-    from ..stages.joins import hash_join
+    from ..stages.dim_broadcast import shuffle_probe_join
 
     ref, dim_ds = _supplier_chain(sf_dir, ["s_suppkey", "r_name"],
                                   broadcast_cap_rows)
@@ -176,8 +176,8 @@ def regional_revenue(sf_dir: str, broadcast_cap_rows: int | None = None):
                      lambda b: pa.table({"s_suppkey": b["l_suppkey"],
                                          "rev_c": _rev_cents(b)}),
                      batch_format="pyarrow"))
-        tagged = hash_join(probe, dim_ds, "s_suppkey", "s_suppkey") \
-            .select_columns(["r_name", "rev_c"])
+        tagged = shuffle_probe_join(probe, dim_ds, "s_suppkey",
+                                    "s_suppkey", ["r_name", "rev_c"])
 
     agg = (tagged.groupby("r_name")
            .aggregate(Count(alias_name="n_items"), Sum("rev_c", alias_name="rev_c")))
@@ -685,14 +685,12 @@ def segment_order_priorities(sf_dir: str, segment: str = "BUILDING",
     the cap the filtered key Dataset meets orders through the
     co-partitioned stages/joins.hash_join (custkey is unique in customer,
     so inner ≡ semi)."""
-    from ..stages.dim_broadcast import DIM_BROADCAST_CAP_ROWS, parquet_num_rows
+    from ..stages.dim_broadcast import should_broadcast
     from ..stages.joins import hash_join
 
     cust_path = os.path.join(sf_dir, "customer.parquet")
-    cap = DIM_BROADCAST_CAP_ROWS if broadcast_cap_rows is None \
-        else broadcast_cap_rows
 
-    if parquet_num_rows(cust_path) <= cap:
+    if should_broadcast(cust_path, broadcast_cap_rows):
         ref = _segment_keys_task.remote(cust_path, segment)
 
         def semi(batch: pa.Table) -> pa.Table:
@@ -1358,18 +1356,16 @@ def quiet_customers(sf_dir: str, threshold: float = QUIET_THRESHOLD,
     through a LEFT stages/joins.hash_join and unmatched rows survive
     (null marker ⇒ anti)."""
     import pyarrow.dataset as pds
-    from ..stages.dim_broadcast import DIM_BROADCAST_CAP_ROWS, parquet_num_rows
+    from ..stages.dim_broadcast import should_broadcast
     from ..stages.joins import hash_join
 
     keys = (_pq(sf_dir, "orders", ["o_custkey"],
                 filter=(pds.field("o_totalprice") > threshold))
             .groupby("o_custkey").aggregate(Count(alias_name="_n")))
 
-    cap = DIM_BROADCAST_CAP_ROWS if broadcast_cap_rows is None \
-        else broadcast_cap_rows
     cust_path = os.path.join(sf_dir, "customer.parquet")
 
-    if parquet_num_rows(cust_path) <= cap:
+    if should_broadcast(cust_path, broadcast_cap_rows):
         refs = keys.select_columns(["o_custkey"]).to_arrow_refs()
         ref = _sorted_int_keys_task.remote(refs, "o_custkey")
 
@@ -1614,7 +1610,7 @@ def nation_revenue_share(sf_dir: str, broadcast_cap_rows: int | None = None):
     (nation, region) aggregate lands on the driver where region totals
     divide the integer-cent nation sums (float division of exact ints —
     bit-matches SQL's ratio over sum() OVER (PARTITION BY region))."""
-    from ..stages.joins import hash_join
+    from ..stages.dim_broadcast import shuffle_probe_join
 
     ref, dim_ds = _supplier_chain(sf_dir, ["s_suppkey", "n_name", "r_name"],
                                   broadcast_cap_rows)
@@ -1637,8 +1633,9 @@ def nation_revenue_share(sf_dir: str, broadcast_cap_rows: int | None = None):
                      lambda b: pa.table({"s_suppkey": b["l_suppkey"],
                                          "rev_c": _rev_cents(b)}),
                      batch_format="pyarrow"))
-        tagged = hash_join(probe, dim_ds, "s_suppkey", "s_suppkey") \
-            .select_columns(["n_name", "r_name", "rev_c"])
+        tagged = shuffle_probe_join(probe, dim_ds, "s_suppkey",
+                                    "s_suppkey",
+                                    ["n_name", "r_name", "rev_c"])
 
     agg = (tagged.groupby(["n_name", "r_name"])
            .aggregate(Sum("rev_c", alias_name="rev_c"))

@@ -53,6 +53,9 @@ def embedding_dim(path: str) -> int:
 
 
 _COMPRESSION_EXTS = (".gz", ".zst", ".zstd", ".bz2")
+# '.zstd' is NOT in pyarrow's Codec.detect extension table (only '.zst'),
+# so shards carrying it need the codec passed explicitly to the reader
+_EXPLICIT_CODEC = {".zstd": "zstd"}
 
 
 def _format_ext(name: str) -> str:
@@ -64,6 +67,25 @@ def _format_ext(name: str) -> str:
             base = base[: -len(ce)]
             break
     return os.path.splitext(base)[1].lower()
+
+
+def _compression_ext(name: str) -> str:
+    for ce in _COMPRESSION_EXTS:
+        if name.endswith(ce):
+            return ce
+    return ""
+
+
+def _walk_files(root: str) -> "list[str]":
+    """All data files under ``root``, RECURSIVELY (partitioned exports
+    nest shards in dt=.../ subdirectories); hidden/_metadata entries are
+    skipped at every level."""
+    out: list[str] = []
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith((".", "_"))]
+        out.extend(os.path.join(dirpath, f) for f in filenames
+                   if not f.startswith((".", "_")))
+    return sorted(out)
 
 
 def read_table_auto(path: str, columns=None, schema_like: str | None = None):
@@ -94,14 +116,15 @@ def read_table_auto(path: str, columns=None, schema_like: str | None = None):
     src, ext, first_file = path, None, path
     if any(ch in path for ch in "*?["):
         import glob as globmod
-        files = sorted(p for p in globmod.glob(path) if os.path.isfile(p))
+        # recursive=True makes 'dir/**/part-*.gz' reach nested shards
+        files = sorted(p for p in globmod.glob(path, recursive=True)
+                       if os.path.isfile(p))
         if not files:
             raise ValueError(f"read_table_auto: no files match {path!r}")
         src, first_file = files, files[0]
     elif os.path.isdir(path):
-        files = sorted(os.path.join(path, f) for f in os.listdir(path)
-                       if not f.startswith((".", "_"))
-                       and os.path.isfile(os.path.join(path, f)))
+        # recursive walk: partitioned exports nest shards (dt=.../part-N)
+        files = _walk_files(path)
         if not files:
             raise ValueError(f"read_table_auto: no files in {path!r}")
         src, first_file = files, files[0]
@@ -112,8 +135,22 @@ def read_table_auto(path: str, columns=None, schema_like: str | None = None):
                 f"read_table_auto: mixed shard formats {sorted(exts)} "
                 f"under {path!r}")
         ext = exts.pop()
+        comps = {_compression_ext(p) for p in src}
     else:
         ext = _format_ext(path)
+        comps = {_compression_ext(path)}
+
+    # '.zstd' needs an explicit codec (pyarrow detects only '.zst'); an
+    # explicit codec cannot coexist with differently-compressed shards
+    explicit = {_EXPLICIT_CODEC[c] for c in comps if c in _EXPLICIT_CODEC}
+    if explicit and len(comps) != 1:
+        raise ValueError(
+            f"read_table_auto: mixed compression suffixes {sorted(comps)} "
+            f"under {path!r} — '.zstd' shards cannot mix with other "
+            "compressions (rename to the auto-detected '.zst', or "
+            "unify the suffixes)")
+    read_kw = ({"arrow_open_stream_args": {"compression": explicit.pop()}}
+               if explicit else {})
 
     if ext == ".json":
         raise ValueError(
@@ -135,13 +172,14 @@ def read_table_auto(path: str, columns=None, schema_like: str | None = None):
         # file_extensions=None: Ray's default filter would silently skip
         # compressed shards (part-0.jsonl.gz fails its ["json","jsonl"]
         # suffix test); format membership is already decided above
-        ds = ray.data.read_json(src, file_extensions=None)
+        ds = ray.data.read_json(src, file_extensions=None, **read_kw)
     elif ext in (".csv", ".tsv"):
         import pyarrow.csv as pacsv
         opts = (pacsv.ParseOptions(delimiter="\t") if ext == ".tsv"
                 else None)
         ds = ray.data.read_csv(src, file_extensions=None,
-                               **({"parse_options": opts} if opts else {}))
+                               **({"parse_options": opts} if opts else {}),
+                               **read_kw)
     else:
         raise ValueError(f"read_table_auto: unsupported extension {ext!r}")
 
@@ -161,10 +199,13 @@ def read_table_auto(path: str, columns=None, schema_like: str | None = None):
             raise ValueError(
                 f"read_table_auto: columns {missing} not in the reference "
                 f"schema {schema_like!r}")
-        if columns is None and ext not in ("", ".parquet"):
+        if columns is None:
             # casting the full reference schema: the export must actually
-            # carry every reference column — check here, not in a worker
-            actual = ds.schema().names
+            # carry every reference column — check on the DRIVER (parquet:
+            # footer of the first shard; text: ds.schema()), not in a
+            # worker where it surfaces as an opaque KeyError
+            actual = (pq.read_schema(first_file).names
+                      if ext in ("", ".parquet") else ds.schema().names)
             absent = [c for c in names if c not in actual]
             if absent:
                 raise ValueError(

@@ -177,8 +177,7 @@ def nation_order_stats(sf_dir: str, broadcast_cap_rows: int | None = None):
     nation broadcasts onto the customer SCAN (map_batches probe) and the
     composed dimension meets orders through the co-partitioned
     stages/joins.hash_join — no driver materialization on either route."""
-    from ..stages.dim_broadcast import broadcast_dim
-    from ..stages.joins import hash_join
+    from ..stages.dim_broadcast import broadcast_dim, shuffle_probe_join
 
     ref = broadcast_dim(
         [(os.path.join(sf_dir, "customer.parquet"), ["c_custkey", "c_nationkey"]),
@@ -215,8 +214,8 @@ def nation_order_stats(sf_dir: str, broadcast_cap_rows: int | None = None):
                      lambda b: pa.table({"o_custkey": b["o_custkey"],
                                          "price_c": _cents(b["o_totalprice"])}),
                      batch_format="pyarrow"))
-        tagged = hash_join(probe, dim_ds, "o_custkey", "c_custkey") \
-            .select_columns(["n_name", "price_c"])
+        tagged = shuffle_probe_join(probe, dim_ds, "o_custkey",
+                                    "c_custkey", ["n_name", "price_c"])
 
     agg = (tagged.groupby("n_name")
            .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c")))

@@ -68,6 +68,28 @@ def _load_dim_task(specs, joins, select):
     return t.combine_chunks()
 
 
+def should_broadcast(path: str, cap_rows: "int | None" = None) -> bool:
+    """ONE home for the routing rule: footer row count ≤ cap → broadcast
+    route; else hash_join route. Callers that build their own broadcast
+    payload (filtered key sets, block-ref concatenations) share this
+    instead of re-implementing the cap resolution inline."""
+    cap = DIM_BROADCAST_CAP_ROWS if cap_rows is None else cap_rows
+    return parquet_num_rows(path) <= cap
+
+
+def shuffle_probe_join(probe_ds, dim_ds, left_key: str, right_key: str,
+                       out_cols):
+    """The shuffle-route join shape every size-routed dimension query
+    falls back to past the cap: co-partitioned stages/joins.hash_join of
+    the fact-side probe against the dimension Dataset, projected to the
+    query's output columns — one home so the join convention can't drift
+    between the sibling queries."""
+    from .joins import hash_join
+
+    return hash_join(probe_ds, dim_ds, left_key, right_key) \
+        .select_columns(list(out_cols))
+
+
 def broadcast_dim(specs, joins=None, select=None, *, cap_rows=None):
     """Route decision + Ray-task load for a (possibly composed) dimension.
 
@@ -75,7 +97,6 @@ def broadcast_dim(specs, joins=None, select=None, *, cap_rows=None):
     table's footer row count is ≤ cap, else ``None`` — the caller's signal
     to take the ``stages/joins.hash_join`` route. The driver never reads a
     data page either way."""
-    cap = DIM_BROADCAST_CAP_ROWS if cap_rows is None else cap_rows
-    if max(parquet_num_rows(p) for p, _ in specs) > cap:
+    if not all(should_broadcast(p, cap_rows) for p, _ in specs):
         return None
     return _load_dim_task.remote(specs, joins, select)

@@ -1254,3 +1254,54 @@ class TestKnnOverflowSurfacing:
             assert not any(issubclass(x.category, RuntimeWarning)
                            and "APPROXIMATE" in str(x.message) for x in w)
         assert len(out) == 24
+
+
+class TestIngestEdgeCases:
+    """Round-4 review hardening: '.zstd' suffix (explicit codec — pyarrow
+    auto-detects only '.zst'), recursive shard directories, and the
+    parquet schema_like missing-column check on the driver."""
+
+    def test_zstd_suffix_and_nested_dirs(self, ray_session, tmp_path):
+        import json
+        import pyarrow as pa_
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+
+        codec = pa_.Codec("zstd")
+        nested = tmp_path / "dt=2026-01"
+        nested.mkdir()
+        rows_a = [{"x": 1}, {"x": 2}]
+        rows_b = [{"x": 3}]
+        payload_a = "".join(json.dumps(r) + "\n" for r in rows_a).encode()
+        payload_b = "".join(json.dumps(r) + "\n" for r in rows_b).encode()
+        (tmp_path / "part-0.jsonl.zstd").write_bytes(
+            codec.compress(payload_a, asbytes=True))
+        (nested / "part-1.jsonl.zstd").write_bytes(
+            codec.compress(payload_b, asbytes=True))
+        # directory walk finds the nested shard; .zstd decodes explicitly
+        ds = read_table_auto(str(tmp_path))
+        assert sorted(r["x"] for r in ds.take_all()) == [1, 2, 3]
+
+    def test_mixed_compression_with_zstd_rejected(self, ray_session,
+                                                  tmp_path):
+        import gzip
+        import pyarrow as pa_
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+
+        (tmp_path / "a.jsonl.zstd").write_bytes(
+            pa_.Codec("zstd").compress(b'{"x": 1}\n', asbytes=True))
+        with gzip.open(tmp_path / "b.jsonl.gz", "wt") as f:
+            f.write('{"x": 2}\n')
+        with pytest.raises(ValueError, match="mixed compression"):
+            read_table_auto(str(tmp_path))
+
+    def test_parquet_schema_like_missing_col_driver_side(self, ray_session,
+                                                         tmp_path):
+        import pyarrow.parquet as pq_
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+
+        narrow = tmp_path / "narrow.parquet"
+        pq_.write_table(pa.table({"doc_id": pa.array([1], pa.int64())}),
+                        narrow)
+        with pytest.raises(ValueError, match="missing from"):
+            read_table_auto(str(narrow),
+                            schema_like="/root/testdata/sf0.001/documents.parquet")

@@ -154,10 +154,33 @@ class TestWorkerKillInFlight:
     retry must reproduce the killed tasks' blocks exactly."""
 
     @staticmethod
-    def _kill_busy_worker() -> "int | None":
+    def _session_raylet_pid() -> "int | None":
+        """PID of THIS session's raylet, so the kill never touches workers
+        of an unrelated concurrent Ray session on a shared host."""
+        import ray
+        try:
+            node = ray._private.worker._global_node
+            return node.all_processes["raylet"][0].process.pid
+        except Exception:
+            return None
+
+    @staticmethod
+    def _ppid(pid: int) -> "int | None":
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("PPid:"):
+                        return int(line.split()[1])
+        except OSError:
+            pass
+        return None
+
+    @classmethod
+    def _kill_busy_worker(cls) -> "int | None":
         import signal
         import subprocess
 
+        raylet = cls._session_raylet_pid()
         out = subprocess.run(["pgrep", "-af", "ray::"],
                              capture_output=True, text=True).stdout
         for line in out.splitlines():
@@ -165,9 +188,16 @@ class TestWorkerKillInFlight:
             if "IDLE" in cmd or "pgrep" in cmd:
                 continue
             try:
-                os.kill(int(pid), signal.SIGKILL)
-                return int(pid)
-            except (ProcessLookupError, ValueError):
+                ipid = int(pid)
+            except ValueError:
+                continue
+            # only children of OUR raylet (when identifiable)
+            if raylet is not None and cls._ppid(ipid) != raylet:
+                continue
+            try:
+                os.kill(ipid, signal.SIGKILL)
+                return ipid
+            except ProcessLookupError:
                 continue
         return None
 
