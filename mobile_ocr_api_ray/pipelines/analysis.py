@@ -135,10 +135,13 @@ def _word_count_partial(batch: pa.Table) -> pa.Table:
 def word_freq_top(sf_dir: str, k: int = 100):
     """G4 as a distributed wordcount: per-batch partial Counter (combiner)
     → groupby(word) Sum → global top-k by (count desc, word asc)."""
+    from ..stages.topk import topk_table
+
     agg = (_docs(sf_dir, ["text"])
            .map_batches(_word_count_partial, batch_format="pyarrow")
            .groupby("word").aggregate(Sum("n", alias_name="n")))
-    return agg.sort(["n", "word"], descending=[True, False]).limit(k)
+    # distributed partial-top-k finisher — no global sort to keep k rows
+    return topk_table(agg, [("n", "descending"), ("word", "ascending")], k)
 
 
 def _bigram_count_partial(batch: pa.Table) -> pa.Table:
@@ -159,10 +162,12 @@ def bigram_freq_top(sf_dir: str, k: int = 100):
     """Corpus-wide adjacent-bigram counts, top-k by (count desc, bigram
     asc) — the n-gram-LM statistics pass (combiner → one bounded-vocab
     groupby → tiny global sort/limit)."""
+    from ..stages.topk import topk_table
+
     agg = (_docs(sf_dir, ["text"])
            .map_batches(_bigram_count_partial, batch_format="pyarrow")
            .groupby("bigram").aggregate(Sum("n", alias_name="n")))
-    return agg.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    return topk_table(agg, [("n", "descending"), ("bigram", "ascending")], k)
 
 
 CHUNK_WIDTH = 120
@@ -380,10 +385,12 @@ def heavy_hitter_words(sf_dir: str, k: int = 100,
                          "n": pa.array(list(c.values()), pa.int64())})
 
     docs = _docs(sf_dir, ["text"])
-    pool = (docs.map_batches(mg_partial, batch_format="pyarrow")
-            .groupby("word").aggregate(Sum("n", alias_name="n"))
-            .sort(["n", "word"], descending=[True, False])
-            .limit(candidates).to_pandas())
+    from ..stages.topk import topk_table
+
+    pool = topk_table(
+        docs.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("n", alias_name="n")),
+        [("n", "descending"), ("word", "ascending")], candidates).to_pandas()
     if "word" not in pool.columns or not len(pool):
         # token-free corpus: all-empty blocks erode columns (known trap)
         return pa.table({"word": pa.array([], pa.string()),
@@ -395,9 +402,11 @@ def heavy_hitter_words(sf_dir: str, k: int = 100,
         return t.filter(pc.is_in(t["word"],
                                  value_set=pa.array(sorted(cand))))
 
-    return (docs.map_batches(exact_partial, batch_format="pyarrow")
-            .groupby("word").aggregate(Sum("n", alias_name="n"))
-            .sort(["n", "word"], descending=[True, False]).limit(k))
+    from ..stages.topk import topk_table
+
+    exact = (docs.map_batches(exact_partial, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("n", alias_name="n")))
+    return topk_table(exact, [("n", "descending"), ("word", "ascending")], k)
 
 
 UNIGRAM_VOCAB_K = 100
