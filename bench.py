@@ -69,11 +69,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _warm_cache(pages_path)
 
     timings: dict[str, float] = {}
+    # per-op best-of-N (GRAFT_BENCH_REPS, default 1): the same
+    # steal-spike damping the flagship gets — one hypervisor duty-cycle
+    # hit otherwise inflates a random op ~5-8x in every full dump
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "1"))
 
     def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         return out
 
     def _pd(res):
