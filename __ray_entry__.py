@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": r.top_events_per_user,
         # text analysis (SQL-checked)
         "token_counts": a.token_counts_docs,
+        "gram_novelty": a.gram_novelty_docs,
         "quality_scores": a.quality_docs,
         "compressibility_docs": a.compressibility_docs,
         "quality_filtered": a.quality_filtered,
@@ -375,6 +376,31 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, ts, event_id""",
+        # per-doc distinct-3-gram count + corpus-novel grams (df == 1):
+        # identical gram strings on both sides (ngram_set convention —
+        # lowercase whitespace words, " "-joined; < 3 words -> one gram)
+        "gram_novelty": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                          WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                              FOR i IN range(1, len(w) - 1)])
+                     END AS g
+              FROM words),
+            ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+            dfr AS (SELECT gram, count(*) AS df FROM ex GROUP BY 1)
+            SELECT e.doc_id, cast(count(*) AS BIGINT) AS n_grams,
+                   cast(sum(CASE WHEN dfr.df = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM ex e JOIN dfr USING (gram)
+            GROUP BY 1 ORDER BY 1""",
         "token_counts": r"""
             WITH c AS (
               SELECT doc_id, length(text) AS n_chars_m,

@@ -74,6 +74,17 @@ def quality_docs(sf_dir: str):
         text_analysis.quality_scores, batch_format="pyarrow").sort("doc_id")
 
 
+def gram_novelty_docs(sf_dir: str):
+    """Per-doc distinct-3-gram count + corpus-novel (df == 1) count —
+    the memorization/duplication-pressure signal (stages/text_analysis
+    .gram_novelty: explode → distributed df → string-key join back →
+    integer rollup; value-exact SQL oracle over the same gram strings)."""
+    return text_analysis.gram_novelty(
+        _docs(sf_dir, ["doc_id", "text"]),
+        n_coarse=_coarse_hint_for(
+            os.path.join(sf_dir, "documents.parquet")))
+
+
 def langid_docs(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         text_analysis.lang_id, batch_format="pyarrow").sort("doc_id")

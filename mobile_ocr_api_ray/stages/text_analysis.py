@@ -617,3 +617,81 @@ def nb_predict(batch: pa.Table, model: dict, text_col: str = "text",
     return pa.table({
         id_col: batch[id_col],
         "pred": pa.array([labels[p] for p in pred], pa.string())})
+
+
+# ------------------------------------------------- n-gram novelty (memorization)
+
+
+def gram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3, n_coarse: int = 64):
+    """Per-document n-gram novelty: of the document's DISTINCT word
+    n-grams, how many occur in NO other document (corpus df == 1) — the
+    memorization/duplication-pressure signal training-data analyses report
+    next to dedup stats (the Lee-et-al. "how much of this doc is shared
+    text" view, integer-exact so the SQL oracle hash-matches).
+
+    Fully distributed, the tfidf_top_terms shape (text_analysis.py:176):
+
+    1. explode each doc to its distinct n-gram strings (dedup.ngram_set —
+       exact strings, no hashing, so SQL reproduces them verbatim); the
+       text column drops at the explode;
+    2. df(gram) = groupby count over the explode rows (one distinct
+       (doc, gram) per row — df comes free);
+    3. df joins BACK to the explode rows via stages/joins.hash_join's
+       string-key path (both sides corpus-scale — no vocabulary
+       broadcast);
+    4. per-doc integer rollup (n_grams, n_novel) via an in-batch combiner
+       + one bounded native groupby Sum.
+
+    Docs with no words emit no row (they have no grams) — the SQL oracle
+    groups over the same gram rows, so both sides agree. Returns
+    (doc_id, n_grams, n_novel) sorted by doc_id."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _typed_empty_union, ngram_set
+    from .joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_g = [], []
+        for i, t in zip(ids, texts):
+            for g in ngram_set(t, n):
+                out_id.append(i)
+                out_g.append(g)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "gram": pa.array(out_g, pa.string())})
+
+    grams = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    out_schema = {id_col: pa.int64(), "n_grams": pa.int64(),
+                  "n_novel": pa.int64()}
+    if grams.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {name: pa.array([], ty) for name, ty in out_schema.items()}))
+
+    df_tbl = (grams.select_columns(["gram"])
+              .groupby("gram").aggregate(Count(alias_name="df"))
+              .map_batches(
+                  lambda b: b.rename_columns(
+                      ["dfgram" if c == "gram" else c
+                       for c in b.column_names]),
+                  batch_format="pyarrow"))
+
+    joined = hash_join(grams, df_tbl, "gram", "dfgram", how="inner",
+                       n_coarse=n_coarse)
+
+    def rollup_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch[id_col],
+            "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            "novel": pc.cast(pc.equal(batch["df"], 1), pa.int64())})
+        g = t.group_by(id_col).aggregate([("one", "sum"), ("novel", "sum")])
+        return pa.table({id_col: g[id_col], "n_grams": g["one_sum"],
+                         "n_novel": g["novel_sum"]})
+
+    agg = (joined.map_batches(rollup_partial, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("n_grams", alias_name="n_grams"),
+                      Sum("n_novel", alias_name="n_novel")))
+    return _typed_empty_union(agg, out_schema).sort(id_col)

@@ -1305,3 +1305,44 @@ class TestIngestEdgeCases:
         with pytest.raises(ValueError, match="missing from"):
             read_table_auto(str(narrow),
                             schema_like="/root/testdata/sf0.001/documents.parquet")
+
+
+class TestGramNovelty:
+    """gram_novelty: per-doc distinct 3-grams and corpus-novel (df==1)
+    grams — hand-computed vectors + the shared-text case."""
+
+    def test_hand_vector(self, ray_session):
+        import ray.data
+        texts = [
+            "a b c d",          # grams: "a b c", "b c d"
+            "a b c e",          # grams: "a b c", "b c e"
+            "x y",              # < 3 words -> one gram "x y"
+            "",                 # no words -> no row
+            None,               # no words -> no row
+        ]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(3)
+        out = text_analysis.gram_novelty(ds).to_pandas()
+        got = {int(r.doc_id): (int(r.n_grams), int(r.n_novel))
+               for r in out.itertuples()}
+        # "a b c" is shared (df=2); "b c d"/"b c e"/"x y" are novel
+        assert got == {0: (2, 1), 1: (2, 1), 2: (1, 1)}
+
+    def test_identical_docs_zero_novel(self, ray_session):
+        import ray.data
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["p q r s t"] * 2, pa.string())}))
+        out = text_analysis.gram_novelty(ds).to_pandas()
+        assert (out.n_novel == 0).all()
+        assert (out.n_grams == 3).all()
+
+    def test_empty_corpus_typed(self, ray_session):
+        import ray.data
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string())}))
+        out = text_analysis.gram_novelty(ds)
+        assert out.schema().names == ["doc_id", "n_grams", "n_novel"]
+        assert out.count() == 0
