@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": a.stratified_sample_docs,
         "per_lang_topk_sample": a.per_lang_topk_sample,
         "scrub_docs": a.scrub_docs,
+        "pii_scrub_docs": a.pii_scrub_docs,
         # similarity search (SQL-checked via list_cosine_similarity)
         "ann_brute_topk": a.ann_brute_topk,
         "knn_graph_topk": a.knn_graph_topk,
@@ -588,6 +589,45 @@ def oracle_sql() -> dict[str, str]:
                                                  ELSE 100 END) // 100 AS UBIGINT)
             ORDER BY doc_id""",
         # redaction transform: value-exact STRING output, same RE2 pattern
+        # PII scrub over hash-routed synthetic PII (no natural PII in the
+        # corpus): email -> ip -> phone nested replaces, counts taken on
+        # the previous stage's string — RE2 on both sides
+        "pii_scrub_docs": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     coalesce(text, '') || CASE
+                       cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)),
+                                               1, 8)) AS UBIGINT) % 4
+                       WHEN 0 THEN ' contact user' || doc_id
+                                   || '@example.com now'
+                       WHEN 1 THEN ' node 10.0.' || (doc_id % 256) || '.'
+                                   || ((doc_id * 7) % 256) || ' responded'
+                       WHEN 2 THEN ' call 0812-34'
+                                   || lpad(cast(doc_id % 100 AS VARCHAR),
+                                           2, '0') || '-7890 today'
+                       ELSE '' END AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id, t0,
+                          regexp_replace(t0,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS t1
+                   FROM g),
+            s2 AS (SELECT *, regexp_replace(t1,
+                              '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                              '<IP>', 'g') AS t2
+                   FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t2, '\b\d[\d\- ]{6,}\d\b',
+                                  '<PHONE>', 'g') AS scrubbed,
+                   cast(len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_emails,
+                   cast(len(regexp_extract_all(t1,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT)
+                        AS n_ips,
+                   cast(len(regexp_extract_all(t2,
+                       '\b\d[\d\- ]{6,}\d\b')) AS BIGINT) AS n_phones
+            FROM s2 ORDER BY doc_id""",
         "scrub_docs": r"""
             SELECT doc_id,
                    regexp_replace(text, '\b(spark|hash)\b', '[REDACTED]', 'g')

@@ -156,6 +156,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("temperature_mixed_docs",
           lambda: a.temperature_mixed_docs(sf_dir).to_pandas())
     timed("normalize_docs", lambda: a.normalize_docs(sf_dir).to_pandas())
+    timed("pii_scrub_docs", lambda: a.pii_scrub_docs(sf_dir).to_pandas())
     timed("chunk_docs", lambda: a.chunk_docs(sf_dir).to_pandas())
     timed("train_val_test_split",
           lambda: a.train_val_test_split(sf_dir).to_pandas())

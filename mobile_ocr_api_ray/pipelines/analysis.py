@@ -614,6 +614,56 @@ def scrub_docs(sf_dir: str):
             .map_batches(scrub, batch_format="pyarrow").sort("doc_id"))
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d[\d\- ]{6,}\d\b"
+
+
+def pii_scrub_docs(sf_dir: str):
+    """PII redaction (emails → <EMAIL>, IPv4 → <IP>, phone-like digit
+    runs → <PHONE>) with per-category counts — the standard pre-training
+    privacy pass, value-exact as a string TRANSFORM oracle.
+
+    The corpus carries no natural PII, so the query first GRAFTS a
+    deterministic PII suffix onto hash32(doc_id)%4∈{0,1,2} docs (the
+    crawl_diff synthesis convention — both engine and SQL construct the
+    same modified text), then scrubs. Patterns apply in order
+    email → ip → phone, each count taken on the PREVIOUS stage's string,
+    exactly as the SQL's nested regexp_replace does; all three are RE2 on
+    both sides. One vectorized replace+count chain per batch, no
+    shuffle."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        base = batch["text"].to_pylist()
+        texts = []
+        for i, t in zip(ids, base):
+            g = _hash32(i) % 4
+            t = t or ""
+            if g == 0:
+                t += f" contact user{i}@example.com now"
+            elif g == 1:
+                t += f" node 10.0.{i % 256}.{(i * 7) % 256} responded"
+            elif g == 2:
+                t += f" call 0812-34{i % 100:02d}-7890 today"
+            texts.append(t)
+        t0 = pa.array(texts, pa.string())
+        n_emails = pc.cast(pc.count_substring_regex(t0, PII_EMAIL_RE),
+                           pa.int64())
+        t1 = pc.replace_substring_regex(t0, PII_EMAIL_RE, "<EMAIL>")
+        n_ips = pc.cast(pc.count_substring_regex(t1, PII_IP_RE), pa.int64())
+        t2 = pc.replace_substring_regex(t1, PII_IP_RE, "<IP>")
+        n_phones = pc.cast(pc.count_substring_regex(t2, PII_PHONE_RE),
+                           pa.int64())
+        t3 = pc.replace_substring_regex(t2, PII_PHONE_RE, "<PHONE>")
+        return pa.table({"doc_id": batch["doc_id"], "scrubbed": t3,
+                         "n_emails": n_emails, "n_ips": n_ips,
+                         "n_phones": n_phones})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(scrub, batch_format="pyarrow").sort("doc_id"))
+
+
 def per_lang_topk_sample(sf_dir: str, k: int = 20):
     """Per-group fixed-size deterministic sample: the k docs per language
     with the smallest md5(doc_id) hash — the 'give me exactly k rows per

@@ -1346,3 +1346,40 @@ class TestGramNovelty:
         out = text_analysis.gram_novelty(ds)
         assert out.schema().names == ["doc_id", "n_grams", "n_novel"]
         assert out.count() == 0
+
+
+class TestPiiScrub:
+    """pii_scrub_docs: deterministic synthetic PII grafting + the three
+    nested scrub stages, checked on hand-built vectors."""
+
+    def test_hand_vectors(self, ray_session):
+        import pyarrow.compute as pc_
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE)
+        t0 = pa.array([
+            "mail me at jane.doe+x@sub.example.org thanks",
+            "server 192.168.1.254 then call 0812-3456-7890",
+            "no pii here at all",
+            "edge 999.999.999.999 and 12 3456 789",
+        ])
+        t1 = pc_.replace_substring_regex(t0, PII_EMAIL_RE, "<EMAIL>")
+        t2 = pc_.replace_substring_regex(t1, PII_IP_RE, "<IP>")
+        t3 = pc_.replace_substring_regex(t2, PII_PHONE_RE, "<PHONE>")
+        got = t3.to_pylist()
+        assert got[0] == "mail me at <EMAIL> thanks"
+        assert got[1] == "server <IP> then call <PHONE>"
+        assert got[2] == "no pii here at all"
+        # 999.999... still matches the \d{1,3} quad (syntactic, not
+        # semantic, validation — documented); spaced digit runs collapse
+        assert got[3] == "edge <IP> and <PHONE>"
+
+    def test_query_counts_nonzero(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import pii_scrub_docs
+        df = pii_scrub_docs("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 500
+        # hash routing puts ~3/4 of docs in a PII class; each grafted doc
+        # yields exactly one redaction in its category
+        assert df.n_emails.sum() > 0
+        assert df.n_ips.sum() > 0
+        assert df.n_phones.sum() > 0
+        assert not df.scrubbed.str.contains("@").any()
