@@ -415,8 +415,6 @@ def heavy_hitter_words(sf_dir: str, k: int = 100,
         return t.filter(pc.is_in(t["word"],
                                  value_set=pa.array(sorted(cand))))
 
-    from ..stages.topk import topk_table
-
     exact = (docs.map_batches(exact_partial, batch_format="pyarrow")
              .groupby("word").aggregate(Sum("n", alias_name="n")))
     return topk_table(exact, [("n", "descending"), ("word", "ascending")], k)

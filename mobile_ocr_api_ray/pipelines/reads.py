@@ -58,22 +58,19 @@ _COMPRESSION_EXTS = (".gz", ".zst", ".zstd", ".bz2")
 _EXPLICIT_CODEC = {".zstd": "zstd"}
 
 
-def _format_ext(name: str) -> str:
-    """Format extension with any compression suffix stripped:
-    'part-0.jsonl.gz' → '.jsonl'."""
-    base = name
-    for ce in _COMPRESSION_EXTS:
-        if base.endswith(ce):
-            base = base[: -len(ce)]
-            break
-    return os.path.splitext(base)[1].lower()
-
-
 def _compression_ext(name: str) -> str:
     for ce in _COMPRESSION_EXTS:
         if name.endswith(ce):
             return ce
     return ""
+
+
+def _format_ext(name: str) -> str:
+    """Format extension with any compression suffix stripped:
+    'part-0.jsonl.gz' → '.jsonl'."""
+    ce = _compression_ext(name)
+    base = name[: -len(ce)] if ce else name
+    return os.path.splitext(base)[1].lower()
 
 
 def _walk_files(root: str) -> "list[str]":
@@ -140,15 +137,17 @@ def read_table_auto(path: str, columns=None, schema_like: str | None = None):
         ext = _format_ext(path)
         comps = {_compression_ext(path)}
 
-    # '.zstd' needs an explicit codec (pyarrow detects only '.zst'); an
-    # explicit codec cannot coexist with differently-compressed shards
+    # '.zstd' needs an explicit codec (pyarrow detects only '.zst').
+    # '.zst' + '.zstd' mix fine (same codec, explicit decode handles
+    # both); anything ELSE alongside an explicit-codec suffix — a
+    # different codec or uncompressed shards — would be broken by the
+    # forced codec, so reject with the file layout named
     explicit = {_EXPLICIT_CODEC[c] for c in comps if c in _EXPLICIT_CODEC}
-    if explicit and len(comps) != 1:
+    if explicit and (comps - {".zst", ".zstd"}):
         raise ValueError(
             f"read_table_auto: mixed compression suffixes {sorted(comps)} "
-            f"under {path!r} — '.zstd' shards cannot mix with other "
-            "compressions (rename to the auto-detected '.zst', or "
-            "unify the suffixes)")
+            f"under {path!r} — '.zstd' shards force an explicit zstd "
+            "codec and cannot mix with other compressions or plain files")
     read_kw = ({"arrow_open_stream_args": {"compression": explicit.pop()}}
                if explicit else {})
 
@@ -158,12 +157,16 @@ def read_table_auto(path: str, columns=None, schema_like: str | None = None):
             "— export newline-delimited records as .jsonl/.ndjson")
     if ext in ("", ".parquet"):
         if columns is not None:
-            have = pq.read_schema(first_file).names
-            missing = [c for c in columns if c not in have]
-            if missing:
-                raise ValueError(
-                    f"read_table_auto: columns {missing} not in "
-                    f"{first_file!r} (has {have})")
+            # every shard's footer (cheap metadata reads): a later
+            # schema-drifted shard would otherwise pass the first-file
+            # check and fail opaquely inside a read worker
+            for f in (src if isinstance(src, list) else [src]):
+                have = pq.read_schema(f).names
+                missing = [c for c in columns if c not in have]
+                if missing:
+                    raise ValueError(
+                        f"read_table_auto: columns {missing} not in "
+                        f"{f!r} (has {have})")
         if isinstance(src, list):
             ds = ray.data.read_parquet(src, columns=columns)
         else:
@@ -204,13 +207,21 @@ def read_table_auto(path: str, columns=None, schema_like: str | None = None):
             # carry every reference column — check on the DRIVER (parquet:
             # footer of the first shard; text: ds.schema()), not in a
             # worker where it surfaces as an opaque KeyError
-            actual = (pq.read_schema(first_file).names
-                      if ext in ("", ".parquet") else ds.schema().names)
-            absent = [c for c in names if c not in actual]
-            if absent:
-                raise ValueError(
-                    f"read_table_auto: reference columns {absent} missing "
-                    f"from {path!r} (has {actual})")
+            if ext in ("", ".parquet"):
+                for f in (src if isinstance(src, list) else [src]):
+                    actual = pq.read_schema(f).names
+                    absent = [c for c in names if c not in actual]
+                    if absent:
+                        raise ValueError(
+                            f"read_table_auto: reference columns {absent} "
+                            f"missing from {f!r} (has {actual})")
+            else:
+                actual = ds.schema().names
+                absent = [c for c in names if c not in actual]
+                if absent:
+                    raise ValueError(
+                        f"read_table_auto: reference columns {absent} "
+                        f"missing from {path!r} (has {actual})")
         target = pa.schema([want.field(c) for c in names])
 
         def cast(batch: "pa.Table") -> "pa.Table":

@@ -53,8 +53,19 @@ def topk_table(ds, sort_keys, k: int, batch_size: int = 65536) -> pa.Table:
     # time while moving only ≤ k rows per pruned batch to the driver)
     tabs = list(pruned.iter_batches(batch_size=None, batch_format="pyarrow"))
     if not tabs:
-        # empty corpus: recover the typed schema from the (cheap) ref path
-        tabs = ray.get(pruned.to_arrow_refs())
+        # empty corpus: return a typed empty table when the lineage still
+        # carries a schema; a fully schema-eroded empty lineage (token-free
+        # corpus through a groupby — the documented erosion trap) degrades
+        # to a 0-column empty table, matching the old sort().limit() path
+        # so callers' own emptiness guards still fire
+        try:
+            sch = pruned.schema(fetch_if_missing=False)
+            base = getattr(sch, "base_schema", None)
+            if base is not None and base.names:
+                return base.empty_table()
+        except Exception:
+            pass
+        return pa.table({})
     merged = pa.concat_tables(tabs, promote_options="default")
     idx = pc.sort_indices(merged, sort_keys=keys)[:k]
     return merged.take(idx).combine_chunks()

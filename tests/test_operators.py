@@ -1383,3 +1383,60 @@ class TestPiiScrub:
         assert df.n_ips.sum() > 0
         assert df.n_phones.sum() > 0
         assert not df.scrubbed.str.contains("@").any()
+
+
+class TestReviewHardeningRound4b:
+    """Second review pass fixes: topk on empty/eroded input, .zst+.zstd
+    mixing, per-shard parquet schema validation."""
+
+    def test_topk_empty_typed_and_eroded(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages.topk import topk_table
+        # typed empty: schema preserved
+        ds = ray.data.from_arrow(pa.table({
+            "v": pa.array([], pa.int64()), "w": pa.array([], pa.string())}))
+        out = topk_table(ds, [("v", "ascending")], 5)
+        assert out.num_rows == 0
+        # schema-eroded empty (token-free corpus through a groupby):
+        # degrade to an empty frame, never raise — callers' own guards fire
+        from ray.data.aggregate import Sum
+        eroded = (ds.map_batches(lambda b: b, batch_format="pyarrow")
+                  .groupby("w").aggregate(Sum("v", alias_name="n")))
+        out2 = topk_table(eroded, [("n", "descending")], 5)
+        assert out2.num_rows == 0
+
+    def test_heavy_hitters_tokenfree_corpus(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq_
+        from mobile_ocr_api_ray.pipelines.analysis import heavy_hitter_words
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq_.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["", None], pa.string())}),
+            d / "documents.parquet")
+        out = heavy_hitter_words(str(d))
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert len(df) == 0
+
+    def test_zst_zstd_mix_accepted(self, ray_session, tmp_path):
+        import pyarrow as pa_
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+        codec = pa_.Codec("zstd")
+        (tmp_path / "a.jsonl.zst").write_bytes(
+            codec.compress(b'{"x": 1}\n', asbytes=True))
+        (tmp_path / "b.jsonl.zstd").write_bytes(
+            codec.compress(b'{"x": 2}\n', asbytes=True))
+        ds = read_table_auto(str(tmp_path))
+        assert sorted(r["x"] for r in ds.take_all()) == [1, 2]
+
+    def test_parquet_drifted_shard_caught_on_driver(self, ray_session,
+                                                    tmp_path):
+        import pyarrow.parquet as pq_
+        from mobile_ocr_api_ray.pipelines.reads import read_table_auto
+        pq_.write_table(pa.table({"a": pa.array([1], pa.int64()),
+                                  "b": pa.array(["x"], pa.string())}),
+                        tmp_path / "part-0.parquet")
+        pq_.write_table(pa.table({"a": pa.array([2], pa.int64())}),
+                        tmp_path / "part-1.parquet")
+        with pytest.raises(ValueError, match="part-1"):
+            read_table_auto(str(tmp_path), columns=["a", "b"])
