@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lang_stats": a.extract_lang_stats,
         "extraction_eval": a.extraction_eval,
         "training_shards_manifest": a.training_shards_manifest,
+        "jsonl_export_manifest": a.jsonl_export_manifest,
         # pages / structure / multimodal (rows-only checks)
         "latest_capture_per_url": a.latest_capture_per_url,
         "canonical_capture_dedup": a.canonical_capture_dedup,

@@ -116,6 +116,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("extraction_eval", lambda: a.extraction_eval(sf_dir).to_pandas())
     timed("training_shards_manifest",
           lambda: _pd(a.training_shards_manifest(sf_dir)))
+    timed("jsonl_export_manifest",
+          lambda: _pd(a.jsonl_export_manifest(sf_dir)))
     timed("lineitem_pricing", lambda: r.lineitem_pricing(sf_dir).to_pandas())
     timed("events_hourly", lambda: r.events_hourly(sf_dir).to_pandas())
     timed("sessionize_events", lambda: r.sessionize_events(sf_dir).to_pandas())

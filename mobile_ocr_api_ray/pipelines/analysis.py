@@ -2308,6 +2308,35 @@ def training_shards_manifest(sf_dir: str):
             .sort_by("shard_id")
 
 
+def jsonl_export_manifest(sf_dir: str):
+    """Compressed-NDJSON training export end to end (the interchange twin
+    of training_shards_manifest): documents → 16 md5-hash
+    ``shard-N.jsonl.gz`` files under /tmp via state/manifest
+    .export_jsonl_shards, returning the lineage manifest. Byte-determinism
+    of the gz shards and the read_table_auto ROUND TRIP are pinned in
+    tests/test_training_export.py::TestJsonlExport."""
+    import shutil
+
+    from ..state import manifest as mstate
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    base = "/tmp/mobile_ocr_jsonl_shards"
+    out_dir = f"{base}/n{n_docs}_p{os.getpid()}"
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            pid = d.rsplit("_p", 1)[-1]
+            if pid.isdigit() and int(pid) != os.getpid() \
+                    and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    mstate.export_jsonl_shards(_docs(sf_dir, ["doc_id", "text"]),
+                               out_dir, n_shards=16)
+    t = mstate.shard_manifest_table(out_dir)
+    return t.select(["shard_id", "row_count", "content_digest"]) \
+            .sort_by("shard_id")
+
+
 def embedding_dup_clusters_doubled(sf_dir: str):
     """Connected components over the embedding-cosine near-dup pair graph
     (doubled corpus → every pair is an exact clone at cosine 1.0, so the

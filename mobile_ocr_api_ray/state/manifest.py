@@ -267,3 +267,112 @@ def shard_manifest_table(out_dir: str) -> pa.Table:
         "bytes": pa.array([r["bytes"] for r in rows], pa.int64()),
         "content_digest": pa.array([r["content_digest"] for r in rows],
                                    pa.string())})
+
+
+def export_jsonl_shards(ds, out_dir: str, n_shards: int = 16,
+                        key_col: str = "doc_id", text_col: str = "text",
+                        max_shards: int | None = None) -> dict:
+    """Compressed-NDJSON training export — the interchange-format twin of
+    export_training_shards (same md5-hash32 shard rule, same atomic
+    write + manifest + exact-resume discipline), emitting
+    ``shard-NNNNN.jsonl.gz`` files that round-trip through
+    pipelines/reads.read_table_auto (tested: export → re-ingest → rollup
+    equality). Bytes are deterministic end to end: rows sort by key,
+    JSON serializes with fixed separators/column order, and the gzip
+    frame comes from pyarrow's codec (no mtime header) — so the manifest
+    content digests byte-diff across runs exactly like the parquet path."""
+    import pyarrow.compute as pc  # noqa: F401 (shared convention import)
+
+    from ..hashing import hash32 as h32
+
+    done = completed_partitions(out_dir)
+    todo = sorted(set(range(n_shards)) - done)
+    if max_shards is not None:
+        todo = todo[:max_shards]
+    if not todo:
+        return {"completed_before": len(done), "completed_now": 0,
+                "out_dir": out_dir, "n_shards": n_shards}
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        sh = [h32(v) % n_shards for v in batch[key_col].to_pylist()]
+        return batch.append_column("partition_id",
+                                   pa.array(sh, pa.int32()))
+
+    import pyarrow.compute as _pc
+
+    ds = ds.map_batches(add_shard, batch_format="pyarrow")
+    if len(todo) < n_shards:
+        todo_arr = pa.array(todo, pa.int32())
+        ds = ds.map_batches(
+            lambda b: b.filter(_pc.is_in(b["partition_id"],
+                                         value_set=todo_arr)),
+            batch_format="pyarrow")
+
+    def _write_jsonl_partition(table: pa.Table, pid: int,
+                               t_start: float) -> dict:
+        os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+        final = os.path.join(out_dir, f"shard-{pid:05d}.jsonl.gz")
+        tmp = final + ".tmp"
+        cols = table.column_names
+        pydata = [table[c].to_pylist() for c in cols]
+        lines = []
+        for row in zip(*pydata):
+            lines.append(json.dumps(dict(zip(cols, row)),
+                                    separators=(",", ":"),
+                                    ensure_ascii=False))
+        payload = ("\n".join(lines) + ("\n" if lines else "")).encode()
+        blob = pa.Codec("gzip").compress(payload, asbytes=True)
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, final)
+
+        keys = ["" if k is None else str(k)
+                for k in table[key_col].to_pylist()]
+        texts = (table[text_col].to_pylist()
+                 if text_col in cols else [""] * len(keys))
+        h = hashlib.sha256()
+        for u, t in zip(keys, texts):
+            h.update((u or "").encode()); h.update(b"\x00")
+            h.update((t or "").encode()); h.update(b"\x01")
+        raw_keys = [k for k in table[key_col].to_pylist() if k is not None]
+        wall_ms = (time.time() - t_start) * 1e3
+        manifest = {
+            "partition_id": pid, "input_shard": "jsonl_export",
+            "row_range": ([min(raw_keys), max(raw_keys)]
+                          if raw_keys else [None, None]),
+            "content_digest": h.hexdigest(),
+            "row_count": len(keys), "bytes": os.path.getsize(final),
+            "wall_ms": wall_ms,
+            "docs_per_s": (len(keys) / (wall_ms / 1e3))
+            if wall_ms > 0 else None,
+            "status": "complete",
+        }
+        mpath = _manifest_path(out_dir, pid)
+        tmpm = mpath + ".tmp"
+        with open(tmpm, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmpm, mpath)
+        return manifest
+
+    def write_group(group: pa.Table) -> pa.Table:
+        g0 = time.time()
+        pid = int(group["partition_id"][0].as_py())
+        table = group.drop_columns(["partition_id"]).sort_by(key_col)
+        m = _write_jsonl_partition(table, pid, g0)
+        return pa.table({"partition_id": pa.array([pid], pa.int32()),
+                         "row_count": pa.array([m["row_count"]],
+                                               pa.int64())})
+
+    written = ds.groupby("partition_id").map_groups(
+        write_group, batch_format="pyarrow")
+    wdf = written.to_pandas()
+    wrote = set(wdf["partition_id"].tolist()) if len(wdf) else set()
+    for pid in todo:
+        if pid in wrote:
+            continue
+        _write_jsonl_partition(
+            pa.table({key_col: pa.array([], pa.int64()),
+                      text_col: pa.array([], pa.string())}), pid,
+            time.time())
+    return {"completed_before": len(done), "completed_now": len(todo),
+            "out_dir": out_dir, "n_shards": n_shards}
