@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "summarize_docs": a.summarize_docs,
         "extract_pages": a.extract_pages,
         "extract_pages_skew": a.extract_pages_skew,
+        "extract_pages_actors": a.extract_pages_actors,
         "extract_pages_dedup": a.extract_pages_dedup,
         "extract_lang_stats": a.extract_lang_stats,
         "extraction_eval": a.extraction_eval,

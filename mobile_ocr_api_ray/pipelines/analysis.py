@@ -1546,6 +1546,23 @@ def extract_pages_skew(sf_dir: str):
                                "lang", "quality"]).sort("url")
 
 
+def extract_pages_actors(sf_dir: str):
+    """extract_pages through the ACTOR-POOL stage form (A1's second body:
+    warm state in ``__init__`` once per actor, work in ``__call__`` — the
+    shape for kernels with genuinely expensive state like model weights).
+    Output is identical to the task form; this surfaces the actor path to
+    the driver's correctness sampling rather than leaving it pytest-only."""
+    from .extract import EXTRACT_BATCH_SIZE, extract_pipeline
+
+    d = _pages_dir_for(sf_dir)
+    out = extract_pipeline(read_pages(os.path.join(d, "pages.parquet")),
+                           use_actors=True, batch_size=EXTRACT_BATCH_SIZE)
+    return out.select_columns(["url", "extracted_text", "confidence",
+                               "total_pages", "payload_kind", "source",
+                               "status", "summary", "compression_ratio",
+                               "lang", "quality"]).sort("url")
+
+
 def extract_pages_dedup(sf_dir: str):
     d = _pages_dir_for(sf_dir)
     out = extract_pipeline_dedup(read_pages(os.path.join(d, "pages.parquet")))

@@ -157,6 +157,11 @@ def extract_pipeline(ds: "ray.data.Dataset", quality: str = "medium",
                      use_actors: bool = False) -> "ray.data.Dataset":
     """Direct (no-dedup) path: warm-state extraction + summary, fully lazy."""
     if use_actors:
+        # Autoscaling pool (min=1): a FIXED pool sized to the cluster
+        # deadlocks on small clusters — e.g. at 4 CPUs, 4 actors x 0.8 CPU
+        # pin 3.2 CPUs and the num_cpus=1 read tasks can never schedule.
+        # With (1, N) the pool starts at one actor, the read stage always
+        # makes progress, and Ray grows the pool only into free resources.
         out = ds.map_batches(
             ExtractorActor,
             fn_constructor_kwargs={"quality": quality, "build_spans": build_spans,
@@ -164,7 +169,8 @@ def extract_pipeline(ds: "ray.data.Dataset", quality: str = "medium",
                                    "build_visualization": with_visualization},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency or default_concurrency(),
+            concurrency=(concurrency if concurrency is not None
+                         else (1, default_concurrency())),
             num_cpus=ACTOR_NUM_CPUS,
         )
     else:

@@ -276,3 +276,14 @@ class TestSkewQuerySurface:
         a = extract_pages(self.SF).to_pandas().reset_index(drop=True)
         b = extract_pages_skew(self.SF).to_pandas().reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestActorQuerySurface:
+    def test_actor_path_matches_task_path(self, ray_session):
+        import pandas as pd
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            extract_pages, extract_pages_actors)
+        sf = "/root/testdata/sf0.001"
+        a = extract_pages(sf).to_pandas().reset_index(drop=True)
+        b = extract_pages_actors(sf).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
