@@ -1927,6 +1927,53 @@ def oracle_sql() -> dict[str, str]:
               -- generation on the engine side (content-free fingerprint)
               AND a.simhash <> 0 AND b.simhash <> 0
             ORDER BY 1, 2""",
+        # full simhash near-dedup KEEP pipeline, value-exact end-to-end:
+        # the pair CTEs are simhash_pairs_doubled verbatim (the engine's
+        # 4-band LSH at hamming<=3 is lossless by pigeonhole, so banding
+        # == the all-pairs filter); components via a recursive
+        # min-reachability CTE (hamming is NOT transitive, so clusters
+        # are general components, not digest cliques); keep = component
+        # min + every unclustered doc.
+        "near_dedup_kept_simhash_doubled": r"""
+            WITH RECURSIVE
+            d AS (SELECT doc_id, text FROM documents
+                  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+            toks AS (SELECT doc_id, unnest(regexp_extract_all(
+                         lower(coalesce(text, '')), '\w+')) AS tok FROM d),
+            tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            bits AS (SELECT doc_id, j.j AS j,
+                            sum(CASE WHEN (cast(('0x' || substring(md5(tok), 1, 16))
+                                           AS UBIGINT) >> j.j) & 1 = 1
+                                     THEN c ELSE -c END) AS vote
+                     FROM tc CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+                     GROUP BY 1, 2),
+            h AS (SELECT doc_id,
+                         sum(CASE WHEN vote > 0
+                                  THEN cast(cast(1 AS UBIGINT)
+                                       << cast(j AS INTEGER) AS HUGEINT)
+                                  ELSE 0 END) AS hu
+                  FROM bits GROUP BY 1),
+            sh AS (SELECT d2.doc_id,
+                          cast(CASE WHEN coalesce(h.hu, 0) >= 9223372036854775808
+                                    THEN coalesce(h.hu, 0) - 18446744073709551616
+                                    ELSE coalesce(h.hu, 0) END AS BIGINT) AS simhash
+                   FROM (SELECT DISTINCT doc_id FROM d) d2
+                   LEFT JOIN h ON d2.doc_id = h.doc_id),
+            e0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+                     AND a.simhash <> 0 AND b.simhash <> 0),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+                      UNION ALL SELECT id_b, id_a FROM e0),
+            reach AS (SELECT DISTINCT src AS node, src AS root FROM edges
+                      UNION
+                      SELECT e.dst, r.root
+                      FROM reach r JOIN edges e ON e.src = r.node),
+            lbl AS (SELECT node, min(root) AS label FROM reach GROUP BY node)
+            SELECT d.doc_id, d.text
+            FROM d LEFT JOIN lbl ON d.doc_id = lbl.node
+            WHERE lbl.node IS NULL OR lbl.label = d.doc_id
+            ORDER BY d.doc_id""",
         # per-doc top-k TF-IDF terms, integer-exact surface (rank, word,
         # tf, df): ranking is ulp-stable across numpy log / DuckDB ln
         # (exact ties share (tf, df) and break by word on both sides)

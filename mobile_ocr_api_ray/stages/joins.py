@@ -141,6 +141,10 @@ def hash_join(left, right, left_key: str, right_key: str,
 
     out_cols = left_cols + right_cols
 
+    expected_types = {c: left_schema.types[left_schema.names.index(c)]
+                      for c in left_cols}
+    expected_types.update(right_types)
+
     def merge_partition(tbl: pa.Table) -> pa.Table:
         # PURE-ARROW merge: a pandas round-trip would corrupt types (the
         # union's typed-null int columns become float64, list columns become
@@ -148,6 +152,16 @@ def hash_join(left, right, left_key: str, right_key: str,
         # so match keys with numpy searchsorted and materialize rows with
         # arrow take (any payload type, many-to-many expansion).
         import pyarrow.compute as pc
+
+        # Ray's groupby sort-shuffle widens null-padded int columns to
+        # double in transit (the tagged union's typed nulls), so an id
+        # column would reach the caller as float64. Cast every payload
+        # column back to its recorded input type — exact, since the values
+        # originated at that type.
+        for i, c in enumerate(tbl.column_names):
+            want = expected_types.get(c)
+            if want is not None and tbl.schema.field(i).type != want:
+                tbl = tbl.set_column(i, c, pc.cast(tbl[c], want))
 
         kind = tbl["__kind"]
         lhs = tbl.filter(pc.equal(kind, 0))

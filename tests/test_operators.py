@@ -703,6 +703,27 @@ class TestHashJoin:
         assert unmatched.v.isna().all()
         assert out.schema().names == ["k", "a", "v"]
 
+    def test_executed_block_types_stay_int64(self, ray_session):
+        # Ray's groupby sort-shuffle widens null-padded int columns to
+        # double in transit; merge_partition must cast them back. The
+        # LAZY schema() can't catch this (its head block is the typed-empty
+        # union), so assert on executed blocks via to_pandas dtypes.
+        import ray.data
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 9], pa.int64()),
+            "a": pa.array([10, 20, 30, 90], pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "rk": pa.array([2, 3], pa.int64()),
+            "v": pa.array([200, 300], pa.int64())}))
+        df = hash_join(left, right, "k", "rk", how="left").to_pandas()
+        assert str(df["k"].dtype) == "int64"
+        assert str(df["a"].dtype) == "int64"
+        # v has real nulls from the outer join — float64 there is the
+        # correct pandas rendering of a nullable int64 arrow column
+        inner = hash_join(left, right, "k", "rk", how="inner").to_pandas()
+        assert str(inner["v"].dtype) == "int64"
+
     def test_collision_raises(self, ray_session):
         import ray.data
         from mobile_ocr_api_ray.stages.joins import hash_join
