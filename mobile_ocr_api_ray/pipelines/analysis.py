@@ -2223,17 +2223,42 @@ def url_filtered_pages(sf_dir: str):
     return quarantined.sort("url")
 
 
-def extraction_eval(sf_dir: str):
+@ray.remote(num_cpus=1)
+def _golden_digests_task(path: str) -> pa.Table:
+    """Load the golden fixture and reduce it to its broadcast form — url,
+    md5(golden_text), golden_exact, payload_kind — INSIDE a Ray task, so
+    the driver only ever holds the ObjectRef (dim_broadcast convention)
+    and the golden TEXT never enters the broadcast payload."""
+    import pyarrow.parquet as _pqm
+
+    t = _pqm.read_table(
+        path, columns=["url", "golden_text", "golden_exact", "payload_kind"])
+    return dedup.add_md5_digest(t, text_col="golden_text",
+                                out_col="gold_digest") \
+        .drop_columns(["golden_text"]).combine_chunks()
+
+
+def extraction_eval(sf_dir: str, broadcast_cap_rows: "int | None" = None):
     """Corpus-wide self-evaluation of the byte-identical invariant (the
     north rule's per-row check, as a first-class operator): run the
-    flagship extraction, hash-join the results back to the generation-time
+    flagship extraction, join the results back to the generation-time
     golden table on url, and roll up per payload kind — rows, rows with a
     golden byte-equality guarantee (golden_exact), and how many of those
     matched byte-for-byte. The per-url flags reduce via an in-batch
     combiner; only (kind, 3 ints) rows reach the driver. Byte equality is
-    checked as md5-digest equality computed BEFORE the url shuffle — the
-    crawl_diff convention: only 32-hex digests ride the exchange, never
-    the two text corpora."""
+    checked as md5-digest equality computed BEFORE any exchange — the
+    crawl_diff convention: only 32-hex digests ride, never the two text
+    corpora.
+
+    Join routing (stages/dim_broadcast): golden is a bounded per-shard
+    fixture, so below the row cap a Ray task loads it, computes the
+    digests in-task, and every fused extract task probes the broadcast
+    with an acero join — the eval rides the extraction stream with NO
+    sort barrier (measured at sf0.1/32cpus: 6.1 s → ~extract wall).
+    Above the cap both digest streams take the co-partitioned
+    stages/joins.hash_join, identical output (pinned by
+    tests/test_pipeline.py::TestExtractionEvalRouting)."""
+    from ..stages.dim_broadcast import should_broadcast
     from ..stages.joins import hash_join
 
     def dig(col: str, out: str):
@@ -2244,18 +2269,35 @@ def extraction_eval(sf_dir: str):
         return fn
 
     d = _pages_dir_for(sf_dir)
+    golden_path = os.path.join(d, "golden.parquet")
     extracted = extract_pipeline(
         read_pages(os.path.join(d, "pages.parquet"))) \
         .select_columns(["url", "extracted_text"]) \
         .map_batches(dig("extracted_text", "ext_digest"),
                      batch_format="pyarrow")
-    golden = reads.read_small_aware(
-        os.path.join(d, "golden.parquet"),
-        columns=["url", "golden_text", "golden_exact", "payload_kind"]) \
-        .map_batches(dig("golden_text", "gold_digest"),
-                     batch_format="pyarrow")
-    joined = hash_join(extracted, golden, "url", "url", how="inner",
-                       n_coarse=_docs_coarse_hint(sf_dir, 2))
+    try:
+        take_broadcast = should_broadcast(golden_path, broadcast_cap_rows)
+    except OSError:
+        # sharded-directory golden (no single footer) → shuffle route
+        take_broadcast = False
+    if take_broadcast:
+        gref = _golden_digests_task.remote(golden_path)
+
+        def probe_golden(batch: pa.Table) -> pa.Table:
+            probe = pa.table({"url": batch["url"],
+                              "ext_digest": batch["ext_digest"]})
+            return probe.join(ray.get(gref), keys=["url"],
+                              join_type="inner")
+
+        joined = extracted.map_batches(probe_golden, batch_format="pyarrow")
+    else:
+        golden = reads.read_small_aware(
+            golden_path,
+            columns=["url", "golden_text", "golden_exact", "payload_kind"]) \
+            .map_batches(dig("golden_text", "gold_digest"),
+                         batch_format="pyarrow")
+        joined = hash_join(extracted, golden, "url", "url", how="inner",
+                           n_coarse=_docs_coarse_hint(sf_dir, 2))
 
     def flags(batch: pa.Table) -> pa.Table:
         exact = pc.fill_null(batch["golden_exact"], False)

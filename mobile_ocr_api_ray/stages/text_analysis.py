@@ -653,15 +653,16 @@ def gram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
     from .joins import hash_join
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
-        out_id, out_g = [], []
-        for i, t in zip(ids, texts):
-            for g in ngram_set(t, n):
-                out_id.append(i)
-                out_g.append(g)
-        return pa.table({id_col: pa.array(out_id, pa.int64()),
-                         "gram": pa.array(out_g, pa.string())})
+        gram_lists = [list(ngram_set(t, n)) for t in texts]
+        counts = np.fromiter((len(g) for g in gram_lists), np.int64,
+                             count=len(gram_lists))
+        flat: list = []
+        for g in gram_lists:
+            flat.extend(g)
+        return pa.table({id_col: pa.array(np.repeat(ids, counts), pa.int64()),
+                         "gram": pa.array(flat, pa.string())})
 
     grams = ds.map_batches(explode, batch_format="pyarrow").materialize()
     out_schema = {id_col: pa.int64(), "n_grams": pa.int64(),

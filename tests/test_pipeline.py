@@ -278,6 +278,21 @@ class TestSkewQuerySurface:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestExtractionEvalRouting:
+    def test_broadcast_and_shuffle_routes_agree(self, ray_session):
+        import pandas as pd
+        from mobile_ocr_api_ray.pipelines.analysis import extraction_eval
+        sf = "/root/testdata/sf0.001"
+        bcast = extraction_eval(sf).to_pandas().reset_index(drop=True)
+        # cap 0 rows forces the co-partitioned hash_join fallback
+        shuf = extraction_eval(sf, broadcast_cap_rows=0) \
+            .to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(bcast, shuf)
+        assert bcast["n_rows"].sum() > 0
+        # the invariant itself: every guaranteed row matched byte-for-byte
+        assert (bcast["n_byte_exact"] == bcast["n_guaranteed"]).all()
+
+
 class TestActorQuerySurface:
     def test_actor_path_matches_task_path(self, ray_session):
         import pandas as pd
