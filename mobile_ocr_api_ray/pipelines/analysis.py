@@ -77,14 +77,10 @@ def quality_docs(sf_dir: str):
 def gram_novelty_docs(sf_dir: str):
     """Per-doc distinct-3-gram count + corpus-novel (df == 1) count —
     the memorization/duplication-pressure signal (stages/text_analysis
-    .gram_novelty: explode → distributed df → string-key join back →
-    integer rollup; value-exact SQL oracle over the same gram strings)."""
-    # the join table is the gram EXPLODE (~one row per distinct 3-gram per
-    # doc, ~500x the doc count), so the coarse hint is sized to that —
-    # a doc-count hint gives 3 partitions at sf0.1 and serializes the join
-    return text_analysis.gram_novelty(
-        _docs(sf_dir, ["doc_id", "text"]),
-        n_coarse=_docs_coarse_hint(sf_dir, mult=512))
+    .gram_novelty: explode → distributed df carrying Min(doc_id) →
+    join-free per-doc rollup; value-exact SQL oracle over the same gram
+    strings)."""
+    return text_analysis.gram_novelty(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def langid_docs(sf_dir: str):

@@ -630,27 +630,31 @@ def gram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
     next to dedup stats (the Lee-et-al. "how much of this doc is shared
     text" view, integer-exact so the SQL oracle hash-matches).
 
-    Fully distributed, the tfidf_top_terms shape (text_analysis.py:176):
+    Fully distributed and JOIN-FREE — the key identity: a df==1 gram has
+    exactly one owner, so min(doc_id) carried through the df groupby IS
+    that owner, and novelty never needs the corpus-scale string-key join
+    back to the explode (the round-4 first cut paid that join; this
+    formulation halves the gram-string exchange volume):
 
     1. explode each doc to its distinct n-gram strings (dedup.ngram_set —
        exact strings, no hashing, so SQL reproduces them verbatim); the
        text column drops at the explode;
-    2. df(gram) = groupby count over the explode rows (one distinct
-       (doc, gram) per row — df comes free);
-    3. df joins BACK to the explode rows via stages/joins.hash_join's
-       string-key path (both sides corpus-scale — no vocabulary
-       broadcast);
-    4. per-doc integer rollup (n_grams, n_novel) via an in-batch combiner
-       + one bounded native groupby Sum.
+    2. n_grams per doc = in-batch partial counts over the explode (each
+       (doc, gram) occurs once globally, so partial sums are exact);
+    3. groupby(gram) → (df = Count, owner = Min(doc_id)); rows with
+       df == 1 reduce to per-owner novel counts in-batch;
+    4. both partial streams union into ONE bounded per-doc groupby Sum —
+       gram strings cross the wire exactly once (the df exchange).
 
-    Docs with no words emit no row (they have no grams) — the SQL oracle
-    groups over the same gram rows, so both sides agree. Returns
-    (doc_id, n_grams, n_novel) sorted by doc_id."""
+    ``n_coarse`` is retained for signature stability; the join it
+    partitioned no longer exists. Docs with no words emit no row (they
+    have no grams) — the SQL oracle groups over the same gram rows, so
+    both sides agree. Returns (doc_id, n_grams, n_novel) sorted by
+    doc_id."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count, Min, Sum
 
     from .dedup import _typed_empty_union, ngram_set
-    from .joins import hash_join
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -671,28 +675,31 @@ def gram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
         return ray.data.from_arrow(pa.table(
             {name: pa.array([], ty) for name, ty in out_schema.items()}))
 
-    df_tbl = (grams.select_columns(["gram"])
-              .groupby("gram").aggregate(Count(alias_name="df"))
-              .map_batches(
-                  lambda b: b.rename_columns(
-                      ["dfgram" if c == "gram" else c
-                       for c in b.column_names]),
-                  batch_format="pyarrow"))
+    def per_doc_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({id_col: batch[id_col],
+                      "one": pa.array(np.ones(batch.num_rows, np.int64))})
+        g = t.group_by(id_col).aggregate([("one", "sum")])
+        return pa.table({id_col: pc.cast(g[id_col], pa.int64()),
+                         "n_grams": g["one_sum"],
+                         "n_novel": pa.array(
+                             np.zeros(g.num_rows, np.int64))})
 
-    joined = hash_join(grams, df_tbl, "gram", "dfgram", how="inner",
-                       n_coarse=n_coarse)
+    df_tbl = grams.groupby("gram").aggregate(
+        Count(alias_name="df"), Min(id_col, alias_name="owner"))
 
-    def rollup_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({
-            id_col: batch[id_col],
-            "one": pa.array(np.ones(batch.num_rows, np.int64)),
-            "novel": pc.cast(pc.equal(batch["df"], 1), pa.int64())})
-        g = t.group_by(id_col).aggregate([("one", "sum"), ("novel", "sum")])
-        return pa.table({id_col: g[id_col], "n_grams": g["one_sum"],
-                         "n_novel": g["novel_sum"]})
+    def novel_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["df"], 1))
+        t = pa.table({id_col: b["owner"],
+                      "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(id_col).aggregate([("one", "sum")])
+        return pa.table({id_col: pc.cast(g[id_col], pa.int64()),
+                         "n_grams": pa.array(np.zeros(g.num_rows, np.int64)),
+                         "n_novel": g["one_sum"]})
 
-    agg = (joined.map_batches(rollup_partial, batch_format="pyarrow")
-           .groupby(id_col)
+    partials = (grams.map_batches(per_doc_partial, batch_format="pyarrow")
+                .union(df_tbl.map_batches(novel_partial,
+                                          batch_format="pyarrow")))
+    agg = (partials.groupby(id_col)
            .aggregate(Sum("n_grams", alias_name="n_grams"),
                       Sum("n_novel", alias_name="n_novel")))
     return _typed_empty_union(agg, out_schema).sort(id_col)
