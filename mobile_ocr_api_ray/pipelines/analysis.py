@@ -2224,14 +2224,22 @@ def _golden_digests_task(path: str) -> pa.Table:
     """Load the golden fixture and reduce it to its broadcast form — url,
     md5(golden_text), golden_exact, payload_kind — INSIDE a Ray task, so
     the driver only ever holds the ObjectRef (dim_broadcast convention)
-    and the golden TEXT never enters the broadcast payload."""
+    and the golden TEXT never enters the broadcast payload. Row groups
+    stream one at a time: peak task memory is one row group of text plus
+    the digest-only output, never the whole text column (a just-under-cap
+    golden with multi-KB texts would otherwise hold GBs in one heap)."""
     import pyarrow.parquet as _pqm
 
-    t = _pqm.read_table(
-        path, columns=["url", "golden_text", "golden_exact", "payload_kind"])
-    return dedup.add_md5_digest(t, text_col="golden_text",
-                                out_col="gold_digest") \
-        .drop_columns(["golden_text"]).combine_chunks()
+    pf = _pqm.ParquetFile(path)
+    parts = []
+    for rg in range(pf.num_row_groups):
+        t = pf.read_row_group(
+            rg, columns=["url", "golden_text", "golden_exact",
+                         "payload_kind"])
+        parts.append(dedup.add_md5_digest(t, text_col="golden_text",
+                                          out_col="gold_digest")
+                     .drop_columns(["golden_text"]))
+    return pa.concat_tables(parts).combine_chunks()
 
 
 def extraction_eval(sf_dir: str, broadcast_cap_rows: "int | None" = None):

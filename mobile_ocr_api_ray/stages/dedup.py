@@ -1105,9 +1105,24 @@ def embedding_near_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
 
 # -------------------------------------------- duplicate-cluster assignment
 
-def dup_clusters(pairs_ds, n_iter: int = 4):
+MAX_CC_ROUNDS = 64  # safety cap for the convergence loop: propagation is
+# one hop per round, so rounds needed = eccentricity of the component min
+# (≤ diameter); real dup graphs are dense cliques/short chains that
+# converge in 2-4. Hitting the cap raises instead of silently returning
+# unconverged labels (which would break the value-exact keep oracles).
+
+
+def dup_clusters(pairs_ds, n_iter: "int | None" = None):
     """Connected components over the dup-PAIR graph by iterative min-label
     propagation — FULLY DISTRIBUTED (no driver-side label materialization).
+
+    ``n_iter=None`` (default) iterates to the DISTRIBUTED FIXPOINT
+    (changed == 0), raising RuntimeError past MAX_CC_ROUNDS — labels are
+    true component minima, matching the recursive-CTE SQL oracles even on
+    long near-dup chains (hamming adjacency is not transitive, so chains
+    deeper than any fixed hop count exist in principle). An explicit int
+    bounds the rounds instead: label = min id reachable within n_iter
+    hops, the round-3 behavior.
 
     Per round, label(src) ← min over neighbors' labels. The relabel step is
     a dst-partitioned hash join: edges (keyed by dst) and the current label
@@ -1211,7 +1226,9 @@ def dup_clusters(pairs_ds, n_iter: int = 4):
         return out[["src", "label", "changed"]]
 
     labels = None
-    for _ in range(n_iter):
+    rounds = n_iter if n_iter is not None else MAX_CC_ROUNDS
+    converged = False
+    for _ in range(rounds):
         tagged = edges if labels is None else edges.union(
             labels.map_batches(tag_labels, batch_format="pyarrow"))
         labels = (tagged.map_batches(add_coarse, batch_format="pyarrow")
@@ -1222,8 +1239,14 @@ def dup_clusters(pairs_ds, n_iter: int = 4):
                   .materialize())
         changed = labels.sum("changed", ignore_nulls=True) or 0
         if changed == 0:
+            converged = True
             break  # fixpoint — typical dup graphs (pairs, small clusters)
             # stabilize after round 2; skip remaining shuffles
+    if n_iter is None and not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge within {MAX_CC_ROUNDS} rounds "
+            f"({changed} labels still changing) — pathological chain "
+            "diameter; pass an explicit n_iter to accept bounded-hop labels")
     return labels.drop_columns(["changed"])
 
 

@@ -95,8 +95,21 @@ def hash_join(left, right, left_key: str, right_key: str,
         from ..str_hash import crc32_of_strings
         return crc32_of_strings(col, null_value=-1)
 
-    # tagged union: one uniform schema; each side contributes nulls for the
-    # other side's columns. kind 0 = left (probe), kind 1 = right (build).
+    # tagged union: one uniform schema; each side contributes padding for
+    # the other side's columns. kind 0 = left (probe), kind 1 = right
+    # (build). Integer/boolean columns pad with a 0/False SENTINEL, not
+    # nulls: Ray's sort shuffle converts a nullable int column to float64
+    # in transit, which would corrupt REAL values above 2^53 column-wide.
+    # Padding values are never read — merge_partition takes left columns
+    # only from kind-0 rows and right columns only from kind-1 rows, and
+    # outer-join nulls are constructed fresh after the shuffle.
+    def _pad(n: int, ty: pa.DataType) -> pa.Array:
+        if pa.types.is_integer(ty):
+            return pa.array(np.zeros(n, np.int64)).cast(ty)
+        if pa.types.is_boolean(ty):
+            return pa.array(np.zeros(n, bool))
+        return pa.array([None] * n, ty)
+
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         key = _key_ints(batch[left_key])
@@ -110,7 +123,7 @@ def hash_join(left, right, left_key: str, right_key: str,
         for c in left_cols:
             cols[c] = batch[c]
         for c in right_cols:
-            cols[c] = pa.array([None] * n, right_types[c])
+            cols[c] = _pad(n, right_types[c])
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
@@ -132,9 +145,7 @@ def hash_join(left, right, left_key: str, right_key: str,
                 "__key": pa.array(key),
                 "__coarse": pa.array((key % nc).astype(np.int32))}
         for c in left_cols:
-            cols[c] = pa.array(
-                [None] * n,
-                left_schema.types[left_schema.names.index(c)])
+            cols[c] = _pad(n, left_schema.types[left_schema.names.index(c)])
         for c in right_cols:
             cols[c] = tbl[c]
         return pa.table(cols)
@@ -153,11 +164,14 @@ def hash_join(left, right, left_key: str, right_key: str,
         # arrow take (any payload type, many-to-many expansion).
         import pyarrow.compute as pc
 
-        # Ray's groupby sort-shuffle widens null-padded int columns to
-        # double in transit (the tagged union's typed nulls), so an id
-        # column would reach the caller as float64. Cast every payload
-        # column back to its recorded input type — exact, since the values
-        # originated at that type.
+        # Ray's groupby sort-shuffle widens NULLABLE int columns to double
+        # in transit. The tag functions keep padded columns null-free
+        # (sentinel 0/False), so in the common case nothing widens and
+        # this cast is a no-op. It remains as the net for int columns with
+        # GENUINE source nulls, which still ride as float64: the cast
+        # restores the dtype and nulls exactly, but values above 2^53 in
+        # such a column were already rounded by the widening — exactness
+        # there requires a null-free source column.
         for i, c in enumerate(tbl.column_names):
             want = expected_types.get(c)
             if want is not None and tbl.schema.field(i).type != want:

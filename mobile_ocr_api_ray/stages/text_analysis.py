@@ -623,7 +623,7 @@ def nb_predict(batch: pa.Table, model: dict, text_col: str = "text",
 
 
 def gram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
-                 n: int = 3, n_coarse: int = 64):
+                 n: int = 3):
     """Per-document n-gram novelty: of the document's DISTINCT word
     n-grams, how many occur in NO other document (corpus df == 1) — the
     memorization/duplication-pressure signal training-data analyses report
@@ -646,11 +646,9 @@ def gram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
     4. both partial streams union into ONE bounded per-doc groupby Sum —
        gram strings cross the wire exactly once (the df exchange).
 
-    ``n_coarse`` is retained for signature stability; the join it
-    partitioned no longer exists. Docs with no words emit no row (they
-    have no grams) — the SQL oracle groups over the same gram rows, so
-    both sides agree. Returns (doc_id, n_grams, n_novel) sorted by
-    doc_id."""
+    Docs with no words emit no row (they have no grams) — the SQL oracle
+    groups over the same gram rows, so both sides agree. Returns
+    (doc_id, n_grams, n_novel) sorted by doc_id."""
     import ray.data
     from ray.data.aggregate import Count, Min, Sum
 

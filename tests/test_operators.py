@@ -129,6 +129,21 @@ class TestDedupPipelines:
         for i in range(10):
             assert m.get(i + 40) == i  # dup labeled by its representative
 
+    def test_dup_clusters_long_chain_converges(self, ray_session):
+        # near-dup adjacency is NOT transitive, so components can be long
+        # chains; min-label propagation is one hop per round and must
+        # iterate to the fixpoint (the round-3 fixed 4-round cap mislabeled
+        # any node >4 hops from the component min — and would have broken
+        # the recursive-CTE keep oracle)
+        import ray.data
+        chain = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 5)]
+        pairs = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([a for a, _ in chain], pa.int64()),
+            "id_b": pa.array([b for _, b in chain], pa.int64())}))
+        out = dedup.dup_clusters(pairs).to_pandas()
+        assert set(out.label) == {5}  # every node reaches the true min
+        assert len(out) == 7
+
     def test_embedding_near_pairs(self, ray_session):
         import ray.data
         rs = np.random.RandomState(3)
@@ -723,6 +738,27 @@ class TestHashJoin:
         # correct pandas rendering of a nullable int64 arrow column
         inner = hash_join(left, right, "k", "rk", how="inner").to_pandas()
         assert str(inner["v"].dtype) == "int64"
+
+    def test_big_int64_payloads_survive_exactly(self, ray_session):
+        # 64-bit hash/fingerprint payloads exceed float64's 2^53 integer
+        # range: if the tagged union padded with nulls, the sort shuffle
+        # would widen the column and silently round these values. The
+        # sentinel padding keeps the column null-free end to end.
+        import ray.data
+        from mobile_ocr_api_ray.stages.joins import hash_join
+        big = [2**60 + 1, 2**63 - 1, -(2**62) - 3]
+        left = ray.data.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "fp": pa.array(big, pa.int64())}))
+        right = ray.data.from_arrow(pa.table({
+            "rk": pa.array([2, 3, 4], pa.int64()),
+            "rfp": pa.array([2**59 + 7, 2**53 + 1, 5], pa.int64())}))
+        df = hash_join(left, right, "k", "rk", how="left").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert df["fp"].tolist() == big
+        inner = hash_join(left, right, "k", "rk").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert inner["rfp"].tolist() == [2**59 + 7, 2**53 + 1]
 
     def test_collision_raises(self, ray_session):
         import ray.data
