@@ -48,6 +48,18 @@ def compare(name: str, ours: pd.DataFrame, theirs: pd.DataFrame) -> list[str]:
     a, b = canon(ours), canon(theirs)
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
+        # int-on-one-side / float-on-the-other is the transit-widening
+        # signature (Ray's sort shuffle turns nullable int64 into double;
+        # see stages/joins.py) — fail LOUDLY instead of letting the float
+        # cast below hide it from the value comparison
+        kinds = {av.dtype.kind, bv.dtype.kind}
+        if "f" in kinds and kinds & {"i", "u"}:
+            side = "engine" if av.dtype.kind == "f" else "oracle"
+            problems.append(
+                f"col {col}: dtype mismatch ours={av.dtype} "
+                f"oracle={bv.dtype} ({side} side is float — transit "
+                "widening?)")
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
