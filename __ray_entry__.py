@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (SQL-checked)
         "token_counts": a.token_counts_docs,
         "gram_novelty": a.gram_novelty_docs,
+        "target_affinity_docs": a.target_affinity_docs,
+        "inverted_index_docs": a.inverted_index_docs,
         "quality_scores": a.quality_docs,
         "compressibility_docs": a.compressibility_docs,
         "quality_filtered": a.quality_filtered,
@@ -404,6 +406,57 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_novel
             FROM ex e JOIN dfr USING (gram)
             GROUP BY 1 ORDER BY 1""",
+        # DSIR-style target affinity: the md5-hash32 bucket rule is the
+        # samplers' SQL convention; masses are exact int sums over token
+        # occurrences, affinity one float division (order-defined)
+        "target_affinity_docs": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\w+')) AS word
+              FROM documents),
+            b AS (
+              SELECT doc_id, source,
+                     cast(('0x' || substring(md5(word), 1, 8)) AS UBIGINT)
+                       % 4096 AS bucket
+              FROM tok),
+            counts AS (
+              SELECT bucket,
+                     sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                       AS n_target,
+                     sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                       AS n_raw
+              FROM b GROUP BY 1),
+            scored AS (
+              SELECT b.doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+                     cast(sum(c.n_target) AS BIGINT) AS target_mass,
+                     cast(sum(c.n_raw) AS BIGINT) AS raw_mass
+              FROM b JOIN counts c USING (bucket) GROUP BY 1)
+            SELECT d.doc_id,
+                   cast(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   cast(coalesce(s.target_mass, 0) AS BIGINT) AS target_mass,
+                   cast(coalesce(s.raw_mass, 0) AS BIGINT) AS raw_mass,
+                   cast(coalesce(s.target_mass, 0) AS DOUBLE)
+                     / cast(greatest(coalesce(s.raw_mass, 0), 1) AS DOUBLE)
+                     AS affinity
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY doc_id""",
+        # inverted-index postings for the top-100 df terms; same \w+
+        # tokenizer, ties broken (df DESC, word ASC) on both sides
+        "inverted_index_docs": r"""
+            WITH pairs AS (
+              SELECT DISTINCT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '\w+')) AS word
+                FROM documents)),
+            dfr AS (SELECT word, cast(count(*) AS BIGINT) AS df
+                    FROM pairs GROUP BY 1),
+            top AS (SELECT word, df FROM dfr
+                    ORDER BY df DESC, word LIMIT 100)
+            SELECT t.word, t.df, p.doc_id
+            FROM top t JOIN pairs p USING (word)
+            ORDER BY t.word, p.doc_id""",
         "token_counts": r"""
             WITH c AS (
               SELECT doc_id, length(text) AS n_chars_m,

@@ -123,6 +123,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("sessionize_events", lambda: r.sessionize_events(sf_dir).to_pandas())
     timed("token_counts", lambda: a.token_counts_docs(sf_dir).to_pandas())
     timed("gram_novelty", lambda: a.gram_novelty_docs(sf_dir).to_pandas())
+    timed("target_affinity_docs",
+          lambda: a.target_affinity_docs(sf_dir).to_pandas())
+    timed("inverted_index_docs",
+          lambda: a.inverted_index_docs(sf_dir).to_pandas())
     timed("quality_scores", lambda: a.quality_docs(sf_dir).to_pandas())
     timed("compressibility_docs",
           lambda: a.compressibility_docs(sf_dir).to_pandas())

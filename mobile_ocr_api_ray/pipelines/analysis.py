@@ -2757,3 +2757,30 @@ def title_body_pairs(sf_dir: str):
                        columns=["url", "html", "text", "lang"])
     joined = pages.map_batches(_meta_body_kernel, batch_format="pyarrow")
     return contrastive_pairs(joined, _pair_bucket_count(n_pages))
+
+
+def target_affinity_docs(sf_dir: str, target_source: str = "src0"):
+    """DSIR-style data selection signal (Xie et al. 2023, simplified to an
+    exact-integer affinity ratio): fit hashed-unigram count vectors for
+    target (source == target_source) vs raw (everything else) over the
+    documents table — a fixed 2 × 4096 int64 table regardless of corpus
+    size — then score every doc with
+    affinity = target_mass / max(raw_mass, 1). Two streaming passes, one
+    bounded groupby, no corpus-scale shuffle; the count vectors ride into
+    the score tasks as a 64 KB constant. Value-exact SQL oracle via the
+    shared md5-hash32 bucket rule."""
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    tgt, raw = text_analysis.affinity_fit(docs, target_source)
+    scored = text_analysis.affinity_score(
+        _docs(sf_dir, ["doc_id", "text"]), tgt, raw)
+    return scored.sort("doc_id")
+
+
+def inverted_index_docs(sf_dir: str, k: int = 100):
+    """Inverted-index build over the documents table: posting rows
+    (word, df, doc_id) for the k highest-df terms
+    (stages/text_analysis.inverted_index_topdf: per-batch distinct-doc df
+    combiner → vocab-bounded groupby → partial-top-k term selection →
+    broadcast term set → posting pass proportional to the answer)."""
+    return text_analysis.inverted_index_topdf(
+        _docs(sf_dir, ["doc_id", "text"]), k=k)

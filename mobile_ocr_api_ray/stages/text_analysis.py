@@ -15,6 +15,8 @@ needs; they run over any table with a text column (e.g. the driver-provided
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import zlib
 
 import numpy as np
@@ -701,3 +703,202 @@ def gram_novelty(ds, id_col: str = "doc_id", text_col: str = "text",
            .aggregate(Sum("n_grams", alias_name="n_grams"),
                       Sum("n_novel", alias_name="n_novel")))
     return _typed_empty_union(agg, out_schema).sort(id_col)
+
+
+# ------------------------------------- hashed-ngram target affinity (DSIR)
+
+AFFINITY_BUCKETS = 4096
+
+
+def _affinity_bucketer(n_buckets: int):
+    """Per-process cached word → bucket map under the repo-wide md5-hash32
+    sampling rule (``hashing.hash32`` — the first-8-hex-digits-of-md5 rule
+    every SQL oracle reproduces as
+    ``cast(('0x' || substring(md5(w),1,8)) AS UBIGINT)``). The lru_cache
+    makes the md5 cost proportional to DISTINCT words a worker sees, not
+    token occurrences. Called INSIDE the batch fn (the factory itself is
+    process-cached below) because a local lru_cache closure can't pickle
+    into Ray tasks."""
+    from ..hashing import hash32
+
+    @lru_cache(maxsize=1 << 20)
+    def bucket(word: str) -> int:
+        return hash32(word) % n_buckets
+
+    return bucket
+
+
+_affinity_bucketer = lru_cache(maxsize=8)(_affinity_bucketer)
+
+
+def affinity_fit(ds, target_source: str, *, n_buckets: int = AFFINITY_BUCKETS,
+                 source_col: str = "source", text_col: str = "text"):
+    """Fit hashed-unigram count vectors for a DSIR-style importance signal
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — simplified here to an exact target-affinity ratio so the
+    SQL oracle can reproduce it bit-for-bit): token occurrences from rows
+    whose ``source_col`` equals ``target_source`` land in the target
+    vector, everything else in the raw vector, bucketed by
+    hash32(word) % n_buckets.
+
+    Scale story: the per-batch combiner emits at most ``n_buckets``
+    nonzero (bucket, n_target, n_raw) partial rows regardless of batch
+    text volume; ONE bounded groupby sums them; the result is a fixed
+    2 × n_buckets int64 table (64 KB at the default 4096) — constant
+    broadcast cost at any corpus scale. Tokenizer is the re.ASCII ``\\w+``
+    on lowered text shared with word_freq_top / token_counts, so counts
+    match the RE2 ``regexp_extract_all`` oracles exactly.
+
+    Returns ``(target_counts, raw_counts)`` int64 numpy vectors.
+    """
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = _affinity_bucketer(n_buckets)
+        texts = batch[text_col].to_pylist()
+        srcs = batch[source_col].to_pylist()
+        tgt = np.zeros(n_buckets, np.int64)
+        raw = np.zeros(n_buckets, np.int64)
+        for s, t in zip(srcs, texts):
+            acc = tgt if s == target_source else raw
+            for w, n in Counter(word_re.findall((t or "").lower())).items():
+                acc[bucket(w)] += n
+        nz = np.flatnonzero(tgt | raw)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n_target": pa.array(tgt[nz]),
+                         "n_raw": pa.array(raw[nz])})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n_target", alias_name="n_target"),
+                      Sum("n_raw", alias_name="n_raw")))
+    tgt_counts = np.zeros(n_buckets, np.int64)
+    raw_counts = np.zeros(n_buckets, np.int64)
+    # bounded driver reduce (≤ n_buckets rows), the vocab_coverage
+    # convention — never corpus-scale
+    for row in agg.take_all():
+        tgt_counts[row["bucket"]] = row["n_target"]
+        raw_counts[row["bucket"]] = row["n_raw"]
+    return tgt_counts, raw_counts
+
+
+def affinity_score(ds, target_counts: np.ndarray, raw_counts: np.ndarray, *,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Score every document against fitted affinity count vectors: per doc,
+    ``target_mass`` / ``raw_mass`` are the exact integer sums of the
+    target / raw bucket counts over its token OCCURRENCES (multiplicity
+    included), and ``affinity`` is the single float division
+    target_mass / max(raw_mass, 1) — order-defined, bit-identical in SQL.
+
+    One vectorized streaming pass, no shuffle; the count vectors ride into
+    each task as a fixed 64 KB closure constant. Zero-token docs score
+    (0, 0, 0, 0.0). Returns (id, n_tokens, target_mass, raw_mass,
+    affinity) rows.
+    """
+    import re
+    from collections import Counter
+
+    n_buckets = len(target_counts)
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bucket = _affinity_bucketer(n_buckets)
+        texts = batch[text_col].to_pylist()
+        n_tok = np.zeros(len(texts), np.int64)
+        t_mass = np.zeros(len(texts), np.int64)
+        r_mass = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            c = Counter(word_re.findall((t or "").lower()))
+            if not c:
+                continue
+            bs = np.fromiter((bucket(w) for w in c), np.int64, count=len(c))
+            ns = np.fromiter(c.values(), np.int64, count=len(c))
+            n_tok[i] = int(ns.sum())
+            t_mass[i] = int((target_counts[bs] * ns).sum())
+            r_mass[i] = int((raw_counts[bs] * ns).sum())
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tok),
+            "target_mass": pa.array(t_mass),
+            "raw_mass": pa.array(r_mass),
+            "affinity": pa.array(t_mass.astype(np.float64)
+                                 / np.maximum(r_mass, 1).astype(np.float64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ----------------------------------------------- inverted index (top-df)
+
+def inverted_index_topdf(ds, *, k: int = 100, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Posting rows (word, df, doc_id) for the ``k`` highest-document-
+    frequency terms — the distributed index-build primitive (the retrieval
+    twin of word_freq_top's collection-frequency table).
+
+    Scale story, two streaming passes:
+    1. document frequency: per-batch combiner emits one (word, 1) per
+       DISTINCT (doc, word) — each doc lives in exactly one batch, so the
+       batch partials sum to exact df through one vocab-bounded groupby
+       (the wordcount exchange, never a (word, doc) pair shuffle);
+    2. the global top-k terms by (df DESC, word ASC) come from the
+       stages/topk partial-top-k finisher (each block contributes ≤ k
+       candidate rows — no vocabulary-wide sort);
+    3. the ≤ k surviving terms broadcast as a closure constant and a
+       second pass emits (word, df, doc_id) ONLY for those terms — the
+       posting exchange is proportional to the answer, not the corpus.
+
+    Tokenizer: the shared re.ASCII ``\\w+`` on lowered text. Returns rows
+    sorted by (word, doc_id).
+    """
+    import re
+    from collections import Counter
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .topk import topk_table
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        c: Counter = Counter()
+        for t in texts:
+            c.update(set(word_re.findall((t or "").lower())))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "df": pa.array(list(c.values()), pa.int64())})
+
+    df_ds = (ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("df", alias_name="df")))
+    top = topk_table(df_ds, [("df", "descending"), ("word", "ascending")], k)
+    out_schema = {"word": pa.string(), "df": pa.int64(),
+                  "doc_id": pa.int64()}
+    if top.num_rows == 0:
+        return ray.data.from_arrow(pa.table(
+            {name: pa.array([], ty) for name, ty in out_schema.items()}))
+    df_of = dict(zip(top["word"].to_pylist(),
+                     pc.cast(top["df"], pa.int64()).to_pylist()))
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_w: list = []
+        out_id: list = []
+        for i, t in zip(ids, texts):
+            for w in set(word_re.findall((t or "").lower())):
+                if w in df_of:
+                    out_w.append(w)
+                    out_id.append(i)
+        return pa.table({"word": pa.array(out_w, pa.string()),
+                         "df": pa.array([df_of[w] for w in out_w],
+                                        pa.int64()),
+                         "doc_id": pa.array(out_id, pa.int64())})
+
+    return (ds.map_batches(postings, batch_format="pyarrow")
+            .sort(["word", "doc_id"]))

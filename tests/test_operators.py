@@ -1497,3 +1497,146 @@ class TestReviewHardeningRound4b:
                         tmp_path / "part-1.parquet")
         with pytest.raises(ValueError, match="part-1"):
             read_table_auto(str(tmp_path), columns=["a", "b"])
+
+
+class TestTargetAffinity:
+    """DSIR-style hashed-unigram target affinity: pure-python md5
+    differential, zero-token rows, partition invariance, bounded fit."""
+
+    @staticmethod
+    def _brute(texts, srcs, target, n_buckets=4096):
+        import hashlib
+        import re
+        from collections import Counter
+
+        def h(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_buckets
+
+        word_re = re.compile(r"\w+", re.ASCII)
+        tgt = Counter()
+        raw = Counter()
+        for s, t in zip(srcs, texts):
+            acc = tgt if s == target else raw
+            for w in word_re.findall((t or "").lower()):
+                acc[h(w)] += 1
+        rows = []
+        for t in texts:
+            toks = word_re.findall((t or "").lower())
+            tm = sum(tgt[h(w)] for w in toks)
+            rm = sum(raw[h(w)] for w in toks)
+            rows.append((len(toks), tm, rm, tm / max(rm, 1)))
+        return rows
+
+    def _mk(self, texts, srcs, parts=3):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(srcs, pa.string())})).repartition(parts)
+
+    def test_brute_differential(self, ray_session):
+        texts = ["the quick brown fox", "the the the lazy dog",
+                 "quick quick fox", "", None, "dog dog dog dog"]
+        srcs = ["wiki", "web", "wiki", "web", "wiki", "web"]
+        ds = self._mk(texts, srcs)
+        tgt, raw = text_analysis.affinity_fit(ds, "wiki")
+        out = (text_analysis.affinity_score(ds, tgt, raw)
+               .sort("doc_id").to_pandas())
+        want = self._brute(texts, srcs, "wiki")
+        for i, (nt, tm, rm, aff) in enumerate(want):
+            r = out.iloc[i]
+            assert (int(r.n_tokens), int(r.target_mass),
+                    int(r.raw_mass)) == (nt, tm, rm)
+            assert float(r.affinity) == aff
+
+    def test_zero_token_rows(self, ray_session):
+        ds = self._mk(["", None, "   ...   "], ["a", "a", "b"], parts=1)
+        tgt, raw = text_analysis.affinity_fit(ds, "a")
+        out = text_analysis.affinity_score(ds, tgt, raw).sort("doc_id") \
+            .to_pandas()
+        assert (out.n_tokens == 0).all()
+        assert (out.affinity == 0.0).all()
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"w{i % 7} common token stream {i}" for i in range(40)]
+        srcs = ["t" if i % 3 == 0 else "r" for i in range(40)]
+        outs = []
+        for parts in (1, 5):
+            ds = self._mk(texts, srcs, parts)
+            tgt, raw = text_analysis.affinity_fit(ds, "t")
+            outs.append(text_analysis.affinity_score(ds, tgt, raw)
+                        .sort("doc_id").to_pandas())
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_fit_mass_conservation(self, ray_session):
+        # every token occurrence lands in exactly one bucket of one vector
+        import re
+        texts = ["alpha beta gamma", "beta beta", "delta"]
+        srcs = ["t", "r", "r"]
+        ds = self._mk(texts, srcs, parts=2)
+        tgt, raw = text_analysis.affinity_fit(ds, "t")
+        n_t = sum(len(re.findall(r"\w+", t.lower()))
+                  for t, s in zip(texts, srcs) if s == "t")
+        n_r = sum(len(re.findall(r"\w+", t.lower()))
+                  for t, s in zip(texts, srcs) if s != "t")
+        assert int(tgt.sum()) == n_t and int(raw.sum()) == n_r
+        assert len(tgt) == text_analysis.AFFINITY_BUCKETS
+
+
+class TestInvertedIndex:
+    """inverted_index_topdf: brute-force postings differential, top-k df
+    tie-break, empty corpus, partition invariance."""
+
+    def _mk(self, texts, parts=3):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(parts)
+
+    @staticmethod
+    def _brute(texts, k):
+        import re
+        from collections import defaultdict
+        word_re = re.compile(r"\w+", re.ASCII)
+        docs_of = defaultdict(set)
+        for i, t in enumerate(texts):
+            for w in set(word_re.findall((t or "").lower())):
+                docs_of[w].add(i)
+        top = sorted(docs_of, key=lambda w: (-len(docs_of[w]), w))[:k]
+        return sorted((w, len(docs_of[w]), d) for w in top
+                      for d in docs_of[w])
+
+    def test_brute_differential(self, ray_session):
+        texts = ["the cat sat", "the dog sat sat", "a cat and a dog",
+                 "", None, "the end"]
+        out = text_analysis.inverted_index_topdf(self._mk(texts), k=4) \
+            .to_pandas()
+        got = sorted((r.word, int(r.df), int(r.doc_id))
+                     for r in out.itertuples())
+        assert got == self._brute(texts, 4)
+
+    def test_df_counts_docs_not_occurrences(self, ray_session):
+        # "sat" occurs 3x in one doc but df must count the doc once
+        out = text_analysis.inverted_index_topdf(
+            self._mk(["sat sat sat", "sat"], parts=1), k=1).to_pandas()
+        assert list(out.word.unique()) == ["sat"]
+        assert (out.df == 2).all() and len(out) == 2
+
+    def test_tiebreak_word_asc(self, ray_session):
+        # all words df=1 → top-k is lexicographic
+        out = text_analysis.inverted_index_topdf(
+            self._mk(["zz yy", "xx ww"], parts=2), k=2).to_pandas()
+        assert sorted(out.word) == ["ww", "xx"]
+
+    def test_empty_corpus_typed(self, ray_session):
+        out = text_analysis.inverted_index_topdf(self._mk(["", None]))
+        assert out.schema().names == ["word", "df", "doc_id"]
+        assert out.count() == 0
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"common w{i % 5} unique{i}" for i in range(30)]
+        a = text_analysis.inverted_index_topdf(self._mk(texts, 1), k=6) \
+            .to_pandas()
+        b = text_analysis.inverted_index_topdf(self._mk(texts, 6), k=6) \
+            .to_pandas()
+        pd.testing.assert_frame_equal(a, b)
