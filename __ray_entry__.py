@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty": a.gram_novelty_docs,
         "target_affinity_docs": a.target_affinity_docs,
         "inverted_index_docs": a.inverted_index_docs,
+        "c4_clean_docs": a.c4_clean_docs,
         "quality_scores": a.quality_docs,
         "compressibility_docs": a.compressibility_docs,
         "quality_filtered": a.quality_filtered,
@@ -441,6 +442,60 @@ def oracle_sql() -> dict[str, str]:
                      AS affinity
             FROM documents d LEFT JOIN scored s USING (doc_id)
             ORDER BY doc_id""",
+        # C4 cleaning rules: explicit-charset trim so DuckDB trim(x, chars)
+        # == pyarrow utf8_trim; every line/doc predicate is the same RE2
+        # expression on both sides
+        "c4_clean_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_concat(
+                         [array_to_string(ws[(i-1)*8+1:(i-1)*8+8], ' ')
+                            || CASE WHEN (doc_id + i) % 3 <> 2
+                                    THEN '.' ELSE '' END
+                          FOR i IN range(1, cast(ceil(len(ws) / 8.0)
+                                                 AS BIGINT) + 1)],
+                         CASE WHEN doc_id % 16 = 0 THEN ['lorem ipsum']
+                              WHEN doc_id % 16 = 1 THEN ['{']
+                              WHEN doc_id % 16 = 2 THEN
+                                ['please enable javascript to continue here.']
+                              ELSE [] END),
+                       chr(10)) AS t
+              FROM w),
+            base AS (
+              SELECT doc_id, t,
+                     list_transform(
+                       string_split(t, chr(10)),
+                       x -> trim(x, ' ' || chr(9) || chr(13) || chr(12)
+                                 || chr(11))) AS ls
+              FROM built),
+            f AS (
+              SELECT doc_id, t, len(ls) AS n_lines,
+                     list_filter(ls, l ->
+                       regexp_matches(l, '[.!?"]$')
+                       AND length(regexp_extract_all(l, '\S+')) >= 5
+                       AND NOT regexp_matches(lower(l), '\bjavascript\b'))
+                       AS kept
+              FROM base)
+            SELECT doc_id,
+                   CASE WHEN contains(lower(t), 'lorem ipsum')
+                          THEN 'dropped_lorem'
+                        WHEN contains(t, '{') THEN 'dropped_brace'
+                        WHEN len(kept) < 3 THEN 'dropped_short'
+                        ELSE 'kept' END AS status,
+                   cast(n_lines AS BIGINT) AS n_lines,
+                   cast(len(kept) AS BIGINT) AS n_kept,
+                   CASE WHEN contains(lower(t), 'lorem ipsum')
+                          OR contains(t, '{') OR len(kept) < 3
+                        THEN '' ELSE array_to_string(kept, chr(10))
+                   END AS clean_text
+            FROM f ORDER BY doc_id""",
         # inverted-index postings for the top-100 df terms; same \w+
         # tokenizer, ties broken (df DESC, word ASC) on both sides
         "inverted_index_docs": r"""

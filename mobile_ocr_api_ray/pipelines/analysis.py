@@ -2784,3 +2784,49 @@ def inverted_index_docs(sf_dir: str, k: int = 100):
     broadcast term set → posting pass proportional to the answer)."""
     return text_analysis.inverted_index_topdf(
         _docs(sf_dir, ["doc_id", "text"]), k=k)
+
+
+def c4_clean_docs(sf_dir: str):
+    """C4 cleaning rules (terminal-punctuation / 5-word / javascript line
+    filters + lorem-ipsum / brace / <3-kept-lines document quarantine;
+    stages/text_analysis.c4_clean).
+
+    The documents table is single-line word soup (no newlines, no
+    terminal punctuation), so the query first BUILDS a deterministic
+    multi-line construction — the pii_scrub / crawl_diff synthesis
+    convention, reproduced verbatim in SQL: words grouped into 8-word
+    lines, '.' appended when (doc_id + line_no) % 3 != 2, and a marker
+    line grafted by doc_id % 16 (0 → 'lorem ipsum', 1 → '{',
+    2 → a javascript line) so every status branch occurs in the corpus.
+    The construction rides inside the same map_batches as the vectorized
+    kernel — one streaming pass, no shuffle; dropped docs surface as
+    status rows per the S2 quarantine convention."""
+    import re as _re
+
+    ws_re = _re.compile(r"\S+")
+
+    def build_and_clean(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        txts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, txts):
+            ws = ws_re.findall(t or "")
+            n_l = (len(ws) + 7) // 8
+            lines = [" ".join(ws[j * 8:j * 8 + 8])
+                     + ("." if (i + j + 1) % 3 != 2 else "")
+                     for j in range(n_l)]
+            g = i % 16
+            if g == 0:
+                lines.append("lorem ipsum")
+            elif g == 1:
+                lines.append("{")
+            elif g == 2:
+                lines.append("please enable javascript to continue here.")
+            out.append("\n".join(lines))
+        built = pa.table({"doc_id": batch["doc_id"],
+                          "text": pa.array(out, pa.string())})
+        return text_analysis.c4_clean(built)
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(build_and_clean, batch_format="pyarrow")
+            .sort("doc_id"))

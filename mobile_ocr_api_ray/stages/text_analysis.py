@@ -902,3 +902,71 @@ def inverted_index_topdf(ds, *, k: int = 100, id_col: str = "doc_id",
 
     return (ds.map_batches(postings, batch_format="pyarrow")
             .sort(["word", "doc_id"]))
+
+
+# ------------------------------------------------------- C4 cleaning rules
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+# explicit charset (not locale/unicode trim) so DuckDB's trim(x, chars)
+# and pyarrow's utf8_trim agree byte-for-byte
+_C4_TRIM_CHARS = " \t\r\f\v"
+
+
+def c4_clean(batch: pa.Table, text_col: str = "text",
+             id_col: str = "doc_id") -> pa.Table:
+    """The C4 cleaning heuristics (Raffel et al. 2020, §2.2) as ONE
+    vectorized batch kernel — the famous line/document filter every
+    web-text pipeline starts from:
+
+    line rules (a line survives iff ALL hold, after explicit-charset trim):
+      - ends in terminal punctuation (``. ! ? "``),
+      - has ≥ 5 whitespace words,
+      - does not contain the word "javascript" (case-insensitive);
+    document rules (quarantine convention — dropped docs stay as rows):
+      - 'dropped_lorem'  if the doc contains "lorem ipsum" (case-insens),
+      - 'dropped_brace'  if the doc contains "{",
+      - 'dropped_short'  if fewer than 3 lines survive,
+      - 'kept' otherwise; clean_text = surviving lines rejoined with \\n
+        (empty string for dropped docs).
+
+    All predicates are RE2 kernels over the flattened line array (the
+    _scrub_kernel flatten/parent-index pattern) — per-row Python touches
+    only the final join. No shuffle; SQL reproduces every rule verbatim.
+    Returns (doc_id, status, n_lines, n_kept, clean_text).
+    """
+    n = batch.num_rows
+    text = pc.fill_null(batch[text_col], "")
+    lines = pc.split_pattern(text, "\n")
+    flat = pc.utf8_trim(pc.list_flatten(lines), _C4_TRIM_CHARS)
+    parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+
+    term = pc.match_substring_regex(flat, r'[.!?"]$')
+    words = pc.greater_equal(
+        pc.count_substring_regex(flat, r"\S+"),
+        pa.scalar(C4_MIN_LINE_WORDS, pa.int32()))
+    js = pc.match_substring_regex(pc.utf8_lower(flat), r"\bjavascript\b")
+    keep = pc.and_(pc.and_(term, words), pc.invert(js)) \
+        .to_numpy(zero_copy_only=False)
+
+    n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+    kept_lines = flat.to_numpy(zero_copy_only=False)[keep]
+    kept_parent = parent[keep]
+    n_kept = np.bincount(kept_parent, minlength=n).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(n_kept)))
+
+    lorem = pc.match_substring(pc.utf8_lower(text), "lorem ipsum") \
+        .to_numpy(zero_copy_only=False)
+    brace = pc.match_substring(text, "{").to_numpy(zero_copy_only=False)
+    status = np.select(
+        [lorem, brace, n_kept < C4_MIN_KEPT_LINES],
+        ["dropped_lorem", "dropped_brace", "dropped_short"],
+        default="kept")
+    texts = ["\n".join(kept_lines[offsets[i]:offsets[i + 1]])
+             if status[i] == "kept" else "" for i in range(n)]
+    return pa.table({
+        id_col: batch[id_col],
+        "status": pa.array(status.astype(object), pa.string()),
+        "n_lines": pa.array(n_lines),
+        "n_kept": pa.array(n_kept),
+        "clean_text": pa.array(texts, pa.string())})

@@ -245,3 +245,17 @@ class TestUnknownPayloadQuarantine:
         assert rej.summary.isna().all()
         # and nothing was dropped: one output row per corpus page
         assert len(df) == len(golden)
+
+
+class TestC4CleanQuery:
+    def test_all_statuses_exercised(self, queries):
+        df = queries["c4_clean_docs"](SF).to_pandas()
+        statuses = set(df.status.unique())
+        # the doc_id % 16 graft guarantees every quarantine branch occurs
+        assert {"kept", "dropped_short", "dropped_brace",
+                "dropped_lorem"} <= statuses
+        kept = df[df.status == "kept"]
+        assert (kept.n_kept >= 3).all()
+        assert kept.clean_text.str.len().gt(0).all()
+        dropped = df[df.status != "kept"]
+        assert (dropped.clean_text == "").all()

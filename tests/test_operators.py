@@ -1640,3 +1640,65 @@ class TestInvertedIndex:
         b = text_analysis.inverted_index_topdf(self._mk(texts, 6), k=6) \
             .to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestC4Clean:
+    """C4 cleaning rules: per-status hand vectors, trim parity charset,
+    null/empty, partition invariance."""
+
+    def _run(self, texts, parts=2):
+        import ray.data
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(parts)
+        return (ds.map_batches(text_analysis.c4_clean,
+                               batch_format="pyarrow")
+                .sort("doc_id").to_pandas())
+
+    GOOD = "this line has five words."   # terminal punct + 5 words
+
+    def test_status_vectors(self, ray_session):
+        g = self.GOOD
+        texts = [
+            "\n".join([g, g, g]),                       # kept
+            "\n".join([g, g]),                          # dropped_short (2)
+            "lorem IPSUM somewhere\n" + "\n".join([g, g, g]),  # lorem
+            "code { body }\n" + "\n".join([g, g, g]),   # brace
+            None,                                       # dropped_short
+            "",                                         # dropped_short
+        ]
+        out = self._run(texts)
+        assert list(out.status) == [
+            "kept", "dropped_short", "dropped_lorem", "dropped_brace",
+            "dropped_short", "dropped_short"]
+        assert out.clean_text[0] == "\n".join([g, g, g])
+        assert (out.clean_text[1:] == "").all()
+
+    def test_line_rules(self, ray_session):
+        g = self.GOOD
+        doc = "\n".join([
+            g,                                  # kept
+            "no terminal punctuation here",     # dropped: no punct
+            "short line.",                      # dropped: < 5 words
+            "enable the javascript runtime now.",  # dropped: javascript
+            "  " + g + " \t",                   # kept (trimmed)
+            g,
+        ])
+        out = self._run([doc], parts=1)
+        assert out.status[0] == "kept"
+        assert int(out.n_lines[0]) == 6 and int(out.n_kept[0]) == 3
+        assert out.clean_text[0] == "\n".join([g, g, g])
+
+    def test_terminal_quote_counts(self, ray_session):
+        doc = "\n".join(['he said "five words right here."',
+                         'she replied "yes five words too!"',
+                         'and a third long line here?'])
+        out = self._run([doc], parts=1)
+        assert int(out.n_kept[0]) == 3 and out.status[0] == "kept"
+
+    def test_partition_invariance(self, ray_session):
+        g = self.GOOD
+        texts = [("\n".join([g] * (i % 5))) for i in range(30)]
+        a = self._run(texts, parts=1)
+        b = self._run(texts, parts=6)
+        pd.testing.assert_frame_equal(a, b)
