@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_affinity_docs": a.target_affinity_docs,
         "inverted_index_docs": a.inverted_index_docs,
         "c4_clean_docs": a.c4_clean_docs,
+        "quality_dedup_kept_doubled": a.quality_dedup_kept_doubled,
         "quality_scores": a.quality_docs,
         "compressibility_docs": a.compressibility_docs,
         "quality_filtered": a.quality_filtered,
@@ -496,6 +497,60 @@ def oracle_sql() -> dict[str, str]:
                         THEN '' ELSE array_to_string(kept, chr(10))
                    END AS clean_text
             FROM f ORDER BY doc_id""",
+        # quality-aware dedup keep: the doc_id%3 punct suffix + even/odd
+        # twin mutations and the canonical form (delete [^\w\s] → collapse
+        # \s+ → trim → lower → md5) are the same expressions on both
+        # sides; representative = greatest (quality, -doc_id) per digest
+        "quality_dedup_kept_doubled": rf"""
+            WITH orig AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                       || CASE WHEN doc_id % 3 = 0 THEN ' !!'
+                               WHEN doc_id % 3 = 1 THEN ''
+                               ELSE ' ;;;;' END AS text
+              FROM documents),
+            u AS (
+              SELECT doc_id, text FROM orig
+              UNION ALL
+              SELECT o.doc_id + 1000000,
+                     CASE WHEN o.doc_id % 2 = 0
+                          THEN o.text || ' ' || repeat('!?;', 12)
+                          ELSE regexp_replace(o.text, '[^\w\s]', '', 'g')
+                     END
+              FROM orig o),
+            c AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(
+                           regexp_replace(text, '[^\w\s]', '', 'g'),
+                           '\s+', ' ', 'g'), ' '))) AS digest,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '\S+')) AS n_words,
+                     length(regexp_extract_all(lower(text), '\w+'))
+                       AS n_tokens,
+                     length(regexp_extract_all(text, '[^\w\s]'))
+                       AS n_punct,
+                     length(regexp_extract_all(lower(text), '{alt}'))
+                       AS n_stop
+              FROM u),
+            q AS (
+              SELECT doc_id, digest,
+                     (least(cast(n_words AS DOUBLE)/50.0, 1.0)*0.4
+                      + (cast(n_stop AS DOUBLE)
+                         / greatest(cast(n_tokens AS DOUBLE), 1.0))*0.3)
+                     + ((1.0 - least((cast(n_punct AS DOUBLE)
+                          / greatest(cast(n_chars AS DOUBLE), 1.0))*5.0,
+                          1.0))*0.3) AS quality_score
+              FROM c),
+            r AS (
+              SELECT q.*, row_number() OVER (
+                       PARTITION BY digest
+                       ORDER BY quality_score DESC, doc_id ASC) AS rn
+              FROM q)
+            SELECT digest, doc_id,
+                   CASE WHEN doc_id >= 1000000 THEN 'twin'
+                        ELSE 'original' END AS source,
+                   quality_score
+            FROM r WHERE rn = 1 ORDER BY digest""",
         # inverted-index postings for the top-100 df terms; same \w+
         # tokenizer, ties broken (df DESC, word ASC) on both sides
         "inverted_index_docs": r"""

@@ -2830,3 +2830,55 @@ def c4_clean_docs(sf_dir: str):
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(build_and_clean, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def quality_dedup_kept_doubled(sf_dir: str):
+    """Quality-aware dedup keep (stages/dedup.canonical_quality_keep):
+    per canonical-form cluster, keep the highest-quality MEMBER — the
+    representative-choice policy web pipelines use instead of min-id.
+
+    The documents table is punctuation-free word soup, so the query
+    grafts deterministic formatting variants (the c4_clean / pii_scrub
+    construction convention, reproduced verbatim in SQL): every doc gets
+    a doc_id%3 punctuation suffix, and a +DOUBLE_OFFSET twin that is
+    either punct-soup-degraded (even ids → lower quality) or
+    punct-stripped (odd ids → higher quality). Originals and twins
+    share a canonical form by construction, so every cluster forces a
+    real quality comparison and winners land on BOTH sides."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    soup = " " + "!?;" * 12
+
+    def construct(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        t = pc.fill_null(batch["text"], "")
+        suffix = np.select([ids % 3 == 0, ids % 3 == 1],
+                           [" !!", ""], default=" ;;;;").astype(object)
+        orig = pc.binary_join_element_wise(
+            t, pa.array(suffix, pa.string()), "")
+        degraded = pc.binary_join_element_wise(
+            orig, pa.scalar(soup, pa.string()), "")
+        stripped = pc.replace_substring_regex(orig, r"[^\w\s]", "")
+        twin = np.where(ids % 2 == 0,
+                        degraded.to_numpy(zero_copy_only=False),
+                        stripped.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids, ids + DOUBLE_OFFSET]), pa.int64()),
+            "text": pa.array(
+                np.concatenate([orig.to_numpy(zero_copy_only=False),
+                                twin]).astype(object), pa.string())})
+
+    kept = dedup.canonical_quality_keep(
+        docs.map_batches(construct, batch_format="pyarrow"),
+        n_coarse=_docs_coarse_hint(sf_dir))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        src = pc.if_else(
+            pc.greater_equal(b["doc_id"],
+                             pa.scalar(DOUBLE_OFFSET, pa.int64())),
+            pa.scalar("twin"), pa.scalar("original"))
+        return pa.table({"digest": b["digest"], "doc_id": b["doc_id"],
+                         "source": src,
+                         "quality_score": b["quality_score"]})
+
+    return kept.map_batches(finalize, batch_format="pyarrow").sort("digest")

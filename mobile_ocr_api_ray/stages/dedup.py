@@ -112,6 +112,49 @@ def exact_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return _typed_empty_union(pairs, {"id_a": pa.int64(), "id_b": pa.int64()})
 
 
+def canonical_quality_keep(ds, id_col: str = "doc_id",
+                           text_col: str = "text", n_coarse: int = 64):
+    """Normalization-aware exact dedup keeping the highest-QUALITY member
+    per cluster — the representative-choice policy modern web pipelines
+    use instead of min-id (pick the cleanest copy of a page that exists
+    in several formatting variants).
+
+    canonical form = trim(collapse-ws(lower(delete ``[^\\w\\s]``))) — two
+    RE2 replaces + a lower + trim, all vectorized; cluster key =
+    md5(canonical) (DuckDB ``md5()`` parity, the add_md5_digest
+    convention); representative = argmax (quality_score, -id), i.e.
+    greatest stages/text_analysis.quality_scores score, ties to the
+    smallest id. One keyed-argmax shuffle via crawl.latest_rows_per_key
+    (per-batch partial argmax first, so the exchange carries at most one
+    row per (batch, digest)). Returns (id, digest, quality_score)."""
+    from .crawl import latest_rows_per_key
+    from .text_analysis import quality_scores
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col], "")
+        canon = pc.utf8_trim(pc.replace_substring_regex(
+            pc.replace_substring_regex(t, r"[^\w\s]", ""),
+            r"\s+", " "), " ")
+        canon = pc.utf8_lower(canon)
+        digests = [hashlib.md5(c.encode("utf-8")).hexdigest()
+                   for c in canon.to_pylist()]
+        q = quality_scores(batch, text_col)["quality_score"]
+        return pa.table({
+            id_col: batch[id_col],
+            "digest": pa.array(digests, pa.string()),
+            "quality_score": q,
+            "_neg_id": pc.negate(batch[id_col])})
+
+    kept = latest_rows_per_key(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        "digest", ["quality_score", "_neg_id"], n_coarse=n_coarse,
+        schema={id_col: pa.int64(), "digest": pa.string(),
+                "quality_score": pa.float64(), "_neg_id": pa.int64()})
+    return kept.map_batches(
+        lambda b: b.select([id_col, "digest", "quality_score"]),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- MinHash
 
 NUM_PERM = 64

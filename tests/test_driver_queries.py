@@ -259,3 +259,16 @@ class TestC4CleanQuery:
         assert kept.clean_text.str.len().gt(0).all()
         dropped = df[df.status != "kept"]
         assert (dropped.clean_text == "").all()
+
+
+class TestQualityDedupKeptQuery:
+    def test_winners_on_both_sides(self, queries):
+        df = queries["quality_dedup_kept_doubled"](SF).to_pandas()
+        # one kept row per canonical cluster, digest unique
+        assert df.digest.is_unique
+        # the even/odd twin mutations force winners on BOTH sides
+        assert set(df.source.unique()) == {"original", "twin"}
+        # degraded twins (even base ids) must never win: every kept twin
+        # comes from an odd base id (the punct-stripped, higher-quality one)
+        twin_base = df.loc[df.source == "twin", "doc_id"] - 1_000_000
+        assert (twin_base % 2 == 1).all()

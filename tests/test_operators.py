@@ -1702,3 +1702,47 @@ class TestC4Clean:
         a = self._run(texts, parts=1)
         b = self._run(texts, parts=6)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCanonicalQualityKeep:
+    """Quality-aware dedup keep: winner-by-quality hand vectors, min-id
+    ties, canonical-form grouping, partition invariance."""
+
+    def _run(self, rows, parts=2):
+        import ray.data
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string())})) \
+            .repartition(parts)
+        return (dedup.canonical_quality_keep(ds, n_coarse=8)
+                .sort("digest").to_pandas())
+
+    def test_quality_winner_and_canonical_grouping(self, ray_session):
+        clean = "the quick brown fox jumps over the lazy dog again and again"
+        soupy = clean + " " + "!?;" * 12          # same canonical, worse
+        cased = clean.upper()                      # same canonical, equal
+        other = "completely different content with its own words here"
+        out = self._run([(1, soupy), (2, clean), (3, cased), (7, other)])
+        # soupy/clean/cased collapse to ONE canonical cluster
+        assert len(out) == 2
+        cluster = out[out.doc_id != 7].iloc[0]
+        # clean (id 2) and cased (id 3) tie on quality (case-insensitive
+        # kernel); soupy loses on punct_frac; min-id breaks the tie -> 2
+        assert int(cluster.doc_id) == 2
+        assert set(out.doc_id) == {2, 7}
+
+    def test_higher_id_wins_on_quality(self, ray_session):
+        clean = "the quick brown fox jumps over the lazy dog again and again"
+        out = self._run([(1, clean + " ;;;;;;;;"), (9, clean)])
+        assert list(out.doc_id) == [9]
+
+    def test_null_and_empty_share_cluster(self, ray_session):
+        out = self._run([(5, None), (3, ""), (4, "   ")])
+        assert len(out) == 1 and int(out.doc_id.iloc[0]) == 3
+
+    def test_partition_invariance(self, ray_session):
+        rows = [(i, f"doc number {i % 7} content words here " * 3
+                 + ("!!" if i % 2 else "")) for i in range(40)]
+        a = self._run(rows, parts=1)
+        b = self._run(rows, parts=8)
+        pd.testing.assert_frame_equal(a, b)
