@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_docs": a.inverted_index_docs,
         "c4_clean_docs": a.c4_clean_docs,
         "quality_dedup_kept_doubled": a.quality_dedup_kept_doubled,
+        "encoding_qc_docs": a.encoding_qc_docs,
         "quality_scores": a.quality_docs,
         "compressibility_docs": a.compressibility_docs,
         "quality_filtered": a.quality_filtered,
@@ -551,6 +552,44 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'original' END AS source,
                    quality_score
             FROM r WHERE rn = 1 ORDER BY digest""",
+        # encoding QC: the doc_id%8 artifact graft and every detection
+        # regex (mojibake literal alternation, U+FFFD, control-char class,
+        # printable-ASCII class) are identical RE2 on both sides; the BEL
+        # control char is built via chr(7) so no raw control byte lives
+        # in source
+        "encoding_qc_docs": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                       || CASE doc_id % 8
+                            WHEN 0 THEN ' cafÃ© Ã©tÃ©'
+                            WHEN 1 THEN ' itâ€™s â€œq'
+                            WHEN 2 THEN ' a' || chr(65533) || 'b'
+                            WHEN 3 THEN ' x' || chr(7) || 'y'
+                            ELSE '' END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     length(regexp_extract_all(text,
+                       'Ã©|Ã¨|Ã¼|Ã¶|Ã±|Ã¯|Ã¡|Ã³|â€™|â€œ|â€“|â€”|Â·|Â°'))
+                       AS n_mojibake,
+                     length(regexp_extract_all(text, chr(65533)))
+                       AS n_replacement,
+                     length(regexp_extract_all(text,
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS n_ctrl,
+                     length(regexp_extract_all(text, '[ -~]')) AS n_ascii
+              FROM built)
+            SELECT doc_id,
+                   cast(n_mojibake AS BIGINT) AS n_mojibake,
+                   cast(n_replacement AS BIGINT) AS n_replacement,
+                   cast(n_ctrl AS BIGINT) AS n_ctrl,
+                   cast(n_ascii AS DOUBLE)
+                     / greatest(cast(n_chars AS DOUBLE), 1.0) AS ascii_ratio,
+                   CASE WHEN n_ctrl > 0 THEN 'has_ctrl'
+                        WHEN n_replacement > 0 THEN 'has_replacement'
+                        WHEN n_mojibake > 0 THEN 'mojibake'
+                        ELSE 'clean' END AS status
+            FROM c ORDER BY doc_id""",
         # inverted-index postings for the top-100 df terms; same \w+
         # tokenizer, ties broken (df DESC, word ASC) on both sides
         "inverted_index_docs": r"""

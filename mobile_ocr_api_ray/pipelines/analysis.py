@@ -2882,3 +2882,32 @@ def quality_dedup_kept_doubled(sf_dir: str):
                          "quality_score": b["quality_score"]})
 
     return kept.map_batches(finalize, batch_format="pyarrow").sort("digest")
+
+
+def encoding_qc_docs(sf_dir: str):
+    """Encoding-artifact QC (stages/text_analysis.encoding_qc) — the
+    decode-sanity gate before training. The documents table is clean
+    ASCII soup, so the query grafts each artifact class deterministically
+    by doc_id % 8 (the c4_clean construction convention, reproduced
+    verbatim in SQL): 0 → mojibake 'Ã©' sequences, 1 → curly-quote
+    mojibake, 2 → a U+FFFD replacement char, 3 → a BEL control char,
+    else untouched — so every status branch occurs and 'clean' dominates.
+    One streaming pass, no shuffle."""
+    markers = {0: " cafÃ© Ã©tÃ©", 1: " itâ€™s â€œq",
+               2: " a\N{REPLACEMENT CHARACTER}b", 3: " x\x07y"}
+
+    def build_and_qc(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        t = pc.fill_null(batch["text"], "")
+        suffix = np.select(
+            [ids % 8 == k for k in markers],
+            [np.full(len(ids), m, dtype=object) for m in markers.values()],
+            default="").astype(object)
+        built = pc.binary_join_element_wise(
+            t, pa.array(suffix, pa.string()), "")
+        return text_analysis.encoding_qc(
+            pa.table({"doc_id": batch["doc_id"], "text": built}))
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(build_and_qc, batch_format="pyarrow")
+            .sort("doc_id"))

@@ -970,3 +970,43 @@ def c4_clean(batch: pa.Table, text_col: str = "text",
         "n_lines": pa.array(n_lines),
         "n_kept": pa.array(n_kept),
         "clean_text": pa.array(texts, pa.string())})
+
+
+# ------------------------------------------------- encoding / mojibake QC
+
+# common UTF-8-decoded-as-Latin-1 artifact sequences (the ftfy top set);
+# literal alternation so DuckDB's RE2 and pyarrow's RE2 agree trivially
+MOJIBAKE_RE = "Ã©|Ã¨|Ã¼|Ã¶|Ã±|Ã¯|Ã¡|Ã³|â€™|â€œ|â€“|â€”|Â·|Â°"
+REPLACEMENT_CHAR = "�"
+# C0 controls minus \t\n\r plus DEL — the bytes a clean decode never emits
+CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def encoding_qc(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Encoding-artifact QC — the decode-sanity gate every web-crawl
+    pipeline runs before training (ftfy-style detection, not repair):
+    counts of mojibake sequences (UTF-8 read as Latin-1), U+FFFD
+    replacement characters, and stray control characters, plus the
+    printable-ASCII ratio. status ranks the worst artifact present
+    (has_ctrl > has_replacement > mojibake > clean).
+
+    Four vectorized RE2 counts per batch, no shuffle; every expression
+    (including the ascii_ratio division of exact ints) reproduces
+    verbatim in SQL."""
+    text = pc.fill_null(batch[text_col], "")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_moji = pc.cast(pc.count_substring_regex(text, MOJIBAKE_RE), pa.int64())
+    n_repl = pc.cast(pc.count_substring(text, REPLACEMENT_CHAR), pa.int64())
+    n_ctrl = pc.cast(pc.count_substring_regex(text, CTRL_RE), pa.int64())
+    n_ascii = pc.cast(pc.count_substring_regex(text, "[ -~]"), pa.int64())
+    ascii_ratio = pc.divide(
+        pc.cast(n_ascii, pa.float64()),
+        pc.max_element_wise(pc.cast(n_chars, pa.float64()), pa.scalar(1.0)))
+    status = pc.if_else(
+        pc.greater(n_ctrl, 0), pa.scalar("has_ctrl"),
+        pc.if_else(pc.greater(n_repl, 0), pa.scalar("has_replacement"),
+                   pc.if_else(pc.greater(n_moji, 0), pa.scalar("mojibake"),
+                              pa.scalar("clean"))))
+    return _emit(batch, {
+        "n_mojibake": n_moji, "n_replacement": n_repl, "n_ctrl": n_ctrl,
+        "ascii_ratio": ascii_ratio, "status": status})

@@ -272,3 +272,13 @@ class TestQualityDedupKeptQuery:
         # comes from an odd base id (the punct-stripped, higher-quality one)
         twin_base = df.loc[df.source == "twin", "doc_id"] - 1_000_000
         assert (twin_base % 2 == 1).all()
+
+
+class TestEncodingQcQuery:
+    def test_all_statuses_and_clean_majority(self, queries):
+        df = queries["encoding_qc_docs"](SF).to_pandas()
+        counts = df.status.value_counts()
+        assert {"clean", "mojibake", "has_replacement",
+                "has_ctrl"} <= set(counts.index)
+        # 4 of 8 residue classes untouched -> clean is the majority
+        assert counts["clean"] == (df.doc_id % 8 >= 4).sum()

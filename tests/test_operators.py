@@ -1746,3 +1746,42 @@ class TestCanonicalQualityKeep:
         a = self._run(rows, parts=1)
         b = self._run(rows, parts=8)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestEncodingQc:
+    """Encoding-artifact QC: per-class hand vectors, severity ranking,
+    ascii ratio, null text."""
+
+    def _run(self, texts):
+        import ray.data
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(2)
+        return (ds.map_batches(text_analysis.encoding_qc,
+                               batch_format="pyarrow")
+                .sort("doc_id").to_pandas())
+
+    def test_class_vectors(self, ray_session):
+        out = self._run([
+            "cafÃ© and Ã©tÃ© here",          # 3 mojibake sequences
+            "a\N{REPLACEMENT CHARACTER}b\N{REPLACEMENT CHARACTER}",
+            "x\x07y\x1fz",                    # 2 control chars
+            "perfectly clean ascii text",
+            None,
+        ])
+        assert list(out.status) == ["mojibake", "has_replacement",
+                                    "has_ctrl", "clean", "clean"]
+        assert list(out.n_mojibake) == [3, 0, 0, 0, 0]
+        assert list(out.n_replacement) == [0, 2, 0, 0, 0]
+        assert list(out.n_ctrl) == [0, 0, 2, 0, 0]
+        assert out.ascii_ratio[3] == 1.0
+
+    def test_severity_ranking(self, ray_session):
+        # ctrl outranks replacement outranks mojibake
+        out = self._run(["Ã© \N{REPLACEMENT CHARACTER} \x07",
+                         "Ã© \N{REPLACEMENT CHARACTER}"])
+        assert list(out.status) == ["has_ctrl", "has_replacement"]
+
+    def test_tab_newline_not_ctrl(self, ray_session):
+        out = self._run(["tabs\tand\nnewlines\rok."])
+        assert int(out.n_ctrl[0]) == 0 and out.status[0] == "clean"
