@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_docs": a.c4_clean_docs,
         "quality_dedup_kept_doubled": a.quality_dedup_kept_doubled,
         "encoding_qc_docs": a.encoding_qc_docs,
+        "length_zscore_by_lang": a.length_zscore_by_lang,
         "quality_scores": a.quality_docs,
         "compressibility_docs": a.compressibility_docs,
         "quality_filtered": a.quality_filtered,
@@ -590,6 +591,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_mojibake > 0 THEN 'mojibake'
                         ELSE 'clean' END AS status
             FROM c ORDER BY doc_id""",
+        # per-lang z-score: moments are EXACT int sums; mean/var/std/z are
+        # the same single float expressions of those ints on both sides
+        # (population variance written out, never var_pop/stddev whose
+        # accumulation order is engine-defined)
+        "length_zscore_by_lang": r"""
+            WITH c AS (
+              SELECT doc_id, lang,
+                     length(regexp_extract_all(coalesce(text, ''), '\S+'))
+                       AS n_words
+              FROM documents),
+            m AS (
+              SELECT lang, sum(n_words) AS s,
+                     sum(n_words * n_words) AS s2, count(*) AS n
+              FROM c GROUP BY 1),
+            st AS (
+              SELECT lang,
+                     cast(s AS DOUBLE) / cast(n AS DOUBLE) AS mean,
+                     (cast(s2 AS DOUBLE) / cast(n AS DOUBLE))
+                       - (cast(s AS DOUBLE) / cast(n AS DOUBLE))
+                         * (cast(s AS DOUBLE) / cast(n AS DOUBLE)) AS var
+              FROM m)
+            SELECT c.doc_id, c.lang, cast(c.n_words AS BIGINT) AS n_words,
+                   CASE WHEN st.var > 0
+                        THEN (cast(c.n_words AS DOUBLE) - st.mean)
+                               / sqrt(st.var)
+                        ELSE 0.0 END AS z_words
+            FROM c JOIN st USING (lang) ORDER BY doc_id""",
         # inverted-index postings for the top-100 df terms; same \w+
         # tokenizer, ties broken (df DESC, word ASC) on both sides
         "inverted_index_docs": r"""

@@ -132,6 +132,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: a.quality_dedup_kept_doubled(sf_dir).to_pandas())
     timed("encoding_qc_docs",
           lambda: a.encoding_qc_docs(sf_dir).to_pandas())
+    timed("length_zscore_by_lang",
+          lambda: a.length_zscore_by_lang(sf_dir).to_pandas())
     timed("quality_scores", lambda: a.quality_docs(sf_dir).to_pandas())
     timed("compressibility_docs",
           lambda: a.compressibility_docs(sf_dir).to_pandas())

@@ -2911,3 +2911,23 @@ def encoding_qc_docs(sf_dir: str):
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(build_and_qc, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def length_zscore_by_lang(sf_dir: str):
+    """Per-language z-score of document length (stages/text_analysis
+    .group_zscore) — normalize a per-doc signal WITHIN each language so a
+    single threshold works across languages with different length
+    distributions. Exact-int moments per lang (bounded driver reduce)
+    → one vectorized scoring pass; z is a float expression of exact ints
+    on both sides."""
+    def n_words(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        return pa.table({
+            "doc_id": batch["doc_id"], "lang": batch["lang"],
+            "n_words": pc.cast(
+                pc.count_substring_regex(t, r"\S+"), pa.int64())})
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        n_words, batch_format="pyarrow")
+    return text_analysis.group_zscore(
+        ds, "lang", "n_words", out_col="z_words").sort("doc_id")

@@ -1010,3 +1010,65 @@ def encoding_qc(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return _emit(batch, {
         "n_mojibake": n_moji, "n_replacement": n_repl, "n_ctrl": n_ctrl,
         "ascii_ratio": ascii_ratio, "status": status})
+
+
+# ------------------------------------------------ group-stat normalization
+
+def group_zscore(ds, group_col: str, value_col: str,
+                 out_col: str = "z"):
+    """Per-group z-score normalization — the feature-scaling step quality
+    classifiers and mixture samplers need (normalize a signal WITHIN each
+    language / source before thresholding across them).
+
+    Two streaming passes: (1) per-batch partial (sum, sumsq, count) per
+    group → one bounded groupby (≤ n_groups rows) → bounded driver
+    reduce (the affinity_fit / vocab_coverage convention — group
+    cardinality, never corpus-scale); (2) one vectorized scoring pass
+    with the per-group (mean, std) table riding into tasks as a closure
+    constant. ``value_col`` must be integer-valued: the moments are
+    EXACT int64 sums, so mean/std/z are each single float expressions of
+    exact ints — bit-identical in SQL (population std; std == 0 → z 0.0,
+    e.g. singleton groups). int64 overflow bound: sumsq caps value at
+    ~3e9 per row for 1e12 rows — any per-doc text statistic fits."""
+    import pandas as _pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = _pd.DataFrame({
+            "g": batch[group_col].to_pandas(),
+            "v": batch[value_col].to_numpy(zero_copy_only=False)
+                 .astype(np.int64)})
+        g = df.groupby("g", sort=False, dropna=False)["v"]
+        s = g.sum()
+        return pa.table({
+            group_col: pa.array(s.index.to_numpy(dtype=object)),
+            "_s": pa.array(s.to_numpy(np.int64)),
+            "_s2": pa.array(g.apply(
+                lambda x: int((x.to_numpy(np.int64) ** 2).sum()))
+                .to_numpy(np.int64)),
+            "_n": pa.array(g.size().to_numpy(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(Sum("_s", alias_name="_s"),
+                      Sum("_s2", alias_name="_s2"),
+                      Sum("_n", alias_name="_n")))
+    stats: dict = {}
+    for row in agg.take_all():     # bounded: one row per group
+        s, s2, n = float(row["_s"]), float(row["_s2"]), float(row["_n"])
+        mean = s / n
+        var = s2 / n - mean * mean
+        std = float(np.sqrt(var)) if var > 0.0 else 0.0
+        stats[row[group_col]] = (mean, std)
+
+    def score(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col].to_pandas()
+        mean = groups.map(lambda g: stats[g][0]).to_numpy(np.float64)
+        std = groups.map(lambda g: stats[g][1]).to_numpy(np.float64)
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        z = np.where(std > 0.0, (v - mean) / np.where(std > 0.0, std, 1.0),
+                     0.0)
+        return batch.append_column(out_col, pa.array(z, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1785,3 +1785,40 @@ class TestEncodingQc:
     def test_tab_newline_not_ctrl(self, ray_session):
         out = self._run(["tabs\tand\nnewlines\rok."])
         assert int(out.n_ctrl[0]) == 0 and out.status[0] == "clean"
+
+
+class TestGroupZscore:
+    """Group-stat normalization: hand moments, singleton groups,
+    partition invariance."""
+
+    def _ds(self, groups, vals, parts=2):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "g": pa.array(groups, pa.string()),
+            "v": pa.array(vals, pa.int64())})).repartition(parts)
+
+    def test_hand_moments(self, ray_session):
+        out = (text_analysis.group_zscore(
+                   self._ds(["a"] * 3 + ["b"] * 2, [1, 2, 3, 10, 20]),
+                   "g", "v")
+               .sort("v").to_pandas())
+        # group a: mean 2, std sqrt(2/3); group b: mean 15, std 5
+        exp_a = (np.array([1, 2, 3]) - 2.0) / np.sqrt(2.0 / 3.0)
+        assert np.allclose(out.z[:3], exp_a)
+        assert np.allclose(out.z[3:], [-1.0, 1.0])
+
+    def test_singleton_and_constant_groups(self, ray_session):
+        out = (text_analysis.group_zscore(
+                   self._ds(["s", "c", "c", "c"], [7, 4, 4, 4]),
+                   "g", "v")
+               .sort("v").to_pandas())
+        assert (out.z == 0.0).all()   # std == 0 everywhere
+
+    def test_partition_invariance(self, ray_session):
+        groups = [f"g{i % 3}" for i in range(60)]
+        vals = [(i * 37) % 101 for i in range(60)]
+        a = (text_analysis.group_zscore(self._ds(groups, vals, 1), "g", "v")
+             .sort(["g", "v"]).to_pandas())
+        b = (text_analysis.group_zscore(self._ds(groups, vals, 8), "g", "v")
+             .sort(["g", "v"]).to_pandas())
+        pd.testing.assert_frame_equal(a, b)  # exact-int moments -> bitwise
