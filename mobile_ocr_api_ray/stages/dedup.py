@@ -36,6 +36,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .. import str_hash
+
 # ------------------------------------------------------------- exact dedup
 
 def add_md5_digest(batch: pa.Table, text_col: str = "text",
@@ -63,8 +65,9 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     each coarse group (one Ray group per partition, not per digest)."""
     def add_keys(batch: pa.Table) -> pa.Table:
         t = add_md5_digest(batch, text_col)
-        coarse = [int(d[:4], 16) % N_COARSE for d in t["digest"].to_pylist()]
-        return t.append_column("coarse", pa.array(coarse, pa.int32()))
+        coarse = str_hash.crc32_of_strings(t["digest"]) % N_COARSE
+        return t.append_column(
+            "coarse", pa.array(coarse.astype(np.int32), pa.int32()))
 
     def first_per_digest(df: pd.DataFrame) -> pd.DataFrame:
         return (df.sort_values([id_col]).drop_duplicates("digest", keep="first")
@@ -90,8 +93,9 @@ def exact_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def add_keys(batch: pa.Table) -> pa.Table:
         t = add_md5_digest(batch, text_col).select([id_col, "digest"])
-        coarse = [int(d[:4], 16) % nc for d in t["digest"].to_pylist()]
-        return t.append_column("coarse", pa.array(coarse, pa.int32()))
+        coarse = str_hash.crc32_of_strings(t["digest"]) % nc
+        return t.append_column(
+            "coarse", pa.array(coarse.astype(np.int32), pa.int32()))
 
     def star_pairs(df: pd.DataFrame) -> pd.DataFrame:
         d = df.sort_values(["digest", id_col]).reset_index(drop=True)
