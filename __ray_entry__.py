@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_dedup_kept_doubled": a.quality_dedup_kept_doubled,
         "encoding_qc_docs": a.encoding_qc_docs,
         "length_zscore_by_lang": a.length_zscore_by_lang,
+        "bpe_pair_counts": a.bpe_pair_counts_docs,
+        "bpe_merges": a.bpe_merges_docs,
         "quality_scores": a.quality_docs,
         "compressibility_docs": a.compressibility_docs,
         "quality_filtered": a.quality_filtered,
@@ -618,6 +620,21 @@ def oracle_sql() -> dict[str, str]:
                                / sqrt(st.var)
                         ELSE 0.0 END AS z_words
             FROM c JOIN st USING (lang) ORDER BY doc_id""",
+        # BPE round-1 merge candidates: same \w+ tokenizer, pairs via
+        # 1-based substring unnesting; ties (n DESC, pair ASC) on both
+        # sides. bpe_merges (the iterative fit) is rows-only by contract.
+        "bpe_pair_counts": r"""
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\w+')) AS w
+              FROM documents),
+            pairs AS (
+              SELECT unnest([substring(w, i, 2)
+                             FOR i IN range(1, length(w))]) AS pair
+              FROM words)
+            SELECT pair, cast(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1
+            ORDER BY n DESC, pair ASC LIMIT 100""",
         # inverted-index postings for the top-100 df terms; same \w+
         # tokenizer, ties broken (df DESC, word ASC) on both sides
         "inverted_index_docs": r"""

@@ -134,6 +134,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: a.encoding_qc_docs(sf_dir).to_pandas())
     timed("length_zscore_by_lang",
           lambda: a.length_zscore_by_lang(sf_dir).to_pandas())
+    timed("bpe_pair_counts",
+          lambda: _pd(a.bpe_pair_counts_docs(sf_dir)))
+    timed("bpe_merges", lambda: _pd(a.bpe_merges_docs(sf_dir)))
     timed("quality_scores", lambda: a.quality_docs(sf_dir).to_pandas())
     timed("compressibility_docs",
           lambda: a.compressibility_docs(sf_dir).to_pandas())

@@ -2931,3 +2931,22 @@ def length_zscore_by_lang(sf_dir: str):
         n_words, batch_format="pyarrow")
     return text_analysis.group_zscore(
         ds, "lang", "n_words", out_col="z_words").sort("doc_id")
+
+
+def bpe_pair_counts_docs(sf_dir: str, k: int = 100):
+    """Round-1 BPE merge candidates over the documents table
+    (stages/text_analysis.bpe_pair_counts): top-k adjacent-character
+    pair frequencies, the statistic a BPE tokenizer fit maximizes."""
+    return text_analysis.bpe_pair_counts(
+        _docs(sf_dir, ["doc_id", "text"]), k=k)
+
+
+def bpe_merges_docs(sf_dir: str, n_merges: int = 8):
+    """Iterative BPE tokenizer fit (stages/text_analysis.bpe_merges):
+    n_merges rounds of distributed pair count → argmax merge. Rows-only
+    at the driver (each round's statistic depends on the previous
+    argmax — no SQL form); round-1 equals the value-exact
+    bpe_pair_counts_docs argmax by construction, and a pure-python
+    differential test pins the full loop."""
+    return text_analysis.bpe_merges(
+        _docs(sf_dir, ["doc_id", "text"]), n_merges=n_merges)

@@ -1072,3 +1072,119 @@ def group_zscore(ds, group_col: str, value_col: str,
         return batch.append_column(out_col, pa.array(z, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------- BPE tokenizer fitting
+
+def bpe_pair_counts(ds, k: int = 100, text_col: str = "text"):
+    """Round-1 BPE merge candidates (Sennrich et al. 2016): adjacent
+    CHARACTER pair frequencies over word occurrences — the statistic the
+    first merge of every BPE tokenizer fit maximizes, as a distributed
+    aggregation.
+
+    Per batch: word Counter (multiplicity kept), then pairs counted once
+    per DISTINCT word × its count — cost ∝ distinct words, not tokens.
+    Partials sum exactly (int64) through one pair-keyed groupby, then the
+    stages/topk partial-top-k finisher picks the top-k (count DESC, pair
+    ASC) without sorting the pair vocabulary. Returns a ≤k-row Dataset
+    (pair, n) — value-exact in SQL via per-word substring unnesting."""
+    import re
+    from collections import Counter
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .topk import topk_table
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            words.update(word_re.findall((t or "").lower()))
+        pairs: Counter = Counter()
+        for w, c in words.items():
+            for i in range(len(w) - 1):
+                pairs[w[i:i + 2]] += c
+        return pa.table({"pair": pa.array(list(pairs.keys()), pa.string()),
+                         "n": pa.array(list(pairs.values()), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("pair").aggregate(Sum("n", alias_name="n")))
+    top = topk_table(agg, [("n", "descending"), ("pair", "ascending")], k)
+    if top.num_rows == 0:
+        top = pa.table({"pair": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64())})
+    return ray.data.from_arrow(
+        top.select(["pair", "n"]).cast(
+            pa.schema([("pair", pa.string()), ("n", pa.int64())])))
+
+
+def _bpe_segment(word: str, ranks: dict) -> list:
+    """Apply merges greedily in rank order (the standard BPE apply)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_merges(ds, n_merges: int = 8, text_col: str = "text") -> pa.Table:
+    """Iterative BPE tokenizer fit ON the engine: ``n_merges`` rounds of
+    (distributed adjacent-symbol pair count → argmax merge). Each round is
+    one streaming pass + one tiny pair-keyed groupby; the merge table so
+    far rides into tasks as a closure constant (≤ n_merges entries — KBs
+    at any corpus scale). Word frequencies are exact int64 partials, so
+    every round's argmax — ties broken (count DESC, pair ASC) — is
+    deterministic and partition-invariant.
+
+    Inherently iterative (each round's statistic depends on the previous
+    argmax) — no SQL form; correctness is pinned by a pure-python
+    differential test. Returns (rank, left, right, n) — the merge table a
+    tokenizer would ship."""
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"\w+", re.ASCII)
+    merges: list = []          # [(left, right, count)]
+    for _ in range(n_merges):
+        ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+        def partial(batch: pa.Table, ranks=ranks) -> pa.Table:
+            words: Counter = Counter()
+            for t in batch[text_col].to_pylist():
+                words.update(word_re.findall((t or "").lower()))
+            pairs: Counter = Counter()
+            for w, c in words.items():
+                syms = _bpe_segment(w, ranks) if ranks else list(w)
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            return pa.table({
+                "left": pa.array([p[0] for p in pairs], pa.string()),
+                "right": pa.array([p[1] for p in pairs], pa.string()),
+                "n": pa.array(list(pairs.values()), pa.int64())})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["left", "right"]).aggregate(Sum("n", alias_name="n")))
+        best = None            # (−n, left+right key ordering) argmax
+        for row in agg.take_all():    # bounded: pair vocab of the corpus
+            cand = (-int(row["n"]), row["left"], row["right"])
+            if best is None or cand < best:
+                best = cand
+        if best is None:
+            break
+        merges.append((best[1], best[2], -best[0]))
+
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "n": pa.array([m[2] for m in merges], pa.int64())})

@@ -1822,3 +1822,80 @@ class TestGroupZscore:
         b = (text_analysis.group_zscore(self._ds(groups, vals, 8), "g", "v")
              .sort(["g", "v"]).to_pandas())
         pd.testing.assert_frame_equal(a, b)  # exact-int moments -> bitwise
+
+
+class TestBpe:
+    """BPE tokenizer fitting: hand pair counts, pure-python differential
+    for the iterative fit, partition invariance."""
+
+    CORPUS = ["low lower lowest", "low low newer new", "wider new lower"]
+
+    def _ds(self, texts, parts=2):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "text": pa.array(texts, pa.string())})).repartition(parts)
+
+    @staticmethod
+    def _py_bpe(texts, n_merges):
+        """Reference BPE fit: greedy rank-ordered apply, (count DESC,
+        pair ASC) argmax per round."""
+        import re
+        from collections import Counter
+        words = Counter()
+        for t in texts:
+            words.update(re.findall(r"\w+", (t or "").lower(), re.ASCII))
+        merges = []
+        for _ in range(n_merges):
+            ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+            pairs = Counter()
+            for w, c in words.items():
+                syms = text_analysis._bpe_segment(w, ranks)
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((best[0][0], best[0][1], best[1]))
+        return merges
+
+    def test_pair_counts_hand_vector(self, ray_session):
+        out = text_analysis.bpe_pair_counts(self._ds(self.CORPUS), k=4) \
+            .to_pandas()
+        assert list(out.itertuples(index=False, name=None)) == [
+            ("lo", 6), ("ow", 6), ("er", 4), ("we", 4)]
+
+    def test_merges_match_pure_python(self, ray_session):
+        got = text_analysis.bpe_merges(self._ds(self.CORPUS), n_merges=6) \
+            .to_pandas()
+        exp = self._py_bpe(self.CORPUS, 6)
+        assert [(r.left, r.right, r.n)
+                for r in got.itertuples()] == exp
+        assert list(got["rank"]) == list(range(len(exp)))
+
+    def test_round1_equals_pair_counts_argmax(self, ray_session):
+        top = text_analysis.bpe_pair_counts(self._ds(self.CORPUS), k=1) \
+            .to_pandas()
+        m = text_analysis.bpe_merges(self._ds(self.CORPUS), n_merges=1) \
+            .to_pandas()
+        assert m.left[0] + m.right[0] == top.pair[0]
+        assert int(m.n[0]) == int(top.n[0])
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"alpha beta gamma delta word{i % 9}" for i in range(40)]
+        a = text_analysis.bpe_merges(self._ds(texts, 1), n_merges=4) \
+            .to_pandas()
+        b = text_analysis.bpe_merges(self._ds(texts, 8), n_merges=4) \
+            .to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+        pa_a = text_analysis.bpe_pair_counts(self._ds(texts, 1), k=20) \
+            .to_pandas()
+        pa_b = text_analysis.bpe_pair_counts(self._ds(texts, 8), k=20) \
+            .to_pandas()
+        pd.testing.assert_frame_equal(pa_a, pa_b)
+
+    def test_empty_and_null(self, ray_session):
+        out = text_analysis.bpe_pair_counts(self._ds(["", None, "x"]), k=5) \
+            .to_pandas()
+        assert len(out) == 0   # no length-2 word -> no pairs
+        m = text_analysis.bpe_merges(self._ds(["", None]), n_merges=3)
+        assert m.num_rows == 0
