@@ -1153,6 +1153,8 @@ def bpe_merges(ds, n_merges: int = 8, text_col: str = "text") -> pa.Table:
 
     from ray.data.aggregate import Sum
 
+    from .topk import topk_table
+
     word_re = re.compile(r"\w+", re.ASCII)
     merges: list = []          # [(left, right, count)]
     for _ in range(n_merges):
@@ -1174,14 +1176,15 @@ def bpe_merges(ds, n_merges: int = 8, text_col: str = "text") -> pa.Table:
 
         agg = (ds.map_batches(partial, batch_format="pyarrow")
                .groupby(["left", "right"]).aggregate(Sum("n", alias_name="n")))
-        best = None            # (−n, left+right key ordering) argmax
-        for row in agg.take_all():    # bounded: pair vocab of the corpus
-            cand = (-int(row["n"]), row["left"], row["right"])
-            if best is None or cand < best:
-                best = cand
-        if best is None:
+        # distributed argmax: the partial-top-k finisher prunes each
+        # batch to 1 row, so the driver merge sees ≤ 1 row per batch —
+        # never the pair vocabulary
+        top = topk_table(agg, [("n", "descending"), ("left", "ascending"),
+                               ("right", "ascending")], 1)
+        if top.num_rows == 0:
             break
-        merges.append((best[1], best[2], -best[0]))
+        merges.append((top["left"][0].as_py(), top["right"][0].as_py(),
+                       int(top["n"][0].as_py())))
 
     return pa.table({
         "rank": pa.array(range(len(merges)), pa.int64()),
