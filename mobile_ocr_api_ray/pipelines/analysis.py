@@ -2870,7 +2870,7 @@ def quality_dedup_kept_doubled(sf_dir: str):
 
     kept = dedup.canonical_quality_keep(
         docs.map_batches(construct, batch_format="pyarrow"),
-        n_coarse=_docs_coarse_hint(sf_dir))
+        n_coarse=_docs_coarse_hint(sf_dir, mult=2))
 
     def finalize(b: pa.Table) -> pa.Table:
         src = pc.if_else(

@@ -142,7 +142,11 @@ def canonical_quality_keep(ds, id_col: str = "doc_id",
         canon = pc.utf8_lower(canon)
         digests = [hashlib.md5(c.encode("utf-8")).hexdigest()
                    for c in canon.to_pylist()]
-        q = quality_scores(batch, text_col)["quality_score"]
+        # score the null-FILLED text (the (s or '') convention, matching
+        # the SQL side's coalesce): a null-text member must tie with an
+        # empty-text member, not carry NaN quality that can never win
+        q = quality_scores(pa.table({id_col: batch[id_col], text_col: t}),
+                           text_col)["quality_score"]
         return pa.table({
             id_col: batch[id_col],
             "digest": pa.array(digests, pa.string()),

@@ -1028,25 +1028,38 @@ def group_zscore(ds, group_col: str, value_col: str,
     constant. ``value_col`` must be integer-valued: the moments are
     EXACT int64 sums, so mean/std/z are each single float expressions of
     exact ints — bit-identical in SQL (population std; std == 0 → z 0.0,
-    e.g. singleton groups). int64 overflow bound: sumsq caps value at
-    ~3e9 per row for 1e12 rows — any per-doc text statistic fits."""
+    e.g. singleton groups). int64 overflow bound: sum(v²) over a 1e12-row
+    group stays exact for |v| ≤ ~3e3 — per-doc word/line/sentence counts
+    fit; byte-scale signals (|v| up to ~3e9 only for ≤ 1 row) need a
+    wider accumulator and are the caller's responsibility."""
     import pandas as _pd
     from ray.data.aggregate import Sum
 
+    def _keys(batch: pa.Table):
+        # NULL group keys fold into '' (the pervasive (s or '')
+        # convention): Ray's sort-based groupby shuffle cannot compare
+        # None with str, so nulls can't ride through as their own key
+        col = batch[group_col]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = pc.fill_null(col, "")
+        return col
+
     def partial(batch: pa.Table) -> pa.Table:
-        df = _pd.DataFrame({
-            "g": batch[group_col].to_pandas(),
-            "v": batch[value_col].to_numpy(zero_copy_only=False)
-                 .astype(np.int64)})
-        g = df.groupby("g", sort=False, dropna=False)["v"]
-        s = g.sum()
+        v = batch[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = _pd.DataFrame({"g": _keys(batch).to_pandas(),
+                            "v": v, "v2": v * v})
+        g = df.groupby("g", sort=False, dropna=False)
+        m = g.agg(_s=("v", "sum"), _s2=("v2", "sum"), _n=("v", "size"))
         return pa.table({
-            group_col: pa.array(s.index.to_numpy(dtype=object)),
-            "_s": pa.array(s.to_numpy(np.int64)),
-            "_s2": pa.array(g.apply(
-                lambda x: int((x.to_numpy(np.int64) ** 2).sum()))
-                .to_numpy(np.int64)),
-            "_n": pa.array(g.size().to_numpy(np.int64))})
+            # explicit type: an object-index round-trip would erode an
+            # empty block to Arrow null type (the schema-erosion trap)
+            group_col: pa.array(m.index.to_numpy(dtype=object),
+                                type=batch.schema.field(group_col).type,
+                                from_pandas=True),
+            "_s": pa.array(m["_s"].to_numpy(np.int64)),
+            "_s2": pa.array(m["_s2"].to_numpy(np.int64)),
+            "_n": pa.array(m["_n"].to_numpy(np.int64))})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(group_col)
@@ -1062,7 +1075,7 @@ def group_zscore(ds, group_col: str, value_col: str,
         stats[row[group_col]] = (mean, std)
 
     def score(batch: pa.Table) -> pa.Table:
-        groups = batch[group_col].to_pandas()
+        groups = _keys(batch).to_pandas()
         mean = groups.map(lambda g: stats[g][0]).to_numpy(np.float64)
         std = groups.map(lambda g: stats[g][1]).to_numpy(np.float64)
         v = batch[value_col].to_numpy(zero_copy_only=False) \
@@ -1088,25 +1101,15 @@ def bpe_pair_counts(ds, k: int = 100, text_col: str = "text"):
     stages/topk partial-top-k finisher picks the top-k (count DESC, pair
     ASC) without sorting the pair vocabulary. Returns a ≤k-row Dataset
     (pair, n) — value-exact in SQL via per-word substring unnesting."""
-    import re
-    from collections import Counter
-
     import ray.data
     from ray.data.aggregate import Sum
 
     from .topk import topk_table
 
-    word_re = re.compile(r"\w+", re.ASCII)
-
     def partial(batch: pa.Table) -> pa.Table:
-        words: Counter = Counter()
-        for t in batch[text_col].to_pylist():
-            words.update(word_re.findall((t or "").lower()))
-        pairs: Counter = Counter()
-        for w, c in words.items():
-            for i in range(len(w) - 1):
-                pairs[w[i:i + 2]] += c
-        return pa.table({"pair": pa.array(list(pairs.keys()), pa.string()),
+        pairs = _bpe_pair_partial(batch, text_col, ranks=None)
+        return pa.table({"pair": pa.array([l + r for l, r in pairs],
+                                          pa.string()),
                          "n": pa.array(list(pairs.values()), pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
@@ -1118,6 +1121,30 @@ def bpe_pair_counts(ds, k: int = 100, text_col: str = "text"):
     return ray.data.from_arrow(
         top.select(["pair", "n"]).cast(
             pa.schema([("pair", pa.string()), ("n", pa.int64())])))
+
+
+def _bpe_pair_partial(batch: pa.Table, text_col: str, ranks: "dict | None"):
+    """Shared per-batch BPE combiner: Counter of adjacent SYMBOL pairs
+    (as (left, right) tuples) over word occurrences — word Counter first
+    (multiplicity kept), pairs expanded once per DISTINCT word × its
+    count, so cost ∝ distinct words, not tokens. ``ranks=None`` means
+    character symbols (round 1); a merge-rank dict segments via
+    _bpe_segment. The ONE tokenizer/pair definition both bpe_pair_counts
+    and every bpe_merges round use — keeping the documented
+    'round-1 ≡ pair-counts argmax' invariant structural."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"\w+", re.ASCII)
+    words: Counter = Counter()
+    for t in batch[text_col].to_pylist():
+        words.update(word_re.findall((t or "").lower()))
+    pairs: Counter = Counter()
+    for w, c in words.items():
+        syms = _bpe_segment(w, ranks) if ranks else list(w)
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += c
+    return pairs
 
 
 def _bpe_segment(word: str, ranks: dict) -> list:
@@ -1148,27 +1175,17 @@ def bpe_merges(ds, n_merges: int = 8, text_col: str = "text") -> pa.Table:
     argmax) — no SQL form; correctness is pinned by a pure-python
     differential test. Returns (rank, left, right, n) — the merge table a
     tokenizer would ship."""
-    import re
-    from collections import Counter
-
     from ray.data.aggregate import Sum
 
     from .topk import topk_table
 
-    word_re = re.compile(r"\w+", re.ASCII)
     merges: list = []          # [(left, right, count)]
     for _ in range(n_merges):
         ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
 
         def partial(batch: pa.Table, ranks=ranks) -> pa.Table:
-            words: Counter = Counter()
-            for t in batch[text_col].to_pylist():
-                words.update(word_re.findall((t or "").lower()))
-            pairs: Counter = Counter()
-            for w, c in words.items():
-                syms = _bpe_segment(w, ranks) if ranks else list(w)
-                for i in range(len(syms) - 1):
-                    pairs[(syms[i], syms[i + 1])] += c
+            pairs = _bpe_pair_partial(batch, text_col,
+                                      ranks=ranks or None)
             return pa.table({
                 "left": pa.array([p[0] for p in pairs], pa.string()),
                 "right": pa.array([p[1] for p in pairs], pa.string()),

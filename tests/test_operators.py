@@ -1823,6 +1823,20 @@ class TestGroupZscore:
              .sort(["g", "v"]).to_pandas())
         pd.testing.assert_frame_equal(a, b)  # exact-int moments -> bitwise
 
+    def test_null_group_key_folds_to_empty(self, ray_session):
+        # NULL group keys follow the (s or '') convention: they fold into
+        # the '' group (Ray's sort-shuffle can't compare None with str)
+        import ray.data
+        ds = ray.data.from_arrow(pa.table({
+            "g": pa.array(["a", None, "a", "", None], pa.string()),
+            "v": pa.array([1, 10, 3, 30, 20], pa.int64())})).repartition(2)
+        out = (text_analysis.group_zscore(ds, "g", "v")
+               .sort("v").to_pandas())
+        # group a: {1, 3}; group ''/null merged: {10, 20, 30}
+        exp_null = (np.array([10.0, 20, 30]) - 20.0) / np.sqrt(200.0 / 3.0)
+        assert np.allclose(out.z[:2], [-1.0, 1.0])
+        assert np.allclose(out.z[2:], exp_null)
+
 
 class TestBpe:
     """BPE tokenizer fitting: hand pair counts, pure-python differential
