@@ -92,6 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_zscore_by_lang": a.length_zscore_by_lang,
         "bpe_pair_counts": a.bpe_pair_counts_docs,
         "bpe_merges": a.bpe_merges_docs,
+        "bpe_encoded_docs": a.bpe_encoded_docs,
+        "pmi_top_bigrams": a.pmi_top_bigrams,
+        "compacted_shards_manifest": a.compacted_shards_manifest,
+        "dsir_resampled_docs": a.dsir_resampled_docs,
         "quality_scores": a.quality_docs,
         "compressibility_docs": a.compressibility_docs,
         "quality_filtered": a.quality_filtered,
@@ -447,6 +451,51 @@ def oracle_sql() -> dict[str, str]:
                      AS affinity
             FROM documents d LEFT JOIN scored s USING (doc_id)
             ORDER BY doc_id""",
+        # DSIR importance resampling: the same affinity CTE plus the
+        # accept rule hash32(doc_id)*max(raw_mass,1) < 2^32*target_mass
+        # in HUGEINT — exact integers, no float in the decision
+        "dsir_resampled_docs": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\w+')) AS word
+              FROM documents),
+            b AS (
+              SELECT doc_id, source,
+                     cast(('0x' || substring(md5(word), 1, 8)) AS UBIGINT)
+                       % 4096 AS bucket
+              FROM tok),
+            counts AS (
+              SELECT bucket,
+                     sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                       AS n_target,
+                     sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+                       AS n_raw
+              FROM b GROUP BY 1),
+            scored AS (
+              SELECT b.doc_id, cast(count(*) AS BIGINT) AS n_tokens,
+                     cast(sum(c.n_target) AS BIGINT) AS target_mass,
+                     cast(sum(c.n_raw) AS BIGINT) AS raw_mass
+              FROM b JOIN counts c USING (bucket) GROUP BY 1),
+            f AS (
+              SELECT d.doc_id,
+                     cast(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     cast(coalesce(s.target_mass, 0) AS BIGINT)
+                       AS target_mass,
+                     cast(coalesce(s.raw_mass, 0) AS BIGINT) AS raw_mass,
+                     cast(coalesce(s.target_mass, 0) AS DOUBLE)
+                       / cast(greatest(coalesce(s.raw_mass, 0), 1)
+                              AS DOUBLE) AS affinity
+              FROM documents d LEFT JOIN scored s USING (doc_id))
+            SELECT doc_id, n_tokens, target_mass, raw_mass, affinity
+            FROM f
+            WHERE cast(cast(('0x' || substring(
+                        md5(cast(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                       AS HUGEINT)
+                    * cast(greatest(raw_mass, 1) AS HUGEINT)
+                  < cast(4294967296 AS HUGEINT)
+                    * cast(target_mass AS HUGEINT)
+            ORDER BY doc_id""",
         # C4 cleaning rules: explicit-charset trim so DuckDB trim(x, chars)
         # == pyarrow utf8_trim; every line/doc predicate is the same RE2
         # expression on both sides
@@ -635,6 +684,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, cast(count(*) AS BIGINT) AS n
             FROM pairs GROUP BY 1
             ORDER BY n DESC, pair ASC LIMIT 100""",
+        # PMI collocations: same \w+ tokenizer on both sides; pmi is one
+        # libm ln over exact int counts in the identical
+        # cast-multiply-divide order (DuckDB ln ≡ math.log bit-for-bit,
+        # the unigram_logprob convention), so the (pmi DESC, w1, w2)
+        # top-k orders identically
+        "pmi_top_bigrams": r"""
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                        '\w+') AS w
+              FROM documents),
+            uni AS (
+              SELECT word, cast(count(*) AS BIGINT) AS n
+              FROM (SELECT unnest(w) AS word FROM toks) GROUP BY 1),
+            tot AS (SELECT cast(sum(n) AS BIGINT) AS total FROM uni),
+            big AS (
+              SELECT b[1] AS w1, b[2] AS w2,
+                     cast(count(*) AS BIGINT) AS n_xy
+              FROM (SELECT unnest([[w[i], w[i+1]]
+                                   FOR i IN range(1, len(w))]) AS b
+                    FROM toks)
+              GROUP BY 1, 2 HAVING count(*) >= 5)
+            SELECT big.w1, big.w2, big.n_xy,
+                   u1.n AS n_x, u2.n AS n_y,
+                   ln(cast(big.n_xy AS DOUBLE)
+                      * cast((SELECT total FROM tot) AS DOUBLE)
+                      / (cast(u1.n AS DOUBLE) * cast(u2.n AS DOUBLE)))
+                     AS pmi
+            FROM big JOIN uni u1 ON big.w1 = u1.word
+                     JOIN uni u2 ON big.w2 = u2.word
+            ORDER BY pmi DESC, w1, w2 LIMIT 100""",
         # inverted-index postings for the top-100 df terms; same \w+
         # tokenizer, ties broken (df DESC, word ASC) on both sides
         "inverted_index_docs": r"""

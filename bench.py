@@ -125,6 +125,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("gram_novelty", lambda: a.gram_novelty_docs(sf_dir).to_pandas())
     timed("target_affinity_docs",
           lambda: a.target_affinity_docs(sf_dir).to_pandas())
+    timed("dsir_resampled_docs",
+          lambda: a.dsir_resampled_docs(sf_dir).to_pandas())
     timed("inverted_index_docs",
           lambda: a.inverted_index_docs(sf_dir).to_pandas())
     timed("c4_clean_docs", lambda: a.c4_clean_docs(sf_dir).to_pandas())
@@ -137,6 +139,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("bpe_pair_counts",
           lambda: _pd(a.bpe_pair_counts_docs(sf_dir)))
     timed("bpe_merges", lambda: _pd(a.bpe_merges_docs(sf_dir)))
+    timed("bpe_encoded_docs", lambda: a.bpe_encoded_docs(sf_dir).to_pandas())
+    timed("pmi_top_bigrams", lambda: a.pmi_top_bigrams(sf_dir).to_pandas())
+    timed("compacted_shards_manifest",
+          lambda: _pd(a.compacted_shards_manifest(sf_dir)))
     timed("quality_scores", lambda: a.quality_docs(sf_dir).to_pandas())
     timed("compressibility_docs",
           lambda: a.compressibility_docs(sf_dir).to_pandas())

@@ -2371,6 +2371,42 @@ def training_shards_manifest(sf_dir: str):
             .sort_by("shard_id")
 
 
+def compacted_shards_manifest(sf_dir: str):
+    """Small-file compaction end to end (state/manifest
+    .compact_partitions): a fresh 16-shard training export under /tmp is
+    bin-packed into ~4 compacted files (target = total_bytes/4 + 1, so
+    the group structure is scale-free), one Ray task per group, same
+    atomic commit + lineage-manifest discipline as the original writer.
+    Returns (group_id, n_inputs, first_shard, last_shard, row_count) —
+    row-level equality with the uncompacted export, exact resume, and
+    the target-bytes packing invariant are pinned in
+    tests/test_training_export.py::TestCompaction."""
+    import shutil
+
+    from ..state import manifest as mstate
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    base = "/tmp/mobile_ocr_compact"
+    root = f"{base}/n{n_docs}_p{os.getpid()}"
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            pid = d.rsplit("_p", 1)[-1]
+            if pid.isdigit() and int(pid) != os.getpid() \
+                    and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    out_dir = os.path.join(root, "export")
+    mstate.export_training_shards(_docs(sf_dir, ["doc_id", "text"]),
+                                  out_dir, n_shards=16)
+    total = int(sum(m["bytes"]
+                    for m in mstate._complete_manifests(out_dir)))
+    t = mstate.compact_partitions(out_dir, os.path.join(root, "compact"),
+                                  target_bytes=total // 4 + 1)
+    return t.select(["group_id", "n_inputs", "first_shard", "last_shard",
+                     "row_count"]).sort_by("group_id")
+
+
 def jsonl_export_manifest(sf_dir: str):
     """Compressed-NDJSON training export end to end (the interchange twin
     of training_shards_manifest): documents → 16 md5-hash
@@ -2776,6 +2812,25 @@ def target_affinity_docs(sf_dir: str, target_source: str = "src0"):
     return scored.sort("doc_id")
 
 
+def dsir_resampled_docs(sf_dir: str, target_source: str = "src0"):
+    """DSIR importance RESAMPLING (the selection step after the scoring
+    step, `stages/text_analysis.affinity_resample`): accept a doc iff
+    uniform(doc) < affinity, with uniform = hash32(doc_id) / 2^32 (the
+    samplers' md5 membership rule) — evaluated in EXACT integer
+    arithmetic (hash32 * max(raw_mass,1) < 2^32 * target_mass, Python
+    bigints / SQL HUGEINT), so the kept set is bit-stable across
+    engines. Target-heavy docs (affinity ≥ 1) are always kept;
+    zero-target docs never. Composes the two already-value-exact
+    primitives (affinity scorer + hash sampler) in one extra streaming
+    filter BEFORE the presentation sort — the filter adds no shuffle and
+    the single trailing sort runs over the (smaller) kept set only."""
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    tgt, raw = text_analysis.affinity_fit(docs, target_source)
+    scored = text_analysis.affinity_score(
+        _docs(sf_dir, ["doc_id", "text"]), tgt, raw)
+    return text_analysis.affinity_resample(scored).sort("doc_id")
+
+
 def inverted_index_docs(sf_dir: str, k: int = 100):
     """Inverted-index build over the documents table: posting rows
     (word, df, doc_id) for the k highest-df terms
@@ -2950,3 +3005,100 @@ def bpe_merges_docs(sf_dir: str, n_merges: int = 8):
     differential test pins the full loop."""
     return text_analysis.bpe_merges(
         _docs(sf_dir, ["doc_id", "text"]), n_merges=n_merges)
+
+
+def bpe_encoded_docs(sf_dir: str, n_merges: int = 8):
+    """Fit-then-ENCODE: run the iterative BPE fit on the corpus, then
+    apply the merge table to every document
+    (stages/text_analysis.bpe_encode) — per-doc BPE token counts, the
+    real packing/budget statistic. The fit's merge table (≤ n_merges
+    rows) is the only thing that crosses stages; the encode pass
+    streams, no shuffle. Rows-only (the fit is iterative — no SQL
+    form); a pure-python differential pins segmentations and counts."""
+    merges = text_analysis.bpe_merges(
+        _docs(sf_dir, ["doc_id", "text"]), n_merges=n_merges)
+    return text_analysis.bpe_encode(
+        _docs(sf_dir, ["doc_id", "text"]), merges).sort("doc_id")
+
+
+def pmi_top_bigrams(sf_dir: str, k: int = 100, min_count: int = 5):
+    """Collocation mining — top-k adjacent word pairs by pointwise mutual
+    information, the classic lexical-association statistic (Church &
+    Hanks 1990): pmi = ln(n_xy·N / (n_x·n_y)) over lowered ``\\w+``
+    tokens (the shared word-count tokenizer), restricted to pairs with
+    n_xy ≥ min_count.
+
+    Scale shape: unigram counts via the shared wordcount combiner
+    (materialized ONCE — vocab-scale, two bounded consumers); bigram
+    counts via a per-batch distinct-pair combiner → pair-keyed groupby →
+    min-count filter; then two co-partitioned `stages/joins.hash_join`s
+    decorate each surviving pair with its word counts (vocab-scale
+    exchanges, never token-grain); pmi is computed with libm
+    ``math.log`` over the EXACT int counts in the same
+    cast-multiply-divide order as the SQL (the unigram_logprob
+    convention — DuckDB ln ≡ math.log bit-for-bit, numpy's SIMD log is
+    not), so the (pmi DESC, w1, w2) top-k finisher orders identically on
+    both sides. Returns (w1, w2, n_xy, n_x, n_y, pmi)."""
+    return _pmi_from_ds(_docs(sf_dir, ["text"]), k=k, min_count=min_count)
+
+
+def _pmi_from_ds(docs, k: int, min_count: int):
+    """Dataset-level core of ``pmi_top_bigrams`` (docs needs a ``text``
+    column) — split out so tests control partitioning directly."""
+    import math
+
+    import ray.data
+
+    from ..stages.joins import hash_join
+    from ..stages.topk import topk_table
+
+    uni = (docs.map_batches(_word_count_partial, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    total = int(uni.sum("n") or 0)
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            toks = _WORD_TOKEN_RE.findall((t or "").lower())
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([p[0] for p in c], pa.string()),
+            "w2": pa.array([p[1] for p in c], pa.string()),
+            "n_xy": pa.array(list(c.values()), pa.int64())})
+
+    big = (docs.map_batches(bigram_partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("n_xy", alias_name="n_xy"))
+           .filter(expr=f"n_xy >= {int(min_count)}"))
+    u1 = uni.map_batches(
+        lambda b: b.select(["word", "n"]).rename_columns(["w1", "n_x"]),
+        batch_format="pyarrow")
+    u2 = uni.map_batches(
+        lambda b: b.select(["word", "n"]).rename_columns(["w2", "n_y"]),
+        batch_format="pyarrow")
+    j = hash_join(hash_join(big, u1, "w1", "w1"), u2, "w2", "w2")
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_xy = batch["n_xy"].to_pylist()
+        n_x = batch["n_x"].to_pylist()
+        n_y = batch["n_y"].to_pylist()
+        # float sequence mirrors the SQL expression operation-for-
+        # operation: (xy·N as double) / (x as double · y as double)
+        pmi = [math.log((float(a) * float(total))
+                        / (float(x) * float(y)))
+               for a, x, y in zip(n_xy, n_x, n_y)]
+        return batch.append_column("pmi", pa.array(pmi, pa.float64()))
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    top = topk_table(scored, [("pmi", "descending"), ("w1", "ascending"),
+                              ("w2", "ascending")], k)
+    cols = ["w1", "w2", "n_xy", "n_x", "n_y", "pmi"]
+    if top.num_rows == 0:
+        top = pa.table({"w1": pa.array([], pa.string()),
+                        "w2": pa.array([], pa.string()),
+                        "n_xy": pa.array([], pa.int64()),
+                        "n_x": pa.array([], pa.int64()),
+                        "n_y": pa.array([], pa.int64()),
+                        "pmi": pa.array([], pa.float64())})
+    return ray.data.from_arrow(top.select(cols))

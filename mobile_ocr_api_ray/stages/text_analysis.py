@@ -833,6 +833,32 @@ def affinity_score(ds, target_counts: np.ndarray, raw_counts: np.ndarray, *,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def affinity_resample(scored, *, id_col: str = "doc_id"):
+    """DSIR importance RESAMPLING over an ``affinity_score`` output:
+    accept a row iff uniform(id) < affinity, with uniform =
+    hash32(id) / 2^32 (the repo-wide md5 membership rule) — evaluated in
+    EXACT integer arithmetic,
+
+        hash32(id) * max(raw_mass, 1) < 2^32 * target_mass
+
+    (Python bigints / SQL HUGEINT; no float enters the accept decision,
+    so the kept set is bit-stable across engines and partitionings).
+    Rows with affinity ≥ 1 are always kept; zero-target rows never. One
+    streaming filter, no shuffle.
+    """
+    from ..hashing import hash32
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        tm = batch["target_mass"].to_pylist()
+        rm = batch["raw_mass"].to_pylist()
+        mask = [(hash32(i) * max(r, 1)) < ((1 << 32) * t)
+                for i, t, r in zip(ids, tm, rm)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
 # ----------------------------------------------- inverted index (top-df)
 
 def inverted_index_topdf(ds, *, k: int = 100, id_col: str = "doc_id",
@@ -1208,3 +1234,59 @@ def bpe_merges(ds, n_merges: int = 8, text_col: str = "text") -> pa.Table:
         "left": pa.array([m[0] for m in merges], pa.string()),
         "right": pa.array([m[1] for m in merges], pa.string()),
         "n": pa.array([m[2] for m in merges], pa.int64())})
+
+
+def bpe_encode(ds, merges: pa.Table, *, id_col: str = "doc_id",
+               text_col: str = "text", preview_k: int = 12):
+    """Apply a fitted BPE merge table (``bpe_merges`` output, or any
+    (rank, left, right) table) to every document — the ENCODE half of
+    the tokenizer pair, i.e. the real token counter a packing /
+    budget-planning stage needs (whitespace proxies over-count exactly
+    where BPE compresses most).
+
+    Per batch: word Counter first, each DISTINCT word segmented once via
+    the shared greedy-merge ``_bpe_segment`` (cost ∝ distinct words, not
+    tokens), then exact int64 per-doc totals. The merge table rides into
+    tasks as a closure-constant rank dict (≤ n_merges entries — KBs at
+    any corpus scale); one streaming pass, no shuffle. Returns
+    (id, n_words, n_bpe_tokens, compression — chars-per-token as a
+    single float division — and a ``preview`` of the first ``preview_k``
+    symbols for inspectability).
+    """
+    import re
+
+    word_re = re.compile(r"\w+", re.ASCII)
+    ranks = {(l, r): i for i, (l, r) in enumerate(
+        zip(merges["left"].to_pylist(), merges["right"].to_pylist()))}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        n_words = np.zeros(n, np.int64)
+        n_tok = np.zeros(n, np.int64)
+        n_chars = np.zeros(n, np.int64)
+        previews = []
+        seg_cache: dict = {}
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            words = word_re.findall((t or "").lower())
+            head: list = []
+            for w in words:
+                s = seg_cache.get(w)
+                if s is None:
+                    s = _bpe_segment(w, ranks) if ranks else list(w)
+                    seg_cache[w] = s
+                n_tok[i] += len(s)
+                if len(head) < preview_k:
+                    head.extend(s)
+            n_words[i] = len(words)
+            n_chars[i] = sum(len(w) for w in words)
+            previews.append(" ".join(head[:preview_k]))
+        comp = n_chars.astype(np.float64) \
+            / np.maximum(n_tok, 1).astype(np.float64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words),
+            "n_bpe_tokens": pa.array(n_tok),
+            "chars_per_token": pa.array(comp, pa.float64()),
+            "preview": pa.array(previews, pa.string())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -376,3 +376,102 @@ def export_jsonl_shards(ds, out_dir: str, n_shards: int = 16,
             time.time())
     return {"completed_before": len(done), "completed_now": len(todo),
             "out_dir": out_dir, "n_shards": n_shards}
+
+
+def _complete_manifests(out_dir: str) -> list:
+    """All complete manifest rows under ``out_dir``, sorted by partition
+    id — bounded metadata (one row per partition), never corpus-scale."""
+    mdir = os.path.join(out_dir, "_manifest")
+    rows = []
+    for f in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        if f.startswith("part-") and f.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, f)) as fh:
+                    m = json.load(fh)
+            except json.JSONDecodeError:
+                continue
+            if m.get("status") == "complete":
+                rows.append(m)
+    rows.sort(key=lambda m: m["partition_id"])
+    return rows
+
+
+def compact_partitions(out_dir: str, compact_dir: str,
+                       target_bytes: int = 256 << 20,
+                       key_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Small-file compaction — the housekeeping operator every long-lived
+    100-TB output directory needs: a partitioned export accumulates many
+    small parquet files (fine-grained partitions are what make resume
+    cheap), and downstream readers want few large ones.
+
+    Plan: bin-pack CONSECUTIVE partitions into groups whose manifest
+    ``bytes`` sum ≤ ``target_bytes`` (a single oversized partition forms
+    its own group) — deterministic given the manifests, driver-side over
+    metadata only. Execute: one Ray task per group reads its inputs,
+    concatenates in partition order and writes one compacted parquet +
+    manifest row through the same atomic temp→rename commit point as the
+    original writer, so a crash mid-compaction leaves either nothing or a
+    complete pair. Exact resume: groups already complete in
+    ``compact_dir`` are skipped before any work runs (and re-checked
+    inside the task). Peak memory per task ≈ ``target_bytes``, by design.
+
+    Returns the compaction manifest (group_id, n_inputs, first_shard,
+    last_shard, row_count, bytes, content_digest) sorted by group_id —
+    the digest pins byte-determinism of the rewritten content."""
+    manifests = _complete_manifests(out_dir)
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_b = 0
+    for m in manifests:
+        if cur and cur_b + m["bytes"] > target_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+        cur.append(int(m["partition_id"]))
+        cur_b += int(m["bytes"])
+    if cur:
+        groups.append(cur)
+
+    done = completed_partitions(compact_dir)
+    todo = [(gid, g) for gid, g in enumerate(groups) if gid not in done]
+    if todo:
+        spec = pa.table({
+            "group_id": pa.array([g[0] for g in todo], pa.int32()),
+            "pids": pa.array([json.dumps(g[1]) for g in todo],
+                             pa.string())})
+
+        def compact(batch: pa.Table) -> pa.Table:
+            out = []
+            for gid, pj in zip(batch["group_id"].to_pylist(),
+                               batch["pids"].to_pylist()):
+                if gid in completed_partitions(compact_dir):
+                    continue   # resume race: another task finished it
+                t0 = time.time()
+                pids = json.loads(pj)
+                tables = [pq.read_table(
+                    os.path.join(out_dir, f"part-{p:05d}.parquet"))
+                    for p in pids]
+                write_partition(pa.concat_tables(tables), compact_dir,
+                                gid, f"compact:{pids[0]}-{pids[-1]}", t0,
+                                key_col=key_col, text_col=text_col)
+                out.append(gid)
+            return pa.table({"group_id": pa.array(out, pa.int32())})
+
+        ray.data.from_arrow(spec).map_batches(
+            compact, batch_size=1, batch_format="pyarrow").materialize()
+
+    rows = []
+    for gid, g in enumerate(groups):
+        with open(_manifest_path(compact_dir, gid)) as fh:
+            m = json.load(fh)
+        rows.append((gid, len(g), g[0], g[-1],
+                     int(m["row_count"]), int(m["bytes"]),
+                     m["content_digest"]))
+    return pa.table({
+        "group_id": pa.array([r[0] for r in rows], pa.int32()),
+        "n_inputs": pa.array([r[1] for r in rows], pa.int64()),
+        "first_shard": pa.array([r[2] for r in rows], pa.int32()),
+        "last_shard": pa.array([r[3] for r in rows], pa.int32()),
+        "row_count": pa.array([r[4] for r in rows], pa.int64()),
+        "bytes": pa.array([r[5] for r in rows], pa.int64()),
+        "content_digest": pa.array([r[6] for r in rows], pa.string())})

@@ -1583,6 +1583,57 @@ class TestTargetAffinity:
         assert len(tgt) == text_analysis.AFFINITY_BUCKETS
 
 
+class TestAffinityResample:
+    """DSIR resampling accept rule: exact-bigint differential against
+    the fitted scores, affinity>=1 always kept, zero-target never kept,
+    partition invariance of the kept SET."""
+
+    def _mk(self, texts, srcs, parts=3):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(srcs, pa.string())})).repartition(parts)
+
+    @staticmethod
+    def _kept(ds, target):
+        tgt, raw = text_analysis.affinity_fit(ds, target)
+        scored = text_analysis.affinity_score(ds, tgt, raw)
+        return (text_analysis.affinity_resample(scored)
+                .sort("doc_id").to_pandas())
+
+    def test_exact_accept_rule(self, ray_session):
+        from mobile_ocr_api_ray.hashing import hash32
+        texts = [f"tok{i % 5} filler words {i}" for i in range(30)]
+        srcs = ["t" if i % 4 == 0 else "r" for i in range(30)]
+        ds = self._mk(texts, srcs)
+        tgt, raw = text_analysis.affinity_fit(ds, "t")
+        scored = text_analysis.affinity_score(ds, tgt, raw) \
+            .sort("doc_id").to_pandas()
+        want = [int(r.doc_id) for r in scored.itertuples()
+                if hash32(int(r.doc_id)) * max(int(r.raw_mass), 1)
+                < (1 << 32) * int(r.target_mass)]
+        got = self._kept(ds, "t")
+        assert list(got.doc_id) == want
+        # kept rows carry the scorer's exact values unchanged
+        sub = scored[scored.doc_id.isin(want)].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, sub)
+
+    def test_affinity_extremes(self, ray_session):
+        # doc 0: pure target vocabulary -> raw_mass 0, affinity inf-like,
+        # always kept; doc 1: vocabulary absent from target -> never kept
+        ds = self._mk(["aardvark aardvark", "zebra zebra zebra"],
+                      ["t", "r"], parts=1)
+        kept = set(self._kept(ds, "t").doc_id)
+        assert 0 in kept and 1 not in kept
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"w{i % 7} common token stream {i}" for i in range(40)]
+        srcs = ["t" if i % 3 == 0 else "r" for i in range(40)]
+        outs = [self._kept(self._mk(texts, srcs, p), "t") for p in (1, 5)]
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
 class TestInvertedIndex:
     """inverted_index_topdf: brute-force postings differential, top-k df
     tie-break, empty corpus, partition invariance."""
@@ -1913,3 +1964,131 @@ class TestBpe:
         assert len(out) == 0   # no length-2 word -> no pairs
         m = text_analysis.bpe_merges(self._ds(["", None]), n_merges=3)
         assert m.num_rows == 0
+
+
+class TestBpeEncode:
+    """BPE encode (apply fitted merges per doc): pure-python segmentation
+    differential, zero-merge identity, empty/null docs, partition
+    invariance."""
+
+    CORPUS = ["low lower lowest", "low low newer new", "wider new lower"]
+
+    def _ds(self, texts, parts=2):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(parts)
+
+    @staticmethod
+    def _py_encode(texts, merges_df):
+        import re
+        ranks = {(r.left, r.right): int(r.rank)
+                 for r in merges_df.itertuples()}
+        rows = []
+        for t in texts:
+            words = re.findall(r"\w+", (t or "").lower(), re.ASCII)
+            toks = []
+            for w in words:
+                toks.extend(text_analysis._bpe_segment(w, ranks)
+                            if ranks else list(w))
+            nc = sum(len(w) for w in words)
+            rows.append((len(words), len(toks), nc / max(len(toks), 1),
+                         " ".join(toks[:12])))
+        return rows
+
+    def test_matches_pure_python(self, ray_session):
+        ds = self._ds(self.CORPUS)
+        merges = text_analysis.bpe_merges(ds, n_merges=5)
+        got = text_analysis.bpe_encode(ds, merges).sort("doc_id") \
+            .to_pandas()
+        want = self._py_encode(self.CORPUS, merges.to_pandas())
+        for i, (nw, nt, cpt, prev) in enumerate(want):
+            r = got.iloc[i]
+            assert (int(r.n_words), int(r.n_bpe_tokens)) == (nw, nt)
+            assert float(r.chars_per_token) == cpt
+            assert r.preview == prev
+
+    def test_zero_merges_is_char_tokenization(self, ray_session):
+        ds = self._ds(["abc de"])
+        empty = pa.table({"rank": pa.array([], pa.int64()),
+                          "left": pa.array([], pa.string()),
+                          "right": pa.array([], pa.string())})
+        out = text_analysis.bpe_encode(ds, empty).to_pandas()
+        assert int(out.n_bpe_tokens[0]) == 5   # a b c d e
+        assert out.preview[0] == "a b c d e"
+
+    def test_empty_and_null_docs(self, ray_session):
+        ds = self._ds(["", None, "hi"], parts=1)
+        merges = text_analysis.bpe_merges(ds, n_merges=1)
+        out = text_analysis.bpe_encode(ds, merges).sort("doc_id") \
+            .to_pandas()
+        assert list(out.n_words) == [0, 0, 1]
+        assert list(out.n_bpe_tokens)[:2] == [0, 0]
+        assert list(out.chars_per_token)[:2] == [0.0, 0.0]
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"alpha beta gamma delta word{i % 9}" for i in range(40)]
+        merges = text_analysis.bpe_merges(self._ds(texts, 4), n_merges=4)
+        a = text_analysis.bpe_encode(self._ds(texts, 1), merges) \
+            .sort("doc_id").to_pandas()
+        b = text_analysis.bpe_encode(self._ds(texts, 8), merges) \
+            .sort("doc_id").to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestPmiBigrams:
+    """PMI collocations: pure-python differential (counts + libm log),
+    min-count filter, top-k tie order, partition invariance."""
+
+    @staticmethod
+    def _mk(texts, parts=3):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(parts)
+
+    @staticmethod
+    def _brute(texts, k, min_count):
+        import math
+        import re
+        from collections import Counter
+        uni, big = Counter(), Counter()
+        for t in texts:
+            toks = re.findall(r"\w+", (t or "").lower(), re.ASCII)
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        total = sum(uni.values())
+        rows = []
+        for (w1, w2), nxy in big.items():
+            if nxy < min_count:
+                continue
+            pmi = math.log((float(nxy) * float(total))
+                           / (float(uni[w1]) * float(uni[w2])))
+            rows.append((w1, w2, nxy, uni[w1], uni[w2], pmi))
+        rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+        return rows[:k]
+
+    def _run(self, texts, parts=3, k=10, min_count=2):
+        from mobile_ocr_api_ray.pipelines.analysis import _pmi_from_ds
+        return _pmi_from_ds(self._mk(texts, parts),
+                            k=k, min_count=min_count).to_pandas()
+
+    def test_brute_differential(self, ray_session):
+        texts = (["strong coffee tastes strong"] * 3
+                 + ["coffee shop strong coffee", "weak tea weak tea"] * 2
+                 + ["strong tea", None, ""])
+        got = self._run(texts, k=8, min_count=2)
+        want = self._brute(texts, 8, 2)
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    def test_min_count_filter(self, ray_session):
+        texts = ["rare pair", "common pair common pair common pair"]
+        got = self._run(texts, min_count=3)
+        assert ("rare", "pair") not in set(zip(got.w1, got.w2))
+        assert ("common", "pair") in set(zip(got.w1, got.w2))
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"tok{i % 5} tok{(i + 1) % 5} filler" for i in range(40)]
+        a_ = self._run(texts, parts=1, min_count=2)
+        b_ = self._run(texts, parts=8, min_count=2)
+        pd.testing.assert_frame_equal(a_, b_)

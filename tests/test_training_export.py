@@ -138,3 +138,76 @@ class TestJsonlExport:
         m = js.load(open(glob.glob(ref + "/_manifest/part-*.json")[0]))
         assert m["status"] == "complete"
         assert len(m["content_digest"]) == 64
+
+
+class TestCompaction:
+    """Small-file compaction: content equality, packing invariant,
+    exact resume, oversized singleton groups."""
+
+    ROOT = "/tmp/test_compaction"
+
+    def _export(self, n=80, n_shards=8):
+        out = os.path.join(self.ROOT, "export")
+        shutil.rmtree(self.ROOT, ignore_errors=True)
+        mstate.export_training_shards(docs_ds(n), out, n_shards=n_shards)
+        return out
+
+    @staticmethod
+    def _rows(d):
+        import pyarrow.parquet as pq
+        files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(d, f)) for f in files])
+        return t.sort_by("doc_id").to_pandas()
+
+    def test_content_equality_and_packing(self, ray_session):
+        out = self._export()
+        cdir = os.path.join(self.ROOT, "compact")
+        total = sum(m["bytes"] for m in mstate._complete_manifests(out))
+        target = total // 3 + 1
+        t = mstate.compact_partitions(out, cdir, target_bytes=target)
+        # every input shard covered exactly once, in consecutive order
+        assert int(pa.compute.sum(t["n_inputs"]).as_py()) == 8
+        spans = list(zip(t["first_shard"].to_pylist(),
+                         t["last_shard"].to_pylist()))
+        assert spans == sorted(spans)
+        # packing invariant: each multi-input group fits the target
+        for nb, ni in zip(t["bytes"].to_pylist(), t["n_inputs"].to_pylist()):
+            assert ni == 1 or nb <= target * 2  # parquet re-encode slack
+        # row-level equality with the uncompacted export
+        import pandas as pd
+        pd.testing.assert_frame_equal(self._rows(out), self._rows(cdir))
+
+    def test_exact_resume(self, ray_session):
+        out = self._export()
+        cdir = os.path.join(self.ROOT, "compact")
+        total = sum(m["bytes"] for m in mstate._complete_manifests(out))
+        t1 = mstate.compact_partitions(out, cdir,
+                                       target_bytes=total // 3 + 1)
+        mtimes = {f: os.path.getmtime(os.path.join(cdir, f))
+                  for f in os.listdir(cdir) if f.endswith(".parquet")}
+        # lose one compacted group (file + manifest)
+        victim = 1
+        os.remove(os.path.join(cdir, f"part-{victim:05d}.parquet"))
+        os.remove(mstate._manifest_path(cdir, victim))
+        t2 = mstate.compact_partitions(out, cdir,
+                                       target_bytes=total // 3 + 1)
+        assert t2.equals(t1)   # manifest (incl. digests) fully restored
+        # untouched groups were NOT rewritten
+        for f, mt in mtimes.items():
+            if f != f"part-{victim:05d}.parquet":
+                assert os.path.getmtime(os.path.join(cdir, f)) == mt
+
+    def test_oversized_singletons(self, ray_session):
+        out = self._export()
+        cdir = os.path.join(self.ROOT, "compact_tiny")
+        t = mstate.compact_partitions(out, cdir, target_bytes=1)
+        # target smaller than any file -> every shard its own group
+        assert t.num_rows == 8
+        assert set(t["n_inputs"].to_pylist()) == {1}
+
+    def test_empty_input(self, ray_session):
+        d = os.path.join(self.ROOT, "nothing")
+        shutil.rmtree(d, ignore_errors=True)
+        t = mstate.compact_partitions(d, os.path.join(d, "c"))
+        assert t.num_rows == 0 and "content_digest" in t.column_names
