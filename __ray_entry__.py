@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": a.bpe_merges_docs,
         "bpe_encoded_docs": a.bpe_encoded_docs,
         "pmi_top_bigrams": a.pmi_top_bigrams,
+        "source_unigram_kl": a.source_unigram_kl_docs,
         "compacted_shards_manifest": a.compacted_shards_manifest,
         "dsir_resampled_docs": a.dsir_resampled_docs,
         "quality_scores": a.quality_docs,
@@ -684,6 +685,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, cast(count(*) AS BIGINT) AS n
             FROM pairs GROUP BY 1
             ORDER BY n DESC, pair ASC LIMIT 100""",
+        # per-source unigram KL vs corpus: md5-hash32 bucket rule shared
+        # with the affinity oracles; each bucket term floor-quantized to
+        # integer micro-nats with the identical cast-divide-multiply ln
+        # expression, so the per-source sum is an exact int64
+        "source_unigram_kl": r"""
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\w+')) AS word
+              FROM documents),
+            b AS (
+              SELECT source,
+                     cast(cast(('0x' || substring(md5(word), 1, 8))
+                               AS UBIGINT) % 4096 AS BIGINT) AS bucket
+              FROM tok),
+            sb AS (SELECT source, bucket, cast(count(*) AS BIGINT) AS c
+                   FROM b GROUP BY 1, 2),
+            ns AS (SELECT source, cast(sum(c) AS BIGINT) AS n_s
+                   FROM sb GROUP BY 1),
+            cb AS (SELECT bucket, cast(sum(c) AS BIGINT) AS c_b
+                   FROM sb GROUP BY 1),
+            tot AS (SELECT cast(sum(c_b) AS BIGINT) AS n FROM cb),
+            terms AS (
+              SELECT sb.source,
+                     cast(floor((cast(sb.c AS DOUBLE)
+                                 / cast(ns.n_s AS DOUBLE))
+                                * ln(cast(sb.c AS DOUBLE)
+                                     * cast((SELECT n FROM tot) AS DOUBLE)
+                                     / (cast(ns.n_s AS DOUBLE)
+                                        * cast(cb.c_b AS DOUBLE)))
+                                * 1000000) AS BIGINT) AS q
+              FROM sb JOIN ns USING (source) JOIN cb USING (bucket))
+            SELECT t.source, ns.n_s AS n_tokens,
+                   cast(sum(t.q) AS BIGINT) AS kl_micro_nats,
+                   cast(sum(t.q) AS BIGINT) / 1000000.0 AS kl
+            FROM terms t JOIN ns USING (source)
+            GROUP BY t.source, ns.n_s ORDER BY t.source""",
         # PMI collocations: same \w+ tokenizer on both sides; pmi is one
         # libm ln over exact int counts in the identical
         # cast-multiply-divide order (DuckDB ln ≡ math.log bit-for-bit,

@@ -141,6 +141,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("bpe_merges", lambda: _pd(a.bpe_merges_docs(sf_dir)))
     timed("bpe_encoded_docs", lambda: a.bpe_encoded_docs(sf_dir).to_pandas())
     timed("pmi_top_bigrams", lambda: a.pmi_top_bigrams(sf_dir).to_pandas())
+    timed("source_unigram_kl",
+          lambda: a.source_unigram_kl_docs(sf_dir).to_pandas())
     timed("compacted_shards_manifest",
           lambda: _pd(a.compacted_shards_manifest(sf_dir)))
     timed("quality_scores", lambda: a.quality_docs(sf_dir).to_pandas())

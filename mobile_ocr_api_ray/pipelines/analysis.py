@@ -2831,6 +2831,20 @@ def dsir_resampled_docs(sf_dir: str, target_source: str = "src0"):
     return text_analysis.affinity_resample(scored).sort("doc_id")
 
 
+def source_unigram_kl_docs(sf_dir: str):
+    """Per-source lexical drift vs the corpus mixture
+    (stages/text_analysis.source_unigram_kl): KL divergence of each
+    source's hashed-4096-bucket unigram distribution against the whole
+    documents table, exact-int micro-nat quantization per bucket term so
+    the sum is order-independent and the SQL oracle reproduces it
+    bit-for-bit."""
+    import ray.data
+
+    t = text_analysis.source_unigram_kl(
+        _docs(sf_dir, ["text", "source"]))
+    return ray.data.from_arrow(t)
+
+
 def inverted_index_docs(sf_dir: str, k: int = 100):
     """Inverted-index build over the documents table: posting rows
     (word, df, doc_id) for the k highest-df terms

@@ -833,6 +833,73 @@ def affinity_score(ds, target_counts: np.ndarray, raw_counts: np.ndarray, *,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def source_unigram_kl(ds, *, n_buckets: int = AFFINITY_BUCKETS,
+                      source_col: str = "source", text_col: str = "text"):
+    """Corpus-drift diagnostic: per-source KL divergence of the hashed
+    4096-bucket unigram distribution against the whole corpus —
+    KL(source ‖ corpus) = Σ_b p_b·ln(p_b/q_b) with p = c_sb/N_s,
+    q = c_b/N. The standard check that a corpus slice (a crawl snapshot,
+    a new source) hasn't drifted lexically from the mixture it feeds.
+
+    Scale shape: the per-batch combiner emits ≤ n_sources × n_buckets
+    (source, bucket, c) partials regardless of text volume; ONE bounded
+    groupby sums them; the driver reduce touches the same bounded table
+    (the vocab_coverage convention — never corpus-scale). Exactness:
+    each bucket term is quantized to integer MICRO-NATS with libm
+    ``math.log`` over the exact int counts in the same
+    cast-divide-multiply order as the SQL (the unigram_logprob
+    convention — DuckDB ln ≡ math.log bit-for-bit), so the per-source
+    SUM is an order-independent int64 sum and the float ``kl`` is one
+    division of it. Returns (source, n_tokens, kl_micro_nats, kl)
+    sorted by source."""
+    import math
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = _affinity_bucketer(n_buckets)
+        c: Counter = Counter()
+        for s, t in zip(batch[source_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            for w, n in Counter(
+                    word_re.findall((t or "").lower())).items():
+                c[(s, bucket(w))] += n
+        return pa.table({
+            "source": pa.array([k[0] for k in c], pa.string()),
+            "bucket": pa.array([k[1] for k in c], pa.int64()),
+            "c": pa.array(list(c.values()), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["source", "bucket"])
+           .aggregate(Sum("c", alias_name="c")))
+    rows = agg.take_all()   # bounded: ≤ n_sources × n_buckets
+    n_s: dict = {}
+    c_b: dict = {}
+    for r in rows:
+        n_s[r["source"]] = n_s.get(r["source"], 0) + int(r["c"])
+        c_b[r["bucket"]] = c_b.get(r["bucket"], 0) + int(r["c"])
+    total = sum(c_b.values())
+    kl_micro: dict = {s: 0 for s in n_s}
+    for r in rows:
+        s, c = r["source"], int(r["c"])
+        ns, cb = n_s[s], c_b[r["bucket"]]
+        term = (float(c) / float(ns)) \
+            * math.log((float(c) * float(total))
+                       / (float(ns) * float(cb))) * 1000000.0
+        kl_micro[s] += int(math.floor(term))
+    srcs = sorted(n_s)
+    micro = [kl_micro[s] for s in srcs]
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_tokens": pa.array([n_s[s] for s in srcs], pa.int64()),
+        "kl_micro_nats": pa.array(micro, pa.int64()),
+        "kl": pa.array([m / 1000000.0 for m in micro], pa.float64())})
+
+
 def affinity_resample(scored, *, id_col: str = "doc_id"):
     """DSIR importance RESAMPLING over an ``affinity_score`` output:
     accept a row iff uniform(id) < affinity, with uniform =

@@ -1583,6 +1583,90 @@ class TestTargetAffinity:
         assert len(tgt) == text_analysis.AFFINITY_BUCKETS
 
 
+class TestSourceUnigramKl:
+    """Per-source unigram KL vs corpus: pure-python micro-nat
+    differential, single-source zero, empty/null docs, partition
+    invariance, KL ordering under injected drift."""
+
+    def _mk(self, texts, srcs, parts=3):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(srcs, pa.string())})).repartition(parts)
+
+    @staticmethod
+    def _brute(texts, srcs):
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        def h(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4096
+
+        sb: Counter = Counter()
+        for s, t in zip(srcs, texts):
+            for w in re.findall(r"\w+", (t or "").lower(), re.ASCII):
+                sb[(s, h(w))] += 1
+        n_s: Counter = Counter()
+        c_b: Counter = Counter()
+        for (s, b), c in sb.items():
+            n_s[s] += c
+            c_b[b] += c
+        total = sum(c_b.values())
+        out = {}
+        for s in n_s:
+            m = 0
+            for (s2, b), c in sb.items():
+                if s2 != s:
+                    continue
+                term = (float(c) / float(n_s[s])) * math.log(
+                    (float(c) * float(total))
+                    / (float(n_s[s]) * float(c_b[b]))) * 1000000.0
+                m += int(math.floor(term))
+            out[s] = (n_s[s], m, m / 1000000.0)
+        return out
+
+    def test_brute_differential(self, ray_session):
+        texts = (["common words shared here"] * 4
+                 + ["drifted vocabulary entirely different terms"] * 3
+                 + ["common words drifted mix", None, ""])
+        srcs = ["a", "a", "b", "b", "b", "c", "c", "a", "b", "c"]
+        got = text_analysis.source_unigram_kl(
+            self._mk(texts, srcs)).to_pandas()
+        want = self._brute(texts, srcs)
+        assert list(got.source) == sorted(want)
+        for r in got.itertuples():
+            nt, m, kl = want[r.source]
+            assert (int(r.n_tokens), int(r.kl_micro_nats)) == (nt, m)
+            assert float(r.kl) == kl
+
+    def test_single_source_is_zero(self, ray_session):
+        got = text_analysis.source_unigram_kl(
+            self._mk(["alpha beta", "beta gamma"], ["s", "s"], 1)) \
+            .to_pandas()
+        assert list(got.kl_micro_nats) == [0]
+
+    def test_drift_ordering(self, ray_session):
+        # a source sharing the corpus vocabulary diverges less than one
+        # with disjoint vocabulary
+        texts = ["the cat sat"] * 8 + ["the cat sat"] * 2 \
+            + ["zyx wvu tsr qpo"] * 2
+        srcs = ["base"] * 8 + ["near"] * 2 + ["far"] * 2
+        got = text_analysis.source_unigram_kl(
+            self._mk(texts, srcs)).to_pandas().set_index("source")
+        assert got.loc["far"].kl > got.loc["near"].kl
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"tok{i % 11} drift{i % 3} base" for i in range(40)]
+        srcs = [f"s{i % 4}" for i in range(40)]
+        a_ = text_analysis.source_unigram_kl(
+            self._mk(texts, srcs, 1)).to_pandas()
+        b_ = text_analysis.source_unigram_kl(
+            self._mk(texts, srcs, 8)).to_pandas()
+        pd.testing.assert_frame_equal(a_, b_)
+
+
 class TestAffinityResample:
     """DSIR resampling accept rule: exact-bigint differential against
     the fitted scores, affinity>=1 always kept, zero-target never kept,
