@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixed_docs": a.temperature_mixed_docs,
         "corpus_datasheet": a.corpus_datasheet,
         "normalize_docs": a.normalize_docs,
+        "nfc_docs": a.nfc_docs,
         "chunk_docs": a.chunk_docs,
         "train_val_test_split": a.train_val_test_split,
         "word_freq_top": a.word_freq_top,
@@ -1487,6 +1488,18 @@ def oracle_sql() -> dict[str, str]:
                         - length(trim(regexp_replace(
                               lower(coalesce(text, '')), '\s+', ' ', 'g'),
                               ' ')) AS BIGINT) AS n_removed_chars
+            FROM documents ORDER BY doc_id""",
+        # Unicode NFC: CPython unicodedata ≡ DuckDB utf8proc
+        # nfc_normalize byte-for-byte (differential-verified); length()
+        # counts codepoints on both sides
+        "nfc_docs": r"""
+            SELECT doc_id,
+                   nfc_normalize(coalesce(text, '')) AS nfc_text,
+                   nfc_normalize(coalesce(text, ''))
+                       <> coalesce(text, '') AS changed,
+                   cast(length(coalesce(text, '')) AS BIGINT) AS n_cp,
+                   cast(length(nfc_normalize(coalesce(text, '')))
+                        AS BIGINT) AS n_cp_nfc
             FROM documents ORDER BY doc_id""",
         # deterministic data mixing: equal token budget per source
         # (total/4 ÷ n_sources), per-source rate = min(1, budget/tokens),

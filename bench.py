@@ -143,6 +143,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pmi_top_bigrams", lambda: a.pmi_top_bigrams(sf_dir).to_pandas())
     timed("source_unigram_kl",
           lambda: a.source_unigram_kl_docs(sf_dir).to_pandas())
+    timed("nfc_docs", lambda: a.nfc_docs(sf_dir).to_pandas())
     timed("compacted_shards_manifest",
           lambda: _pd(a.compacted_shards_manifest(sf_dir)))
     timed("quality_scores", lambda: a.quality_docs(sf_dir).to_pandas())

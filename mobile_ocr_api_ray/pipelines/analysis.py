@@ -271,6 +271,41 @@ def normalize_docs(sf_dir: str):
             .map_batches(norm, batch_format="pyarrow").sort("doc_id"))
 
 
+def nfc_docs(sf_dir: str):
+    """Unicode NFC normalization — the canonical-composition pass every
+    multilingual ingest needs before hashing/dedup (é as one codepoint
+    vs e+combining-acute hash differently but read identically).
+    Value-exact STRING output: CPython ``unicodedata.normalize('NFC')``
+    is byte-identical to DuckDB's utf8proc ``nfc_normalize`` (pyarrow's
+    ``utf8_normalize`` emits DECOMPOSED forms for form='NFC' in this
+    build — verified wrong, not used). Per-row C call only on the
+    non-ASCII rows (``str.isascii`` fast path — ASCII is NFC by
+    definition and covers the bulk of webtext); purely per-row, no
+    shuffle. Returns (doc_id, nfc_text, changed, n_cp, n_cp_nfc)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(_nfc_kernel, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+def _nfc_kernel(batch: pa.Table) -> pa.Table:
+    """The per-batch NFC kernel (module-level so tests drive it on
+    crafted composed/decomposed/compat strings directly)."""
+    import unicodedata
+
+    out = []
+    for t in batch["text"].to_pylist():
+        t = t or ""
+        out.append(t if t.isascii() else unicodedata.normalize("NFC", t))
+    nfc = pa.array(out, pa.string())
+    src = pc.fill_null(batch["text"], "")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "nfc_text": nfc,
+        "changed": pc.not_equal(nfc, src),
+        "n_cp": pc.cast(pc.utf8_length(src), pa.int64()),
+        "n_cp_nfc": pc.cast(pc.utf8_length(nfc), pa.int64())})
+
+
 MIX_TARGET_DEN = 4  # mixed sample targets 1/4 of corpus tokens
 
 

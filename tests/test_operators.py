@@ -1583,6 +1583,52 @@ class TestTargetAffinity:
         assert len(tgt) == text_analysis.AFFINITY_BUCKETS
 
 
+class TestNfcKernel:
+    """Unicode NFC normalization kernel: unicodedata + DuckDB
+    nfc_normalize three-way differential on adversarial strings, ASCII
+    fast-path identity, null handling."""
+
+    CASES = ["caf\u00e9",            # composed (NFC identity)
+             "cafe\u0301",           # decomposed e+acute -> composes
+             "A\u030a",              # A+ring -> \u00c5
+             "\ufb01le",             # fi ligature (NFC keeps compat char)
+             "plain ascii", "",
+             "e\u0301\u0327 mixed a\u0308scii",   # multi-combining
+             "d\u0323\u0307",       # dot-below+dot-above canonical order
+             "\u0915\u093c"]        # devanagari ka+nukta (excluded pair)
+
+    def _run(self, texts):
+        from mobile_ocr_api_ray.pipelines.analysis import _nfc_kernel
+        return _nfc_kernel(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_three_way_differential(self):
+        import duckdb
+        import unicodedata
+        got = self._run(self.CASES)
+        con = duckdb.connect()
+        for i, t in enumerate(self.CASES):
+            py = unicodedata.normalize("NFC", t)
+            duck = con.execute("select nfc_normalize(?)", [t]).fetchone()[0]
+            assert py == duck, t
+            assert got["nfc_text"][i].as_py() == py
+            assert got["changed"][i].as_py() == (py != t)
+            assert got["n_cp"][i].as_py() == len(t)
+            assert got["n_cp_nfc"][i].as_py() == len(py)
+
+    def test_composed_shrinks(self):
+        got = self._run(["cafe\u0301"])
+        assert got["nfc_text"][0].as_py() == "caf\u00e9"
+        assert got["changed"][0].as_py() is True
+        assert (got["n_cp"][0].as_py(), got["n_cp_nfc"][0].as_py()) == (5, 4)
+
+    def test_null_and_ascii(self):
+        got = self._run([None, "abc"])
+        assert got["nfc_text"].to_pylist() == ["", "abc"]
+        assert got["changed"].to_pylist() == [False, False]
+
+
 class TestSourceUnigramKl:
     """Per-source unigram KL vs corpus: pure-python micro-nat
     differential, single-source zero, empty/null docs, partition
