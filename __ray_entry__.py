@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": a.pii_scrub_docs,
         # similarity search (SQL-checked via list_cosine_similarity)
         "ann_brute_topk": a.ann_brute_topk,
+        "embedding_quantized": a.embedding_quantized,
+        "ann_quantized_topk": a.ann_quantized_topk,
         "knn_graph_topk": a.knn_graph_topk,
         # non-SQL-expressible (rows-only checks)
         "ann_lsh_topk": a.ann_lsh_topk,
@@ -1980,6 +1982,30 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN (SELECT * FROM embeddings
                                  WHERE embedding IS NOT NULL) e)
             WHERE rnk <= 10 ORDER BY query_id, rnk""",
+        # int8 quantization exploded to rows: the floor(x·127/max|x|+0.5)
+        # code rule replayed over the same double casts; scale = max/127
+        # one division both sides. ann_quantized_topk (the recall probe)
+        # is rows-only — its dequantized dot product is a SIMD float sum.
+        "embedding_quantized": r"""
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> cast(x AS DOUBLE))
+                       AS v
+              FROM embeddings WHERE embedding IS NOT NULL),
+            s AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS mx
+                  FROM e),
+            ex AS (SELECT vec_id, mx, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS i
+                   FROM s)
+            SELECT vec_id, cast(i - 1 AS BIGINT) AS dim_idx,
+                   CASE WHEN mx > 0
+                        THEN cast(greatest(least(
+                                 floor(x * 127 / mx + 0.5),
+                                 127), -127) AS BIGINT)
+                        ELSE 0 END AS q,
+                   CASE WHEN mx > 0 THEN mx / 127 ELSE 0.0 END AS scale
+            FROM ex ORDER BY vec_id, dim_idx""",
         # URL blocklist over the simulated messy crawl: clean corpus urls
         # + one md5-hash-routed trap variant each; first-matching-rule
         # attribution mirrors the engine's pattern order (RE2 both sides).

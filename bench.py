@@ -144,6 +144,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("source_unigram_kl",
           lambda: a.source_unigram_kl_docs(sf_dir).to_pandas())
     timed("nfc_docs", lambda: a.nfc_docs(sf_dir).to_pandas())
+    timed("embedding_quantized",
+          lambda: a.embedding_quantized(sf_dir).to_pandas())
+    timed("ann_quantized_topk",
+          lambda: a.ann_quantized_topk(sf_dir).to_pandas())
     timed("compacted_shards_manifest",
           lambda: _pd(a.compacted_shards_manifest(sf_dir)))
     timed("quality_scores", lambda: a.quality_docs(sf_dir).to_pandas())

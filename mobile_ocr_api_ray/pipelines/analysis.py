@@ -1525,6 +1525,53 @@ def ann_lsh_topk(sf_dir: str):
     return res.map_batches(strip, batch_format="pyarrow").sort(["query_id", "rank"])
 
 
+def embedding_quantized(sf_dir: str):
+    """Int8 quantization of the embeddings table, EXPLODED to
+    (vec_id, dim_idx, q, scale) rows for the value-exact gate — the
+    storage form (scale + d-byte binary codes,
+    stages/similarity.quantize_int8) is what a 100-TB ANN corpus
+    persists; the floor(+0.5) code rule is replayed bit-for-bit by
+    DuckDB floor over the same double casts."""
+    q = similarity.quantize_int8(_embeddings(sf_dir))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        dims = batch["dim"].to_numpy(zero_copy_only=False)
+        scales = batch["scale"].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim_idx": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64()),
+                             "scale": pa.array([], pa.float64())})
+        d = int(dims[0])
+        codes = np.frombuffer(
+            b"".join(batch["q_bytes"].to_pylist()), np.int8)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d).astype(np.int64)),
+            "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(ids))),
+            "q": pa.array(codes.astype(np.int64)),
+            "scale": pa.array(np.repeat(scales, d), pa.float64())})
+
+    return (q.map_batches(explode, batch_format="pyarrow")
+            .sort(["vec_id", "dim_idx"]))
+
+
+def ann_quantized_topk(sf_dir: str):
+    """Cosine top-10 per fixed query over int8-quantized vectors
+    (stages/similarity.quantized_topk) — the recall probe for the
+    quantized storage path; same rank-only output discipline as
+    ann_brute_topk."""
+    res = similarity.quantized_topk(
+        _embeddings(sf_dir), _query_matrix(sf_dir), k=ANN_K)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "rank", "vec_id"])
+
+    return res.map_batches(strip, batch_format="pyarrow") \
+        .sort(["query_id", "rank"])
+
+
 def ann_ivf_topk(sf_dir: str):
     """IVF-bucketed ANN (k-means coarse quantizer, n_probe nearest lists)."""
     res = similarity.ivf_topk(_embeddings(sf_dir), _query_matrix(sf_dir), k=ANN_K)

@@ -106,6 +106,103 @@ def brute_topk(ds, queries: np.ndarray, k: int = 10, concurrency: int | None = N
     return _global_topk(candidates, k)
 
 
+# --------------------------------------------------- int8 quantization
+
+def _quantize_block(mat: np.ndarray):
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q = clamp(floor(x·127/max|x| + 0.5), ±127) — the floor(+0.5)
+    convention (NOT numpy's round-half-to-even) so DuckDB's floor
+    reproduces every code bit-for-bit. Zero vectors quantize to all-0
+    with scale 0. Returns (q int8 (n,d), scale float64 (n,))."""
+    mx = np.abs(mat).max(axis=1)
+    safe = np.where(mx > 0, mx, 1.0)
+    q = np.floor(mat * 127.0 / safe[:, None] + 0.5)
+    q = np.clip(q, -127.0, 127.0)
+    q[mx == 0] = 0.0
+    scale = np.where(mx > 0, mx / 127.0, 0.0)
+    return q.astype(np.int8), scale
+
+
+def quantize_int8(ds, *, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Storage-form int8 quantization of an embedding column — the 4×
+    memory/shuffle reduction that makes a 100-TB ANN corpus fit: per
+    vector, one float64 ``scale`` plus the codes as a d-byte ``binary``
+    payload (dequantize = q·scale). One vectorized streaming pass, no
+    shuffle; rows with null embeddings are dropped (the `_batch_matrix`
+    contract). Returns (id, dim, scale, q_bytes)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch, id_col, emb_col)
+        if len(ids) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "scale": pa.array([], pa.float64()),
+                "q_bytes": pa.array([], pa.binary())})
+        q, scale = _quantize_block(mat)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "dim": pa.array(np.full(len(ids), mat.shape[1], np.int64)),
+            "scale": pa.array(scale, pa.float64()),
+            "q_bytes": pa.array([r.tobytes() for r in q], pa.binary())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+class QuantBruteStage:
+    """Actor-pool stage: quantize the batch to int8, DEQUANTIZE, then
+    cosine vs broadcast queries → local top-k — the measurement harness
+    for what int8 storage costs in recall (pytest pins overlap vs the
+    exact `brute_topk` ranking)."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+        q = ray.get(queries_ref) \
+            if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.queries = _normalize(np.asarray(q, dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64())})
+        q, scale = _quantize_block(mat)
+        deq = q.astype(np.float64) * scale[:, None]
+        vecs = _normalize(deq)
+        sims = vecs @ self.queries.T
+        out_q, out_id, out_s = [], [], []
+        k = min(self.k, len(ids))
+        for qi in range(self.queries.shape[0]):
+            col = sims[:, qi]
+            order = np.lexsort((ids, -col))[:k]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+
+def quantized_topk(ds, queries: np.ndarray, k: int = 10,
+                   concurrency: int | None = None):
+    """Cosine top-k over int8-quantized (then dequantized) vectors.
+    Same shape as ``brute_topk``; returns (query_id, vec_id, cosine,
+    rank). Rows-only at the driver gate (the dequantized dot product is
+    a SIMD float sum — not order-replayable in SQL); recall vs the
+    exact ranking is pinned by test."""
+    import ray
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    candidates = ds.map_batches(
+        QuantBruteStage,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency or 4, num_cpus=0.5)
+    return _global_topk(candidates, k)
+
+
 # ------------------------------------------------------- LSH-bucketed ANN
 
 N_PLANES = 8  # default: 256 buckets

@@ -213,6 +213,36 @@ class TestSimilarity:
         recall = len(a & b) / len(b)
         assert recall >= 0.5  # ~34% scan fraction at (6 planes, probe<=2)
 
+    def test_quantize_int8_codes(self, ray_session):
+        # hand vector: max|x| = 1.0 -> scale 1/127, code = floor(127x+0.5)
+        mat = np.array([[0.5, -1.0, 0.25, 0.0],
+                        [0.0, 0.0, 0.0, 0.0]])
+        q, scale = similarity._quantize_block(mat)
+        assert q.dtype == np.int8
+        assert q[0].tolist() == [64, -127, 32, 0]
+        assert scale[0] == 1.0 / 127.0
+        assert q[1].tolist() == [0, 0, 0, 0] and scale[1] == 0.0
+        # round-trip error bounded by half a code step per component
+        deq = q[0].astype(np.float64) * scale[0]
+        assert np.abs(deq - mat[0]).max() <= scale[0] / 2 + 1e-12
+
+    def test_quantize_stage_bytes(self, ray_session, emb_ds):
+        out = similarity.quantize_int8(emb_ds).to_pandas()
+        assert len(out) == 200 and set(out.dim) == {32}
+        row = out.iloc[0]
+        codes = np.frombuffer(row.q_bytes, np.int8)
+        assert len(codes) == 32 and np.abs(codes).max() == 127
+
+    def test_quantized_recall_near_exact(self, ray_session, emb_ds):
+        rs = np.random.RandomState(5)
+        queries = rs.normal(size=(3, 32))
+        brute = similarity.brute_topk(emb_ds, queries, k=5).to_pandas()
+        quant = similarity.quantized_topk(emb_ds, queries, k=5).to_pandas()
+        b = {(q, v) for q, v in zip(brute.query_id, brute.vec_id)}
+        a = {(q, v) for q, v in zip(quant.query_id, quant.vec_id)}
+        # int8 keeps ~0.4% max component error: top-k should barely move
+        assert len(a & b) / len(b) >= 0.8
+
 
 class TestMultimodal:
     def test_image_decode(self, ray_session):
