@@ -694,7 +694,7 @@ def oracle_sql() -> dict[str, str]:
         # expression, so the per-source sum is an exact int64
         "source_unigram_kl": r"""
             WITH tok AS (
-              SELECT source,
+              SELECT coalesce(source, '') AS source,
                      unnest(regexp_extract_all(lower(coalesce(text, '')),
                                                '\w+')) AS word
               FROM documents),
@@ -1986,6 +1986,9 @@ def oracle_sql() -> dict[str, str]:
         # code rule replayed over the same double casts; scale = max/127
         # one division both sides. ann_quantized_topk (the recall probe)
         # is rows-only — its dequantized dot product is a SIMD float sum.
+        # Oracle assumes FINITE embeddings (the table contract): the
+        # engine codes null/NaN components to 0 and excludes them from
+        # max|x| (tested), where SQL NULL arithmetic would differ.
         "embedding_quantized": r"""
             WITH e AS (
               SELECT vec_id,

@@ -59,6 +59,11 @@ class BruteTopKStage:
         self.queries = _normalize(np.asarray(q, dtype=np.float64))
         self.k = k
 
+    def _prepare(self, mat: np.ndarray) -> np.ndarray:
+        """Hook for subclasses to transform the batch matrix before the
+        cosine pass (QuantBruteStage quantize→dequantizes here)."""
+        return mat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)
         if len(ids) == 0:  # empty/all-null block: norm(axis=1) on a 1-D
@@ -66,7 +71,7 @@ class BruteTopKStage:
                 "query_id": pa.array([], pa.int64()),
                 "vec_id": pa.array([], pa.int64()),
                 "cosine": pa.array([], pa.float64())})
-        vecs = _normalize(mat)
+        vecs = _normalize(self._prepare(mat))
         sims = vecs @ self.queries.T  # (n, q)
         out_q, out_id, out_s = [], [], []
         k = min(self.k, len(ids))
@@ -113,10 +118,15 @@ def _quantize_block(mat: np.ndarray):
     q = clamp(floor(x·127/max|x| + 0.5), ±127) — the floor(+0.5)
     convention (NOT numpy's round-half-to-even) so DuckDB's floor
     reproduces every code bit-for-bit. Zero vectors quantize to all-0
-    with scale 0. Returns (q int8 (n,d), scale float64 (n,))."""
-    mx = np.abs(mat).max(axis=1)
+    with scale 0. Non-finite components (a null list element surfaces
+    as NaN from `_batch_matrix`) are excluded from the max and code to
+    0 — NaN must not poison the row's scale, and NaN.astype(int8) is
+    platform-defined garbage. Returns (q int8 (n,d), scale float64)."""
+    finite = np.isfinite(mat)
+    absx = np.where(finite, np.abs(mat), 0.0)
+    mx = absx.max(axis=1)
     safe = np.where(mx > 0, mx, 1.0)
-    q = np.floor(mat * 127.0 / safe[:, None] + 0.5)
+    q = np.floor(np.where(finite, mat, 0.0) * 127.0 / safe[:, None] + 0.5)
     q = np.clip(q, -127.0, 127.0)
     q[mx == 0] = 0.0
     scale = np.where(mx > 0, mx / 127.0, 0.0)
@@ -149,41 +159,16 @@ def quantize_int8(ds, *, id_col: str = "vec_id", emb_col: str = "embedding"):
     return ds.map_batches(kernel, batch_format="pyarrow")
 
 
-class QuantBruteStage:
-    """Actor-pool stage: quantize the batch to int8, DEQUANTIZE, then
-    cosine vs broadcast queries → local top-k — the measurement harness
-    for what int8 storage costs in recall (pytest pins overlap vs the
-    exact `brute_topk` ranking)."""
+class QuantBruteStage(BruteTopKStage):
+    """`BruteTopKStage` with the batch matrix routed through int8
+    quantize→dequantize — the measurement harness for what int8 storage
+    costs in recall (pytest pins overlap vs the exact ranking). All
+    top-k/tie/empty-block conventions are inherited, so the two stages
+    cannot drift."""
 
-    def __init__(self, queries_ref, k: int):
-        import ray
-        q = ray.get(queries_ref) \
-            if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.queries = _normalize(np.asarray(q, dtype=np.float64))
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, mat = _batch_matrix(batch)
-        if len(ids) == 0:
-            return pa.table({
-                "query_id": pa.array([], pa.int64()),
-                "vec_id": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64())})
+    def _prepare(self, mat: np.ndarray) -> np.ndarray:
         q, scale = _quantize_block(mat)
-        deq = q.astype(np.float64) * scale[:, None]
-        vecs = _normalize(deq)
-        sims = vecs @ self.queries.T
-        out_q, out_id, out_s = [], [], []
-        k = min(self.k, len(ids))
-        for qi in range(self.queries.shape[0]):
-            col = sims[:, qi]
-            order = np.lexsort((ids, -col))[:k]
-            out_q.extend([qi] * len(order))
-            out_id.extend(ids[order].tolist())
-            out_s.extend(col[order].tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "vec_id": pa.array(out_id, pa.int64()),
-                         "cosine": pa.array(out_s, pa.float64())})
+        return q.astype(np.float64) * scale[:, None]
 
 
 def quantized_topk(ds, queries: np.ndarray, k: int = 10,

@@ -865,6 +865,10 @@ def source_unigram_kl(ds, *, n_buckets: int = AFFINITY_BUCKETS,
         c: Counter = Counter()
         for s, t in zip(batch[source_col].to_pylist(),
                         batch[text_col].to_pylist()):
+            # null group key folds to '' (the group_zscore convention —
+            # Ray's sort shuffle cannot compare None with str, and the
+            # SQL side coalesces identically)
+            s = s or ""
             for w, n in Counter(
                     word_re.findall((t or "").lower())).items():
                 c[(s, bucket(w))] += n
@@ -1323,8 +1327,16 @@ def bpe_encode(ds, merges: pa.Table, *, id_col: str = "doc_id",
     import re
 
     word_re = re.compile(r"\w+", re.ASCII)
-    ranks = {(l, r): i for i, (l, r) in enumerate(
-        zip(merges["left"].to_pylist(), merges["right"].to_pylist()))}
+    # priority comes from the rank COLUMN, not row order — a merge table
+    # read back from storage / sorted for inspection must segment the
+    # same way as the freshly-fitted one
+    if "rank" in merges.column_names:
+        ranks = {(l, r): int(k) for k, l, r in zip(
+            merges["rank"].to_pylist(), merges["left"].to_pylist(),
+            merges["right"].to_pylist())}
+    else:
+        ranks = {(l, r): i for i, (l, r) in enumerate(
+            zip(merges["left"].to_pylist(), merges["right"].to_pylist()))}
 
     def encode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

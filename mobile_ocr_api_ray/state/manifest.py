@@ -432,7 +432,26 @@ def compact_partitions(out_dir: str, compact_dir: str,
     if cur:
         groups.append(cur)
 
-    done = completed_partitions(compact_dir)
+    def _span(g: list) -> str:
+        return f"compact:{g[0]}-{g[-1]}"
+
+    # Resume is only valid against the SAME plan: groups are consecutive
+    # input ranges, so the input_shard span tag fully determines a
+    # group's membership. A completed group whose tag disagrees with
+    # this run's plan (different target_bytes, or the input dir gained
+    # partitions) would silently leave duplicated/stale rows on disk —
+    # refuse instead of corrupting.
+    done: dict[int, str] = {
+        int(m["partition_id"]): m.get("input_shard", "")
+        for m in _complete_manifests(compact_dir)}
+    for gid, tag in done.items():
+        if gid >= len(groups) or tag != _span(groups[gid]):
+            raise ValueError(
+                f"compact_dir {compact_dir!r} holds group {gid} "
+                f"({tag!r}) from a different compaction plan "
+                f"(this run: "
+                f"{_span(groups[gid]) if gid < len(groups) else 'absent'}"
+                f") — use a fresh compact_dir")
     todo = [(gid, g) for gid, g in enumerate(groups) if gid not in done]
     if todo:
         spec = pa.table({
@@ -444,20 +463,29 @@ def compact_partitions(out_dir: str, compact_dir: str,
             out = []
             for gid, pj in zip(batch["group_id"].to_pylist(),
                                batch["pids"].to_pylist()):
-                if gid in completed_partitions(compact_dir):
-                    continue   # resume race: another task finished it
+                # resume race: O(1) check of THIS group's manifest only
+                mpath = _manifest_path(compact_dir, gid)
+                if os.path.exists(mpath):
+                    try:
+                        with open(mpath) as fh:
+                            if json.load(fh).get("status") == "complete":
+                                continue
+                    except json.JSONDecodeError:
+                        pass   # torn write → redo the group
                 t0 = time.time()
                 pids = json.loads(pj)
                 tables = [pq.read_table(
                     os.path.join(out_dir, f"part-{p:05d}.parquet"))
                     for p in pids]
                 write_partition(pa.concat_tables(tables), compact_dir,
-                                gid, f"compact:{pids[0]}-{pids[-1]}", t0,
+                                gid, _span(pids), t0,
                                 key_col=key_col, text_col=text_col)
                 out.append(gid)
             return pa.table({"group_id": pa.array(out, pa.int32())})
 
-        ray.data.from_arrow(spec).map_batches(
+        # one block per group — map_batches parallelism is per BLOCK, so
+        # without the repartition the whole plan would run in one task
+        ray.data.from_arrow(spec).repartition(len(todo)).map_batches(
             compact, batch_size=1, batch_format="pyarrow").materialize()
 
     rows = []

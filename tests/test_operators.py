@@ -226,6 +226,17 @@ class TestSimilarity:
         deq = q[0].astype(np.float64) * scale[0]
         assert np.abs(deq - mat[0]).max() <= scale[0] / 2 + 1e-12
 
+    def test_quantize_nan_components(self, ray_session):
+        # a null list element surfaces as NaN: it must not poison the
+        # row's scale and must code to 0 (never NaN.astype(int8))
+        mat = np.array([[0.5, np.nan, -1.0, 0.25]])
+        q, scale = similarity._quantize_block(mat)
+        assert q[0].tolist() == [64, 0, -127, 32]
+        assert scale[0] == 1.0 / 127.0
+        allnan, s2 = similarity._quantize_block(
+            np.array([[np.nan, np.nan]]))
+        assert allnan[0].tolist() == [0, 0] and s2[0] == 0.0
+
     def test_quantize_stage_bytes(self, ray_session, emb_ds):
         out = similarity.quantize_int8(emb_ds).to_pandas()
         assert len(out) == 200 and set(out.dim) == {32}
@@ -1723,6 +1734,15 @@ class TestSourceUnigramKl:
             .to_pandas()
         assert list(got.kl_micro_nats) == [0]
 
+    def test_null_source_folds_to_empty(self, ray_session):
+        # null group keys fold to '' (the group_zscore convention; the
+        # SQL oracle coalesces identically)
+        got = text_analysis.source_unigram_kl(
+            self._mk(["alpha beta", "alpha gamma", "beta gamma"],
+                     [None, "", "s"], 2)).to_pandas()
+        assert list(got.source) == ["", "s"]
+        assert int(got[got.source == ""].n_tokens.iloc[0]) == 4
+
     def test_drift_ordering(self, ray_session):
         # a source sharing the corpus vocabulary diverges less than one
         # with disjoint vocabulary
@@ -2193,6 +2213,18 @@ class TestBpeEncode:
             .sort("doc_id").to_pandas()
         b = text_analysis.bpe_encode(self._ds(texts, 8), merges) \
             .sort("doc_id").to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_shuffled_merge_table_same_result(self, ray_session):
+        # priority must come from the rank COLUMN: a merge table sorted
+        # for inspection / read back from storage segments identically
+        ds = self._ds(self.CORPUS)
+        merges = text_analysis.bpe_merges(ds, n_merges=5)
+        shuffled = merges.sort_by([("left", "descending")])
+        a = text_analysis.bpe_encode(ds, merges).sort("doc_id") \
+            .to_pandas()
+        b = text_analysis.bpe_encode(ds, shuffled).sort("doc_id") \
+            .to_pandas()
         pd.testing.assert_frame_equal(a, b)
 
 

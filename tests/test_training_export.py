@@ -211,3 +211,18 @@ class TestCompaction:
         shutil.rmtree(d, ignore_errors=True)
         t = mstate.compact_partitions(d, os.path.join(d, "c"))
         assert t.num_rows == 0 and "content_digest" in t.column_names
+
+    def test_changed_plan_refused(self, ray_session):
+        # re-running with a different target_bytes against the same
+        # compact_dir must refuse, not silently mix two plans
+        out = self._export()
+        cdir = os.path.join(self.ROOT, "compact_plan")
+        total = sum(m["bytes"] for m in mstate._complete_manifests(out))
+        mstate.compact_partitions(out, cdir, target_bytes=total // 3 + 1)
+        with pytest.raises(ValueError, match="different compaction plan"):
+            mstate.compact_partitions(out, cdir,
+                                      target_bytes=total // 5 + 1)
+        # the SAME plan still resumes cleanly
+        t = mstate.compact_partitions(out, cdir,
+                                      target_bytes=total // 3 + 1)
+        assert int(pa.compute.sum(t["n_inputs"]).as_py()) == 8
