@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_page_stats": a.domain_page_stats,
         "page_links": a.page_links,
         "host_graph_edges": a.host_graph_edges,
+        "host_components": a.host_components,
         "host_pagerank": a.host_pagerank,
         "page_metadata": a.page_metadata,
         "title_body_pairs": a.title_body_pairs,
@@ -2127,6 +2128,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM l2)
             SELECT src_host, dst_host, count(*) AS n_links
             FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+        # weakly-connected components over the same edge rollup:
+        # recursive min-reachability fixpoint, component = lexicographic
+        # min member host (the engine recovers min(host) after labeling,
+        # so both sides agree on the representative by construction)
+        "host_components": rf"""
+            WITH RECURSIVE p AS (SELECT url, {_HTML_DOC_SQL} AS doc
+                       FROM read_parquet('{pg}')
+                       WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'),
+            l AS (SELECT url AS src_url,
+                         unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 1)) AS href
+                  FROM p),
+            l2 AS (SELECT src_url, trim(href) AS href FROM l
+                   WHERE trim(href) <> ''
+                     AND (starts_with(trim(href), '/')
+                          OR lower(trim(href)) LIKE 'http://%'
+                          OR lower(trim(href)) LIKE 'https://%')),
+            e AS (SELECT lower(regexp_extract(src_url, '{_HOST_SQL_RE}', 1)) AS src_host,
+                         CASE WHEN lower(href) LIKE 'http://%'
+                                OR lower(href) LIKE 'https://%'
+                              THEN lower(regexp_extract(href, '{_HOST_SQL_RE}', 1))
+                              ELSE lower(regexp_extract(src_url, '{_HOST_SQL_RE}', 1))
+                         END AS dst_host
+                  FROM l2),
+            ed AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM e),
+            und AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+            nodes AS (SELECT DISTINCT a AS node FROM und),
+            reach(node, lbl) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT u.a, r.lbl FROM und u JOIN reach r ON u.b = r.node)
+            SELECT node AS host, min(lbl) AS component
+            FROM reach GROUP BY 1 ORDER BY 1""",
         # recrawl capture dedup: gen1 ∪ (gen2 = +7 days), newest capture
         # per url under the engine's (warc_ts, crawl_gen) total order
         "latest_capture_per_url": rf"""

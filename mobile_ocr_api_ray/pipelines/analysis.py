@@ -1975,6 +1975,24 @@ def host_pagerank(sf_dir: str):
     return out if isinstance(out, pa.Table) else out.sort("node")
 
 
+def host_components(sf_dir: str):
+    """Weakly-connected components of the host link graph
+    (stages/linkgraph.host_components): component id = lexicographically
+    smallest member host; value-exact vs a recursive-CTE min-reachability
+    oracle over the same edge rollup."""
+    from ..stages import linkgraph
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    links = pages.map_batches(linkgraph.extract_links,
+                              batch_format="pyarrow")
+    edges = linkgraph.host_edges(links,
+                                 n_coarse=_pages_coarse_hint(sf_dir))
+    out = linkgraph.host_components(edges)
+    return out if isinstance(out, pa.Table) else out.sort("host")
+
+
 def canonical_capture_dedup(sf_dir: str):
     """Capture dedup keyed on the CANONICAL url: a simulated recrawl
     re-observes every page under a mangled variant (uppercased scheme,

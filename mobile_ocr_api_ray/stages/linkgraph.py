@@ -482,3 +482,106 @@ def anchor_text_index(links_ds, n_coarse: int | None = None,
     return nonempty_or_typed_table(out, {
         "dst_url": pa.string(), "n_inlinks": pa.int64(),
         "anchor_texts": pa.string()})
+
+
+# ------------------------------------------------- connected components
+
+def host_components(edges_ds, src_col: str = "src_host",
+                    dst_col: str = "dst_host",
+                    local_edges_max: int = 200_000):
+    """Weakly-connected components of the host link graph; component id =
+    the lexicographically smallest member host (recovered AFTER labeling,
+    so the result never depends on internal label values).
+
+    ≤ ``local_edges_max`` edges (the pagerank convention — the host edge
+    ROLLUP is hosts²-sparse and orders of magnitude smaller than the
+    corpus): driver-local union-find with min-string roots, bit-exact vs
+    the recursive-CTE SQL oracle. Above the cap: each host maps to a
+    63-bit md5 id, `stages/dedup.dup_clusters` runs its distributed
+    min-label fixpoint over the id pairs, a co-partitioned hash_join
+    decorates hosts with their labels, and a per-label map_groups emits
+    component = min(host) — three bounded-by-the-rollup exchanges, never
+    the corpus. (The 63-bit id space makes a cross-host collision — which
+    could merge two components — a ~n²/2^64 event; below the cap the
+    exact path runs instead.)
+
+    Returns (host, component) sorted by host; isolated hosts (no edges)
+    do not appear, matching the edge-derived node set on the SQL side.
+    """
+    import hashlib
+
+    import ray.data  # noqa: F401
+
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "component": pa.array([], pa.string())})
+    if isinstance(edges_ds, pa.Table):   # typed-empty rollup
+        return empty
+    edges_mat = edges_ds.materialize()
+    n_edges = edges_mat.count()
+    if n_edges == 0:
+        return empty
+
+    if n_edges <= local_edges_max:
+        edf = edges_mat.to_pandas()
+        parent: dict = {}
+        for h in set(edf[src_col]) | set(edf[dst_col]):
+            parent[h] = h
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]   # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(edf[src_col], edf[dst_col]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min-string root ⇒ every root IS its component's min
+                parent[max(ra, rb)] = min(ra, rb)
+        hosts = sorted(parent)
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "component": pa.array([find(h) for h in hosts], pa.string())})
+
+    from . import dedup as _dedup
+    from .joins import hash_join
+
+    def _h63(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:16], 16) >> 1
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": pa.array([_h63(s or "") for s in
+                              batch[src_col].to_pylist()], pa.int64()),
+            "id_b": pa.array([_h63(s or "") for s in
+                              batch[dst_col].to_pylist()], pa.int64())})
+
+    labels = _dedup.dup_clusters(
+        edges_mat.map_batches(to_pairs, batch_format="pyarrow"))
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        hosts = ([s or "" for s in batch[src_col].to_pylist()]
+                 + [s or "" for s in batch[dst_col].to_pylist()])
+        hosts = sorted(set(hosts))
+        return pa.table({
+            "host": pa.array(hosts, pa.string()),
+            "h": pa.array([_h63(s) for s in hosts], pa.int64())})
+
+    def _first_typed(df: pd.DataFrame) -> pa.Table:
+        # distinct + back to ARROW types in one step: hash_join reads
+        # .schema() and pandas blocks would hand it python classes
+        return pa.table({
+            "host": pa.array(df["host"].head(1), pa.string()),
+            "h": pa.array(df["h"].head(1).astype("int64"), pa.int64())})
+
+    nodes = (edges_mat.map_batches(node_rows, batch_format="pyarrow")
+             .groupby("host").map_groups(
+                 _first_typed, batch_format="pandas"))
+    joined = hash_join(nodes, labels, "h", "src")
+
+    def comp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": df["host"],
+                             "component": df["host"].min()})
+
+    return joined.groupby("label").map_groups(
+        comp, batch_format="pandas").sort("host")

@@ -310,3 +310,45 @@ class TestPageRankEdgeCases:
             [("a", "b", 3), ("b", "a", 1)])))
         for k in merged:
             assert a[k] == pytest.approx(merged[k], rel=1e-12)
+
+
+class TestHostComponents:
+    """Weakly-connected components: hand graphs, local ≡ distributed
+    (cap forced to 0), empty/typed-empty inputs."""
+
+    @staticmethod
+    def _comp(out) -> dict:
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        return dict(zip(df["host"], df["component"]))
+
+    def test_hand_graph(self, ray_session):
+        rows = [("b", "a", 1), ("b", "c", 2),     # chain a-b-c
+                ("x", "y", 1),                    # pair
+                ("s", "s", 3)]                    # self-loop singleton
+        got = self._comp(linkgraph.host_components(edges_ds(rows)))
+        assert got == {"a": "a", "b": "a", "c": "a",
+                       "x": "x", "y": "x", "s": "s"}
+
+    def test_local_matches_distributed(self, ray_session):
+        rows = [(f"h{i}", f"h{(i + 1) % 7}", 1) for i in range(7)]
+        rows += [(f"m{i}", f"m{i + 1}", 1) for i in range(5)]
+        rows += [("lone", "lone", 1)]
+        local = self._comp(linkgraph.host_components(edges_ds(rows)))
+        dist = self._comp(linkgraph.host_components(
+            edges_ds(rows), local_edges_max=0))
+        assert local == dist
+
+    def test_empty(self, ray_session):
+        import ray.data
+        out = linkgraph.host_components(ray.data.from_arrow(pa.table({
+            "src_host": pa.array([], pa.string()),
+            "dst_host": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64())})))
+        assert isinstance(out, pa.Table) and out.num_rows == 0
+        # typed-empty rollup (the host_edges empty contract)
+        out2 = linkgraph.host_components(pa.table({
+            "src_host": pa.array([], pa.string()),
+            "dst_host": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64())}))
+        assert out2.num_rows == 0
+        assert out2.column_names == ["host", "component"]
