@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_links": a.page_links,
         "host_graph_edges": a.host_graph_edges,
         "host_components": a.host_components,
+        "host_hits": a.host_hits,
         "host_pagerank": a.host_pagerank,
         "page_metadata": a.page_metadata,
         "title_body_pairs": a.title_body_pairs,

@@ -147,6 +147,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("embedding_quantized",
           lambda: a.embedding_quantized(sf_dir).to_pandas())
     timed("host_components", lambda: _pd(a.host_components(sf_dir)))
+    timed("host_hits", lambda: _pd(a.host_hits(sf_dir)))
     timed("ann_quantized_topk",
           lambda: a.ann_quantized_topk(sf_dir).to_pandas())
     timed("compacted_shards_manifest",

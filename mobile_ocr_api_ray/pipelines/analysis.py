@@ -1975,6 +1975,25 @@ def host_pagerank(sf_dir: str):
     return out if isinstance(out, pa.Table) else out.sort("node")
 
 
+def host_hits(sf_dir: str):
+    """HITS hubs/authorities over the host link graph
+    (stages/linkgraph.hits, 10 rounds, L1-normalized half-steps,
+    deterministic sorted summation). Rows-only at the gate — iterated
+    float products have no SQL form (the host_pagerank justification);
+    local ≡ distributed and numpy differentials pin it."""
+    from ..stages import linkgraph
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    links = pages.map_batches(linkgraph.extract_links,
+                              batch_format="pyarrow")
+    edges = linkgraph.host_edges(links,
+                                 n_coarse=_pages_coarse_hint(sf_dir))
+    out = linkgraph.hits(edges)
+    return out if isinstance(out, pa.Table) else out.sort("node")
+
+
 def host_components(sf_dir: str):
     """Weakly-connected components of the host link graph
     (stages/linkgraph.host_components): component id = lexicographically

@@ -585,3 +585,204 @@ def host_components(edges_ds, src_col: str = "src_host",
 
     return joined.groupby("label").map_groups(
         comp, batch_format="pandas").sort("host")
+
+
+# ------------------------------------------------- HITS (hubs/authorities)
+
+def _hits_bucket_total(s: pd.Series) -> float:
+    """Fixed 64-bucket crc32 normalization tree (the dangling-mass
+    convention): per-bucket node-sorted sums, buckets summed in index
+    order — the total is independent of partitioning, so the local and
+    distributed paths normalize with the SAME float."""
+    nodes = list(s.index)
+    df = pd.DataFrame({"node": nodes, "v": s.to_numpy(np.float64),
+                       "b": _str_coarse(nodes, _DANGLING_BUCKETS)}) \
+        .sort_values(["b", "node"], kind="mergesort")
+    tot = 0.0
+    for _, grp in df.groupby("b", sort=True):
+        tot += float(grp["v"].sum())
+    return tot
+
+
+def _hits_local(edges: pd.DataFrame, n_iter: int) -> pa.Table:
+    """Driver-local HITS, bit-identical to the distributed path: per-key
+    sums in (key, other, c)-sorted order, L1 normalization through the
+    fixed bucket tree."""
+    edges = edges[edges["w"] > 0]
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    n = len(nodes)
+    hub = pd.Series(np.full(n, 1.0 / n), index=nodes)
+    auth = pd.Series(np.full(n, 1.0 / n), index=nodes)
+    w = edges["w"].to_numpy(np.float64)
+    for _ in range(n_iter):
+        c = pd.DataFrame({"dst": edges["dst"], "src": edges["src"],
+                          "c": w * hub[edges["src"]].to_numpy(np.float64)})
+        g = c.sort_values(["dst", "src", "c"], kind="mergesort") \
+             .groupby("dst", sort=True)["c"].sum()
+        auth = g.reindex(nodes, fill_value=0.0)
+        ta = _hits_bucket_total(auth)
+        if ta > 0:
+            auth = auth / ta
+        c2 = pd.DataFrame({"src": edges["src"], "dst": edges["dst"],
+                           "c": w * auth[edges["dst"]].to_numpy(np.float64)})
+        g2 = c2.sort_values(["src", "dst", "c"], kind="mergesort") \
+               .groupby("src", sort=True)["c"].sum()
+        hub = g2.reindex(nodes, fill_value=0.0)
+        th = _hits_bucket_total(hub)
+        if th > 0:
+            hub = hub / th
+    return pa.table({"node": pa.array(nodes, pa.string()),
+                     "hub": pa.array(hub.to_numpy(np.float64)),
+                     "authority": pa.array(auth.to_numpy(np.float64))})
+
+
+def hits(edges_ds, n_iter: int = 10, src_col: str = "src_host",
+         dst_col: str = "dst_host", weight_col: str = "n_links",
+         local_edges_max: int = 200_000):
+    """Weighted HITS (Kleinberg 1999) over an edge table: per round,
+    authority(v) = Σ_{u→v} w·hub(u) then hub(u) = Σ_{u→v} w·authority(v),
+    each half-step L1-normalized. Scores from the uniform start, fixed
+    ``n_iter`` rounds.
+
+    ≤ ``local_edges_max`` edges: the bit-exact driver form (the pagerank
+    local-path bound — the host rollup, never the corpus). Above it, a
+    fully distributed round built from owned primitives: a co-partitioned
+    string-key `hash_join` (edges ⨝ scores, 2 bucketed exchanges), a
+    key-grouped sum in (key, other, c)-sorted order (float determinism —
+    the pagerank summation convention), and L1 normalization through the
+    fixed 64-bucket crc32 tree (what reaches the driver is 64 floats,
+    never the score table). Each round's score tables materialize
+    (rollup-proportional) so rounds don't re-execute lineage.
+
+    Returns (node, hub, authority); both scores sum to 1 up to float
+    rounding. Rows-only at the oracle gate (iterated float products — no
+    SQL form), pinned by local ≡ distributed and numpy differentials."""
+    import ray.data  # noqa: F401
+
+    from .joins import hash_join
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "hub": pa.array([], pa.float64()),
+                      "authority": pa.array([], pa.float64())})
+    if isinstance(edges_ds, pa.Table):
+        return empty
+
+    def positive(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(
+            batch[weight_col].cast(pa.int64()), pa.scalar(0, pa.int64())))
+        return pa.table({
+            "src": t[src_col].cast(pa.string()),
+            "dst": t[dst_col].cast(pa.string()),
+            "w": t[weight_col].cast(pa.int64())})
+
+    edges_mat = edges_ds.map_batches(
+        positive, batch_format="pyarrow").materialize()
+    n_edges = edges_mat.count()
+    if n_edges == 0:
+        return empty
+    if n_edges <= local_edges_max:
+        return _hits_local(edges_mat.to_pandas(), n_iter)
+
+    # ---------------- distributed path ----------------
+    def node_rows(batch: pa.Table) -> pa.Table:
+        hosts = sorted(set(batch["src"].to_pylist())
+                       | set(batch["dst"].to_pylist()))
+        return pa.table({"node": pa.array(hosts, pa.string())})
+
+    def first_node(df: pd.DataFrame) -> pa.Table:
+        return pa.table({"node": pa.array(df["node"].head(1), pa.string())})
+
+    nodes = (edges_mat.map_batches(node_rows, batch_format="pyarrow")
+             .groupby("node").map_groups(first_node, batch_format="pandas")
+             .materialize())
+    n_nodes = nodes.count()
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "v": pa.array(np.full(batch.num_rows, 1.0 / n_nodes))})
+
+    def _bucket_total(scores) -> float:
+        def partial(df: pd.DataFrame) -> pa.Table:
+            d = df.sort_values("node", kind="mergesort")
+            return pa.table({
+                "b": pa.array([int(df["b"].iloc[0])], pa.int32()),
+                "t": pa.array([float(d["v"].sum())], pa.float64())})
+
+        tagged = scores.map_batches(
+            lambda b: b.append_column("b", pa.array(
+                _str_coarse(b["node"], _DANGLING_BUCKETS)
+                .astype(np.int32))),
+            batch_format="pyarrow")
+        rows = (tagged.groupby("b").map_groups(
+            partial, batch_format="pandas").to_pandas()
+            .sort_values("b", kind="mergesort"))
+        tot = 0.0
+        for t in rows["t"]:
+            tot += float(t)
+        return tot
+
+    def _half_step(scores, join_key: str, out_key: str, other: str):
+        # edges ⨝ scores on join_key → per-edge contribution w·v,
+        # regrouped per out_key and summed in (out_key, other, c)-sorted
+        # order; nodes absent from any edge keep score 0 via the node
+        # table union
+        j = hash_join(edges_mat, scores, join_key, "node")
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": batch[out_key],
+                "other": batch[join_key],
+                "c": pa.array(
+                    batch["w"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    * batch["v"].to_numpy(zero_copy_only=False))})
+
+        def zero_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": batch["node"],
+                "other": pa.array([""] * batch.num_rows, pa.string()),
+                "c": pa.array(np.zeros(batch.num_rows))})
+
+        def ksum(df: pd.DataFrame) -> pa.Table:
+            d = df.sort_values(["key", "other", "c"], kind="mergesort")
+            return pa.table({
+                "node": pa.array([d["key"].iloc[0]], pa.string()),
+                "v": pa.array([float(d["c"].sum())], pa.float64())})
+
+        out = (j.map_batches(contrib, batch_format="pyarrow")
+               .union(nodes.map_batches(zero_rows, batch_format="pyarrow"))
+               .groupby("key").map_groups(ksum, batch_format="pandas")
+               .materialize())
+        total = _bucket_total(out)
+        if total <= 0:
+            return out
+
+        def scale(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["node"],
+                "v": pa.array(
+                    batch["v"].to_numpy(zero_copy_only=False) / total)})
+
+        return out.map_batches(scale, batch_format="pyarrow").materialize()
+
+    hub = nodes.map_batches(init_scores, batch_format="pyarrow") \
+        .materialize()
+    auth = hub
+    for _ in range(n_iter):
+        auth = _half_step(hub, "src", "dst", "src")
+        hub = _half_step(auth, "dst", "src", "dst")
+
+    # final assembly: hub table joins authority driver-side is NOT
+    # scale-safe; keep it distributed via hash_join on the node key
+    auth_renamed = auth.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "authority": b["v"]}),
+        batch_format="pyarrow")
+    merged = hash_join(
+        hub.map_batches(lambda b: pa.table(
+            {"node": b["node"], "hub": b["v"]}), batch_format="pyarrow"),
+        auth_renamed.map_batches(lambda b: b.rename_columns(
+            ["node2", "authority"]), batch_format="pyarrow"),
+        "node", "node2")
+    return merged.select_columns(["node", "hub", "authority"])

@@ -352,3 +352,74 @@ class TestHostComponents:
             "n_links": pa.array([], pa.int64())}))
         assert out2.num_rows == 0
         assert out2.column_names == ["host", "component"]
+
+
+def numpy_hits(rows, n_iter=10):
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, t, k in rows:
+        W[idx[s], idx[t]] += k
+    hub = np.full(n, 1.0 / n)
+    auth = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        auth = W.T @ hub
+        if auth.sum() > 0:
+            auth = auth / auth.sum()
+        hub = W @ auth
+        if hub.sum() > 0:
+            hub = hub / hub.sum()
+    return (dict(zip(nodes, hub)), dict(zip(nodes, auth)))
+
+
+class TestHits:
+    """HITS hubs/authorities: structure on a star graph, numpy
+    differential, local ≡ distributed, empty edges."""
+
+    @staticmethod
+    def _scores(out):
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        return (dict(zip(df["node"], df["hub"])),
+                dict(zip(df["node"], df["authority"])))
+
+    def test_star_structure(self, ray_session):
+        # every leaf links to the center: center is the top authority,
+        # leaves are the (equal) top hubs
+        rows = [(f"leaf{i}", "center", 1) for i in range(4)]
+        hub, auth = self._scores(linkgraph.hits(edges_ds(rows)))
+        assert max(auth, key=auth.get) == "center"
+        assert auth["center"] == pytest.approx(1.0)
+        for i in range(4):
+            assert hub[f"leaf{i}"] == pytest.approx(0.25)
+        assert hub["center"] == 0.0
+
+    def test_differential_vs_numpy(self, ray_session):
+        rows = [("a", "b", 2), ("b", "c", 1), ("c", "a", 3),
+                ("a", "c", 1), ("d", "a", 5), ("d", "c", 1)]
+        hub, auth = self._scores(linkgraph.hits(edges_ds(rows)))
+        nh, na = numpy_hits(rows)
+        for n in nh:
+            assert hub[n] == pytest.approx(nh[n], rel=1e-9)
+            assert auth[n] == pytest.approx(na[n], rel=1e-9)
+        assert sum(hub.values()) == pytest.approx(1.0, abs=1e-9)
+        assert sum(auth.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_local_matches_distributed(self, ray_session):
+        rows = [("a", "b", 2), ("b", "c", 1), ("c", "a", 3),
+                ("d", "a", 5), ("d", "c", 1), ("e", "e", 1)]
+        loc = self._scores(linkgraph.hits(edges_ds(rows), n_iter=3))
+        dist = self._scores(linkgraph.hits(edges_ds(rows), n_iter=3,
+                                           local_edges_max=0))
+        assert set(loc[0]) == set(dist[0])
+        for n in loc[0]:
+            assert loc[0][n] == dist[0][n]   # bit-exact
+            assert loc[1][n] == dist[1][n]
+
+    def test_empty(self, ray_session):
+        import ray.data
+        out = linkgraph.hits(ray.data.from_arrow(pa.table({
+            "src_host": pa.array([], pa.string()),
+            "dst_host": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64())})))
+        assert isinstance(out, pa.Table) and out.num_rows == 0
