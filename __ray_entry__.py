@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encoded_docs": a.bpe_encoded_docs,
         "pmi_top_bigrams": a.pmi_top_bigrams,
         "source_unigram_kl": a.source_unigram_kl_docs,
+        "source_jsd_matrix": a.source_jsd_matrix_docs,
         "compacted_shards_manifest": a.compacted_shards_manifest,
         "dsir_resampled_docs": a.dsir_resampled_docs,
         "quality_scores": a.quality_docs,
@@ -727,6 +728,59 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(t.q) AS BIGINT) / 1000000.0 AS kl
             FROM terms t JOIN ns USING (source)
             GROUP BY t.source, ns.n_s ORDER BY t.source""",
+        # pairwise source JSD: same bucket rule as source_unigram_kl;
+        # per-(pair,bucket) term floor-quantized to micro-nats with the
+        # identical 0.5·p·ln(p/m)+0.5·q·ln(q/m) expression (both-zero
+        # grid cells excluded on both sides), int64 per-pair sums
+        "source_jsd_matrix": r"""
+            WITH tok AS (
+              SELECT coalesce(source, '') AS source,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\w+')) AS word
+              FROM documents),
+            b AS (
+              SELECT source,
+                     cast(cast(('0x' || substring(md5(word), 1, 8))
+                               AS UBIGINT) % 4096 AS BIGINT) AS bucket
+              FROM tok),
+            sb AS (SELECT source, bucket, cast(count(*) AS BIGINT) AS c
+                   FROM b GROUP BY 1, 2),
+            ns AS (SELECT source, cast(sum(c) AS BIGINT) AS n_s
+                   FROM sb GROUP BY 1),
+            pr AS (SELECT a.source AS sa, a.n_s AS na,
+                          b2.source AS sbb, b2.n_s AS nb
+                   FROM ns a JOIN ns b2 ON a.source < b2.source),
+            bk AS (SELECT DISTINCT bucket FROM sb),
+            grid AS (
+              SELECT pr.sa, pr.sbb, pr.na, pr.nb, bk.bucket,
+                     coalesce(c1.c, 0) AS c1, coalesce(c2.c, 0) AS c2
+              FROM pr CROSS JOIN bk
+              LEFT JOIN sb c1 ON c1.source = pr.sa
+                             AND c1.bucket = bk.bucket
+              LEFT JOIN sb c2 ON c2.source = pr.sbb
+                             AND c2.bucket = bk.bucket
+              WHERE coalesce(c1.c, 0) > 0 OR coalesce(c2.c, 0) > 0),
+            t AS (
+              SELECT sa, sbb,
+                     cast(floor((CASE WHEN c1 > 0
+                       THEN 0.5 * (cast(c1 AS DOUBLE) / cast(na AS DOUBLE))
+                            * ln((cast(c1 AS DOUBLE) / cast(na AS DOUBLE))
+                                 / ((cast(c1 AS DOUBLE) / cast(na AS DOUBLE)
+                                     + cast(c2 AS DOUBLE)
+                                       / cast(nb AS DOUBLE)) / 2))
+                       ELSE 0 END
+                       + CASE WHEN c2 > 0
+                       THEN 0.5 * (cast(c2 AS DOUBLE) / cast(nb AS DOUBLE))
+                            * ln((cast(c2 AS DOUBLE) / cast(nb AS DOUBLE))
+                                 / ((cast(c1 AS DOUBLE) / cast(na AS DOUBLE)
+                                     + cast(c2 AS DOUBLE)
+                                       / cast(nb AS DOUBLE)) / 2))
+                       ELSE 0 END) * 1000000) AS BIGINT) AS q
+              FROM grid)
+            SELECT sa AS source_a, sbb AS source_b,
+                   cast(sum(q) AS BIGINT) AS jsd_micro_nats,
+                   cast(sum(q) AS BIGINT) / 1000000.0 AS jsd
+            FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
         # PMI collocations: same \w+ tokenizer on both sides; pmi is one
         # libm ln over exact int counts in the identical
         # cast-multiply-divide order (DuckDB ln ≡ math.log bit-for-bit,

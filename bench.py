@@ -143,6 +143,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("pmi_top_bigrams", lambda: a.pmi_top_bigrams(sf_dir).to_pandas())
     timed("source_unigram_kl",
           lambda: a.source_unigram_kl_docs(sf_dir).to_pandas())
+    timed("source_jsd_matrix",
+          lambda: a.source_jsd_matrix_docs(sf_dir).to_pandas())
     timed("nfc_docs", lambda: a.nfc_docs(sf_dir).to_pandas())
     timed("embedding_quantized",
           lambda: a.embedding_quantized(sf_dir).to_pandas())

@@ -2964,6 +2964,18 @@ def source_unigram_kl_docs(sf_dir: str):
     return ray.data.from_arrow(t)
 
 
+def source_jsd_matrix_docs(sf_dir: str):
+    """Pairwise Jensen–Shannon divergence between source slices
+    (stages/text_analysis.source_jsd_matrix): symmetric bounded drift
+    over the shared hashed-4096-bucket unigram distributions, per-pair
+    micro-nat int sums so the SQL oracle reproduces it bit-for-bit."""
+    import ray.data
+
+    t = text_analysis.source_jsd_matrix(
+        _docs(sf_dir, ["text", "source"]))
+    return ray.data.from_arrow(t)
+
+
 def inverted_index_docs(sf_dir: str, k: int = 100):
     """Inverted-index build over the documents table: posting rows
     (word, df, doc_id) for the k highest-df terms

@@ -852,7 +852,17 @@ def source_unigram_kl(ds, *, n_buckets: int = AFFINITY_BUCKETS,
     SUM is an order-independent int64 sum and the float ``kl`` is one
     division of it. Returns (source, n_tokens, kl_micro_nats, kl)
     sorted by source."""
-    import math
+    return _kl_from_bucket_rows(
+        _source_bucket_rows(ds, n_buckets, source_col, text_col))
+
+
+def _source_bucket_rows(ds, n_buckets: int, source_col: str,
+                        text_col: str) -> list:
+    """Bounded (source, bucket, c) hashed-unigram count table: per-batch
+    combiner (≤ n_sources × n_buckets partials regardless of text
+    volume) → ONE groupby → driver list (the vocab_coverage convention —
+    never corpus-scale). Shared by `source_unigram_kl` and
+    `source_jsd_matrix`."""
     import re
     from collections import Counter
 
@@ -880,7 +890,15 @@ def source_unigram_kl(ds, *, n_buckets: int = AFFINITY_BUCKETS,
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["source", "bucket"])
            .aggregate(Sum("c", alias_name="c")))
-    rows = agg.take_all()   # bounded: ≤ n_sources × n_buckets
+    return agg.take_all()   # bounded: ≤ n_sources × n_buckets
+
+
+def _kl_from_bucket_rows(rows) -> pa.Table:
+    """Driver reduce of `source_unigram_kl` over the bounded
+    (source, bucket, c) table (split out so `source_jsd_matrix` shares
+    the aggregation)."""
+    import math
+
     n_s: dict = {}
     c_b: dict = {}
     for r in rows:
@@ -902,6 +920,59 @@ def source_unigram_kl(ds, *, n_buckets: int = AFFINITY_BUCKETS,
         "n_tokens": pa.array([n_s[s] for s in srcs], pa.int64()),
         "kl_micro_nats": pa.array(micro, pa.int64()),
         "kl": pa.array([m / 1000000.0 for m in micro], pa.float64())})
+
+
+def source_jsd_matrix(ds, *, n_buckets: int = AFFINITY_BUCKETS,
+                      source_col: str = "source", text_col: str = "text"):
+    """Pairwise Jensen–Shannon divergence between every two sources'
+    hashed-unigram distributions — the symmetric, bounded (≤ ln 2)
+    companion to `source_unigram_kl` for answering "which corpus slices
+    mirror each other" (mixture design / provenance QC).
+
+    Same bounded (source, bucket, c) table; the driver reduce touches
+    n_sources²/2 pairs × n_buckets terms, still vocab-scale. Per
+    (pair, bucket) the term
+
+        0.5·p·ln(p/m) + 0.5·q·ln(q/m),  m = (p+q)/2
+
+    is evaluated with libm ``math.log`` in the same cast order as the
+    SQL and floor-quantized to integer micro-nats, so per-pair sums are
+    order-independent int64 (the source_unigram_kl convention). Returns
+    (source_a < source_b, jsd_micro_nats, jsd) sorted by the pair."""
+    import math
+
+    rows = _source_bucket_rows(ds, n_buckets, source_col, text_col)
+    n_s: dict = {}
+    by_src: dict = {}
+    for r in rows:
+        s, b, c = r["source"], int(r["bucket"]), int(r["c"])
+        n_s[s] = n_s.get(s, 0) + c
+        by_src.setdefault(s, {})[b] = c
+    srcs = sorted(n_s)
+    pairs = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            ca, cb = by_src[sa], by_src[sb]
+            na, nb = n_s[sa], n_s[sb]
+            micro = 0
+            for b in set(ca) | set(cb):
+                c1, c2 = ca.get(b, 0), cb.get(b, 0)
+                p = float(c1) / float(na)
+                q = float(c2) / float(nb)
+                m = (p + q) / 2.0
+                term = 0.0
+                if c1 > 0:
+                    term = term + 0.5 * p * math.log(p / m)
+                if c2 > 0:
+                    term = term + 0.5 * q * math.log(q / m)
+                micro += int(math.floor(term * 1000000.0))
+            pairs.append((sa, sb, micro))
+    return pa.table({
+        "source_a": pa.array([p[0] for p in pairs], pa.string()),
+        "source_b": pa.array([p[1] for p in pairs], pa.string()),
+        "jsd_micro_nats": pa.array([p[2] for p in pairs], pa.int64()),
+        "jsd": pa.array([p[2] / 1000000.0 for p in pairs],
+                        pa.float64())})
 
 
 def affinity_resample(scored, *, id_col: str = "doc_id"):

@@ -1763,6 +1763,91 @@ class TestSourceUnigramKl:
         pd.testing.assert_frame_equal(a_, b_)
 
 
+class TestSourceJsd:
+    """Pairwise source JSD: pure-python differential, identical-slices
+    zero, disjoint-vocab → ln 2, bounds, partition invariance."""
+
+    @staticmethod
+    def _mk(texts, srcs, parts=3):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(srcs, pa.string())})).repartition(parts)
+
+    @staticmethod
+    def _brute(texts, srcs):
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        def h(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4096
+
+        sb: Counter = Counter()
+        for s, t in zip(srcs, texts):
+            for w in re.findall(r"\w+", (t or "").lower(), re.ASCII):
+                sb[(s or "", h(w))] += 1
+        n_s: Counter = Counter()
+        for (s, b), c in sb.items():
+            n_s[s] += c
+        out = {}
+        srcs_u = sorted(n_s)
+        for i, sa in enumerate(srcs_u):
+            for sbb in srcs_u[i + 1:]:
+                micro = 0
+                bs = {b for (s, b) in sb if s in (sa, sbb)}
+                for b in bs:
+                    c1, c2 = sb.get((sa, b), 0), sb.get((sbb, b), 0)
+                    p = float(c1) / float(n_s[sa])
+                    q = float(c2) / float(n_s[sbb])
+                    m = (p + q) / 2.0
+                    term = 0.0
+                    if c1 > 0:
+                        term = term + 0.5 * p * math.log(p / m)
+                    if c2 > 0:
+                        term = term + 0.5 * q * math.log(q / m)
+                    micro += int(math.floor(term * 1000000.0))
+                out[(sa, sbb)] = micro
+        return out
+
+    def _run(self, texts, srcs, parts=3):
+        return text_analysis.source_jsd_matrix(
+            self._mk(texts, srcs, parts)).to_pandas()
+
+    def test_brute_differential(self, ray_session):
+        texts = (["shared words here"] * 3
+                 + ["totally different vocabulary"] * 2
+                 + ["shared words different", None])
+        srcs = ["a", "b", "c", "a", "b", "c", "a"]
+        got = self._run(texts, srcs)
+        want = self._brute(texts, srcs)
+        assert len(got) == len(want)
+        for r in got.itertuples():
+            assert int(r.jsd_micro_nats) == want[(r.source_a, r.source_b)]
+            assert float(r.jsd) == want[(r.source_a, r.source_b)] / 1e6
+
+    def test_identical_and_disjoint(self, ray_session):
+        import math
+        texts = ["alpha beta gamma", "alpha beta gamma",
+                 "zulu yankee xray"]
+        srcs = ["same1", "same2", "far"]
+        got = self._run(texts, srcs, parts=1).set_index(
+            ["source_a", "source_b"])
+        assert int(got.loc[("same1", "same2")].jsd_micro_nats) == 0
+        # disjoint vocabularies → ln 2 (up to the floor quantization)
+        assert got.loc[("far", "same1")].jsd == pytest.approx(
+            math.log(2), abs=1e-4)
+        assert (got.jsd <= math.log(2)).all() and (got.jsd >= -1e-6).all()
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"tok{i % 11} drift{i % 3} base" for i in range(40)]
+        srcs = [f"s{i % 4}" for i in range(40)]
+        a_ = self._run(texts, srcs, 1)
+        b_ = self._run(texts, srcs, 8)
+        pd.testing.assert_frame_equal(a_, b_)
+
+
 class TestAffinityResample:
     """DSIR resampling accept rule: exact-bigint differential against
     the fitted scores, affinity>=1 always kept, zero-target never kept,
