@@ -3187,9 +3187,11 @@ def pmi_top_bigrams(sf_dir: str, k: int = 100, min_count: int = 5):
     return _pmi_from_ds(_docs(sf_dir, ["text"]), k=k, min_count=min_count)
 
 
-def _pmi_from_ds(docs, k: int, min_count: int):
+def _pmi_from_ds(docs, k: int, min_count: int,
+                 broadcast_cap_rows: "int | None" = None):
     """Dataset-level core of ``pmi_top_bigrams`` (docs needs a ``text``
-    column) — split out so tests control partitioning directly."""
+    column) — split out so tests control partitioning and the
+    broadcast-vs-join routing cap directly."""
     import math
 
     import ray.data
@@ -3216,26 +3218,52 @@ def _pmi_from_ds(docs, k: int, min_count: int):
     big = (docs.map_batches(bigram_partial, batch_format="pyarrow")
            .groupby(["w1", "w2"]).aggregate(Sum("n_xy", alias_name="n_xy"))
            .filter(expr=f"n_xy >= {int(min_count)}"))
-    u1 = uni.map_batches(
-        lambda b: b.select(["word", "n"]).rename_columns(["w1", "n_x"]),
-        batch_format="pyarrow")
-    u2 = uni.map_batches(
-        lambda b: b.select(["word", "n"]).rename_columns(["w2", "n_y"]),
-        batch_format="pyarrow")
-    j = hash_join(hash_join(big, u1, "w1", "w1"), u2, "w2", "w2")
 
-    def score(batch: pa.Table) -> pa.Table:
-        n_xy = batch["n_xy"].to_pylist()
-        n_x = batch["n_x"].to_pylist()
-        n_y = batch["n_y"].to_pylist()
+    def _pmi_vals(n_xy, n_x, n_y):
         # float sequence mirrors the SQL expression operation-for-
         # operation: (xy·N as double) / (x as double · y as double)
-        pmi = [math.log((float(a) * float(total))
-                        / (float(x) * float(y)))
-               for a, x, y in zip(n_xy, n_x, n_y)]
-        return batch.append_column("pmi", pa.array(pmi, pa.float64()))
+        return [math.log((float(a) * float(total))
+                         / (float(x) * float(y)))
+                for a, x, y in zip(n_xy, n_x, n_y)]
 
-    scored = j.map_batches(score, batch_format="pyarrow")
+    from ..stages.dim_broadcast import DIM_BROADCAST_CAP_ROWS
+    cap = DIM_BROADCAST_CAP_ROWS if broadcast_cap_rows is None \
+        else broadcast_cap_rows
+    if uni.count() <= cap:
+        # vocab fits the dim-broadcast cap: ship ONE {word: n} dict into
+        # the decorate pass instead of two vocab-keyed hash_join
+        # exchanges (the knn_graph/dim_broadcast size-routing
+        # convention; identical values either route — pinned by test)
+        import ray
+        vref = ray.put({r["word"]: int(r["n"]) for r in uni.take_all()})
+
+        def decorate(batch: pa.Table) -> pa.Table:
+            v = ray.get(vref)
+            n_x = [v[w] for w in batch["w1"].to_pylist()]
+            n_y = [v[w] for w in batch["w2"].to_pylist()]
+            t = batch.append_column("n_x", pa.array(n_x, pa.int64()))
+            t = t.append_column("n_y", pa.array(n_y, pa.int64()))
+            return t.append_column("pmi", pa.array(
+                _pmi_vals(batch["n_xy"].to_pylist(), n_x, n_y),
+                pa.float64()))
+
+        scored = big.map_batches(decorate, batch_format="pyarrow")
+    else:
+        u1 = uni.map_batches(
+            lambda b: b.select(["word", "n"]).rename_columns(
+                ["w1", "n_x"]), batch_format="pyarrow")
+        u2 = uni.map_batches(
+            lambda b: b.select(["word", "n"]).rename_columns(
+                ["w2", "n_y"]), batch_format="pyarrow")
+        j = hash_join(hash_join(big, u1, "w1", "w1"), u2, "w2", "w2")
+
+        def score(batch: pa.Table) -> pa.Table:
+            return batch.append_column("pmi", pa.array(
+                _pmi_vals(batch["n_xy"].to_pylist(),
+                          batch["n_x"].to_pylist(),
+                          batch["n_y"].to_pylist()), pa.float64()))
+
+        scored = j.map_batches(score, batch_format="pyarrow")
     top = topk_table(scored, [("pmi", "descending"), ("w1", "ascending"),
                               ("w2", "ascending")], k)
     cols = ["w1", "w2", "n_xy", "n_x", "n_y", "pmi"]

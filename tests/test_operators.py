@@ -2369,3 +2369,12 @@ class TestPmiBigrams:
         a_ = self._run(texts, parts=1, min_count=2)
         b_ = self._run(texts, parts=8, min_count=2)
         pd.testing.assert_frame_equal(a_, b_)
+
+    def test_broadcast_and_join_routes_identical(self, ray_session):
+        from mobile_ocr_api_ray.pipelines.analysis import _pmi_from_ds
+        texts = [f"tok{i % 5} tok{(i + 1) % 5} filler" for i in range(30)]
+        ds = self._mk(texts, 3)
+        bc = _pmi_from_ds(ds, k=10, min_count=2).to_pandas()
+        jn = _pmi_from_ds(ds, k=10, min_count=2,
+                          broadcast_cap_rows=0).to_pandas()
+        pd.testing.assert_frame_equal(bc, jn)
