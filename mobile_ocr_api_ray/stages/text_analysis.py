@@ -1257,30 +1257,73 @@ def group_zscore(ds, group_col: str, value_col: str,
 
 # --------------------------------------------------- BPE tokenizer fitting
 
+def _bpe_word_table(ds, text_col: str):
+    """The corpus tokenized ONCE into a materialized (word, n) table —
+    the Sennrich fit structure: every subsequent pair-count round runs
+    over the VOCABULARY (each distinct word exactly once, with its
+    corpus multiplicity), so an n_merges fit costs one corpus pass plus
+    n_merges vocab passes instead of n_merges corpus passes."""
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(word_re.findall((t or "").lower()))
+        return pa.table({"word": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("n", alias_name="n"))
+            .materialize())
+
+
+def _pairs_from_word_counts(words, counts, ranks: "dict | None"):
+    """Adjacent-SYMBOL pair Counter over (word, count) rows — the ONE
+    pair definition every BPE statistic uses. ``ranks=None`` means
+    character symbols (round 1); a merge-rank dict segments via
+    `_bpe_segment`."""
+    from collections import Counter
+
+    pairs: Counter = Counter()
+    for w, c in zip(words, counts):
+        syms = _bpe_segment(w, ranks) if ranks else list(w)
+        for i in range(len(syms) - 1):
+            pairs[(syms[i], syms[i + 1])] += c
+    return pairs
+
+
 def bpe_pair_counts(ds, k: int = 100, text_col: str = "text"):
     """Round-1 BPE merge candidates (Sennrich et al. 2016): adjacent
     CHARACTER pair frequencies over word occurrences — the statistic the
     first merge of every BPE tokenizer fit maximizes, as a distributed
     aggregation.
 
-    Per batch: word Counter (multiplicity kept), then pairs counted once
-    per DISTINCT word × its count — cost ∝ distinct words, not tokens.
-    Partials sum exactly (int64) through one pair-keyed groupby, then the
-    stages/topk partial-top-k finisher picks the top-k (count DESC, pair
-    ASC) without sorting the pair vocabulary. Returns a ≤k-row Dataset
-    (pair, n) — value-exact in SQL via per-word substring unnesting."""
+    The corpus tokenizes once into the shared `_bpe_word_table`; pairs
+    are counted per DISTINCT word × its corpus count — cost ∝
+    vocabulary, not tokens. Partials sum exactly (int64) through one
+    pair-keyed groupby, then the stages/topk partial-top-k finisher
+    picks the top-k (count DESC, pair ASC) without sorting the pair
+    vocabulary. Returns a ≤k-row Dataset (pair, n) — value-exact in SQL
+    via per-word substring unnesting."""
     import ray.data
     from ray.data.aggregate import Sum
 
     from .topk import topk_table
 
     def partial(batch: pa.Table) -> pa.Table:
-        pairs = _bpe_pair_partial(batch, text_col, ranks=None)
+        pairs = _pairs_from_word_counts(
+            batch["word"].to_pylist(), batch["n"].to_pylist(), None)
         return pa.table({"pair": pa.array([l + r for l, r in pairs],
                                           pa.string()),
                          "n": pa.array(list(pairs.values()), pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (_bpe_word_table(ds, text_col)
+           .map_batches(partial, batch_format="pyarrow")
            .groupby("pair").aggregate(Sum("n", alias_name="n")))
     top = topk_table(agg, [("n", "descending"), ("pair", "ascending")], k)
     if top.num_rows == 0:
@@ -1289,30 +1332,6 @@ def bpe_pair_counts(ds, k: int = 100, text_col: str = "text"):
     return ray.data.from_arrow(
         top.select(["pair", "n"]).cast(
             pa.schema([("pair", pa.string()), ("n", pa.int64())])))
-
-
-def _bpe_pair_partial(batch: pa.Table, text_col: str, ranks: "dict | None"):
-    """Shared per-batch BPE combiner: Counter of adjacent SYMBOL pairs
-    (as (left, right) tuples) over word occurrences — word Counter first
-    (multiplicity kept), pairs expanded once per DISTINCT word × its
-    count, so cost ∝ distinct words, not tokens. ``ranks=None`` means
-    character symbols (round 1); a merge-rank dict segments via
-    _bpe_segment. The ONE tokenizer/pair definition both bpe_pair_counts
-    and every bpe_merges round use — keeping the documented
-    'round-1 ≡ pair-counts argmax' invariant structural."""
-    import re
-    from collections import Counter
-
-    word_re = re.compile(r"\w+", re.ASCII)
-    words: Counter = Counter()
-    for t in batch[text_col].to_pylist():
-        words.update(word_re.findall((t or "").lower()))
-    pairs: Counter = Counter()
-    for w, c in words.items():
-        syms = _bpe_segment(w, ranks) if ranks else list(w)
-        for i in range(len(syms) - 1):
-            pairs[(syms[i], syms[i + 1])] += c
-    return pairs
 
 
 def _bpe_segment(word: str, ranks: dict) -> list:
@@ -1331,13 +1350,17 @@ def _bpe_segment(word: str, ranks: dict) -> list:
 
 
 def bpe_merges(ds, n_merges: int = 8, text_col: str = "text") -> pa.Table:
-    """Iterative BPE tokenizer fit ON the engine: ``n_merges`` rounds of
-    (distributed adjacent-symbol pair count → argmax merge). Each round is
-    one streaming pass + one tiny pair-keyed groupby; the merge table so
-    far rides into tasks as a closure constant (≤ n_merges entries — KBs
-    at any corpus scale). Word frequencies are exact int64 partials, so
-    every round's argmax — ties broken (count DESC, pair ASC) — is
-    deterministic and partition-invariant.
+    """Iterative BPE tokenizer fit ON the engine: the corpus tokenizes
+    ONCE into the materialized `_bpe_word_table` (word, n), then
+    ``n_merges`` rounds of (vocab-pass adjacent-symbol pair count →
+    argmax merge) run over that table — one corpus pass total plus
+    n_merges VOCABULARY passes, the Sennrich fit structure (at 100 TB
+    the vocabulary is orders of magnitude smaller than the corpus, so
+    rounds stop re-reading text). The merge table so far rides into
+    tasks as a closure constant (≤ n_merges entries — KBs at any corpus
+    scale). Word frequencies are exact int64 partials, so every round's
+    argmax — ties broken (count DESC, pair ASC) — is deterministic and
+    partition-invariant.
 
     Inherently iterative (each round's statistic depends on the previous
     argmax) — no SQL form; correctness is pinned by a pure-python
@@ -1347,19 +1370,21 @@ def bpe_merges(ds, n_merges: int = 8, text_col: str = "text") -> pa.Table:
 
     from .topk import topk_table
 
+    words = _bpe_word_table(ds, text_col)
     merges: list = []          # [(left, right, count)]
     for _ in range(n_merges):
         ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
 
         def partial(batch: pa.Table, ranks=ranks) -> pa.Table:
-            pairs = _bpe_pair_partial(batch, text_col,
-                                      ranks=ranks or None)
+            pairs = _pairs_from_word_counts(
+                batch["word"].to_pylist(), batch["n"].to_pylist(),
+                ranks or None)
             return pa.table({
                 "left": pa.array([p[0] for p in pairs], pa.string()),
                 "right": pa.array([p[1] for p in pairs], pa.string()),
                 "n": pa.array(list(pairs.values()), pa.int64())})
 
-        agg = (ds.map_batches(partial, batch_format="pyarrow")
+        agg = (words.map_batches(partial, batch_format="pyarrow")
                .groupby(["left", "right"]).aggregate(Sum("n", alias_name="n")))
         # distributed argmax: the partial-top-k finisher prunes each
         # batch to 1 row, so the driver merge sees ≤ 1 row per batch —
