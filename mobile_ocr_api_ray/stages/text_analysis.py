@@ -922,25 +922,51 @@ def _kl_from_bucket_rows(rows) -> pa.Table:
         "kl": pa.array([m / 1000000.0 for m in micro], pa.float64())})
 
 
+JSD_LOCAL_PAIRS_MAX = 4096  # pairs beyond this compute in Ray tasks
+
+
+def _jsd_pair_micro(ca: dict, cb: dict, na: int, nb: int) -> int:
+    """Micro-nat JSD of two bucket-count dicts — the ONE term definition
+    both the driver-local and distributed pair paths (and the SQL
+    oracle's expression) use."""
+    import math
+
+    micro = 0
+    for b in set(ca) | set(cb):
+        c1, c2 = ca.get(b, 0), cb.get(b, 0)
+        p = float(c1) / float(na)
+        q = float(c2) / float(nb)
+        m = (p + q) / 2.0
+        term = 0.0
+        if c1 > 0:
+            term = term + 0.5 * p * math.log(p / m)
+        if c2 > 0:
+            term = term + 0.5 * q * math.log(q / m)
+        micro += int(math.floor(term * 1000000.0))
+    return micro
+
+
 def source_jsd_matrix(ds, *, n_buckets: int = AFFINITY_BUCKETS,
-                      source_col: str = "source", text_col: str = "text"):
+                      source_col: str = "source", text_col: str = "text",
+                      local_pairs_max: int = JSD_LOCAL_PAIRS_MAX):
     """Pairwise Jensen–Shannon divergence between every two sources'
     hashed-unigram distributions — the symmetric, bounded (≤ ln 2)
     companion to `source_unigram_kl` for answering "which corpus slices
     mirror each other" (mixture design / provenance QC).
 
-    Same bounded (source, bucket, c) table; the driver reduce touches
-    n_sources²/2 pairs × n_buckets terms, still vocab-scale. Per
-    (pair, bucket) the term
+    Same bounded (source, bucket, c) table. Per (pair, bucket) the term
 
         0.5·p·ln(p/m) + 0.5·q·ln(q/m),  m = (p+q)/2
 
     is evaluated with libm ``math.log`` in the same cast order as the
     SQL and floor-quantized to integer micro-nats, so per-pair sums are
-    order-independent int64 (the source_unigram_kl convention). Returns
+    order-independent int64 (the source_unigram_kl convention). Up to
+    ``local_pairs_max`` pairs the reduce runs on the driver; beyond it
+    (the pair count is quadratic in sources — thousands of provenance
+    slices make it a real compute) the count table broadcasts once via
+    ``ray.put`` and the pair list fans out over `map_batches` tasks,
+    identical terms either route (pinned by test). Returns
     (source_a < source_b, jsd_micro_nats, jsd) sorted by the pair."""
-    import math
-
     rows = _source_bucket_rows(ds, n_buckets, source_col, text_col)
     n_s: dict = {}
     by_src: dict = {}
@@ -949,29 +975,46 @@ def source_jsd_matrix(ds, *, n_buckets: int = AFFINITY_BUCKETS,
         n_s[s] = n_s.get(s, 0) + c
         by_src.setdefault(s, {})[b] = c
     srcs = sorted(n_s)
-    pairs = []
-    for i, sa in enumerate(srcs):
-        for sb in srcs[i + 1:]:
-            ca, cb = by_src[sa], by_src[sb]
-            na, nb = n_s[sa], n_s[sb]
-            micro = 0
-            for b in set(ca) | set(cb):
-                c1, c2 = ca.get(b, 0), cb.get(b, 0)
-                p = float(c1) / float(na)
-                q = float(c2) / float(nb)
-                m = (p + q) / 2.0
-                term = 0.0
-                if c1 > 0:
-                    term = term + 0.5 * p * math.log(p / m)
-                if c2 > 0:
-                    term = term + 0.5 * q * math.log(q / m)
-                micro += int(math.floor(term * 1000000.0))
-            pairs.append((sa, sb, micro))
+    pair_keys = [(sa, sb) for i, sa in enumerate(srcs)
+                 for sb in srcs[i + 1:]]
+
+    if len(pair_keys) <= local_pairs_max:
+        micros = [_jsd_pair_micro(by_src[sa], by_src[sb],
+                                  n_s[sa], n_s[sb])
+                  for sa, sb in pair_keys]
+    else:
+        import ray
+        import ray.data
+
+        counts_ref = ray.put((by_src, n_s))
+
+        def chunk(batch: pa.Table) -> pa.Table:
+            bs, ns = ray.get(counts_ref)
+            out = [_jsd_pair_micro(bs[a], bs[b], ns[a], ns[b])
+                   for a, b in zip(batch["source_a"].to_pylist(),
+                                   batch["source_b"].to_pylist())]
+            return batch.append_column("jsd_micro_nats",
+                                       pa.array(out, pa.int64()))
+
+        spec = pa.table({
+            "source_a": pa.array([p[0] for p in pair_keys], pa.string()),
+            "source_b": pa.array([p[1] for p in pair_keys], pa.string())})
+        # one block per task slice — map_batches parallelism is per
+        # BLOCK (the compact_partitions lesson), so spread the pair
+        # list before mapping
+        got = (ray.data.from_arrow(spec)
+               .repartition(min(64, len(pair_keys)))
+               .map_batches(chunk, batch_format="pyarrow")
+               .to_pandas().sort_values(["source_a", "source_b"],
+                                        kind="mergesort"))
+        pair_keys = list(zip(got["source_a"], got["source_b"]))
+        micros = [int(m) for m in got["jsd_micro_nats"]]
+
     return pa.table({
-        "source_a": pa.array([p[0] for p in pairs], pa.string()),
-        "source_b": pa.array([p[1] for p in pairs], pa.string()),
-        "jsd_micro_nats": pa.array([p[2] for p in pairs], pa.int64()),
-        "jsd": pa.array([p[2] / 1000000.0 for p in pairs],
+        "source_a": pa.array([p[0] for p in pair_keys], pa.string()),
+        "source_b": pa.array([p[1] for p in pair_keys], pa.string()),
+        "jsd_micro_nats": pa.array(micros, pa.int64()),
+        "jsd": pa.array([m / 1000000.0 for m in micros],
                         pa.float64())})
 
 

@@ -1847,6 +1847,16 @@ class TestSourceJsd:
         b_ = self._run(texts, srcs, 8)
         pd.testing.assert_frame_equal(a_, b_)
 
+    def test_local_and_distributed_pair_routes_identical(self, ray_session):
+        texts = [f"tok{i % 11} drift{i % 5} base" for i in range(40)]
+        srcs = [f"s{i % 6}" for i in range(40)]
+        ds1 = self._mk(texts, srcs, 3)
+        loc = text_analysis.source_jsd_matrix(ds1).to_pandas()
+        ds2 = self._mk(texts, srcs, 3)
+        dist = text_analysis.source_jsd_matrix(
+            ds2, local_pairs_max=0).to_pandas()
+        pd.testing.assert_frame_equal(loc, dist)
+
 
 class TestAffinityResample:
     """DSIR resampling accept rule: exact-bigint differential against
