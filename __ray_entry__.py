@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": a.host_components,
         "host_hits": a.host_hits,
         "host_pagerank": a.host_pagerank,
+        "host_pagerank_int": a.host_pagerank_int,
         "page_metadata": a.page_metadata,
         "title_body_pairs": a.title_body_pairs,
         "anchor_text_summary": a.anchor_text_summary,
@@ -257,7 +258,8 @@ _PAGE_CORPUS_ORACLES = (
     "url_filtered_pages", "domain_page_stats", "page_metadata",
     "page_links", "host_graph_edges", "anchor_text_summary",
     "latest_capture_per_url", "canonical_capture_dedup",
-    "host_capped_pages", "crawl_diff_status")
+    "host_capped_pages", "crawl_diff_status", "host_components",
+    "host_pagerank_int")
 
 
 # url → lowercase host, the crawl.host_of RE2 (stages/crawl.py:29)
@@ -275,6 +277,69 @@ _HOST_SQL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _HTML_DOC_SQL = ("replace(replace(CAST(html AS VARCHAR), '\\x22', '\"'), "
                  "'\\x0A', chr(10))")
 _ANCHOR_SQL_RE = r"""(?is)<a\b[^>]*?\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>"""
+
+
+def _pagerank_int_sql(pg: str, n_iter: int = 10) -> str:
+    """Unrolled fixed-point PageRank oracle (host_pagerank_int): the edge
+    rollup is the host_graph_edges CTE chain; each round is one
+    MATERIALIZED CTE over the previous round's rank table (plain CTEs get
+    INLINED — every round references its predecessor twice, so naive
+    unrolling re-expands the whole chain 2^n_iter times and never
+    finishes). All arithmetic is BIGINT with DuckDB's truncating ``//``,
+    which coincides with the engine's floor ``//`` because every quantity
+    is non-negative (stages/linkgraph.pagerank_int recurrence)."""
+    scale, num, den = 10 ** 9, 85, 100
+    s_lit = f"CAST({scale} AS BIGINT)"
+    head = rf"""
+        WITH p AS (SELECT url, {_HTML_DOC_SQL} AS doc
+                   FROM read_parquet('{pg}')
+                   WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'),
+        l AS (SELECT url AS src_url,
+                     unnest(regexp_extract_all(doc, '{_ANCHOR_SQL_RE}', 1)) AS href
+              FROM p),
+        l2 AS (SELECT src_url, trim(href) AS href FROM l
+               WHERE trim(href) <> ''
+                 AND (starts_with(trim(href), '/')
+                      OR lower(trim(href)) LIKE 'http://%'
+                      OR lower(trim(href)) LIKE 'https://%')),
+        eh AS (SELECT lower(regexp_extract(src_url, '{_HOST_SQL_RE}', 1)) AS src_host,
+                      CASE WHEN lower(href) LIKE 'http://%'
+                             OR lower(href) LIKE 'https://%'
+                           THEN lower(regexp_extract(href, '{_HOST_SQL_RE}', 1))
+                           ELSE lower(regexp_extract(src_url, '{_HOST_SQL_RE}', 1))
+                      END AS dst_host
+               FROM l2),
+        e AS MATERIALIZED (SELECT src_host, dst_host,
+                                  CAST(count(*) AS BIGINT) AS w
+                           FROM eh GROUP BY 1, 2),
+        nodes AS MATERIALIZED (
+            SELECT node, CAST(SUM(w) AS BIGINT) AS out_w FROM
+              (SELECT src_host AS node, w FROM e
+               UNION ALL SELECT dst_host, 0 FROM e) GROUP BY node),
+        st AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        pr0 AS MATERIALIZED (SELECT node, {s_lit} // st.n AS r
+                             FROM nodes, st)"""
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(f""",
+        pr{i} AS MATERIALIZED (
+          WITH d AS (SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS dm
+                     FROM pr{i - 1} p JOIN nodes nd ON nd.node = p.node
+                     WHERE nd.out_w = 0),
+               i AS (SELECT e.dst_host AS node,
+                            CAST(SUM((p.r * e.w) // nd.out_w) AS BIGINT) AS s
+                     FROM e JOIN pr{i - 1} p ON p.node = e.src_host
+                          JOIN nodes nd ON nd.node = e.src_host
+                     GROUP BY e.dst_host)
+          SELECT nd.node,
+                 ((CAST({den - num} AS BIGINT) * {s_lit}) // ({den} * st.n))
+                 + ((CAST({num} AS BIGINT) * d.dm) // ({den} * st.n))
+                 + ((CAST({num} AS BIGINT) * COALESCE(i.s, 0)) // {den}) AS r
+          FROM nodes nd CROSS JOIN st CROSS JOIN d
+          LEFT JOIN i ON i.node = nd.node)""")
+    return (head + "".join(rounds)
+            + f"\n        SELECT node, r AS pr_int FROM pr{n_iter}"
+              " ORDER BY node")
 
 
 def _stop_case_sum() -> str:
@@ -2187,6 +2252,9 @@ def oracle_sql() -> dict[str, str]:
         # recursive min-reachability fixpoint, component = lexicographic
         # min member host (the engine recovers min(host) after labeling,
         # so both sides agree on the representative by construction)
+        # fixed-point integer PageRank: pure-int floor-division recurrence
+        # is reproducible in SQL (unlike host_pagerank's float iteration)
+        "host_pagerank_int": _pagerank_int_sql(pg),
         "host_components": rf"""
             WITH RECURSIVE p AS (SELECT url, {_HTML_DOC_SQL} AS doc
                        FROM read_parquet('{pg}')

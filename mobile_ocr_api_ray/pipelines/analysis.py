@@ -1975,6 +1975,25 @@ def host_pagerank(sf_dir: str):
     return out if isinstance(out, pa.Table) else out.sort("node")
 
 
+def host_pagerank_int(sf_dir: str):
+    """Fixed-point integer PageRank over the host link graph
+    (stages/linkgraph.pagerank_int, 10 rounds, damping 85/100, scale 1e9
+    micro-units). Pure-integer floor-division recurrence ⇒ value-exact vs
+    an unrolled MATERIALIZED-CTE SQL oracle — the oracle-able sibling of
+    host_pagerank, whose iterated float products have no SQL form."""
+    from ..stages import linkgraph
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    links = pages.map_batches(linkgraph.extract_links,
+                              batch_format="pyarrow")
+    nc = _pages_coarse_hint(sf_dir)
+    edges = linkgraph.host_edges(links, n_coarse=nc)
+    out = linkgraph.pagerank_int(edges, n_coarse=nc)
+    return out if isinstance(out, pa.Table) else out.sort("node")
+
+
 def host_hits(sf_dir: str):
     """HITS hubs/authorities over the host link graph
     (stages/linkgraph.hits, 10 rounds, L1-normalized half-steps,

@@ -786,3 +786,261 @@ def hits(edges_ds, n_iter: int = 10, src_col: str = "src_host",
             ["node2", "authority"]), batch_format="pyarrow"),
         "node", "node2")
     return merged.select_columns(["node", "hub", "authority"])
+
+
+# ------------------------------------------- fixed-point integer PageRank
+
+PR_INT_SCALE = 10 ** 9
+PR_INT_DAMP_NUM = 85      # damping as the rational 85/100 — never a float
+PR_INT_DAMP_DEN = 100
+
+
+def _pagerank_int_local(edges: pd.DataFrame, n_iter: int, scale: int,
+                        num: int, den: int) -> pa.Table:
+    """Driver-local fixed-point PageRank. The recurrence is pure integer
+    arithmetic with floor division applied at three fixed points, so —
+    unlike the float ``_pagerank_local`` — no summation-order ceremony is
+    needed: integer sums are associative, and the result is bit-equal to
+    the distributed path AND to an unrolled-CTE SQL oracle by
+    construction (every quantity is non-negative, so DuckDB's truncating
+    ``//`` coincides with Python's floor ``//``)."""
+    edges = edges[edges["w"] > 0]
+    out_w = edges.groupby("src")["w"].sum().to_dict()
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    part_base = ((den - num) * scale) // (den * n)
+    src_l = list(edges["src"])
+    dst_l = list(edges["dst"])
+    w_l = [int(w) for w in edges["w"]]
+    for _ in range(n_iter):
+        dmass = sum(r[v] for v in nodes if v not in out_w)
+        inflow: dict = {}
+        for s, d, w in zip(src_l, dst_l, w_l):
+            inflow[d] = inflow.get(d, 0) + (r[s] * w) // int(out_w[s])
+        part_dang = (num * dmass) // (den * n)
+        r = {v: part_base + part_dang + (num * inflow.get(v, 0)) // den
+             for v in nodes}
+    return pa.table({"node": pa.array(nodes, pa.string()),
+                     "pr_int": pa.array([r[v] for v in nodes], pa.int64())})
+
+
+def pagerank_int(edges_ds, n_iter: int = 10,
+                 src_col: str = "src_host", dst_col: str = "dst_host",
+                 weight_col: str = "n_links",
+                 n_coarse: int | None = None,
+                 local_edges_max: int = 200_000,
+                 scale: int = PR_INT_SCALE,
+                 damp_num: int = PR_INT_DAMP_NUM,
+                 damp_den: int = PR_INT_DAMP_DEN):
+    """PageRank in fixed-point integer micro-units — the VALUE-EXACT
+    sibling of :func:`pagerank` (whose iterated float products have no
+    SQL form). Recurrence, all integer, ``//`` = floor division:
+
+        r0(v)   = scale // N
+        c(u->v) = (r(u) * w(u,v)) // W(u)              [per edge]
+        in(v)   = sum c(u->v)                          [exact int]
+        dmass   = sum r(u) over W(u)=0                 [exact int]
+        r'(v)   = ((den-num)*scale) // (den*N)
+                  + (num*dmass) // (den*N)
+                  + (num*in(v)) // den
+
+    Every sum is an integer sum (order-free), so local == distributed ==
+    SQL bit-for-bit with no sorted-summation machinery. Total mass decays
+    by < N units/round to floor truncation — ranks are an ORDINAL score
+    in micro-units, not a probability; callers wanting probabilities use
+    :func:`pagerank`.
+
+    Width budget: int64 requires scale * max(w) < 2^62 (checked at
+    runtime); at larger weight scales pass a smaller ``scale`` (the SQL
+    side can follow into HUGEINT, the engine side cannot).
+
+    Same routing convention as pagerank/host_components: the host edge
+    ROLLUP is hosts²-sparse, so ≤ ``local_edges_max`` rows run the exact
+    driver-local form; above it the distributed loop engages (two
+    bucketed exchanges per round, bounded by the rollup — never pages).
+    """
+    import ray.data  # noqa: F401
+
+    nc = n_coarse or N_COARSE
+    num, den = damp_num, damp_den
+
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "pr_int": pa.array([], pa.int64())})
+    if isinstance(edges_ds, pa.Table):          # typed-empty rollup
+        return empty
+
+    def positive(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(
+            batch[weight_col].cast(pa.int64()), pa.scalar(0, pa.int64())))
+
+    edges_mat = edges_ds.map_batches(positive,
+                                     batch_format="pyarrow").materialize()
+    n_edges = edges_mat.count()
+    if n_edges == 0:
+        return empty
+    w_max = edges_mat.max(weight_col)
+    if scale * int(w_max) >= 2 ** 62:
+        raise ValueError(
+            f"pagerank_int: scale*max_weight {scale}*{w_max} exceeds the "
+            f"int64 width budget; pass a smaller scale")
+
+    if n_edges <= local_edges_max:
+        edf = edges_mat.to_pandas()
+        edges_pd = pd.DataFrame({
+            "src": edf[src_col].astype(str), "dst": edf[dst_col].astype(str),
+            "w": edf[weight_col].astype("int64")})
+        return _pagerank_int_local(edges_pd, n_iter, scale, num, den)
+
+    # ---- node table (node, out_w): exact int out-weight totals ----
+    def node_rows(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].cast(pa.string())
+        d = batch[dst_col].cast(pa.string())
+        w = batch[weight_col].cast(pa.int64())
+        t = pa.table({
+            "node": pa.concat_arrays([_as_array(s), _as_array(d)]),
+            "w": pa.concat_arrays(
+                [_as_array(w), pa.array(np.zeros(batch.num_rows, np.int64))])})
+        g = t.group_by("node").aggregate([("w", "sum")])
+        return pa.table({"node": g["node"],
+                         "out_w": g["w_sum"].cast(pa.int64()),
+                         "coarse": pa.array(_str_coarse(g["node"], nc))})
+
+    def node_resolve(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", as_index=False)["out_w"].sum()
+        return pa.table({"node": pa.array(g["node"], pa.string()),
+                         "out_w": pa.array(g["out_w"].astype("int64"),
+                                           pa.int64())})
+
+    nodes = (edges_mat.map_batches(node_rows, batch_format="pyarrow")
+             .groupby("coarse").map_groups(node_resolve,
+                                           batch_format="pandas")
+             .materialize())
+    n_nodes = nodes.count()
+
+    # ---- decorate edges with W(u): one src-keyed bucketed join ----
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "key": batch[src_col].cast(pa.string()),
+            "dst": batch[dst_col].cast(pa.string()),
+            "val": batch[weight_col].cast(pa.int64()),
+            "coarse": pa.array(_str_coarse(batch[src_col], nc))})
+
+    def tag_nodes_w(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(np.ones(batch.num_rows, np.int8)),
+            "key": batch["node"].cast(pa.string()),
+            "dst": pa.array([None] * batch.num_rows, pa.string()),
+            "val": batch["out_w"].cast(pa.int64()),
+            "coarse": pa.array(_str_coarse(batch["node"], nc))})
+
+    def join_w(df: pd.DataFrame) -> pa.Table:
+        edg = df[df["kind"] == 0]
+        wt = df[df["kind"] == 1][["key", "val"]].rename(
+            columns={"val": "out_w"})
+        m = edg.merge(wt, on="key", how="left")
+        return pa.table({
+            "src": pa.array(m["key"], pa.string()),
+            "dst": pa.array(m["dst"], pa.string()),
+            "w": pa.array(m["val"].astype("int64"), pa.int64()),
+            "out_w": pa.array(m["out_w"].astype("int64"), pa.int64())})
+
+    w_edges = (edges_mat.map_batches(tag_edges, batch_format="pyarrow")
+               .union(nodes.map_batches(tag_nodes_w, batch_format="pyarrow"))
+               .groupby("coarse").map_groups(join_w, batch_format="pandas")
+               .materialize())
+
+    r0 = scale // n_nodes
+    part_base = ((den - num) * scale) // (den * n_nodes)
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "r": pa.array(np.full(batch.num_rows, r0, np.int64))})
+
+    rank = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    # ---- iteration: 2 bucketed exchanges per round ----
+    # dangling detection rides the src-keyed join (all out-edges of a
+    # node share its partition, so a rank key matching no edge row is
+    # dangling) — the float pagerank's trick, minus its 64-bucket float
+    # tree: dmass here is one exact int aggregate.
+    def tag_rank(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(np.ones(batch.num_rows, np.int8)),
+            "key": batch["node"],
+            "dst": pa.array([None] * batch.num_rows, pa.string()),
+            "w": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "out_w": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "val": batch["r"],
+            "coarse": pa.array(_str_coarse(batch["node"], nc))})
+
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "key": batch["src"], "dst": batch["dst"],
+            "w": batch["w"], "out_w": batch["out_w"],
+            "val": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "coarse": pa.array(_str_coarse(batch["src"], nc))})
+
+    def contribs(df: pd.DataFrame) -> pa.Table:
+        edg = df[df["kind"] == 0]
+        rk = df[df["kind"] == 1][["key", "val"]].rename(columns={"val": "r"})
+        m = edg.merge(rk, on="key", how="inner")
+        c = ((m["r"].to_numpy(np.int64) * m["w"].to_numpy(np.int64))
+             // m["out_w"].to_numpy(np.int64))
+        out_t = pa.table({
+            "kind": pa.array(np.zeros(len(m), np.int8)),
+            "dst": pa.array(m["dst"], pa.string()),
+            "c": pa.array(c, pa.int64()),
+            "dcoarse": pa.array(_str_coarse(m["dst"], nc))})
+        dang = rk[~rk["key"].isin(edg["key"])]
+        if not len(dang):
+            return out_t
+        dang_t = pa.table({
+            "kind": pa.array(np.ones(len(dang), np.int8)),
+            "dst": pa.array(dang["key"], pa.string()),
+            "c": pa.array(dang["r"].to_numpy(np.int64), pa.int64()),
+            "dcoarse": pa.array(np.zeros(len(dang), np.int32))})
+        return pa.concat_tables([out_t, dang_t])
+
+    def tag_zero(batch: pa.Table) -> pa.Table:
+        # one zero row per node — in-degree-0 nodes keep receiving mass
+        return pa.table({
+            "kind": pa.array(np.zeros(batch.num_rows, np.int8)),
+            "dst": batch["node"],
+            "c": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "dcoarse": pa.array(_str_coarse(batch["node"], nc))})
+
+    for _ in range(n_iter):
+        stage1 = (w_edges.map_batches(tag_wedge, batch_format="pyarrow")
+                  .union(rank.map_batches(tag_rank, batch_format="pyarrow"))
+                  .groupby("coarse").map_groups(contribs,
+                                                batch_format="pandas")
+                  .materialize())
+
+        dang_rows = stage1.filter(expr="kind == 1")
+        dmass = int(dang_rows.sum("c") or 0) if dang_rows.count() else 0
+        part_dang = (num * dmass) // (den * n_nodes)
+
+        def new_rank(df: pd.DataFrame, part_dang=part_dang) -> pa.Table:
+            g = df.groupby("dst", as_index=False)["c"].sum()
+            s = g["c"].to_numpy(np.int64)
+            r = part_base + part_dang + (num * s) // den
+            return pa.table({"node": pa.array(g["dst"], pa.string()),
+                             "r": pa.array(r, pa.int64())})
+
+        rank = (stage1.filter(expr="kind == 0")
+                .union(nodes.map_batches(tag_zero, batch_format="pyarrow"))
+                .groupby("dcoarse").map_groups(new_rank,
+                                               batch_format="pandas")
+                .materialize())
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"].cast(pa.string()),
+                         "pr_int": batch["r"].cast(pa.int64())})
+
+    out = rank.map_batches(final, batch_format="pyarrow")
+    return nonempty_or_typed_table(out, {"node": pa.string(),
+                                         "pr_int": pa.int64()})

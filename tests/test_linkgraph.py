@@ -423,3 +423,76 @@ class TestHits:
             "dst_host": pa.array([], pa.string()),
             "n_links": pa.array([], pa.int64())})))
         assert isinstance(out, pa.Table) and out.num_rows == 0
+
+
+class TestPageRankInt:
+    ROWS = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "z", 5),
+            ("c", "d", 1), ("d", "b", 7), ("e", "z", 2), ("f", "f", 1),
+            ("b", "a", 4)]
+
+    def _pure_python(self, rows, n_iter=10, scale=10 ** 9, num=85, den=100):
+        # independent restatement of the recurrence (dict arithmetic)
+        out_w: dict = {}
+        for s, _, w in rows:
+            out_w[s] = out_w.get(s, 0) + w
+        nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+        n = len(nodes)
+        r = {v: scale // n for v in nodes}
+        for _ in range(n_iter):
+            dmass = sum(r[v] for v in nodes if v not in out_w)
+            inflow: dict = {}
+            for s, t, w in rows:
+                inflow[t] = inflow.get(t, 0) + (r[s] * w) // out_w[s]
+            r = {v: ((den - num) * scale) // (den * n)
+                 + (num * dmass) // (den * n)
+                 + (num * inflow.get(v, 0)) // den for v in nodes}
+        return r
+
+    def test_differential_vs_pure_python(self, ray_session):
+        got = linkgraph.pagerank_int(edges_ds(self.ROWS)).to_pandas()
+        ref = self._pure_python(self.ROWS)
+        assert dict(zip(got["node"], got["pr_int"])) == ref
+        assert got["pr_int"].dtype == np.int64
+
+    def test_local_matches_distributed_bit_exact(self, ray_session):
+        loc = linkgraph.pagerank_int(edges_ds(self.ROWS)) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        for nc in (2, 5):
+            dist = linkgraph.pagerank_int(
+                edges_ds(self.ROWS), local_edges_max=0, n_coarse=nc) \
+                .to_pandas().sort_values("node").reset_index(drop=True)
+            assert loc.equals(dist)
+
+    def test_mass_decays_only_by_truncation(self, ray_session):
+        # total mass loses < n units per round to floor truncation
+        got = linkgraph.pagerank_int(edges_ds(self.ROWS)).to_pandas()
+        n, scale, n_iter = len(got), 10 ** 9, 10
+        # per round: n floor divisions in r', plus the dmass/base splits
+        assert scale - 3 * n * (n_iter + 1) <= got["pr_int"].sum() <= scale
+
+    def test_ordinal_agreement_with_float_pagerank(self, ray_session):
+        gi = linkgraph.pagerank_int(edges_ds(self.ROWS)).to_pandas()
+        gf = linkgraph.pagerank(edges_ds(self.ROWS)).to_pandas()
+        m = gi.merge(gf, on="node")
+        # micro-unit ranks track the float ranks to ~1e-6 relative
+        assert np.allclose(m["pr_int"].to_numpy(np.float64) / 1e9,
+                           m["pr"].to_numpy(np.float64), atol=2e-6)
+
+    def test_zero_weight_edges_dangle(self, ray_session):
+        rows = [("a", "b", 1), ("b", "c", 0)]   # b emits nothing
+        got = linkgraph.pagerank_int(edges_ds(rows)).to_pandas()
+        assert set(got["node"]) == {"a", "b"}   # c unreferenced after filter
+
+    def test_width_budget_guard(self, ray_session):
+        with pytest.raises(ValueError, match="width budget"):
+            linkgraph.pagerank_int(edges_ds([("a", "b", 2 ** 55)]))
+
+    def test_empty(self, ray_session):
+        import ray.data
+        empty = ray.data.from_arrow(pa.table({
+            "src_host": pa.array([], pa.string()),
+            "dst_host": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64())}))
+        out = linkgraph.pagerank_int(empty)
+        assert isinstance(out, pa.Table)
+        assert out.column_names == ["node", "pr_int"]
