@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": a.ann_ivf_topk,
         "minhash_pairs_doubled": a.minhash_pairs_doubled,
         "minhash_pairs_two_pass_doubled": a.minhash_pairs_two_pass_doubled,
+        "minhash_pairs_md5_doubled": a.minhash_pairs_md5_doubled,
         "minhash_verified_pairs_doubled": a.minhash_verified_pairs_doubled,
         "simhash_docs": a.simhash_docs,
         "simhash_pairs_doubled": a.simhash_pairs_doubled,
@@ -340,6 +341,58 @@ def _pagerank_int_sql(pg: str, n_iter: int = 10) -> str:
     return (head + "".join(rounds)
             + f"\n        SELECT node, r AS pr_int FROM pr{n_iter}"
               " ORDER BY node")
+
+
+def _minhash_md5_sql() -> str:
+    """Generated oracle for minhash_pairs_md5_doubled: the FULL MinHash
+    LSH pipeline in SQL — md5-hash32 shingles (the target_affinity bucket
+    rule), 16 affine permutations mod 2^31-1 as MIN aggregates (every
+    product < 2^62, plain BIGINT — no modular wrap), 8×2 banding as a
+    band-row self-join on the literal component pairs, and est_jaccard =
+    eq_count/16.0 (a dyadic rational, bit-exact on both sides). The gram
+    rule (3-grams, short docs collapse to one joined gram, empties emit
+    nothing) is the ngram_jaccard_adjacent CTE."""
+    from mobile_ocr_api_ray.stages.dedup import (MD5MH_A, MD5MH_B,
+                                                 MD5MH_BANDS, MD5MH_PERM,
+                                                 P31)
+    mins = ",\n                   ".join(
+        f"MIN((CAST({a} AS BIGINT) * x + {b}) % {P31}) AS s{i}"
+        for i, (a, b) in enumerate(zip(MD5MH_A, MD5MH_B)))
+    bands = "\n                 UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, s{2 * j} AS h1, s{2 * j + 1} AS h2 "
+        "FROM sig" for j in range(MD5MH_BANDS))
+    eq = " + ".join(f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+                    for i in range(MD5MH_PERM))
+    return rf"""
+        WITH dd AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents),
+        words AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(
+                             lower(coalesce(text, '')), '\s+'),
+                                     x -> x <> '') AS w FROM dd),
+        grams AS (SELECT doc_id,
+                         CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                              ELSE [array_to_string(w[i:i+2], ' ')
+                                    FOR i IN range(1, len(w) - 1)]
+                         END AS g FROM words),
+        sh AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        x AS (SELECT doc_id,
+                     CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS UBIGINT)
+                          % {P31} AS BIGINT) AS x FROM sh),
+        sig AS (SELECT doc_id, {mins} FROM x GROUP BY doc_id),
+        bands AS ({bands}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+                  AND a.doc_id < b.doc_id),
+        eq AS (SELECT c.id_a, c.id_b, ({eq}) AS k
+               FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                    JOIN sig sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, CAST(k AS DOUBLE) / {MD5MH_PERM}.0 AS est_jaccard
+        FROM eq WHERE CAST(k AS DOUBLE) / {MD5MH_PERM}.0 >= 0.5
+        ORDER BY id_a, id_b"""
 
 
 def _stop_case_sum() -> str:
@@ -1143,6 +1196,8 @@ def oracle_sql() -> dict[str, str]:
         # exact word-3-gram Jaccard between adjacent doc_ids; gram semantics
         # mirror dedup.ngram_set: lowercase, whitespace split, <3 words →
         # single joined gram, empty text → empty set (pair of empties → 1.0)
+        # full MinHash LSH in SQL — see _minhash_md5_sql
+        "minhash_pairs_md5_doubled": _minhash_md5_sql(),
         "ngram_jaccard_adjacent": r"""
             WITH words AS (
               SELECT doc_id,

@@ -780,6 +780,17 @@ def minhash_pairs_doubled(sf_dir: str):
         n_coarse=_docs_coarse_hint(sf_dir, 2)).sort(["id_a", "id_b"])
 
 
+def minhash_pairs_md5_doubled(sf_dir: str):
+    """Value-exact MinHash LSH over the doubled corpus
+    (stages/dedup.minhash_pairs_md5: md5-hash32 shingles, 16 affine
+    permutations mod 2^31-1, 8×2 banding on literal component pairs) —
+    the oracle-able sibling of minhash_pairs_doubled, whose crc32 +
+    uint64-wrap arithmetic has no SQL form."""
+    return dedup.minhash_pairs_md5(
+        _doubled_docs(sf_dir),
+        n_coarse=_docs_coarse_hint(sf_dir, 2)).sort(["id_a", "id_b"])
+
+
 def minhash_pairs_two_pass_doubled(sf_dir: str):
     """Two-pass MinHash LSH (bands shuffle without signatures; signatures
     re-attached by partitioned joins) — the 100 TB shuffle-volume path;

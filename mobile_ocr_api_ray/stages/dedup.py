@@ -603,6 +603,133 @@ def _minhash_pairs_two_pass(ds, id_col: str, text_col: str, threshold: float,
                                       "est_jaccard": pa.float64()})
 
 
+# ------------------------------- value-exact MinHash (md5-hash32 domain)
+
+MD5MH_PERM = 16
+MD5MH_BANDS = 8
+MD5MH_ROWS = MD5MH_PERM // MD5MH_BANDS     # 2 rows per band
+P31 = (1 << 31) - 1                        # Mersenne prime 2^31 - 1
+_rs31 = np.random.RandomState(7)
+MD5MH_A = _rs31.randint(1, P31, size=MD5MH_PERM).astype(np.int64)
+MD5MH_B = _rs31.randint(0, P31, size=MD5MH_PERM).astype(np.int64)
+
+
+def md5_shingle32(text: str, n: int = SHINGLE_N) -> np.ndarray:
+    """md5-hash32 of lowercase word n-grams (same gram rule as
+    shingle_hashes; the md5-hash32 bucket rule shared with
+    target_affinity / source KL: first 8 hex chars as a 32-bit int,
+    exactly ``('0x' || substring(md5(g), 1, 8))::UBIGINT`` in DuckDB).
+    Duplicates are NOT removed — min() is multiset-invariant."""
+    words = (text or "").lower().split()
+    if not words:
+        return np.empty(0, np.int64)
+    if len(words) < n:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    return np.array([int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                     for g in grams], np.int64)
+
+
+def md5_minhash_batch(batch: pa.Table, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """16 affine minhash components over the md5-hash32 shingle domain:
+    s_i = min over shingles of (A_i * (x % p) + B_i) % p, p = 2^31 - 1.
+    Every product is < 2^62 — plain int64 on BOTH sides, no modular wrap
+    (the uint64 wrap in minhash_signature is what makes the crc32 family
+    un-oracle-able). Docs with ZERO shingles (empty text) are EXCLUDED —
+    the SQL side has no gram rows for them, and the banding would
+    otherwise pair all empties at the sentinel signature (the simhash-0
+    convention)."""
+    ids, sigs = [], []
+    for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        x = md5_shingle32(t)
+        if len(x) == 0:
+            continue
+        xm = x % P31
+        prod = (MD5MH_A[:, None] * xm[None, :] + MD5MH_B[:, None]) % P31
+        ids.append(i)
+        sigs.append(prod.min(axis=1))
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "signature": pa.array([s.tolist() for s in sigs],
+                              pa.list_(pa.int64()))})
+
+
+def minhash_pairs_md5(ds, id_col: str = "doc_id", text_col: str = "text",
+                      threshold: float = 0.5, n_coarse: int | None = None):
+    """VALUE-EXACT MinHash LSH — the oracle-able sibling of
+    minhash_dedup_pairs. Same pipeline shape (signature → band explode →
+    coarse bucket groupby → bucket walk → pair-key dedup), but every step
+    has an exact DuckDB form: md5-hash32 shingles, int64 affine min-hash
+    mod 2^31-1, 8×2 banding on the LITERAL component pair (h1, h2) —
+    never a digest of the band, so no hash-collision caveat — and
+    est_jaccard = eq_count/16.0 (an exact dyadic rational on both sides).
+    ``max_bucket=None``: the emitted pair set is documented-EXACT (the
+    SQL oracle is a full band self-join), so no salt cap may drop pairs;
+    the chunked triu sweep bounds memory instead.
+
+    Scale note: this is the CORRECTNESS-ANCHOR variant (16 perms, md5 in
+    a Python loop per gram); the crc32/64-perm family remains the
+    throughput path — this one pins the banding/threshold logic to SQL.
+    """
+    nc = n_coarse or N_COARSE
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        t = md5_minhash_batch(batch, id_col, text_col)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "band_id": pa.array([], pa.int32()),
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
+                "signature": pa.array([], pa.list_(pa.int64())),
+                "coarse": pa.array([], pa.int32())})
+        S = np.vstack(t["signature"].to_pylist()).astype(np.int64)
+        rid = np.repeat(t[id_col].to_numpy(), MD5MH_BANDS)
+        band = np.tile(np.arange(MD5MH_BANDS, dtype=np.int32), n)
+        h1 = S[:, 0::2].reshape(-1)
+        h2 = S[:, 1::2].reshape(-1)
+        sig_rep = [s for s in t["signature"].to_pylist()
+                   for _ in range(MD5MH_BANDS)]
+        coarse = ((h1 * 1000003 + h2 + band) % nc).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(rid, pa.int64()),
+            "band_id": pa.array(band, pa.int32()),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+            "signature": pa.array(sig_rep, pa.list_(pa.int64())),
+            "coarse": pa.array(coarse)})
+
+    def pairs_in_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"signature": "_payload"})
+
+        def vec(sa, sb):
+            e = (np.vstack(sa) == np.vstack(sb)).sum(axis=1) / float(
+                MD5MH_PERM)
+            return e >= threshold, e
+
+        def one(sa, sb):
+            e = float(np.sum(np.asarray(sa) == np.asarray(sb))) / MD5MH_PERM
+            return e if e >= threshold else None
+
+        ida, idb, est = _bucket_pairs(df, ["band_id", "h1", "h2"], id_col,
+                                      one, vec, max_bucket=None)
+        out = pd.DataFrame({"id_a": pd.array(ida, "int64"),
+                            "id_b": pd.array(idb, "int64"),
+                            "est_jaccard": pd.array(est, "float64")})
+        out = out.drop_duplicates(["id_a", "id_b"])
+        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % nc) \
+            .astype("int32")
+        return out
+
+    pairs = (ds.map_batches(band_rows, batch_format="pyarrow")
+             .groupby("coarse").map_groups(pairs_in_coarse,
+                                           batch_format="pandas"))
+    return _dedup_pairs_coarse(pairs, "est_jaccard", pa.float64())
+
+
 # ---------------------------------------------------------------- SimHash
 
 def _token_hash64(token: str) -> int:

@@ -2388,3 +2388,67 @@ class TestPmiBigrams:
         jn = _pmi_from_ds(ds, k=10, min_count=2,
                           broadcast_cap_rows=0).to_pandas()
         pd.testing.assert_frame_equal(bc, jn)
+
+
+class TestMinhashMd5Exact:
+    """Value-exact MinHash variant (md5-hash32 domain, affine perms mod
+    2^31-1) — the SQL-reproducible sibling of minhash_dedup_pairs."""
+
+    def _pure_sig(self, text):
+        import hashlib
+        words = text.lower().split()
+        n = dedup.SHINGLE_N
+        grams = ([" ".join(words)] if 0 < len(words) < n
+                 else [" ".join(words[i:i + n])
+                       for i in range(len(words) - n + 1)])
+        xs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % dedup.P31
+              for g in grams]
+        return [min((int(a) * x + int(b)) % dedup.P31 for x in xs)
+                for a, b in zip(dedup.MD5MH_A, dedup.MD5MH_B)]
+
+    def test_signature_matches_pure_python(self, ray_session):
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["alpha beta gamma delta",
+                                        "xy"], pa.string())})
+        out = dedup.md5_minhash_batch(t)
+        assert out["doc_id"].to_pylist() == [1, 2]
+        assert out["signature"].to_pylist() == [
+            self._pure_sig("alpha beta gamma delta"), self._pure_sig("xy")]
+
+    def test_empty_docs_excluded(self, ray_session):
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["", None, "real words here"],
+                                       pa.string())})
+        out = dedup.md5_minhash_batch(t)
+        assert out["doc_id"].to_pylist() == [3]
+
+    def test_clones_pair_with_dyadic_estimate(self, ray_session):
+        import ray.data
+        texts = [f"unique document number {i} alpha beta gamma delta {i}"
+                 for i in range(20)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(20)) + [100 + i for i in range(20)],
+                               pa.int64()),
+            "text": pa.array(texts + texts, pa.string())}))
+        pairs = dedup.minhash_pairs_md5(ds).to_pandas()
+        got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert {(i, 100 + i) for i in range(20)} <= got
+        # every estimate is k/16 — an exact dyadic rational
+        assert ((pairs.est_jaccard * dedup.MD5MH_PERM) % 1 == 0).all()
+        assert (pairs.est_jaccard >= 0.5).all()
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+        texts = [f"shared boilerplate words {i % 4} tail token {i}"
+                 for i in range(30)]
+        t = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        base = None
+        for nc, nb in ((4, 1), (64, 5)):
+            ds = ray.data.from_arrow(t).repartition(nb)
+            out = dedup.minhash_pairs_md5(ds, n_coarse=nc).to_pandas() \
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            if base is None:
+                base = out
+            else:
+                assert base.equals(out)
