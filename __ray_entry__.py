@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": a.host_hits,
         "host_pagerank": a.host_pagerank,
         "host_pagerank_int": a.host_pagerank_int,
+        "host_hits_int": a.host_hits_int,
         "page_metadata": a.page_metadata,
         "title_body_pairs": a.title_body_pairs,
         "anchor_text_summary": a.anchor_text_summary,
@@ -260,7 +261,7 @@ _PAGE_CORPUS_ORACLES = (
     "page_links", "host_graph_edges", "anchor_text_summary",
     "latest_capture_per_url", "canonical_capture_dedup",
     "host_capped_pages", "crawl_diff_status", "host_components",
-    "host_pagerank_int")
+    "host_pagerank_int", "host_hits_int")
 
 
 # url → lowercase host, the crawl.host_of RE2 (stages/crawl.py:29)
@@ -280,18 +281,11 @@ _HTML_DOC_SQL = ("replace(replace(CAST(html AS VARCHAR), '\\x22', '\"'), "
 _ANCHOR_SQL_RE = r"""(?is)<a\b[^>]*?\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>"""
 
 
-def _pagerank_int_sql(pg: str, n_iter: int = 10) -> str:
-    """Unrolled fixed-point PageRank oracle (host_pagerank_int): the edge
-    rollup is the host_graph_edges CTE chain; each round is one
-    MATERIALIZED CTE over the previous round's rank table (plain CTEs get
-    INLINED — every round references its predecessor twice, so naive
-    unrolling re-expands the whole chain 2^n_iter times and never
-    finishes). All arithmetic is BIGINT with DuckDB's truncating ``//``,
-    which coincides with the engine's floor ``//`` because every quantity
-    is non-negative (stages/linkgraph.pagerank_int recurrence)."""
-    scale, num, den = 10 ** 9, 85, 100
-    s_lit = f"CAST({scale} AS BIGINT)"
-    head = rf"""
+def _host_edges_cte(pg: str) -> str:
+    """Shared WITH-chain: pages → anchors → host edge rollup, ending at
+    ``e AS MATERIALIZED (src_host, dst_host, w)`` — the host_graph_edges
+    CTE chain, reused by the unrolled fixed-point link oracles."""
+    return rf"""
         WITH p AS (SELECT url, {_HTML_DOC_SQL} AS doc
                    FROM read_parquet('{pg}')
                    WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'),
@@ -312,7 +306,21 @@ def _pagerank_int_sql(pg: str, n_iter: int = 10) -> str:
                FROM l2),
         e AS MATERIALIZED (SELECT src_host, dst_host,
                                   CAST(count(*) AS BIGINT) AS w
-                           FROM eh GROUP BY 1, 2),
+                           FROM eh GROUP BY 1, 2)"""
+
+
+def _pagerank_int_sql(pg: str, n_iter: int = 10) -> str:
+    """Unrolled fixed-point PageRank oracle (host_pagerank_int): the edge
+    rollup is the host_graph_edges CTE chain; each round is one
+    MATERIALIZED CTE over the previous round's rank table (plain CTEs get
+    INLINED — every round references its predecessor twice, so naive
+    unrolling re-expands the whole chain 2^n_iter times and never
+    finishes). All arithmetic is BIGINT with DuckDB's truncating ``//``,
+    which coincides with the engine's floor ``//`` because every quantity
+    is non-negative (stages/linkgraph.pagerank_int recurrence)."""
+    scale, num, den = 10 ** 9, 85, 100
+    s_lit = f"CAST({scale} AS BIGINT)"
+    head = _host_edges_cte(pg) + rf""",
         nodes AS MATERIALIZED (
             SELECT node, CAST(SUM(w) AS BIGINT) AS out_w FROM
               (SELECT src_host AS node, w FROM e
@@ -341,6 +349,51 @@ def _pagerank_int_sql(pg: str, n_iter: int = 10) -> str:
     return (head + "".join(rounds)
             + f"\n        SELECT node, r AS pr_int FROM pr{n_iter}"
               " ORDER BY node")
+
+
+def _hits_int_sql(pg: str, n_iter: int = 10) -> str:
+    """Unrolled fixed-point HITS oracle (host_hits_int): same MATERIALIZED
+    per-round CTE convention as _pagerank_int_sql. Each round is two
+    half-steps — auth(v) = floor-normalized Σ_{u→v} w·hub(u), then
+    hub(u) = floor-normalized Σ_{u→v} w·auth(v) — all BIGINT; DuckDB's
+    truncating ``//`` coincides with the engine's floor ``//`` because
+    every quantity is non-negative (stages/linkgraph.hits_int)."""
+    from mobile_ocr_api_ray.stages.linkgraph import HITS_INT_SCALE
+    s_lit = f"CAST({HITS_INT_SCALE} AS BIGINT)"
+    head = _host_edges_cte(pg) + rf""",
+        nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM
+              (SELECT src_host AS node FROM e
+               UNION ALL SELECT dst_host FROM e)),
+        st AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        h0 AS MATERIALIZED (SELECT node, {s_lit} // st.n AS v
+                            FROM nodes, st)"""
+    half = """,
+        {out} AS MATERIALIZED (
+          WITH raw AS (SELECT nd.node,
+                              CAST(COALESCE(SUM(e.w * s.v), 0) AS BIGINT) AS raw
+                       FROM nodes nd
+                       LEFT JOIN e ON e.{out_side} = nd.node
+                       LEFT JOIN {src} s ON s.node = e.{join_side}
+                       GROUP BY nd.node),
+               t AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM raw)
+          SELECT raw.node,
+                 CASE WHEN t.tot > 0 THEN (raw.raw * {s}) // t.tot
+                      ELSE raw.raw END AS v
+          FROM raw CROSS JOIN t)"""
+    rounds = []
+    for i in range(1, n_iter + 1):
+        rounds.append(half.format(out=f"a{i}", src=f"h{i - 1}",
+                                  out_side="dst_host",
+                                  join_side="src_host", s=s_lit))
+        rounds.append(half.format(out=f"h{i}", src=f"a{i}",
+                                  out_side="src_host",
+                                  join_side="dst_host", s=s_lit))
+    return (head + "".join(rounds)
+            + f"""
+        SELECT h.node, h.v AS hub_int, a.v AS auth_int
+        FROM h{n_iter} h JOIN a{n_iter} a ON a.node = h.node
+        ORDER BY h.node""")
 
 
 def _minhash_md5_sql() -> str:
@@ -2310,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point integer PageRank: pure-int floor-division recurrence
         # is reproducible in SQL (unlike host_pagerank's float iteration)
         "host_pagerank_int": _pagerank_int_sql(pg),
+        "host_hits_int": _hits_int_sql(pg),
         "host_components": rf"""
             WITH RECURSIVE p AS (SELECT url, {_HTML_DOC_SQL} AS doc
                        FROM read_parquet('{pg}')

@@ -2024,6 +2024,26 @@ def host_hits(sf_dir: str):
     return out if isinstance(out, pa.Table) else out.sort("node")
 
 
+def host_hits_int(sf_dir: str):
+    """Fixed-point integer HITS over the host link graph
+    (stages/linkgraph.hits_int, 10 rounds, scale 1e6 micro-units,
+    L1 floor-normalized half-steps). Pure-integer order-free recurrence
+    ⇒ value-exact vs an unrolled MATERIALIZED-CTE SQL oracle — the
+    oracle-able sibling of host_hits, whose iterated float products
+    have no SQL form (the host_pagerank_int convention)."""
+    from ..stages import linkgraph
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    links = pages.map_batches(linkgraph.extract_links,
+                              batch_format="pyarrow")
+    nc = _pages_coarse_hint(sf_dir)
+    edges = linkgraph.host_edges(links, n_coarse=nc)
+    out = linkgraph.hits_int(edges, n_coarse=nc)
+    return out if isinstance(out, pa.Table) else out.sort("node")
+
+
 def host_components(sf_dir: str):
     """Weakly-connected components of the host link graph
     (stages/linkgraph.host_components): component id = lexicographically

@@ -1044,3 +1044,191 @@ def pagerank_int(edges_ds, n_iter: int = 10,
     out = rank.map_batches(final, batch_format="pyarrow")
     return nonempty_or_typed_table(out, {"node": pa.string(),
                                          "pr_int": pa.int64()})
+
+
+# ------------------------------------------------ fixed-point integer HITS
+
+HITS_INT_SCALE = 10 ** 6
+
+
+def _hits_int_local(edges: pd.DataFrame, n_iter: int, scale: int) -> pa.Table:
+    """Driver-local fixed-point HITS — pure-int recurrence (order-free
+    sums, normalization = one floor division per node), bit-equal to the
+    distributed path and the unrolled-CTE SQL oracle by construction."""
+    edges = edges[edges["w"] > 0]
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    n = len(nodes)
+    if n >= scale:
+        raise ValueError(
+            f"hits_int: node count {n} >= scale {scale} floors the "
+            f"uniform start to zero; pass a larger scale")
+    hub = {v: scale // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+    src_l = list(edges["src"])
+    dst_l = list(edges["dst"])
+    w_l = [int(x) for x in edges["w"]]
+
+    def norm(raw: dict) -> dict:
+        tot = sum(raw.values())
+        if tot <= 0:
+            return raw
+        return {v: (raw[v] * scale) // tot for v in raw}
+
+    for _ in range(n_iter):
+        raw_a = {v: 0 for v in nodes}
+        for s, d, w in zip(src_l, dst_l, w_l):
+            raw_a[d] += w * hub[s]
+        auth = norm(raw_a)
+        raw_h = {v: 0 for v in nodes}
+        for s, d, w in zip(src_l, dst_l, w_l):
+            raw_h[s] += w * auth[d]
+        hub = norm(raw_h)
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "hub_int": pa.array([hub[v] for v in nodes], pa.int64()),
+        "auth_int": pa.array([auth[v] for v in nodes], pa.int64())})
+
+
+def hits_int(edges_ds, n_iter: int = 10, src_col: str = "src_host",
+             dst_col: str = "dst_host", weight_col: str = "n_links",
+             n_coarse: int | None = None, local_edges_max: int = 200_000,
+             scale: int = HITS_INT_SCALE):
+    """HITS in fixed-point integer micro-units — the VALUE-EXACT sibling
+    of :func:`hits` (completing the trio with :func:`pagerank_int`).
+    Per round, all integer, ``//`` = floor division:
+
+        raw_a(v) = sum_{u->v} w * hub(u);  auth = (raw_a * scale) // Σraw_a
+        raw_h(u) = sum_{u->v} w * auth(v); hub  = (raw_h * scale) // Σraw_h
+
+    from hub_0 = scale // N. Integer sums are order-free, so local ==
+    distributed == SQL bit-for-bit (all quantities non-negative — DuckDB's
+    truncating ``//`` is Python's floor ``//``). Scores are ORDINAL
+    micro-unit masses (each half-step's L1 total decays < N units to
+    floor truncation); callers wanting float probabilities use ``hits``.
+
+    Width budget: raw * scale ≤ scale² * Σw must stay under 2^62
+    (runtime-checked); the scale must also exceed the node count or the
+    uniform start floors to zero (checked). Same ≤ ``local_edges_max``
+    driver-local routing as the other link-graph ops — the host edge
+    rollup is hosts²-sparse, never the corpus.
+    """
+    import ray.data  # noqa: F401
+
+    from .joins import hash_join
+
+    nc = n_coarse or N_COARSE
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "hub_int": pa.array([], pa.int64()),
+                      "auth_int": pa.array([], pa.int64())})
+    if isinstance(edges_ds, pa.Table):
+        return empty
+
+    def positive(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(
+            batch[weight_col].cast(pa.int64()), pa.scalar(0, pa.int64())))
+        return pa.table({
+            "src": t[src_col].cast(pa.string()),
+            "dst": t[dst_col].cast(pa.string()),
+            "w": t[weight_col].cast(pa.int64())})
+
+    edges_mat = edges_ds.map_batches(
+        positive, batch_format="pyarrow").materialize()
+    n_edges = edges_mat.count()
+    if n_edges == 0:
+        return empty
+    w_total = int(edges_mat.sum("w"))
+    if scale * scale * w_total >= 2 ** 62:
+        raise ValueError(
+            f"hits_int: scale^2 * total_weight {scale}^2*{w_total} exceeds "
+            f"the int64 width budget; pass a smaller scale")
+
+    if n_edges <= local_edges_max:
+        return _hits_int_local(edges_mat.to_pandas(), n_iter, scale)
+
+    # ---------------- distributed path ----------------
+    def node_rows(batch: pa.Table) -> pa.Table:
+        hosts = sorted(set(batch["src"].to_pylist())
+                       | set(batch["dst"].to_pylist()))
+        return pa.table({"node": pa.array(hosts, pa.string()),
+                         "coarse": pa.array(_str_coarse(hosts, nc))})
+
+    def first_node(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates("node").sort_values("node")
+        return pa.table({"node": pa.array(g["node"], pa.string())})
+
+    nodes = (edges_mat.map_batches(node_rows, batch_format="pyarrow")
+             .groupby("coarse").map_groups(first_node,
+                                           batch_format="pandas")
+             .materialize())
+    n_nodes = nodes.count()
+    if n_nodes >= scale:
+        raise ValueError(
+            f"hits_int: node count {n_nodes} >= scale {scale} floors the "
+            f"uniform start to zero; pass a larger scale")
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "v": pa.array(np.full(batch.num_rows, scale // n_nodes,
+                                  np.int64))})
+
+    def _half_step(scores, join_key: str, out_key: str):
+        # edges ⨝ scores on join_key → per-edge int contribution w·v,
+        # regrouped per out_key (coarse bucket, exact-key resolve), L1
+        # total via one exact int aggregate, floor-normalized per node
+        j = hash_join(edges_mat, scores, join_key, "node")
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            key = batch[out_key].cast(pa.string())
+            c = (batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 * batch["v"].to_numpy(zero_copy_only=False)
+                 .astype(np.int64))
+            return pa.table({
+                "key": key, "c": pa.array(c, pa.int64()),
+                "kcoarse": pa.array(_str_coarse(key, nc))})
+
+        def zero_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": batch["node"],
+                "c": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "kcoarse": pa.array(_str_coarse(batch["node"], nc))})
+
+        def ksum(df: pd.DataFrame) -> pa.Table:
+            g = df.groupby("key", as_index=False)["c"].sum()
+            return pa.table({
+                "node": pa.array(g["key"], pa.string()),
+                "raw": pa.array(g["c"].astype("int64"), pa.int64())})
+
+        raw = (j.map_batches(contrib, batch_format="pyarrow")
+               .union(nodes.map_batches(zero_rows, batch_format="pyarrow"))
+               .groupby("kcoarse").map_groups(ksum, batch_format="pandas")
+               .materialize())
+        total = int(raw.sum("raw") or 0)
+
+        def norm(batch: pa.Table, total=total) -> pa.Table:
+            r = batch["raw"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = (r * scale) // total if total > 0 else r
+            return pa.table({"node": batch["node"],
+                             "v": pa.array(v, pa.int64())})
+
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    hub = nodes.map_batches(init_scores, batch_format="pyarrow") \
+        .materialize()
+    auth = hub
+    for _ in range(n_iter):
+        auth = _half_step(hub, "src", "dst")
+        hub = _half_step(auth, "dst", "src")
+
+    merged = hash_join(
+        hub.map_batches(lambda b: pa.table(
+            {"node": b["node"], "hub_int": b["v"]}),
+            batch_format="pyarrow"),
+        auth.map_batches(lambda b: pa.table(
+            {"node2": b["node"], "auth_int": b["v"]}),
+            batch_format="pyarrow"),
+        "node", "node2")
+    out = merged.select_columns(["node", "hub_int", "auth_int"])
+    return nonempty_or_typed_table(out, {"node": pa.string(),
+                                         "hub_int": pa.int64(),
+                                         "auth_int": pa.int64()})

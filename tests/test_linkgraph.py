@@ -496,3 +496,90 @@ class TestPageRankInt:
         out = linkgraph.pagerank_int(empty)
         assert isinstance(out, pa.Table)
         assert out.column_names == ["node", "pr_int"]
+
+
+class TestHitsInt:
+    ROWS = [("a", "b", 3), ("a", "c", 1), ("b", "c", 5),
+            ("c", "d", 1), ("d", "b", 7), ("e", "z", 2), ("f", "f", 1),
+            ("b", "a", 4)]
+
+    def _pure_python(self, rows, n_iter=10, scale=10 ** 6):
+        # independent restatement of the recurrence (dict arithmetic)
+        rows = [r for r in rows if r[2] > 0]
+        nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+        hub = {v: scale // len(nodes) for v in nodes}
+
+        def norm(raw):
+            tot = sum(raw.values())
+            if tot <= 0:
+                return raw
+            return {v: (raw[v] * scale) // tot for v in raw}
+
+        auth = {v: 0 for v in nodes}
+        for _ in range(n_iter):
+            ra = {v: 0 for v in nodes}
+            for s, d, w in rows:
+                ra[d] += w * hub[s]
+            auth = norm(ra)
+            rh = {v: 0 for v in nodes}
+            for s, d, w in rows:
+                rh[s] += w * auth[d]
+            hub = norm(rh)
+        return hub, auth
+
+    def test_differential_vs_pure_python(self, ray_session):
+        got = linkgraph.hits_int(edges_ds(self.ROWS)).to_pandas()
+        hub, auth = self._pure_python(self.ROWS)
+        assert dict(zip(got["node"], got["hub_int"])) == hub
+        assert dict(zip(got["node"], got["auth_int"])) == auth
+        assert got["hub_int"].dtype == np.int64
+        assert got["auth_int"].dtype == np.int64
+
+    def test_local_matches_distributed_bit_exact(self, ray_session):
+        loc = linkgraph.hits_int(edges_ds(self.ROWS)) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        for nc in (2, 5):
+            dist = linkgraph.hits_int(
+                edges_ds(self.ROWS), local_edges_max=0, n_coarse=nc) \
+                .to_pandas().sort_values("node").reset_index(drop=True)
+            assert loc.equals(dist)
+
+    def test_mass_decays_only_by_truncation(self, ray_session):
+        # each normalized half-step's L1 total is scale minus < n units
+        got = linkgraph.hits_int(edges_ds(self.ROWS)).to_pandas()
+        n, scale = len(got), linkgraph.HITS_INT_SCALE
+        assert scale - n <= got["hub_int"].sum() <= scale
+        assert scale - n <= got["auth_int"].sum() <= scale
+
+    def test_ordinal_agreement_with_float_hits(self, ray_session):
+        gi = linkgraph.hits_int(edges_ds(self.ROWS)).to_pandas()
+        gf = linkgraph.hits(edges_ds(self.ROWS)).to_pandas()
+        m = gi.merge(gf, on="node")
+        scale = float(linkgraph.HITS_INT_SCALE)
+        assert np.allclose(m["hub_int"].to_numpy(np.float64) / scale,
+                           m["hub"].to_numpy(np.float64), atol=2e-5)
+        assert np.allclose(m["auth_int"].to_numpy(np.float64) / scale,
+                           m["authority"].to_numpy(np.float64), atol=2e-5)
+
+    def test_zero_weight_edges_filtered(self, ray_session):
+        rows = [("a", "b", 1), ("b", "c", 0)]   # c unreferenced after filter
+        got = linkgraph.hits_int(edges_ds(rows)).to_pandas()
+        assert set(got["node"]) == {"a", "b"}
+
+    def test_width_budget_guard(self, ray_session):
+        with pytest.raises(ValueError, match="width budget"):
+            linkgraph.hits_int(edges_ds([("a", "b", 2 ** 55)]))
+
+    def test_scale_must_exceed_node_count(self, ray_session):
+        with pytest.raises(ValueError, match="floors the"):
+            linkgraph.hits_int(edges_ds(self.ROWS), scale=3)
+
+    def test_empty(self, ray_session):
+        import ray.data
+        empty = ray.data.from_arrow(pa.table({
+            "src_host": pa.array([], pa.string()),
+            "dst_host": pa.array([], pa.string()),
+            "n_links": pa.array([], pa.int64())}))
+        out = linkgraph.hits_int(empty)
+        assert isinstance(out, pa.Table)
+        assert out.column_names == ["node", "hub_int", "auth_int"]
