@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_two_pass_doubled": a.minhash_pairs_two_pass_doubled,
         "minhash_pairs_md5_doubled": a.minhash_pairs_md5_doubled,
         "minhash_verified_pairs_doubled": a.minhash_verified_pairs_doubled,
+        "edit_verified_pairs_doubled": a.edit_verified_pairs_doubled,
         "simhash_docs": a.simhash_docs,
         "simhash_pairs_doubled": a.simhash_pairs_doubled,
         "embedding_pairs_doubled": a.embedding_pairs_doubled,
@@ -396,7 +397,13 @@ def _hits_int_sql(pg: str, n_iter: int = 10) -> str:
         ORDER BY h.node""")
 
 
-def _minhash_md5_sql() -> str:
+_MINHASH_DD_DOUBLED = """SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000, text FROM documents"""
+
+
+def _minhash_md5_sql(dd_sql: str = _MINHASH_DD_DOUBLED,
+                     final_sql: "str | None" = None) -> str:
     """Generated oracle for minhash_pairs_md5_doubled: the FULL MinHash
     LSH pipeline in SQL — md5-hash32 shingles (the target_affinity bucket
     rule), 16 affine permutations mod 2^31-1 as MIN aggregates (every
@@ -404,7 +411,12 @@ def _minhash_md5_sql() -> str:
     band-row self-join on the literal component pairs, and est_jaccard =
     eq_count/16.0 (a dyadic rational, bit-exact on both sides). The gram
     rule (3-grams, short docs collapse to one joined gram, empties emit
-    nothing) is the ngram_jaccard_adjacent CTE."""
+    nothing) is the ngram_jaccard_adjacent CTE.
+
+    ``dd_sql`` is the corpus-construction CTE body (doc_id, text);
+    ``final_sql`` optionally replaces the closing SELECT (downstream of
+    the ``eq`` candidate CTE) so verify-stage oracles can join texts
+    back onto the candidate set."""
     from mobile_ocr_api_ray.stages.dedup import (MD5MH_A, MD5MH_B,
                                                  MD5MH_BANDS, MD5MH_PERM,
                                                  P31)
@@ -417,9 +429,7 @@ def _minhash_md5_sql() -> str:
     eq = " + ".join(f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
                     for i in range(MD5MH_PERM))
     return rf"""
-        WITH dd AS (SELECT doc_id, text FROM documents
-                    UNION ALL
-                    SELECT doc_id + 1000000, text FROM documents),
+        WITH dd AS ({dd_sql}),
         words AS (SELECT doc_id,
                          list_filter(regexp_split_to_array(
                              lower(coalesce(text, '')), '\s+'),
@@ -443,9 +453,46 @@ def _minhash_md5_sql() -> str:
         eq AS (SELECT c.id_a, c.id_b, ({eq}) AS k
                FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
                     JOIN sig sb ON sb.doc_id = c.id_b)
+        """ + (final_sql or rf"""
         SELECT id_a, id_b, CAST(k AS DOUBLE) / {MD5MH_PERM}.0 AS est_jaccard
         FROM eq WHERE CAST(k AS DOUBLE) / {MD5MH_PERM}.0 >= 0.5
+        ORDER BY id_a, id_b""")
+
+
+def _edit_verified_sql() -> str:
+    """Generated oracle for edit_verified_pairs_doubled: the md5 MinHash
+    candidate chain over the MUTATED doubled corpus (each twin drops its
+    first doc_id %% 7 characters), then exact ``levenshtein()`` (byte
+    semantics — levenshtein_bytes parity), edit_sim as the single exact-
+    int division over octet lengths, is_near as the same double compared
+    to 0.9 (identical expression order on both sides)."""
+    from mobile_ocr_api_ray.stages.dedup import MD5MH_PERM
+    dd = """SELECT doc_id, coalesce(text, '') AS text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000,
+                           substring(coalesce(text, ''), (doc_id % 7) + 1)
+                    FROM documents"""
+    final = rf"""
+        , v AS (SELECT e.id_a, e.id_b,
+                       CAST(e.k AS DOUBLE) / {MD5MH_PERM}.0 AS est_jaccard,
+                       CAST(levenshtein(ta.text, tb.text) AS BIGINT)
+                         AS edit_dist,
+                       CASE WHEN greatest(strlen(ta.text),
+                                          strlen(tb.text)) = 0
+                            THEN 1.0
+                            ELSE 1.0
+                              - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+                              / CAST(greatest(strlen(ta.text),
+                                              strlen(tb.text))
+                                     AS DOUBLE)
+                       END AS edit_sim
+                FROM eq e JOIN dd ta ON ta.doc_id = e.id_a
+                          JOIN dd tb ON tb.doc_id = e.id_b)
+        SELECT id_a, id_b, est_jaccard, edit_dist, edit_sim,
+               edit_sim >= 0.9 AS is_near
+        FROM v WHERE est_jaccard >= 0.5
         ORDER BY id_a, id_b"""
+    return _minhash_md5_sql(dd_sql=dd, final_sql=final)
 
 
 def _stop_case_sum() -> str:
@@ -1251,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         # single joined gram, empty text → empty set (pair of empties → 1.0)
         # full MinHash LSH in SQL — see _minhash_md5_sql
         "minhash_pairs_md5_doubled": _minhash_md5_sql(),
+        "edit_verified_pairs_doubled": _edit_verified_sql(),
         "ngram_jaccard_adjacent": r"""
             WITH words AS (
               SELECT doc_id,

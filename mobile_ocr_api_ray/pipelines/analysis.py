@@ -835,6 +835,43 @@ def minhash_verified_pairs_doubled(sf_dir: str):
     return verified.map_batches(keep, batch_format="pyarrow").sort(["id_a", "id_b"])
 
 
+def edit_verified_pairs_doubled(sf_dir: str):
+    """MinHash candidates verified by EXACT Levenshtein edit distance
+    (stages/dedup.verify_pairs_edit) — the character-level verify stage
+    that catches near-dups whose edits are character-local (typos, OCR
+    noise, truncation) where token-gram Jaccard over-penalizes.
+
+    The doubled corpus is MUTATED so distances are non-trivial: each
+    twin drops its first ``doc_id % 7`` characters (``substring(text,
+    (doc_id % 7) + 1)`` verbatim in SQL), so edit distances spread over
+    0..6 while the shingle sets stay band-collidable. Candidates come
+    from the value-exact md5 MinHash (minhash_pairs_md5), the distance
+    kernel is byte-exact vs DuckDB ``levenshtein()``, and edit_sim =
+    1 − dist/max(octet_length) is a single exact-int division — the
+    whole composition is value-exact in SQL."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def construct(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        t = pc.fill_null(batch["text"], "")
+        slices = [pc.utf8_slice_codeunits(t, k)
+                  .to_numpy(zero_copy_only=False) for k in range(7)]
+        twin = np.select([ids % 7 == k for k in range(7)], slices,
+                         default="")
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([ids, ids + DOUBLE_OFFSET]), pa.int64()),
+            "text": pa.array(
+                np.concatenate([t.to_numpy(zero_copy_only=False),
+                                twin]).astype(object), pa.string())})
+
+    mutated = docs.map_batches(construct, batch_format="pyarrow")
+    hint = _docs_coarse_hint(sf_dir, 2)
+    pairs = dedup.minhash_pairs_md5(mutated, n_coarse=hint)
+    out = dedup.verify_pairs_edit(pairs, mutated, n_coarse=hint)
+    return out if isinstance(out, pa.Table) else out.sort(["id_a", "id_b"])
+
+
 def dup_clusters_doubled(sf_dir: str):
     pairs = dedup.minhash_dedup_pairs(_doubled_docs(sf_dir), threshold=0.7,
                                       n_coarse=_docs_coarse_hint(sf_dir, 2))

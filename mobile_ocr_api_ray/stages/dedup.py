@@ -917,19 +917,22 @@ def adjacent_ngram_jaccard(ds, id_col: str = "doc_id", text_col: str = "text",
         {"id_a": pa.int64(), "id_b": pa.int64(), "jaccard": pa.float64()})
 
 
-def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
-                       text_col: str = "text", n: int = SHINGLE_N,
-                       n_coarse: int | None = None,
-                       semi_join_max_ids: int = 5_000_000):
-    """Attach exact n-gram Jaccard to candidate pairs, fully distributed.
+def _verify_pairs_core(pairs_ds, docs_ds, id_col: str, text_col: str,
+                       n_coarse: int | None, semi_join_max_ids: int,
+                       kernel_factory, extra_cols: "dict[str, pa.DataType]"):
+    """Shared candidate→verify repartition-join machinery (see
+    verify_pairs_ngram for the full scale rationale). ``kernel_factory()``
+    is called once per verify partition and must return
+    ``fn(id_a, text_a, id_b, text_b) -> tuple`` producing one value per
+    ``extra_cols`` entry — per-partition state (memo caches, encoders)
+    lives in the factory closure.
 
     Two-shuffle repartition join (no driver materialization, no broadcast —
     the documents side may be the whole corpus):
       1. pairs explode to per-member refs (id, pid, side); union with the
          documents rows (id, text); groupby(id) stamps the text onto every
          ref of that document;
-      2. groupby(pid) reunites the two stamped sides and computes the exact
-         Jaccard.
+      2. groupby(pid) reunites the two stamped sides and runs the kernel.
     Both shuffles group on a COARSE partition of their key (id % N_COARSE,
     crc32(pid) % N_COARSE) and resolve exact keys with a vectorized pandas
     merge/join inside the group fn — Ray dispatches 256 groups instead of
@@ -941,10 +944,10 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
     distinct-id array fits a broadcast (≤ ``semi_join_max_ids``), the ids
     are collected once (bounded by the guard, unlike an unbounded label
     loop), broadcast via ray.put, and the corpus side is mask-filtered with
-    a vectorized np.isin BEFORE the shuffle — at a 20-30% dup rate this
-    keeps 70-80% of a 100 TB corpus's text bytes out of the exchange.
+    a vectorized binary search BEFORE the shuffle — at a 20-30% dup rate
+    this keeps 70-80% of a 100 TB corpus's text bytes out of the exchange.
     Larger pair sets fall back to the full-corpus repartition join.
-    Returns (id_a, id_b, est_jaccard, jaccard).
+    Returns (id_a, id_b, est_jaccard, *extra_cols).
     """
     import ray
 
@@ -1001,39 +1004,26 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
         out["pcoarse"] = str_coarse(out["pid"], nc)
         return out[["pid", "pcoarse", "side", "doc_text", "est_jaccard"]]
 
-    def verify_coarse(df: pd.DataFrame) -> pd.DataFrame:
+    def verify_coarse(df: pd.DataFrame) -> pa.Table:
         a_side = df[df["side"] == "a"].set_index("pid")
         b_side = df[df["side"] == "b"].set_index("pid")
         joined = a_side.join(b_side, how="inner", lsuffix="_a", rsuffix="_b")
-        # per-DOC gram-set memo: a doc in k pairs of this partition builds
-        # its n-gram set once, not k times (the gram split dominates the
-        # kernel; texts repeat heavily in near-dup pair sets). BOUNDED: a
-        # partition full of distinct large docs must not hold every gram
-        # set to completion — past the cap, misses recompute instead
-        gram_cache: dict[int, set] = {}
-        GRAM_CACHE_MAX = 4096
-
-        def grams_of(did: int, text) -> set:
-            g = gram_cache.get(did)
-            if g is None:
-                g = ngram_set(text, n)
-                if len(gram_cache) < GRAM_CACHE_MAX:
-                    gram_cache[did] = g
-            return g
-
-        ida, idb, est, jac = [], [], [], []
+        kernel = kernel_factory()
+        ida, idb, est = [], [], []
+        extra = [[] for _ in extra_cols]
         for p, row in joined.iterrows():
             x, y = (int(v) for v in p.split("_"))
-            ga = grams_of(x, row["doc_text_a"])
-            gb = grams_of(y, row["doc_text_b"])
             ida.append(x); idb.append(y)
             est.append(row["est_jaccard_a"])
-            jac.append(1.0 if not ga and not gb
-                       else len(ga & gb) / len(ga | gb))
-        return pd.DataFrame({"id_a": pd.array(ida, "int64"),
-                             "id_b": pd.array(idb, "int64"),
-                             "est_jaccard": pd.array(est, "float64"),
-                             "jaccard": pd.array(jac, "float64")})
+            for lst, v in zip(extra, kernel(x, row["doc_text_a"],
+                                            y, row["doc_text_b"])):
+                lst.append(v)
+        return pa.table(
+            {"id_a": pa.array(ida, pa.int64()),
+             "id_b": pa.array(idb, pa.int64()),
+             "est_jaccard": pa.array(est, pa.float64()),
+             **{name: pa.array(vals, typ) for (name, typ), vals
+                in zip(extra_cols.items(), extra)}})
 
     def filter_members(batch: pa.Table) -> pa.Table:
         # membership via binary search against the PRE-SORTED broadcast ids
@@ -1056,7 +1046,116 @@ def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
     return _typed_empty_union(
         stamped.groupby("pcoarse").map_groups(verify_coarse, batch_format="pandas"),
         {"id_a": pa.int64(), "id_b": pa.int64(), "est_jaccard": pa.float64(),
-         "jaccard": pa.float64()})
+         **extra_cols})
+
+
+def verify_pairs_ngram(pairs_ds, docs_ds, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = SHINGLE_N,
+                       n_coarse: int | None = None,
+                       semi_join_max_ids: int = 5_000_000):
+    """Attach exact n-gram Jaccard to candidate pairs, fully distributed
+    (the _verify_pairs_core repartition join; see its docstring for the
+    scale rationale). Returns (id_a, id_b, est_jaccard, jaccard)."""
+    def kernel_factory():
+        # per-DOC gram-set memo: a doc in k pairs of this partition builds
+        # its n-gram set once, not k times (the gram split dominates the
+        # kernel; texts repeat heavily in near-dup pair sets). BOUNDED: a
+        # partition full of distinct large docs must not hold every gram
+        # set to completion — past the cap, misses recompute instead
+        gram_cache: dict[int, set] = {}
+        GRAM_CACHE_MAX = 4096
+
+        def grams_of(did: int, text) -> set:
+            g = gram_cache.get(did)
+            if g is None:
+                g = ngram_set(text, n)
+                if len(gram_cache) < GRAM_CACHE_MAX:
+                    gram_cache[did] = g
+            return g
+
+        def kernel(x, ta, y, tb):
+            ga, gb = grams_of(x, ta), grams_of(y, tb)
+            return (1.0 if not ga and not gb
+                    else len(ga & gb) / len(ga | gb),)
+
+        return kernel
+
+    return _verify_pairs_core(pairs_ds, docs_ds, id_col, text_col, n_coarse,
+                              semi_join_max_ids, kernel_factory,
+                              {"jaccard": pa.float64()})
+
+
+def levenshtein_bytes(a: "str | None", b: "str | None") -> int:
+    """Exact Levenshtein distance over UTF-8 BYTES. Byte semantics (not
+    codepoints) are deliberate: DuckDB's ``levenshtein()`` is byte-based
+    (``levenshtein('café','cafe') = 2``), so this kernel stays
+    oracle-equal beyond ASCII. Vectorized row DP: the Python loop runs
+    over the SHORTER string, each row is O(len) numpy ops; the
+    sequential insertion relaxation cur[j] = min(cand[j], cur[j-1]+1)
+    is exact as a running-min transform on cand[j]-j."""
+    ab = (a or "").encode("utf-8")
+    bb = (b or "").encode("utf-8")
+    if ab == bb:
+        return 0
+    la, lb = len(ab), len(bb)
+    if la == 0 or lb == 0:
+        return la or lb
+    if la > lb:
+        ab, bb, la, lb = bb, ab, lb, la
+    bv = np.frombuffer(bb, np.uint8).astype(np.int64)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    jix = np.arange(1, lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        sub = prev[:-1] + (bv != ab[i - 1])
+        cand = np.minimum(prev[1:] + 1, sub)
+        # cur[j] = min_{k<=j} (cand-with-cur0[k] + (j-k)); cand-j running min
+        f = np.minimum.accumulate(
+            np.concatenate(([np.int64(i)], cand - jix)))
+        prev = np.concatenate(([np.int64(i)], f[1:] + jix))
+    return int(prev[-1])
+
+
+def verify_pairs_edit(pairs_ds, docs_ds, id_col: str = "doc_id",
+                      text_col: str = "text", near_sim: float = 0.9,
+                      n_coarse: int | None = None,
+                      semi_join_max_ids: int = 5_000_000):
+    """Attach the exact Levenshtein edit distance to candidate pairs —
+    the edit-level verify stage (LSH recall, character-exact precision;
+    catches near-dups whose edits are character-local rather than
+    token-local, where n-gram Jaccard over-penalizes). Same
+    _verify_pairs_core repartition join as verify_pairs_ngram.
+
+    Returns (id_a, id_b, est_jaccard, edit_dist, edit_sim, is_near):
+    edit_dist is byte-exact Levenshtein (levenshtein_bytes — DuckDB
+    ``levenshtein()`` parity), edit_sim = 1 − dist/max(octet_len) is one
+    IEEE division and one subtraction of exact integers (bit-equal in
+    SQL), both-empty pairs score 1.0, and is_near = edit_sim ≥
+    ``near_sim``."""
+    def kernel_factory():
+        enc_cache: dict[int, int] = {}
+        ENC_CACHE_MAX = 65536
+
+        def octets(did: int, text) -> int:
+            v = enc_cache.get(did)
+            if v is None:
+                v = len((text or "").encode("utf-8"))
+                if len(enc_cache) < ENC_CACHE_MAX:
+                    enc_cache[did] = v
+            return v
+
+        def kernel(x, ta, y, tb):
+            dist = levenshtein_bytes(ta, tb)
+            m = max(octets(x, ta), octets(y, tb))
+            sim = 1.0 - dist / m if m else 1.0
+            return dist, sim, sim >= near_sim
+
+        return kernel
+
+    return _verify_pairs_core(pairs_ds, docs_ds, id_col, text_col, n_coarse,
+                              semi_join_max_ids, kernel_factory,
+                              {"edit_dist": pa.int64(),
+                               "edit_sim": pa.float64(),
+                               "is_near": pa.bool_()})
 
 
 # ------------------------------------- winnowing fingerprint collisions

@@ -652,6 +652,104 @@ def test_minhash_two_pass_empty(ray_session):
     assert out.schema().names == ["id_a", "id_b", "est_jaccard"]
 
 
+class TestLevenshteinVerify:
+    @pytest.fixture()
+    def doc_ds(self, ray_session):
+        import ray.data
+        texts = [f"unique document number {i} with content words alpha "
+                 f"beta gamma {i}" for i in range(40)]
+        texts += texts[:10]  # 10 exact dups
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def _pure_python_lev(self, a: str, b: str) -> int:
+        # independent restatement: classic full-matrix DP over utf-8 bytes
+        ab, bb = a.encode("utf-8"), b.encode("utf-8")
+        la, lb = len(ab), len(bb)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + (ab[i - 1] != bb[j - 1]))
+        return d[la][lb]
+
+    def test_kernel_differential_vs_matrix_dp(self):
+        import random
+        rng = random.Random(11)
+        alpha = "ab cdé漢"
+        for _ in range(150):
+            a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25)))
+            assert dedup.levenshtein_bytes(a, b) == self._pure_python_lev(a, b)
+
+    def test_kernel_matches_duckdb_bytes_semantics(self):
+        import duckdb
+        cases = [("kitten", "sitting"), ("café", "cafe"), ("", ""),
+                 ("", "xyz"), ("abc", ""), ("漢字", "漢"), (None, "a")]
+        for a, b in cases:
+            want = duckdb.execute(
+                "SELECT levenshtein(coalesce(?, ''), coalesce(?, ''))",
+                [a, b]).fetchone()[0]
+            assert dedup.levenshtein_bytes(a, b) == want
+
+    def test_verify_pairs_edit(self, ray_session, doc_ds):
+        pairs = dedup.minhash_dedup_pairs(doc_ds, threshold=0.9)
+        v = dedup.verify_pairs_edit(pairs, doc_ds).to_pandas()
+        got = {(a, b): (d, s, n) for a, b, d, s, n in
+               zip(v.id_a, v.id_b, v.edit_dist, v.edit_sim, v.is_near)}
+        for i in range(10):  # exact dup pairs: distance 0, sim 1.0, near
+            assert got.get((i, i + 40)) == (0, 1.0, True)
+        assert v.est_jaccard.notna().all()
+        assert (v.edit_dist >= 0).all()
+        assert v.edit_dist.dtype == np.int64
+
+    def test_edit_sim_rule(self, ray_session):
+        import ray.data
+        texts = {0: "alpha beta gamma delta epsilon zeta",
+                 1: "alpha beta gamma delta epsilon zet"}
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)],
+                             pa.string())}))
+        pairs = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([0], pa.int64()),
+            "id_b": pa.array([1], pa.int64()),
+            "est_jaccard": pa.array([1.0], pa.float64())}))
+        v = dedup.verify_pairs_edit(pairs, ds).to_pandas()
+        assert len(v) == 1
+        row = v.iloc[0]
+        assert row.edit_dist == 1
+        assert row.edit_sim == 1.0 - 1 / len(texts[0].encode())
+        assert bool(row.is_near)
+
+    def test_semi_join_fallback_identical(self, ray_session, doc_ds):
+        pairs = dedup.minhash_dedup_pairs(doc_ds, threshold=0.9)
+        a = (dedup.verify_pairs_edit(pairs, doc_ds).to_pandas()
+             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+        b = (dedup.verify_pairs_edit(pairs, doc_ds, semi_join_max_ids=0)
+             .to_pandas().sort_values(["id_a", "id_b"])
+             .reset_index(drop=True))
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_pairs_typed(self, ray_session, doc_ds):
+        import ray.data
+        empty = ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64())}))
+        v = dedup.verify_pairs_edit(empty, doc_ds)
+        df = v.to_pandas()
+        assert len(df) == 0
+        assert set(v.schema().names) == {"id_a", "id_b", "est_jaccard",
+                                         "edit_dist", "edit_sim", "is_near"}
+
+
 def test_verify_pairs_semi_join_fallback(ray_session):
     """The semi-join broadcast path and the full-corpus fallback
     (semi_join_max_ids=0) produce identical verified pairs."""
