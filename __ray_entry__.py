@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequence_texts": a.packed_sequence_texts,
         "gopher_quality_flags": a.gopher_quality_flags,
         "unigram_logprob": a.unigram_logprob_docs,
+        "bigram_surprisal": a.bigram_surprisal_docs,
         "source_overlap_matrix": a.source_overlap_matrix,
         "heavy_hitter_words": a.heavy_hitter_words,
         "incremental_dedup": a.incremental_dedup_docs,
@@ -1916,6 +1917,49 @@ def oracle_sql() -> dict[str, str]:
         # smoothed to count 1; per-token -ln p quantized to integer
         # micro-nats via floor so per-doc sums are order-independent
         # (float addition does not associate; ln/floor agree bit-for-bit)
+        "bigram_surprisal": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '\w+') AS w
+              FROM documents),
+            uni AS (SELECT word, count(*) AS n
+                    FROM (SELECT unnest(w) AS word FROM toks) GROUP BY 1),
+            vocab AS (SELECT word FROM uni ORDER BY n DESC, word LIMIT 100),
+            vsz AS (SELECT cast(count(*) + 1 AS BIGINT) AS v FROM vocab),
+            big AS (SELECT doc_id, b[1] AS w1, b[2] AS w2
+                    FROM (SELECT doc_id,
+                                 unnest([[w[i], w[i+1]]
+                                         FOR i IN range(1, len(w))]) AS b
+                          FROM toks)),
+            bigc AS (SELECT doc_id,
+                            CASE WHEN v1.word IS NULL THEN '#oov'
+                                 ELSE big.w1 END AS c1,
+                            CASE WHEN v2.word IS NULL THEN '#oov'
+                                 ELSE big.w2 END AS c2
+                     FROM big LEFT JOIN vocab v1 ON v1.word = big.w1
+                              LEFT JOIN vocab v2 ON v2.word = big.w2),
+            cnt AS (SELECT c1, c2, cast(count(*) AS BIGINT) AS n
+                    FROM bigc GROUP BY 1, 2),
+            firstc AS (SELECT c1, cast(sum(n) AS BIGINT) AS nf
+                       FROM cnt GROUP BY 1),
+            q AS (SELECT bigc.doc_id,
+                         cast(floor(-ln(cast(cnt.n + 1 AS DOUBLE)
+                                        / cast(firstc.nf
+                                               + (SELECT v FROM vsz)
+                                               AS DOUBLE))
+                                    * 1000000) AS BIGINT) AS q
+                  FROM bigc JOIN cnt USING (c1, c2)
+                            JOIN firstc USING (c1))
+            SELECT d.doc_id,
+                   cast(count(q.q) AS BIGINT) AS n_bigrams,
+                   cast(coalesce(sum(q.q), 0) AS BIGINT)
+                       AS surprisal_micro_nats,
+                   cast(coalesce(sum(q.q), 0) AS DOUBLE)
+                       / (greatest(count(q.q), 1) * 1000000.0)
+                       AS avg_surprisal
+            FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id
+            GROUP BY 1 ORDER BY 1""",
         "unigram_logprob": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -517,6 +517,115 @@ def unigram_logprob_docs(sf_dir: str, vocab_k: int = UNIGRAM_VOCAB_K):
             .map_batches(score, batch_format="pyarrow").sort("doc_id"))
 
 
+BIGRAM_OOV = "#oov"  # '#' is not a \w character, so no token collides
+
+
+def bigram_surprisal_docs(sf_dir: str, vocab_k: int = UNIGRAM_VOCAB_K):
+    """Class-based bigram-LM surprisal — the CCNet-style (Wenzek et al.
+    2020) LM-perplexity quality signal one order up from
+    unigram_logprob_docs: every token maps to a top-k vocabulary class
+    or a single OOV class (alphabet V = k + 1, so the model is BOUNDED
+    regardless of corpus vocabulary), and each adjacent pair scores
+    -ln p(c2|c1) with add-one smoothing
+        p(c2|c1) = (c(c1,c2) + 1) / (c_first(c1) + V),
+    c_first(c1) = Σ_b c(c1,b) (the bigram-table row mass, so the
+    distribution normalizes exactly).
+
+    Scale shape: one corpus pass for unigram counts (word_freq
+    combiner), one for class-bigram counts (per-batch Counter emits
+    ≤ V² rows per batch; the groupby output is ≤ V² = (k+1)² rows
+    total — driver-bounded by construction), one scoring pass with the
+    precomputed q-table riding the closure. Per-pair surprisals are
+    floor-quantized to integer micro-nats with libm ``math.log``
+    (DuckDB-ln-bit-identical — the unigram_logprob convention) so
+    per-doc sums are order-independent int64."""
+    return _bigram_surprisal(_docs(sf_dir, ["doc_id", "text"]), vocab_k)
+
+
+def _bigram_surprisal(docs, vocab_k: int = UNIGRAM_VOCAB_K):
+    """Core of bigram_surprisal_docs over an arbitrary (doc_id, text)
+    Dataset (split out so tests can run synthetic corpora)."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+    counts = (docs.select_columns(["text"])
+              .map_batches(_word_count_partial, batch_format="pyarrow")
+              .groupby("word").aggregate(_Sum("n", alias_name="n"))
+              .materialize())
+    if counts.count() == 0:
+        vset: set = set()
+    else:
+        vocab = counts.sort(["n", "word"], descending=[True, False]) \
+                      .limit(vocab_k).to_pandas()
+        vset = set(vocab["word"])
+    v_alpha = len(vset) + 1  # class alphabet incl. OOV
+
+    def classes_of(text) -> list:
+        toks = _WORD_TOKEN_RE.findall((text or "").lower())
+        return [w if w in vset else BIGRAM_OOV for w in toks]
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            cls = classes_of(t)
+            c.update(zip(cls, cls[1:]))
+        return pa.table({
+            "w1": pa.array([k[0] for k in c], pa.string()),
+            "w2": pa.array([k[1] for k in c], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64())})
+
+    bigc = (docs.select_columns(["text"])
+            .map_batches(bigram_partial, batch_format="pyarrow")
+            .groupby(["w1", "w2"]).aggregate(_Sum("n", alias_name="n"))
+            .to_pandas())  # ≤ (k+1)² rows — bounded by the class alphabet
+    if len(bigc) == 0:  # 0-row to_pandas drops columns — rebuild typed
+        bigc = pd.DataFrame({"w1": pd.array([], "string"),
+                             "w2": pd.array([], "string"),
+                             "n": pd.array([], "int64")})
+    c_first: dict = {}
+    for w1, n in zip(bigc["w1"], bigc["n"].astype(np.int64)):
+        c_first[w1] = c_first.get(w1, 0) + int(n)
+    # precompute micro-nat surprisals per distinct (num, den) with libm
+    # math.log (numpy's SIMD log diverges by 1 ulp and could flip a floor)
+    qmap = {(num, den): int(math.floor(-math.log(num / den) * NLP_SCALE))
+            for num, den in
+            {(int(n) + 1, c_first[w1] + v_alpha)
+             for w1, n in zip(bigc["w1"], bigc["n"].astype(np.int64))}
+            | {(1, c_first.get(c, 0) + v_alpha)
+               for c in set(c_first) | {BIGRAM_OOV}}}
+    q_pair = {(w1, w2): qmap[(int(n) + 1, c_first[w1] + v_alpha)]
+              for w1, w2, n in zip(bigc["w1"], bigc["w2"],
+                                   bigc["n"].astype(np.int64))}
+    q_unseen = {c: qmap[(1, c_first.get(c, 0) + v_alpha)]
+                for c in set(c_first) | {BIGRAM_OOV}}
+    # first-class never observed first anywhere: den = 0 + V (only
+    # reachable when scoring docs outside the fit corpus)
+    q_cold = int(math.floor(-math.log(1 / v_alpha) * NLP_SCALE))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        n_big = np.zeros(n, np.int64)
+        sum_q = np.zeros(n, np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            cls = classes_of(t)
+            if len(cls) < 2:
+                continue
+            n_big[i] = len(cls) - 1
+            sum_q[i] = sum(
+                q_pair[p] if p in q_pair else q_unseen.get(p[0], q_cold)
+                for p in zip(cls, cls[1:]))
+        avg = sum_q.astype(np.float64) \
+            / (np.maximum(n_big, 1) * float(NLP_SCALE))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "surprisal_micro_nats": pa.array(sum_q, pa.int64()),
+            "avg_surprisal": pa.array(avg, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
 def source_overlap_matrix(sf_dir: str):
     """Cross-source contamination matrix: for every source pair, the
     number of distinct word-bigrams they share and the Jaccard over their

@@ -11,6 +11,8 @@ import os
 import sys
 
 import numpy as np
+import pandas as pd
+import pyarrow as pa
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -88,6 +90,71 @@ class TestCorpusScoringQueries:
         assert (df.n_oov <= df.n_tokens).all()
         # vocab covers the corpus head: most tokens are in-vocab
         assert df.n_oov.sum() < df.n_tokens.sum()
+
+    def test_bigram_surprisal_differential(self, queries):
+        """Pure-python restatement of the class-bigram add-one model on a
+        synthetic corpus with OOV tokens, a short doc and an empty doc."""
+        import math
+
+        import ray.data
+        from mobile_ocr_api_ray.pipelines.analysis import _bigram_surprisal
+
+        texts = ["the cat sat on the mat", "the dog sat on the log",
+                 "one", "", "zz yy zz the cat"]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+        k = 4  # tiny vocab so OOV classes are exercised
+        got = _bigram_surprisal(ds, vocab_k=k).to_pandas()
+
+        # restate: vocab = top-k by (n desc, word asc)
+        from collections import Counter
+        uni = Counter(w for t in texts for w in t.lower().split())
+        vocab = {w for w, _ in sorted(uni.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:k]}
+        V = len(vocab) + 1
+        cls = lambda w: w if w in vocab else "#oov"
+        big = Counter()
+        for t in texts:
+            c = [cls(w) for w in t.lower().split()]
+            big.update(zip(c, c[1:]))
+        first = Counter()
+        for (a, _), n in big.items():
+            first[a] += n
+        for i, t in enumerate(texts):
+            c = [cls(w) for w in t.lower().split()]
+            pairs = list(zip(c, c[1:]))
+            sum_q = sum(
+                math.floor(-math.log((big[p] + 1) / (first[p[0]] + V))
+                           * 1_000_000) for p in pairs)
+            row = got[got.doc_id == i].iloc[0]
+            assert row.n_bigrams == len(pairs)
+            assert row.surprisal_micro_nats == sum_q
+            assert row.avg_surprisal == sum_q / (max(len(pairs), 1) * 1e6)
+
+    def test_bigram_surprisal_partition_invariance(self, queries):
+        import ray.data
+        from mobile_ocr_api_ray.pipelines.analysis import _bigram_surprisal
+
+        texts = [f"alpha beta w{i % 7} gamma w{i % 3} delta" for i in
+                 range(60)]
+        t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        a = _bigram_surprisal(
+            ray.data.from_arrow(t), vocab_k=5).to_pandas()
+        b = _bigram_surprisal(
+            ray.data.from_arrow(t).repartition(13), vocab_k=5).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_bigram_surprisal_query(self, queries):
+        df = queries["bigram_surprisal"](SF).to_pandas()
+        tc = queries["token_counts"](SF).to_pandas()
+        m = df.merge(tc, on="doc_id")
+        # n_bigrams = max(n_tokens - 1, 0): same \w+ tokenizer
+        assert (m.n_bigrams == np.maximum(m.n_tokens - 1, 0)).all()
+        pos = df[df.n_bigrams > 0]
+        assert (pos.avg_surprisal > 0).all()
+        assert df.surprisal_micro_nats.dtype == np.int64
 
     def test_source_overlap_matrix(self, queries):
         df = queries["source_overlap_matrix"](SF)

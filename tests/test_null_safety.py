@@ -33,7 +33,8 @@ QUERIES = [
     "decontaminate_docs", "boilerplate_scrubbed_docs", "curated_docs",
     "line_dedup_docs", "packed_sequences", "packed_sequence_texts",
     "gopher_quality_flags",
-    "unigram_logprob", "source_overlap_matrix", "heavy_hitter_words",
+    "unigram_logprob", "bigram_surprisal", "source_overlap_matrix",
+    "heavy_hitter_words", "edit_verified_pairs_doubled",
     "incremental_dedup", "mixed_sample_docs", "normalize_docs",
     "chunk_docs",
     "bloom_decontaminate_docs",
