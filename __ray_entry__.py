@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": a.gopher_quality_flags,
         "unigram_logprob": a.unigram_logprob_docs,
         "bigram_surprisal": a.bigram_surprisal_docs,
+        "perplexity_buckets": a.perplexity_buckets_docs,
         "source_overlap_matrix": a.source_overlap_matrix,
         "heavy_hitter_words": a.heavy_hitter_words,
         "incremental_dedup": a.incremental_dedup_docs,
@@ -494,6 +495,47 @@ def _edit_verified_sql() -> str:
         FROM v WHERE est_jaccard >= 0.5
         ORDER BY id_a, id_b"""
     return _minhash_md5_sql(dd_sql=dd, final_sql=final)
+
+
+def _bigram_scored_sql() -> str:
+    """Shared WITH-chain for the class-bigram LM oracles
+    (bigram_surprisal, perplexity_buckets): tokens -> top-100 vocab
+    classes -> add-one-smoothed micro-nat surprisal rows ``q(doc_id,
+    q)`` (see pipelines/analysis._bigram_surprisal)."""
+    return r'''
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '\w+') AS w
+              FROM documents),
+            uni AS (SELECT word, count(*) AS n
+                    FROM (SELECT unnest(w) AS word FROM toks) GROUP BY 1),
+            vocab AS (SELECT word FROM uni ORDER BY n DESC, word LIMIT 100),
+            vsz AS (SELECT cast(count(*) + 1 AS BIGINT) AS v FROM vocab),
+            big AS (SELECT doc_id, b[1] AS w1, b[2] AS w2
+                    FROM (SELECT doc_id,
+                                 unnest([[w[i], w[i+1]]
+                                         FOR i IN range(1, len(w))]) AS b
+                          FROM toks)),
+            bigc AS (SELECT doc_id,
+                            CASE WHEN v1.word IS NULL THEN '#oov'
+                                 ELSE big.w1 END AS c1,
+                            CASE WHEN v2.word IS NULL THEN '#oov'
+                                 ELSE big.w2 END AS c2
+                     FROM big LEFT JOIN vocab v1 ON v1.word = big.w1
+                              LEFT JOIN vocab v2 ON v2.word = big.w2),
+            cnt AS (SELECT c1, c2, cast(count(*) AS BIGINT) AS n
+                    FROM bigc GROUP BY 1, 2),
+            firstc AS (SELECT c1, cast(sum(n) AS BIGINT) AS nf
+                       FROM cnt GROUP BY 1),
+            q AS (SELECT bigc.doc_id,
+                         cast(floor(-ln(cast(cnt.n + 1 AS DOUBLE)
+                                        / cast(firstc.nf
+                                               + (SELECT v FROM vsz)
+                                               AS DOUBLE))
+                                    * 1000000) AS BIGINT) AS q
+                  FROM bigc JOIN cnt USING (c1, c2)
+                            JOIN firstc USING (c1))'''
 
 
 def _stop_case_sum() -> str:
@@ -1917,40 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         # smoothed to count 1; per-token -ln p quantized to integer
         # micro-nats via floor so per-doc sums are order-independent
         # (float addition does not associate; ln/floor agree bit-for-bit)
-        "bigram_surprisal": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(coalesce(text, '')),
-                                        '\w+') AS w
-              FROM documents),
-            uni AS (SELECT word, count(*) AS n
-                    FROM (SELECT unnest(w) AS word FROM toks) GROUP BY 1),
-            vocab AS (SELECT word FROM uni ORDER BY n DESC, word LIMIT 100),
-            vsz AS (SELECT cast(count(*) + 1 AS BIGINT) AS v FROM vocab),
-            big AS (SELECT doc_id, b[1] AS w1, b[2] AS w2
-                    FROM (SELECT doc_id,
-                                 unnest([[w[i], w[i+1]]
-                                         FOR i IN range(1, len(w))]) AS b
-                          FROM toks)),
-            bigc AS (SELECT doc_id,
-                            CASE WHEN v1.word IS NULL THEN '#oov'
-                                 ELSE big.w1 END AS c1,
-                            CASE WHEN v2.word IS NULL THEN '#oov'
-                                 ELSE big.w2 END AS c2
-                     FROM big LEFT JOIN vocab v1 ON v1.word = big.w1
-                              LEFT JOIN vocab v2 ON v2.word = big.w2),
-            cnt AS (SELECT c1, c2, cast(count(*) AS BIGINT) AS n
-                    FROM bigc GROUP BY 1, 2),
-            firstc AS (SELECT c1, cast(sum(n) AS BIGINT) AS nf
-                       FROM cnt GROUP BY 1),
-            q AS (SELECT bigc.doc_id,
-                         cast(floor(-ln(cast(cnt.n + 1 AS DOUBLE)
-                                        / cast(firstc.nf
-                                               + (SELECT v FROM vsz)
-                                               AS DOUBLE))
-                                    * 1000000) AS BIGINT) AS q
-                  FROM bigc JOIN cnt USING (c1, c2)
-                            JOIN firstc USING (c1))
+        "bigram_surprisal": _bigram_scored_sql() + r"""
             SELECT d.doc_id,
                    cast(count(q.q) AS BIGINT) AS n_bigrams,
                    cast(coalesce(sum(q.q), 0) AS BIGINT)
@@ -1960,6 +1969,32 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_surprisal
             FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id
             GROUP BY 1 ORDER BY 1""",
+        "perplexity_buckets": _bigram_scored_sql() + r"""
+            , agg AS (
+              SELECT d.doc_id,
+                     cast(count(q.q) AS BIGINT) AS n_bigrams,
+                     cast(coalesce(sum(q.q), 0) AS BIGINT) AS s
+              FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id
+              GROUP BY 1),
+            scored AS (SELECT doc_id, n_bigrams,
+                              s // greatest(n_bigrams, 1) AS avg_micro
+                       FROM agg),
+            nn AS (SELECT cast(count(*) AS BIGINT) AS cnt FROM scored),
+            ranked AS (SELECT avg_micro,
+                              row_number() OVER (ORDER BY avg_micro) AS r
+                       FROM scored),
+            cut AS (SELECT
+              (SELECT avg_micro FROM ranked WHERE r = greatest(
+                 CAST(ceil((SELECT cnt FROM nn)
+                           * (CAST(1 AS DOUBLE) / 3)) AS BIGINT), 1)) AS c1,
+              (SELECT avg_micro FROM ranked WHERE r = greatest(
+                 CAST(ceil((SELECT cnt FROM nn)
+                           * (CAST(2 AS DOUBLE) / 3)) AS BIGINT), 1)) AS c2)
+            SELECT s.doc_id, s.n_bigrams, s.avg_micro,
+                   CASE WHEN s.avg_micro <= cut.c1 THEN 'head'
+                        WHEN s.avg_micro <= cut.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s CROSS JOIN cut ORDER BY s.doc_id""",
         "unigram_logprob": r"""
             WITH toks AS (
               SELECT doc_id,

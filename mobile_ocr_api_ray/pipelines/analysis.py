@@ -626,6 +626,110 @@ def _bigram_surprisal(docs, vocab_k: int = UNIGRAM_VOCAB_K):
     return docs.map_batches(score, batch_format="pyarrow").sort("doc_id")
 
 
+def _int_quantile_disc(ds, col: str, qs, bin_shift: int = 16) -> list:
+    """Exact discrete quantiles sorted[max(ceil(q·n)−1, 0)] (the DuckDB
+    quantile_disc rule pinned by event_value_quantiles) of an int64
+    column WITHOUT materializing the value set — the scalable_quantiles
+    two-pass histogram refinement, generic over any integer column:
+
+      pass 1 — per-batch ``value >> bin_shift`` histogram partials
+        (arithmetic shift: monotone, negatives floor) → bounded driver
+        merge (occupied bins ≤ value-range / 2^bin_shift);
+      driver — cumulative counts locate each rank's bin + within-rank;
+      pass 2 — stream again keeping only candidate-bin rows (~n/range
+        each); their sorted values yield the exact elements.
+
+    ``ds`` is streamed twice — pass a materialized Dataset. Returns one
+    int per q (None for each q when the column is empty)."""
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub, cnt = np.unique(v >> bin_shift, return_counts=True)
+        return pa.table({"bin": pa.array(ub, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bin", as_index=False)["n"].sum()
+
+    raw = (ds.map_batches(hist_partial, batch_format="pyarrow")
+           .map_batches(combine, batch_format="pandas").to_pandas())
+    if not len(raw):
+        return [None] * len(qs)
+    hist = combine(raw).sort_values("bin")
+    n = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    bins = hist["bin"].to_numpy()
+    need: dict[int, list[tuple[int, int]]] = {}
+    for qi, q in enumerate(qs):
+        idx = max(int(np.ceil(q * n)) - 1, 0)
+        j = int(np.searchsorted(cum, idx + 1))
+        within = idx - (int(cum[j - 1]) if j else 0)
+        need.setdefault(int(bins[j]), []).append((qi, within))
+    cand_bins = np.array(sorted(need), np.int64)
+
+    def collect(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(v >> bin_shift, cand_bins)
+        return pa.table({col: pa.array(v[mask], pa.int64())})
+
+    cand = (ds.map_batches(collect, batch_format="pyarrow")
+            .to_pandas())
+    cv = (cand[col].to_numpy().astype(np.int64) if len(cand)
+          else np.array([], np.int64))
+    out: list = [None] * len(qs)
+    for b, wants in need.items():
+        vals = np.sort(cv[(cv >> bin_shift) == b])
+        for qi, within in wants:
+            out[qi] = int(vals[within])
+    return out
+
+
+def perplexity_buckets_docs(sf_dir: str, vocab_k: int = UNIGRAM_VOCAB_K):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4): docs
+    split into head / middle / tail TERCILES of the class-bigram LM
+    surprisal — the standard webtext curation signal (train on head,
+    downsample tail). The per-doc statistic is avg_micro =
+    surprisal_micro_nats // max(n_bigrams, 1): an INTEGER floor
+    division, so the tercile cut elements and every comparison are
+    value-exact in SQL (no float quantiles).
+
+    Scale shape: the scored table (4 int64 cols per doc) materializes
+    once — it is orders of magnitude smaller than the corpus — then the
+    two-pass _int_quantile_disc histogram refinement finds the cut
+    elements without sorting it; the bucket pass is one comparison per
+    row. Cut ranks use ceil(q·n) with q = 1/3, 2/3 as IEEE doubles
+    (CAST(1 AS DOUBLE)/3 in SQL — the identical double on both
+    sides)."""
+    scored = _bigram_surprisal(_docs(sf_dir, ["doc_id", "text"]), vocab_k)
+
+    def add_avg(batch: pa.Table) -> pa.Table:
+        s = batch["surprisal_micro_nats"].to_numpy(zero_copy_only=False)
+        nb = batch["n_bigrams"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": batch["n_bigrams"],
+            "avg_micro": pa.array(s // np.maximum(nb, 1), pa.int64())})
+
+    scored = scored.map_batches(add_avg,
+                                batch_format="pyarrow").materialize()
+    cols = {"doc_id": pa.int64(), "n_bigrams": pa.int64(),
+            "avg_micro": pa.int64(), "bucket": pa.string()}
+    if scored.count() == 0:
+        return pa.table({c: pa.array([], t) for c, t in cols.items()})
+    c1, c2 = _int_quantile_disc(scored, "avg_micro", (1 / 3, 2 / 3))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch["avg_micro"].to_numpy(zero_copy_only=False)
+        b = np.where(v <= c1, "head",
+                     np.where(v <= c2, "middle", "tail"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bigrams": batch["n_bigrams"],
+                         "avg_micro": batch["avg_micro"],
+                         "bucket": pa.array(b.astype(object), pa.string())})
+
+    return scored.map_batches(bucketize,
+                               batch_format="pyarrow").sort("doc_id")
+
+
 def source_overlap_matrix(sf_dir: str):
     """Cross-source contamination matrix: for every source pair, the
     number of distinct word-bigrams they share and the Jaccard over their

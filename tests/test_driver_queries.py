@@ -156,6 +156,54 @@ class TestCorpusScoringQueries:
         assert (pos.avg_surprisal > 0).all()
         assert df.surprisal_micro_nats.dtype == np.int64
 
+    def test_int_quantile_disc_vs_duckdb_rule(self, queries):
+        """The generic histogram-refinement quantile returns exactly
+        sorted[max(ceil(q·n)−1, 0)] on adversarial shapes: ties at the
+        cut, negatives straddling bin boundaries, single element."""
+        import ray.data
+        from mobile_ocr_api_ray.pipelines.analysis import _int_quantile_disc
+
+        rng = np.random.default_rng(5)
+        for vals in (
+                rng.integers(-10**9, 10**9, 501),
+                np.repeat([7, 7, 7, 65536, 65537], 20),
+                np.array([42]),
+                np.arange(99) - 50,
+        ):
+            vals = vals.astype(np.int64)
+            ds = ray.data.from_arrow(pa.table(
+                {"x": pa.array(vals, pa.int64())})).repartition(7) \
+                .materialize()
+            qs = (1 / 3, 2 / 3, 0.5, 0.99)
+            got = _int_quantile_disc(ds, "x", qs)
+            sv = np.sort(vals)
+            for q, g in zip(qs, got):
+                idx = max(int(np.ceil(q * len(sv))) - 1, 0)
+                assert g == sv[idx], (q, vals[:5])
+
+    def test_int_quantile_disc_empty(self, queries):
+        import ray.data
+        from mobile_ocr_api_ray.pipelines.analysis import _int_quantile_disc
+        ds = ray.data.from_arrow(pa.table(
+            {"x": pa.array([], pa.int64())})).materialize()
+        assert _int_quantile_disc(ds, "x", (0.5,)) == [None]
+
+    def test_perplexity_buckets_query(self, queries):
+        df = queries["perplexity_buckets"](SF).to_pandas()
+        bs = queries["bigram_surprisal"](SF).to_pandas()
+        m = df.merge(bs, on="doc_id")
+        # avg_micro is the floor-division restatement of the float avg
+        expect = (m.surprisal_micro_nats
+                  // np.maximum(m.n_bigrams_x, 1)).astype(np.int64)
+        assert (m.avg_micro == expect).all()
+        # terciles: each bucket holds ≥ ~1/4 of docs (ties can skew)
+        counts = df.bucket.value_counts()
+        assert set(counts.index) <= {"head", "middle", "tail"}
+        assert (counts >= len(df) // 4).all()
+        # buckets are ordered by avg_micro: max(head) <= min(tail)
+        assert (df[df.bucket == "head"].avg_micro.max()
+                <= df[df.bucket == "tail"].avg_micro.min())
+
     def test_source_overlap_matrix(self, queries):
         df = queries["source_overlap_matrix"](SF)
         df = df.to_pandas() if hasattr(df, "to_pandas") else df
