@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": a.host_hits,
         "host_pagerank": a.host_pagerank,
         "host_pagerank_int": a.host_pagerank_int,
+        "authority_filtered_pages": a.authority_filtered_pages,
         "host_hits_int": a.host_hits_int,
         "page_metadata": a.page_metadata,
         "title_body_pairs": a.title_body_pairs,
@@ -264,7 +265,7 @@ _PAGE_CORPUS_ORACLES = (
     "page_links", "host_graph_edges", "anchor_text_summary",
     "latest_capture_per_url", "canonical_capture_dedup",
     "host_capped_pages", "crawl_diff_status", "host_components",
-    "host_pagerank_int", "host_hits_int")
+    "host_pagerank_int", "host_hits_int", "authority_filtered_pages")
 
 
 # url → lowercase host, the crawl.host_of RE2 (stages/crawl.py:29)
@@ -352,6 +353,27 @@ def _pagerank_int_sql(pg: str, n_iter: int = 10) -> str:
     return (head + "".join(rounds)
             + f"\n        SELECT node, r AS pr_int FROM pr{n_iter}"
               " ORDER BY node")
+
+
+def _authority_filtered_sql(pg: str, k: int = 16, n_iter: int = 10) -> str:
+    """Generated oracle for authority_filtered_pages: the full
+    host_pagerank_int chain, its top-k hosts by (pr_int DESC, node ASC),
+    then EVERY crawled page whose url-host is one of them (the
+    host_capped_pages host rule) decorated with the host's rank — graph
+    metric feeding corpus curation, end to end in one SQL statement."""
+    pr = _pagerank_int_sql(pg, n_iter)
+    i = pr.rindex("\n        SELECT node, r AS pr_int")
+    return (pr[:i] + rf""",
+        ph AS (SELECT url,
+                      lower(regexp_extract(url, '{_HOST_SQL_RE}', 1)) AS host
+               FROM read_parquet('{pg}')),
+        crawled AS (SELECT DISTINCT host FROM ph WHERE host IS NOT NULL),
+        topk AS (SELECT p.node, p.r AS pr_int
+                 FROM pr{n_iter} p JOIN crawled c ON c.host = p.node
+                 ORDER BY p.r DESC, p.node LIMIT {k})
+        SELECT ph.url, ph.host, t.pr_int
+        FROM ph JOIN topk t ON t.node = ph.host
+        ORDER BY ph.url""")
 
 
 def _hits_int_sql(pg: str, n_iter: int = 10) -> str:
@@ -2490,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point integer PageRank: pure-int floor-division recurrence
         # is reproducible in SQL (unlike host_pagerank's float iteration)
         "host_pagerank_int": _pagerank_int_sql(pg),
+        "authority_filtered_pages": _authority_filtered_sql(pg),
         "host_hits_int": _hits_int_sql(pg),
         "host_components": rf"""
             WITH RECURSIVE p AS (SELECT url, {_HTML_DOC_SQL} AS doc

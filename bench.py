@@ -242,6 +242,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("corpus_datasheet", lambda: a.corpus_datasheet(sf_dir).to_pandas())
     timed("bigram_freq_top", lambda: a.bigram_freq_top(sf_dir).to_pandas())
     timed("host_pagerank", lambda: _pd(a.host_pagerank(sf_dir)))
+    timed("host_hits_int", lambda: _pd(a.host_hits_int(sf_dir)))
+    timed("authority_filtered_pages",
+          lambda: _pd(a.authority_filtered_pages(sf_dir)))
+    timed("edit_verified_pairs_doubled",
+          lambda: _pd(a.edit_verified_pairs_doubled(sf_dir)))
+    timed("bigram_surprisal", lambda: _pd(a.bigram_surprisal_docs(sf_dir)))
+    timed("perplexity_buckets",
+          lambda: _pd(a.perplexity_buckets_docs(sf_dir)))
     timed("page_metadata", lambda: a.page_metadata(sf_dir).to_pandas())
     timed("title_body_pairs", lambda: a.title_body_pairs(sf_dir).to_pandas())
     timed("anchor_text_summary", lambda: _pd(a.anchor_text_summary(sf_dir)))

@@ -2255,6 +2255,79 @@ def host_pagerank_int(sf_dir: str):
     return out if isinstance(out, pa.Table) else out.sort("node")
 
 
+def authority_filtered_pages(sf_dir: str, k: int = 16):
+    """Authority-weighted corpus curation, end to end: keep every crawled
+    page whose host ranks in the top-``k`` by fixed-point integer
+    PageRank — the link-graph metric feeding the corpus filter (the
+    RefinedWeb/quality-crawl-frontier pattern: spend the training-token
+    budget on high-authority hosts). Output (url, host, pr_int).
+
+    Scale shape: the rank table is hosts²-sparse (never the corpus); its
+    top-k by (pr_int DESC, node ASC) comes from the partial-top-k
+    finisher, rides the closure as a k-entry dict, and the filter pass
+    re-reads ONLY the url column (column pruning — the html bytes never
+    leave storage a second time). Pure-integer ranks ⇒ the whole
+    composition is value-exact vs one generated SQL statement."""
+    import ray  # noqa: F401
+
+    from ..stages import crawl, linkgraph
+    from ..stages.topk import topk_table
+
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    links = pages.map_batches(linkgraph.extract_links,
+                              batch_format="pyarrow")
+    nc = _pages_coarse_hint(sf_dir)
+    edges = linkgraph.host_edges(links, n_coarse=nc)
+    pr = linkgraph.pagerank_int(edges, n_coarse=nc)
+
+    # top-k among CRAWLED hosts only: the link graph is dominated by
+    # target-only external domains with no pages to keep, so ranking the
+    # raw node table would spend most of the budget on empty hosts
+    import ray.data as _rd
+
+    from ..stages.joins import hash_join
+    from ..stages.linkgraph import _str_coarse
+
+    urls = read_pages(os.path.join(d, "pages.parquet"), columns=["url"])
+
+    def host_rows(batch: pa.Table) -> pa.Table:
+        h = pc.drop_null(crawl.host_of(batch["url"])).unique()
+        return pa.table({"host": h, "coarse": pa.array(_str_coarse(h, nc))})
+
+    def first_host(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates("host").sort_values("host")
+        return pa.table({"host": pa.array(g["host"], pa.string())})
+
+    crawled = (urls.map_batches(host_rows, batch_format="pyarrow")
+               .groupby("coarse").map_groups(first_host,
+                                             batch_format="pandas"))
+    pr_ds = _rd.from_arrow(pr) if isinstance(pr, pa.Table) else pr
+    ranked = hash_join(pr_ds, crawled, "node", "host") \
+        .select_columns(["node", "pr_int"])
+    top = topk_table(ranked, [("pr_int", "descending"),
+                              ("node", "ascending")], k)
+    rank = dict(zip(top["node"].to_pylist(), top["pr_int"].to_pylist()))
+
+    hosts_arr = pa.array(sorted(rank), pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        host = crawl.host_of(batch["url"])
+        mask = pc.fill_null(pc.is_in(host, value_set=hosts_arr), False)
+        t = pa.table({"url": batch["url"], "host": host}).filter(mask)
+        # surviving rows are answer-proportional; the dict map is tiny
+        return t.append_column("pr_int", pa.array(
+            [rank[h] for h in t["host"].to_pylist()], pa.int64()))
+
+    out = urls.map_batches(keep, batch_format="pyarrow")
+    from ..stages.dedup import nonempty_or_typed_table
+    out = nonempty_or_typed_table(out, {"url": pa.string(),
+                                        "host": pa.string(),
+                                        "pr_int": pa.int64()})
+    return out if isinstance(out, pa.Table) else out.sort("url")
+
+
 def host_hits(sf_dir: str):
     """HITS hubs/authorities over the host link graph
     (stages/linkgraph.hits, 10 rounds, L1-normalized half-steps,

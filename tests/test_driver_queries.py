@@ -39,6 +39,31 @@ class TestPagesQueries:
         single = df[df.total_pages == 1]
         assert (single.page == 0).all()
 
+    def test_authority_filtered_pages(self, queries):
+        df = queries["authority_filtered_pages"](SF).to_pandas()
+        assert list(df.columns) == ["url", "host", "pr_int"]
+        assert len(df) > 0
+        # ≤ 16 distinct hosts, all with positive integer rank
+        assert df.host.nunique() <= 16
+        assert (df.pr_int > 0).all()
+        # every kept url actually lives on its claimed host
+        from mobile_ocr_api_ray.stages import crawl
+        got_hosts = crawl.host_of(pa.array(df.url.tolist())).to_pylist()
+        assert got_hosts == df.host.tolist()
+        # the kept hosts are exactly the top-ranked CRAWLED hosts: no
+        # kept host may rank below an unkept crawled host
+        pr = queries["host_pagerank_int"](SF)
+        pr = pr.to_pandas() if hasattr(pr, "to_pandas") else pr
+        crawled = set(got_hosts) | set(
+            h for h in crawl.host_of(pa.array(
+                queries["page_metadata"](SF).to_pandas().url.tolist()
+            )).to_pylist() if h)
+        ranked = pr[pr.node.isin(crawled)].sort_values(
+            ["pr_int", "node"], ascending=[False, True])
+        kept = set(df.host)
+        top = ranked.head(16)
+        assert kept <= set(top.node)
+
     def test_doc_structure_stats(self, queries):
         df = queries["doc_structure_stats"](SF).to_pandas()
         ok = df[df.status == "ok"]
