@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": a.unigram_logprob_docs,
         "bigram_surprisal": a.bigram_surprisal_docs,
         "perplexity_buckets": a.perplexity_buckets_docs,
+        "moore_lewis_docs": a.moore_lewis_docs,
+        "bm25_top_docs": a.bm25_top_docs,
         "source_overlap_matrix": a.source_overlap_matrix,
         "heavy_hitter_words": a.heavy_hitter_words,
         "incremental_dedup": a.incremental_dedup_docs,
@@ -558,6 +560,57 @@ def _bigram_scored_sql() -> str:
                                     * 1000000) AS BIGINT) AS q
                   FROM bigc JOIN cnt USING (c1, c2)
                             JOIN firstc USING (c1))'''
+
+
+def _bigram_model_q_sql(p: str, fit_where: str) -> str:
+    """One class-bigram LM as CTE fragments under prefix ``p``: fit on
+    ``documents WHERE fit_where``, score EVERY doc's bigrams (expects a
+    shared ``sbig(doc_id, w1, w2)`` CTE upstream). The unified
+    coalesce(n,0)+1 / coalesce(nf,0)+V surprisal covers seen pairs,
+    unseen-after-seen-first and cold firsts with one expression — the
+    same three-tier fallback pipelines/analysis._bigram_fit encodes as
+    q_pair / q_unseen / q_cold (micro-nat floor, libm ln)."""
+    return rf'''
+            {p}toks AS (SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                                  '\w+') AS w
+                        FROM documents WHERE {fit_where}),
+            {p}uni AS (SELECT word, count(*) AS n
+                       FROM (SELECT unnest(w) AS word FROM {p}toks)
+                       GROUP BY 1),
+            {p}vocab AS (SELECT word FROM {p}uni
+                         ORDER BY n DESC, word LIMIT 100),
+            {p}vsz AS (SELECT cast(count(*) + 1 AS BIGINT) AS v
+                       FROM {p}vocab),
+            {p}fcls AS (SELECT CASE WHEN v1.word IS NULL THEN '#oov'
+                                    ELSE fb.w1 END AS c1,
+                               CASE WHEN v2.word IS NULL THEN '#oov'
+                                    ELSE fb.w2 END AS c2
+                        FROM (SELECT b[1] AS w1, b[2] AS w2
+                              FROM (SELECT unnest([[w[i], w[i+1]]
+                                           FOR i IN range(1, len(w))]) AS b
+                                    FROM {p}toks)) fb
+                        LEFT JOIN {p}vocab v1 ON v1.word = fb.w1
+                        LEFT JOIN {p}vocab v2 ON v2.word = fb.w2),
+            {p}cnt AS (SELECT c1, c2, cast(count(*) AS BIGINT) AS n
+                       FROM {p}fcls GROUP BY 1, 2),
+            {p}first AS (SELECT c1, cast(sum(n) AS BIGINT) AS nf
+                         FROM {p}cnt GROUP BY 1),
+            {p}q AS (SELECT sc.doc_id,
+                            cast(floor(-ln(
+                                cast(coalesce(c.n, 0) + 1 AS DOUBLE)
+                                / cast(coalesce(f.nf, 0)
+                                       + (SELECT v FROM {p}vsz) AS DOUBLE))
+                                * 1000000) AS BIGINT) AS q
+                     FROM (SELECT sbig.doc_id,
+                                  CASE WHEN v1.word IS NULL THEN '#oov'
+                                       ELSE sbig.w1 END AS c1,
+                                  CASE WHEN v2.word IS NULL THEN '#oov'
+                                       ELSE sbig.w2 END AS c2
+                           FROM sbig
+                           LEFT JOIN {p}vocab v1 ON v1.word = sbig.w1
+                           LEFT JOIN {p}vocab v2 ON v2.word = sbig.w2) sc
+                     LEFT JOIN {p}cnt c ON c.c1 = sc.c1 AND c.c2 = sc.c2
+                     LEFT JOIN {p}first f ON f.c1 = sc.c1)'''
 
 
 def _stop_case_sum() -> str:
@@ -2017,6 +2070,105 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.avg_micro <= cut.c2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM scored s CROSS JOIN cut ORDER BY s.doc_id""",
+        # Moore-Lewis cross-entropy-difference selection: two class-bigram
+        # LMs (in-domain fit = source 'src0', out = full corpus) score the
+        # same bigram stream; delta is exact int64 micro-nats; the floor
+        # division uses the (a - ((a%n)+n)%n)//n identity because DuckDB
+        # // truncates toward zero while Python floors; median cut =
+        # perplexity_buckets' quantile_disc rank rule at q = 1/2
+        "moore_lewis_docs": r"""
+            WITH stoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '\w+') AS w
+              FROM documents),
+            sbig AS (SELECT doc_id, b[1] AS w1, b[2] AS w2
+                     FROM (SELECT doc_id,
+                                  unnest([[w[i], w[i+1]]
+                                          FOR i IN range(1, len(w))]) AS b
+                           FROM stoks)),""" \
+            + _bigram_model_q_sql("i_", "coalesce(source, '') = 'src0'") \
+            + "," + _bigram_model_q_sql("o_", "TRUE") + r""",
+            i_agg AS (SELECT doc_id, cast(count(*) AS BIGINT) AS nb,
+                             cast(sum(q) AS BIGINT) AS s
+                      FROM i_q GROUP BY 1),
+            o_agg AS (SELECT doc_id, cast(sum(q) AS BIGINT) AS s
+                      FROM o_q GROUP BY 1),
+            agg AS (SELECT d.doc_id,
+                           coalesce(i_agg.nb, 0) AS n_bigrams,
+                           coalesce(i_agg.s, 0) AS in_micro_nats,
+                           coalesce(o_agg.s, 0) AS out_micro_nats
+                    FROM documents d
+                    LEFT JOIN i_agg ON d.doc_id = i_agg.doc_id
+                    LEFT JOIN o_agg ON d.doc_id = o_agg.doc_id),
+            scored AS (SELECT doc_id, n_bigrams, in_micro_nats,
+                              out_micro_nats,
+                              in_micro_nats - out_micro_nats AS delta_micro,
+                              (in_micro_nats - out_micro_nats
+                               - ((((in_micro_nats - out_micro_nats)
+                                    % greatest(n_bigrams, 1))
+                                   + greatest(n_bigrams, 1))
+                                  % greatest(n_bigrams, 1)))
+                              // greatest(n_bigrams, 1) AS avg_delta_micro
+                       FROM agg),
+            nn AS (SELECT cast(count(*) AS BIGINT) AS cnt FROM scored),
+            ranked AS (SELECT avg_delta_micro,
+                              row_number() OVER (ORDER BY avg_delta_micro)
+                                  AS r
+                       FROM scored),
+            cut AS (SELECT avg_delta_micro AS med FROM ranked
+                    WHERE r = greatest(CAST(ceil((SELECT cnt FROM nn)
+                              * (CAST(1 AS DOUBLE) / 2)) AS BIGINT), 1))
+            SELECT s.doc_id, s.n_bigrams, s.in_micro_nats,
+                   s.out_micro_nats, s.delta_micro, s.avg_delta_micro,
+                   s.avg_delta_micro <= cut.med AS keep
+            FROM scored s CROSS JOIN cut ORDER BY s.doc_id""",
+        # BM25 top-k: query = vocab ranks 11..20 (n DESC, word); Lucene
+        # idf form; per-(doc,term) scores floor-quantized to micro-units
+        # with the exact float op chain mirrored (identical literals,
+        # same association order, libm ln) so int64 sums are
+        # order-independent and (score DESC, doc_id) is a total order
+        "bm25_top_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '\w+') AS w
+              FROM documents),
+            uni AS (SELECT word, count(*) AS n
+                    FROM (SELECT unnest(w) AS word FROM toks) GROUP BY 1),
+            qt AS (SELECT word FROM uni
+                   ORDER BY n DESC, word LIMIT 10 OFFSET 10),
+            tot AS (SELECT cast(sum(n) AS BIGINT) AS total FROM uni),
+            nd AS (SELECT cast(count(*) AS BIGINT) AS n_docs
+                   FROM documents),
+            dl AS (SELECT doc_id, cast(len(w) AS BIGINT) AS dl FROM toks),
+            tf AS (SELECT doc_id, word, cast(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+                   WHERE word IN (SELECT word FROM qt)
+                   GROUP BY 1, 2),
+            df AS (SELECT word, cast(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+            av AS (SELECT cast((SELECT total FROM tot) AS DOUBLE)
+                          / cast((SELECT n_docs FROM nd) AS DOUBLE)
+                              AS avgdl),
+            q AS (SELECT tf.doc_id,
+                         cast(floor(
+                           ln(1.0 + (cast((SELECT n_docs FROM nd) - df.df
+                                          AS DOUBLE) + 0.5)
+                                    / (cast(df.df AS DOUBLE) + 0.5))
+                           * ((cast(tf.tf AS DOUBLE) * 2.2)
+                              / (cast(tf.tf AS DOUBLE)
+                                 + 1.2 * ((1.0 - 0.75)
+                                          + 0.75 * (cast(dl.dl AS DOUBLE)
+                                              / (SELECT avgdl FROM av)))))
+                           * 1000000.0) AS BIGINT) AS q
+                  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                          JOIN df ON tf.word = df.word)
+            SELECT doc_id, cast(count(*) AS BIGINT) AS n_terms,
+                   cast(sum(q) AS BIGINT) AS score_micro,
+                   cast(sum(q) AS DOUBLE) / 1000000.0 AS score
+            FROM q GROUP BY 1 ORDER BY score_micro DESC, doc_id
+            LIMIT 50""",
         "unigram_logprob": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -250,6 +250,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("bigram_surprisal", lambda: _pd(a.bigram_surprisal_docs(sf_dir)))
     timed("perplexity_buckets",
           lambda: _pd(a.perplexity_buckets_docs(sf_dir)))
+    timed("moore_lewis_docs", lambda: _pd(a.moore_lewis_docs(sf_dir)))
+    timed("bm25_top_docs", lambda: _pd(a.bm25_top_docs(sf_dir)))
     timed("page_metadata", lambda: a.page_metadata(sf_dir).to_pandas())
     timed("title_body_pairs", lambda: a.title_body_pairs(sf_dir).to_pandas())
     timed("anchor_text_summary", lambda: _pd(a.anchor_text_summary(sf_dir)))

@@ -542,9 +542,25 @@ def bigram_surprisal_docs(sf_dir: str, vocab_k: int = UNIGRAM_VOCAB_K):
     return _bigram_surprisal(_docs(sf_dir, ["doc_id", "text"]), vocab_k)
 
 
-def _bigram_surprisal(docs, vocab_k: int = UNIGRAM_VOCAB_K):
-    """Core of bigram_surprisal_docs over an arbitrary (doc_id, text)
-    Dataset (split out so tests can run synthetic corpora)."""
+def _bigram_fit(docs, vocab_k: int = UNIGRAM_VOCAB_K) -> dict:
+    """Fit the class-bigram LM of bigram_surprisal_docs over a (text)
+    Dataset and return the scoring model as a plain dict:
+
+      vset     — top-``vocab_k`` vocabulary (class alphabet minus OOV)
+      v_alpha  — |vset| + 1 (the add-one smoothing V)
+      q_pair   — (c1, c2) → micro-nat surprisal for FIT-observed pairs
+      q_unseen — c1 → surprisal of an unseen pair after a seen-first c1
+      q_cold   — surprisal when c1 was never observed first in the fit
+                 corpus (den = 0 + V); reachable when scoring docs
+                 OUTSIDE the fit corpus (Moore-Lewis in-domain model)
+
+    All three tiers collapse to ONE formula — q(c1, c2) =
+    floor(-ln((c(c1,c2) + 1) / (c_first(c1) + V)) · 1e6) with missing
+    counts read as 0 — which is what the SQL oracles compute with
+    coalesce(n, 0) / coalesce(nf, 0); the dict split here is just the
+    hot-path lookup layout. Micro-nats use libm ``math.log`` (DuckDB-ln
+    bit-identical; numpy's SIMD log diverges by 1 ulp on ~20% of inputs
+    and could flip a floor)."""
     import math
 
     from ray.data.aggregate import Sum as _Sum
@@ -602,19 +618,37 @@ def _bigram_surprisal(docs, vocab_k: int = UNIGRAM_VOCAB_K):
     # first-class never observed first anywhere: den = 0 + V (only
     # reachable when scoring docs outside the fit corpus)
     q_cold = int(math.floor(-math.log(1 / v_alpha) * NLP_SCALE))
+    return {"vset": vset, "v_alpha": v_alpha, "q_pair": q_pair,
+            "q_unseen": q_unseen, "q_cold": q_cold}
+
+
+def _bigram_doc_q(model: dict, text) -> tuple:
+    """(n_bigrams, Σ micro-nat surprisal) of one document under a
+    _bigram_fit model — the shared scoring kernel."""
+    vset = model["vset"]
+    toks = _WORD_TOKEN_RE.findall((text or "").lower())
+    cls = [w if w in vset else BIGRAM_OOV for w in toks]
+    if len(cls) < 2:
+        return 0, 0
+    q_pair, q_unseen = model["q_pair"], model["q_unseen"]
+    q_cold = model["q_cold"]
+    return len(cls) - 1, sum(
+        q_pair[p] if p in q_pair else q_unseen.get(p[0], q_cold)
+        for p in zip(cls, cls[1:]))
+
+
+def _bigram_surprisal(docs, vocab_k: int = UNIGRAM_VOCAB_K):
+    """Core of bigram_surprisal_docs over an arbitrary (doc_id, text)
+    Dataset (split out so tests can run synthetic corpora): fit the
+    class-bigram LM on the SAME corpus it scores."""
+    model = _bigram_fit(docs, vocab_k)
 
     def score(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         n_big = np.zeros(n, np.int64)
         sum_q = np.zeros(n, np.int64)
         for i, t in enumerate(batch["text"].to_pylist()):
-            cls = classes_of(t)
-            if len(cls) < 2:
-                continue
-            n_big[i] = len(cls) - 1
-            sum_q[i] = sum(
-                q_pair[p] if p in q_pair else q_unseen.get(p[0], q_cold)
-                for p in zip(cls, cls[1:]))
+            n_big[i], sum_q[i] = _bigram_doc_q(model, t)
         avg = sum_q.astype(np.float64) \
             / (np.maximum(n_big, 1) * float(NLP_SCALE))
         return pa.table({
@@ -728,6 +762,187 @@ def perplexity_buckets_docs(sf_dir: str, vocab_k: int = UNIGRAM_VOCAB_K):
 
     return scored.map_batches(bucketize,
                                batch_format="pyarrow").sort("doc_id")
+
+
+ML_TARGET_SOURCE = "src0"  # target_affinity_docs' in-domain convention
+
+
+def moore_lewis_docs(sf_dir: str, target_source: str = ML_TARGET_SOURCE,
+                     vocab_k: int = UNIGRAM_VOCAB_K):
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010, "Intelligent Selection of Language Model Training
+    Data"): score every document by H_in(d) − H_out(d), the surprisal
+    under an IN-DOMAIN LM (fit only on the ``target_source`` slice)
+    minus the surprisal under the general-corpus LM, and keep the
+    below-median half — text that looks more like the target domain
+    than like the corpus at large. The LMs are the class-bigram models
+    of bigram_surprisal_docs (bounded alphabet = top-k vocab + OOV,
+    add-one smoothing); scoring docs OUTSIDE the fit slice exercises
+    the model's unseen-pair / cold-first fallbacks, which collapse to
+    the single coalesce formula the SQL oracle uses (see _bigram_fit).
+
+    Scale shape: two LM fits (each = one wordcount combiner pass + one
+    bounded ≤(k+1)² bigram-count pass; the in-domain fit streams only
+    the target slice), then ONE scoring pass over the corpus computes
+    both sums from one tokenization — the two models ride the closure
+    (≤ (k+1)² ints each). delta_micro = in − out is an exact int64;
+    avg_delta_micro is a Python-floor division (negative-safe — DuckDB
+    ``//`` truncates, so the oracle uses the (a − ((a%n)+n)%n)//n floor
+    identity); the median cut reuses the _int_quantile_disc two-pass
+    histogram, so the keep flag is value-exact end to end."""
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def in_slice(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(
+            pc.fill_null(batch["source"], ""), target_source))
+
+    m_in = _bigram_fit(
+        docs.map_batches(in_slice, batch_format="pyarrow"), vocab_k)
+    m_out = _bigram_fit(docs, vocab_k)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        n_big = np.zeros(n, np.int64)
+        s_in = np.zeros(n, np.int64)
+        s_out = np.zeros(n, np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            n_big[i], s_in[i] = _bigram_doc_q(m_in, t)
+            _, s_out[i] = _bigram_doc_q(m_out, t)
+        delta = s_in - s_out
+        avg = delta // np.maximum(n_big, 1)  # numpy floors like Python
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "in_micro_nats": pa.array(s_in, pa.int64()),
+            "out_micro_nats": pa.array(s_out, pa.int64()),
+            "delta_micro": pa.array(delta, pa.int64()),
+            "avg_delta_micro": pa.array(avg, pa.int64())})
+
+    scored = (docs.map_batches(score, batch_format="pyarrow")
+              .materialize())  # 6 int64 cols/doc; streamed twice below
+    cols = {"doc_id": pa.int64(), "n_bigrams": pa.int64(),
+            "in_micro_nats": pa.int64(), "out_micro_nats": pa.int64(),
+            "delta_micro": pa.int64(), "avg_delta_micro": pa.int64(),
+            "keep": pa.bool_()}
+    if scored.count() == 0:
+        return pa.table({c: pa.array([], t) for c, t in cols.items()})
+    med = _int_quantile_disc(scored, "avg_delta_micro", (0.5,))[0]
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "keep", pc.less_equal(batch["avg_delta_micro"],
+                                  pa.scalar(med, pa.int64())))
+
+    return scored.map_batches(flag, batch_format="pyarrow").sort("doc_id")
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_K1P1 = 2.2  # k1 + 1 as a LITERAL: both sides parse the same double
+BM25_TOPK = 50
+BM25_QUERY_OFFSET = 10  # query = vocab ranks 11..20 (mid-frequency terms)
+BM25_QUERY_TERMS = 10
+
+
+def bm25_top_docs(sf_dir: str, k: int = BM25_TOPK):
+    """BM25 retrieval top-k (Robertson-Spärck Jones probabilistic
+    ranking, the Lucene ln(1 + (N − df + 0.5)/(df + 0.5)) idf form,
+    k1 = 1.2, b = 0.75): score every document against a deterministic
+    query — the corpus vocabulary ranked (n DESC, word) rows 11..20,
+    i.e. mid-frequency terms, so the query derives from the data and
+    the oracle can rebuild it — and keep the top-k by score.
+
+    Value-exactness: per-(doc, term) scores are floor-quantized to
+    integer micro-units; every float factor is either a single IEEE
+    op chain written identically in SQL (casts from exact int64,
+    ×/÷ in the same association order, identical decimal literals —
+    never derived constants) or libm ln ≡ DuckDB ln, so per-doc sums
+    are order-independent int64 and the (score DESC, doc_id) top-k is
+    a total order on both sides.
+
+    Scale shape: one wordcount-combiner pass gives the vocabulary
+    (query terms + total token count for avgdl); one corpus pass emits
+    ≤ |query| long rows (doc_id, term, tf, dl) per matching doc — the
+    materialized posting slice is bounded by matches, orders smaller
+    than the corpus; df is a 10-row aggregate of it; the scoring pass
+    + distributed partial-top-k finisher never sorts globally."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    counts = (docs.select_columns(["text"])
+              .map_batches(_word_count_partial, batch_format="pyarrow")
+              .groupby("word").aggregate(_Sum("n", alias_name="n"))
+              .materialize())
+    cols = {"doc_id": pa.int64(), "n_terms": pa.int64(),
+            "score_micro": pa.int64(), "score": pa.float64()}
+    empty = pa.table({c: pa.array([], t) for c, t in cols.items()})
+    if counts.count() == 0:
+        return empty
+    total = counts.sum("n") or 0
+    vocab = (counts.sort(["n", "word"], descending=[True, False])
+             .limit(BM25_QUERY_OFFSET + BM25_QUERY_TERMS).to_pandas())
+    qterms = list(vocab["word"][BM25_QUERY_OFFSET:])
+    if not qterms:
+        return empty
+    qset = set(qterms)
+    n_docs = docs.count()
+
+    def postings(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, terms, tfs, dls = [], [], [], []
+        did = batch["doc_id"].to_pylist()
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = _WORD_TOKEN_RE.findall((t or "").lower())
+            c = Counter(w for w in toks if w in qset)
+            for w, tf in c.items():
+                ids.append(did[i])
+                terms.append(w)
+                tfs.append(tf)
+                dls.append(len(toks))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "dl": pa.array(dls, pa.int64())})
+
+    long = docs.map_batches(postings, batch_format="pyarrow") \
+               .materialize()  # ≤ |query| rows per matching doc
+    df_tab = (long.groupby("term")
+              .aggregate(Count(alias_name="df")).to_pandas())
+    idf = {t: math.log(1.0 + (float(n_docs - int(d)) + 0.5)
+                       / (float(int(d)) + 0.5))
+           for t, d in zip(df_tab["term"], df_tab["df"])}
+    avgdl = float(total) / float(n_docs)
+
+    def q_rows(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False)
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        terms = batch["term"].to_pylist()
+        q = np.empty(len(terms), np.int64)
+        for i in range(len(terms)):  # libm-exact scalar chain per row
+            tfw = float(tf[i])
+            v = idf[terms[i]] \
+                * ((tfw * BM25_K1P1)
+                   / (tfw + BM25_K1 * ((1.0 - BM25_B)
+                                       + BM25_B * (float(dl[i]) / avgdl)))) \
+                * 1000000.0
+            q[i] = math.floor(v)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "q": pa.array(q, pa.int64())})
+
+    from ..stages.topk import topk_table
+    scored = (long.map_batches(q_rows, batch_format="pyarrow")
+              .groupby("doc_id")
+              .aggregate(Count(alias_name="n_terms"),
+                         _Sum("q", alias_name="score_micro")))
+    top = topk_table(scored, [("score_micro", "descending"),
+                              ("doc_id", "ascending")], k)
+    if top.num_rows == 0 or "score_micro" not in top.column_names:
+        return empty
+    top = top.select(["doc_id", "n_terms", "score_micro"])
+    score = pc.divide(pc.cast(top["score_micro"], pa.float64()),
+                      pa.scalar(1000000.0, pa.float64()))
+    return top.append_column("score", score)
 
 
 def source_overlap_matrix(sf_dir: str):

@@ -422,3 +422,110 @@ class TestEncodingQcQuery:
                 "has_ctrl"} <= set(counts.index)
         # 4 of 8 residue classes untouched -> clean is the majority
         assert counts["clean"] == (df.doc_id % 8 >= 4).sum()
+
+
+class TestMooreLewisQuery:
+    def test_out_model_equals_bigram_surprisal(self, queries):
+        """The general-corpus side of Moore-Lewis IS bigram_surprisal's
+        model (same fit corpus, same scoring) — exact int64 equality."""
+        ml = queries["moore_lewis_docs"](SF).to_pandas()
+        bs = queries["bigram_surprisal"](SF).to_pandas()
+        m = ml.merge(bs, on="doc_id")
+        assert (m.out_micro_nats == m.surprisal_micro_nats).all()
+        assert (m.n_bigrams_x == m.n_bigrams_y).all()
+
+    def test_delta_avg_and_median_keep(self, queries):
+        ml = queries["moore_lewis_docs"](SF).to_pandas()
+        assert (ml.delta_micro
+                == ml.in_micro_nats - ml.out_micro_nats).all()
+        # avg is a FLOOR division (negative deltas round toward -inf)
+        expect = (ml.delta_micro
+                  // np.maximum(ml.n_bigrams, 1)).astype(np.int64)
+        assert (ml.avg_delta_micro == expect).all()
+        assert ml.delta_micro.dtype == np.int64
+        # keep = below-median half under the quantile_disc rank rule
+        sv = np.sort(ml.avg_delta_micro.to_numpy())
+        med = sv[max(math.ceil(0.5 * len(sv)) - 1, 0)]
+        assert (ml.keep == (ml.avg_delta_micro <= med)).all()
+        assert ml.keep.sum() >= len(ml) // 2
+
+    def test_selection_direction(self, queries):
+        """In-domain (src0) docs must score BELOW out-of-domain docs on
+        average — the whole point of cross-entropy-difference selection."""
+        ml = queries["moore_lewis_docs"](SF).to_pandas()
+        src = pd.read_parquet(os.path.join(SF, "documents.parquet"),
+                              columns=["doc_id", "source"])
+        m = ml.merge(src, on="doc_id")
+        is_in = m.source == "src0"
+        assert is_in.any() and (~is_in).any()
+        assert (m.loc[is_in, "avg_delta_micro"].mean()
+                < m.loc[~is_in, "avg_delta_micro"].mean())
+        # and the kept half is enriched in target-domain docs
+        assert (m.loc[m.keep, "source"] == "src0").mean() \
+            >= is_in.mean()
+
+    def test_missing_target_source_degenerates_cleanly(self, ray_session):
+        """No in-domain docs: the in-model collapses to the cold formula
+        (V = 1 → every pair scores 0 micro-nats); keep is still the
+        below-median half and nothing crashes."""
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        df = a.moore_lewis_docs(SF, target_source="zz_no_such").to_pandas()
+        assert (df.in_micro_nats == 0).all()
+        assert (df.delta_micro == -df.out_micro_nats).all()
+        assert df.keep.sum() >= len(df) // 2
+
+
+class TestBm25Query:
+    def test_python_restatement(self, queries):
+        """Full pure-python BM25 over the corpus must reproduce the
+        engine's top-50 exactly (ids, int64 micro scores, order)."""
+        import re
+        from collections import Counter
+
+        got = queries["bm25_top_docs"](SF).to_pandas()
+        docs = pd.read_parquet(os.path.join(SF, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        tok = re.compile(r"\w+", re.ASCII)
+        toks = {int(r.doc_id):
+                tok.findall((r.text if isinstance(r.text, str) else "")
+                            .lower())
+                for r in docs.itertuples()}
+        uni = Counter(w for t in toks.values() for w in t)
+        total = sum(uni.values())
+        n_docs = len(docs)
+        vocab = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+        qterms = [w for w, _ in vocab[10:20]]
+        qset = set(qterms)
+        df_t = Counter(w for t in toks.values() for w in set(t) & qset)
+        avgdl = float(total) / float(n_docs)
+        idf = {t: math.log(1.0 + (float(n_docs - df_t[t]) + 0.5)
+                           / (float(df_t[t]) + 0.5)) for t in qterms}
+        scores = {}
+        for did, t in toks.items():
+            c = Counter(w for w in t if w in qset)
+            if not c:
+                continue
+            s = 0
+            for w, tf in c.items():
+                tfw = float(tf)
+                v = idf[w] * ((tfw * 2.2)
+                              / (tfw + 1.2 * ((1.0 - 0.75)
+                                              + 0.75 * (len(t) / avgdl)))) \
+                    * 1000000.0
+                s += math.floor(v)
+            scores[did] = (s, len(c))
+        top = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:50]
+        assert list(got.doc_id) == [d for d, _ in top]
+        assert list(got.score_micro) == [s for _, (s, _) in top]
+        assert list(got.n_terms) == [n for _, (_, n) in top]
+
+    def test_shape_and_order(self, queries):
+        got = queries["bm25_top_docs"](SF).to_pandas()
+        assert list(got.columns) == ["doc_id", "n_terms", "score_micro",
+                                     "score"]
+        assert len(got) <= 50 and len(got) > 0
+        assert got.score_micro.dtype == np.int64
+        assert (got.score == got.score_micro / 1e6).all()
+        assert got.n_terms.between(1, 10).all()
+        key = list(zip(-got.score_micro, got.doc_id))
+        assert key == sorted(key)
