@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_kept": a.exact_dedup_kept,
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "line_dedup_docs": a.line_dedup_docs,
+        "sentence_dedup_docs": a.sentence_dedup_docs,
         "dup_window_stats": a.dup_window_stats_docs,
         "window_dedup_docs": a.window_dedup_docs,
         "cross_corpus_overlap": a.cross_corpus_overlap,
@@ -2389,6 +2390,54 @@ def oracle_sql() -> dict[str, str]:
               FROM l)
             SELECT doc_id,
                    coalesce(string_agg(line, chr(10) ORDER BY line_idx)
+                            FILTER (keep), '') AS clean_text,
+                   cast(count(*) FILTER (NOT keep) AS BIGINT) AS n_removed
+            FROM m GROUP BY doc_id ORDER BY doc_id""",
+        # sentence-level C4 dedup over the doubled corpus: sentence
+        # structure injected by rewriting the 80-char chunk construction's
+        # newlines to '. '; the explicit-ASCII mark-and-split rule
+        # (([.!?])[ws]+ -> \1+chr(1), split, trim the 6-char ws set, drop
+        # empties) is applied verbatim on both sides, so parity holds even
+        # for raw text that already contains [.!?] or chr(1)
+        "sentence_dedup_docs": r"""
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, coalesce(text, '') FROM documents),
+            c AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) = 0 THEN ''
+                          ELSE replace(array_to_string(
+                                   [substring(t, i, 80)
+                                    FOR i IN range(1, length(t) + 1, 80)],
+                                   chr(10)), chr(10), '. ')
+                     END AS st
+              FROM d),
+            mk AS (SELECT doc_id,
+                          regexp_replace(st, '([.!?])[ \t\n\r\f\v]+',
+                                         '\1' || chr(1), 'g') AS m
+                   FROM c),
+            ex AS (SELECT doc_id,
+                          cast(generate_subscripts(l, 1) AS BIGINT) AS ord0,
+                          unnest(l) AS raw
+                   FROM (SELECT doc_id, string_split(m, chr(1)) AS l
+                         FROM mk)),
+            tr AS (SELECT doc_id, ord0,
+                          trim(raw, ' ' || chr(9) || chr(10) || chr(11)
+                                   || chr(12) || chr(13)) AS s
+                   FROM ex),
+            sent AS (SELECT doc_id, s,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY ord0) - 1 AS sidx,
+                            length(s) >= 30 AS elig
+                     FROM tr WHERE s <> ''),
+            m AS (SELECT doc_id, sidx, s,
+                         (NOT elig)
+                           OR row_number() OVER (PARTITION BY s
+                                  ORDER BY doc_id, sidx) = 1 AS keep
+                  FROM sent)
+            SELECT doc_id,
+                   coalesce(string_agg(s, ' ' ORDER BY sidx)
                             FILTER (keep), '') AS clean_text,
                    cast(count(*) FILTER (NOT keep) AS BIGINT) AS n_removed
             FROM m GROUP BY doc_id ORDER BY doc_id""",

@@ -1350,6 +1350,40 @@ def line_dedup_docs(sf_dir: str):
     return out if isinstance(out, pa.Table) else out.sort("doc_id")
 
 
+def sentence_dedup_docs(sf_dir: str):
+    """C4's native granularity (Raffel et al. JMLR'20 §2.2 removes
+    repeated SPANS at sentence boundaries; line_dedup_docs is the
+    per-line variant): first occurrence of every 30+-char sentence
+    survives corpus-wide, docs reassembled space-joined. The synthetic
+    docs carry no punctuation, so sentence structure derives from the
+    SAME 80-char chunk construction as line_dedup_docs with '. ' as the
+    chunk separator (lines text rewritten '\\n' → '. '): each chunk
+    becomes a 'chunk.' sentence under the explicit-ASCII mark-and-split
+    rule (stages/dedup.sentence_dedup), the doubled clone loses every
+    shared sentence to its original, and docs whose raw text already
+    contains [.!?] boundaries split further — identically on both
+    sides, since the SQL applies the same regex to the same constructed
+    text. Zero-sentence docs (empty text) are absent from the output on
+    both sides."""
+    docs = _doubled_docs(sf_dir)
+
+    def to_sentenced(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        maxlen = pc.max(pc.utf8_length(t)).as_py() or 0
+        slices = [pc.utf8_slice_codeunits(t, i, i + LINE_WIDTH)
+                  for i in range(0, max(maxlen, 1), LINE_WIDTH)]
+        joined = slices[0] if len(slices) == 1 else \
+            pc.binary_join_element_wise(*slices, "\n")
+        lt = pc.utf8_rtrim(joined, "\n")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pc.replace_substring(lt, "\n", ". ")})
+
+    ds = docs.map_batches(to_sentenced, batch_format="pyarrow")
+    nc = _docs_coarse_hint(sf_dir, 2)
+    out = dedup.sentence_dedup(ds, n_coarse=nc, n_coarse_docs=nc)
+    return out if isinstance(out, pa.Table) else out.sort("doc_id")
+
+
 def near_dedup_kept_doubled(sf_dir: str):
     """The full near-dedup pipeline end to end: MinHash pairs → connected
     components → keep ONE representative (the cluster label = min doc_id)

@@ -1586,6 +1586,17 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             "elig": pa.array(elig),
             "coarse": pa.array(coarse.astype(np.int32))})
 
+    return _first_occurrence_dedup(ds, explode, id_col, "\n", ncd)
+
+
+def _first_occurrence_dedup(ds, explode, id_col: str, join_sep: str,
+                            ncd: int):
+    """Shared spine of line_dedup / sentence_dedup: ``explode`` emits
+    (_id, line_idx, line, elig, coarse) unit rows; eligible units survive
+    only at their first (doc_id, idx) occurrence; docs reassemble in unit
+    order joined by ``join_sep``. Two shuffles (unit-keyed resolve,
+    doc-keyed reassemble), exactly as documented on line_dedup."""
+
     def resolve(df: pd.DataFrame) -> pd.DataFrame:
         keep = np.ones(len(df), dtype=bool)
         e = df[df["elig"]]
@@ -1613,7 +1624,7 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         bound = np.flatnonzero(np.diff(ids)) + 1
         starts = np.concatenate(([0], bound))
         ends_ = np.concatenate((bound, [len(ids)]))
-        texts = ["\n".join(lines[s:e][keep[s:e]])
+        texts = [join_sep.join(lines[s:e][keep[s:e]])
                  for s, e in zip(starts, ends_)]
         removed = np.add.reduceat(~keep, starts)
         return pd.DataFrame({
@@ -1635,6 +1646,81 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return nonempty_or_typed_table(out, {
         id_col: pa.int64(), "clean_text": pa.string(),
         "n_removed": pa.int64()})
+
+
+SENTENCE_MARK = "\x01"
+SENTENCE_SPLIT_PAT = r"([.!?])[ \t\n\r\f\v]+"
+SENTENCE_TRIM_CHARS = " \t\n\r\f\v"
+
+
+def sentence_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                   min_chars: int = LINE_MIN_CHARS,
+                   n_coarse: int | None = None,
+                   n_coarse_docs: int | None = None):
+    """C4's actual granularity (Raffel et al., JMLR'20 §2.2 deduplicates
+    three-SENTENCE spans; line_dedup is the per-line variant): a sentence
+    of ``min_chars``+ characters survives only at its first (doc_id,
+    sentence_idx) occurrence; docs reassemble in sentence order joined by
+    a single space.
+
+    The sentence rule is deliberately EXPLICIT-ASCII so both sides are
+    exact: mark ``([.!?])[ \\t\\n\\r\\f\\v]+`` boundaries by rewriting to
+    ``\\1`` + chr(1) (RE2 backref replace — vectorized Arrow kernel, no
+    per-row Python), split on chr(1), trim the same six-char whitespace
+    set, drop empties. A chr(1) already present in a document acts as a
+    boundary on BOTH sides (engine and SQL share the mark-and-split rule
+    verbatim, so parity holds even for pathological inputs). Unlike the
+    reference F1 splitter this avoids unicode ``\\s``/strip semantics —
+    RE2 has no lookbehind and ASCII-vs-unicode whitespace would silently
+    diverge between re and DuckDB.
+
+    Same two-shuffle scale shape as line_dedup (the shared
+    _first_occurrence_dedup spine)."""
+    nc = n_coarse or N_COARSE
+    ncd = n_coarse_docs or nc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col], "")
+        marked = pc.replace_substring_regex(
+            text, pattern=SENTENCE_SPLIT_PAT,
+            replacement="\\1" + SENTENCE_MARK)
+        lists = pc.split_pattern(marked, SENTENCE_MARK)
+        lists = lists.combine_chunks() \
+            if isinstance(lists, pa.ChunkedArray) else lists
+        flat = pc.utf8_trim(lists.flatten(), SENTENCE_TRIM_CHARS)
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rids = np.repeat(ids, lens)
+        nch = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        nonempty = nch > 0
+        flat = flat.filter(pa.array(nonempty))
+        rids = rids[nonempty]
+        nch = nch[nonempty]
+        # within-doc index among the KEPT (non-empty) sentences: nonempty
+        # rows stay in flat (doc-major) order, so consecutive equal rids
+        # form one doc segment — a running arange per segment reindexes
+        if len(rids):
+            seg = np.flatnonzero(np.diff(rids)) + 1
+            starts = np.concatenate(([0], seg))
+            seg_len = np.diff(np.concatenate((starts, [len(rids)])))
+            idxs = (np.arange(len(rids), dtype=np.int64)
+                    - np.repeat(starts, seg_len))
+        else:
+            idxs = np.array([], np.int64)
+        elig = nch >= min_chars
+        coarse = (rids * 1000003 + idxs) % nc
+        if elig.any():
+            from ..str_hash import crc32_of_strings
+            coarse[elig] = crc32_of_strings(
+                flat.filter(pa.array(elig))) % nc
+        return pa.table({
+            "_id": pa.array(rids, pa.int64()),
+            "line_idx": pa.array(idxs, pa.int64()),
+            "line": flat,
+            "elig": pa.array(elig),
+            "coarse": pa.array(coarse.astype(np.int32))})
+
+    return _first_occurrence_dedup(ds, explode, id_col, " ", ncd)
 
 
 # --------------------------------------------- k-token window dup statistics

@@ -559,6 +559,97 @@ class TestLineDedup:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestSentenceDedup:
+    S1 = "this boilerplate sentence repeats across many documents here"
+    S2 = "another long recurring sentence that shows up a second time"
+
+    @staticmethod
+    def _ds(docs):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string())}))
+
+    @staticmethod
+    def _reference(docs, min_chars=30):
+        """Pure-python restatement of the explicit-ASCII mark-and-split
+        rule + first-occurrence keep + space-join reassembly."""
+        import re
+        mark = re.compile(r"([.!?])[ \t\n\r\f\v]+")
+        seen, expect = set(), {}
+        for i, t in docs:
+            sents = [s.strip(" \t\n\r\f\v")
+                     for s in mark.sub("\\1\x01", t).split("\x01")]
+            sents = [s for s in sents if s]
+            kept, removed = [], 0
+            for s in sents:
+                if len(s) >= min_chars:
+                    if s in seen:
+                        removed += 1
+                        continue
+                    seen.add(s)
+                kept.append(s)
+            if sents:
+                expect[i] = (" ".join(kept), removed)
+        return expect
+
+    def test_differential_and_edges(self, ray_session):
+        docs = [
+            (0, f"{self.S1}. unique body over thirty characters right "
+                f"here! short."),
+            (1, f"{self.S1}.\t{self.S2}. ok?"),       # S1. lost to doc 0
+            (2, f"{self.S2}. {self.S2}. tail"),       # within-doc repeat
+            (3, "tiny. also small? yes"),             # short always kept
+            (4, ""),                                  # absent from output
+            (5, "no boundary punctuation at all just one long sentence "
+                "body exceeding thirty characters"),
+            (6, f"weird\x01embedded marker. {self.S1}. end"),
+        ]
+        out = dedup.sentence_dedup(self._ds(docs)).sort("doc_id") \
+            .to_pandas()
+        expect = self._reference(docs)
+        assert list(out.doc_id) == sorted(expect)
+        assert 4 not in set(out.doc_id)  # zero-sentence doc omitted
+        for _, r in out.iterrows():
+            ct, nr = expect[int(r.doc_id)]
+            assert r.clean_text == ct and int(r.n_removed) == nr
+        # the S1 sentence survives exactly once corpus-wide
+        joined = " ".join(out.clean_text)
+        assert joined.count(self.S1) == 1
+
+    def test_partition_invariance(self, ray_session):
+        docs = [(i, f"{self.S1}. doc {i} filler sentence over thirty "
+                    f"characters long. {self.S2}.") for i in range(12)]
+        a = dedup.sentence_dedup(self._ds(docs), n_coarse=1,
+                                 n_coarse_docs=1).sort("doc_id").to_pandas()
+        b = dedup.sentence_dedup(self._ds(docs), n_coarse=7,
+                                 n_coarse_docs=3).sort("doc_id").to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_query_doubled_removal(self, ray_session):
+        import __ray_entry__ as e
+        df = e.queries()["sentence_dedup_docs"](
+            "/root/testdata/sf0.001").to_pandas()
+        base = df[df.doc_id < 1_000_000].set_index("doc_id")
+        clone = df[df.doc_id >= 1_000_000].copy()
+        clone["base_id"] = clone.doc_id - 1_000_000
+        m = clone.set_index("base_id").join(base, rsuffix="_b")
+        # originals keep all FIRST occurrences (within-doc repeats may
+        # still be removed — the corpus has repetitive docs); a clone
+        # additionally loses exactly the eligible sentences its original
+        # KEPT — strictly more removals unless the base doc kept none
+        # (fully-repetitive docs whose every eligible sentence was a
+        # within-doc repeat), in which case clone ≡ base
+        assert (base.n_removed == 0).mean() > 0.9
+        assert (m.n_removed >= 1).all()
+        assert (m.n_removed >= m.n_removed_b).all()
+        strict = m.n_removed > m.n_removed_b
+        assert strict.mean() > 0.95
+        assert (m.clean_text.str.len()
+                < m.clean_text_b.str.len())[strict].all()
+        assert (m.clean_text == m.clean_text_b)[~strict].all()
+
+
 class TestGopherFlags:
     def test_hand_vectors(self):
         good = ("the quick brown fox jumps over and beside many lazy dogs "
