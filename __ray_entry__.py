@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "line_dedup_docs": a.line_dedup_docs,
         "sentence_dedup_docs": a.sentence_dedup_docs,
+        "exact_substr_dedup_docs": a.exact_substr_dedup_docs,
         "dup_window_stats": a.dup_window_stats_docs,
         "window_dedup_docs": a.window_dedup_docs,
         "cross_corpus_overlap": a.cross_corpus_overlap,
@@ -2441,6 +2442,61 @@ def oracle_sql() -> dict[str, str]:
                             FILTER (keep), '') AS clean_text,
                    cast(count(*) FILTER (NOT keep) AS BIGINT) AS n_removed
             FROM m GROUP BY doc_id ORDER BY doc_id""",
+        # ExactSubstr (Lee et al.) over the doubled corpus: every 50-char
+        # window occurring twice survives only at min (doc_id, off); all
+        # other occurrences mark their 50 char positions for removal.
+        # Restates the engine's window/owner/coverage construction over
+        # substring() rows — exact strings here, 128-bit rolling hashes in
+        # the engine (collision-free at any realistic scale)
+        "exact_substr_dedup_docs": r"""
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, coalesce(text, '') FROM documents),
+            w AS (
+              SELECT doc_id,
+                     cast(generate_subscripts(l, 1) AS BIGINT) - 1 AS off,
+                     unnest(l) AS s
+              FROM (SELECT doc_id,
+                           [substring(t, i, 50)
+                            FOR i IN range(1, length(t) - 48)] AS l
+                    FROM d)),
+            r AS (
+              SELECT doc_id, off,
+                     count(*) OVER (PARTITION BY s) AS cnt,
+                     row_number() OVER (PARTITION BY s
+                                        ORDER BY doc_id, off) AS rn
+              FROM w),
+            cov AS (
+              SELECT DISTINCT r.doc_id, r.off + rp.p AS pos
+              FROM r, range(0, 50) AS rp(p)
+              WHERE r.cnt >= 2 AND r.rn > 1),
+            ch AS (
+              SELECT doc_id,
+                     cast(generate_subscripts(l, 1) AS BIGINT) - 1 AS pos,
+                     unnest(l) AS c
+              FROM (SELECT doc_id,
+                           [substring(t, i, 1)
+                            FOR i IN range(1, length(t) + 1)] AS l
+                    FROM d)),
+            k AS (
+              SELECT ch.doc_id, ch.pos, ch.c, cov.pos IS NULL AS keep
+              FROM ch LEFT JOIN cov
+                ON ch.doc_id = cov.doc_id AND ch.pos = cov.pos),
+            agg AS (
+              SELECT doc_id,
+                     coalesce(string_agg(c, '' ORDER BY pos)
+                              FILTER (keep), '') AS clean_text,
+                     cast(count(*) FILTER (NOT keep) AS BIGINT)
+                       AS n_removed_chars,
+                     cast(count(*) AS BIGINT) AS n_chars
+              FROM k GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(agg.clean_text, '') AS clean_text,
+                   cast(coalesce(agg.n_removed_chars, 0) AS BIGINT)
+                     AS n_removed_chars,
+                   cast(coalesce(agg.n_chars, 0) AS BIGINT) AS n_chars
+            FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
         # connected components over the exact-dup pair graph: the fixpoint
         # label is min(doc_id) per text group — a value-exact oracle for
         # the distributed label-propagation operator

@@ -1384,6 +1384,21 @@ def sentence_dedup_docs(sf_dir: str):
     return out if isinstance(out, pa.Table) else out.sort("doc_id")
 
 
+def exact_substr_dedup_docs(sf_dir: str):
+    """ExactSubstr (Lee et al. ACL'22 §4.1) over the doubled corpus:
+    every ≥50-char substring occurring twice anywhere survives only at
+    its first (doc_id, offset) occurrence; covered characters elsewhere
+    are removed, originals' whitespace preserved byte-exactly. Each
+    clone duplicates its original in full, so any clone of ≥50 chars is
+    erased to '' (its every window is owned by the original); originals
+    lose only corpus-internal repeats. Value-exact SQL oracle — the
+    window/owner/coverage construction restated over substring() rows."""
+    docs = _doubled_docs(sf_dir)
+    nc = _docs_coarse_hint(sf_dir, 2)
+    out = dedup.exact_substr_dedup(docs, n_coarse=nc, n_coarse_docs=nc)
+    return out if isinstance(out, pa.Table) else out.sort("doc_id")
+
+
 def near_dedup_kept_doubled(sf_dir: str):
     """The full near-dedup pipeline end to end: MinHash pairs → connected
     components → keep ONE representative (the cluster label = min doc_id)

@@ -1734,16 +1734,7 @@ _WIN_M = 1 << 64
 def _window_hashes(tokens_per_doc: "list[list[str]]", k: int):
     """Rolling polynomial hash of every k-token window, vectorized over the
     FLAT token stream of a whole batch (one crc32 pass + numpy cumsum /
-    cumprod; no per-window loop).
-
-    H[i] = Σ_{d<k} crc32(tok[i+d]) · Binv^d  (mod 2^64), computed as
-    (S[i+k] − S[i]) · B^i from the prefix sums S of crc·Binv^position —
-    B odd makes Binv = B⁻¹ mod 2^64 exact, so window hashes at different
-    offsets canonicalize to the same value. Two independent bases give a
-    128-bit effective key (collision-safe at 100 TB window counts).
-    Windows never cross documents: start positions whose span would leave
-    the document are masked out, and the cross-doc prefix-sum terms cancel
-    in the S difference for every retained window.
+    cumprod; no per-window loop). See _rolling_hashes for the math.
 
     Returns (doc_index_per_window, within_doc_offset, h1, h2) numpy arrays.
     """
@@ -1755,6 +1746,29 @@ def _window_hashes(tokens_per_doc: "list[list[str]]", k: int):
         return z, z, z.astype(np.uint64), z.astype(np.uint64)
     flat = [tok for doc in tokens_per_doc for tok in doc]
     th = np.fromiter((zlib.crc32(t.encode()) for t in flat), np.uint64, n)
+    return _rolling_hashes(th, lens, k)
+
+
+def _rolling_hashes(th: np.ndarray, lens: np.ndarray, k: int):
+    """Rolling polynomial hash of every k-unit window over a flat uint64
+    value stream ``th`` segmented into documents by ``lens`` (units may be
+    token crc32s or raw codepoints — any injective per-unit value).
+
+    H[i] = Σ_{d<k} th[i+d] · Binv^d  (mod 2^64), computed as
+    (S[i+k] − S[i]) · B^i from the prefix sums S of th·Binv^position —
+    B odd makes Binv = B⁻¹ mod 2^64 exact, so window hashes at different
+    offsets canonicalize to the same value. Two independent bases give a
+    128-bit effective key (collision-safe at 100 TB window counts).
+    Windows never cross documents: start positions whose span would leave
+    the document are masked out, and the cross-doc prefix-sum terms cancel
+    in the S difference for every retained window.
+
+    Returns (doc_index_per_window, within_doc_offset, h1, h2) numpy arrays.
+    """
+    n = int(lens.sum())
+    if n == 0:
+        z = np.array([], np.int64)
+        return z, z, z.astype(np.uint64), z.astype(np.uint64)
 
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
     # valid window starts: offset o in [0, len_doc - k]
@@ -2027,6 +2041,152 @@ def window_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return nonempty_or_typed_table(out, {
         id_col: pa.int64(), "clean_text": pa.string(),
         "n_removed_tokens": pa.int64(), "n_tokens": pa.int64()})
+
+
+EXACT_SUBSTR_L = 50   # Lee et al. duplicate-span threshold, in characters
+
+
+def exact_substr_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                       min_len: int = EXACT_SUBSTR_L,
+                       n_coarse: int | None = None,
+                       n_coarse_docs: int | None = None):
+    """ExactSubstr at its NATIVE granularity (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22 §4.1: remove any
+    substring of ≥ ``min_len`` units that occurs twice anywhere in the
+    corpus) — character-level, unlike window_dedup's token windows, so
+    removal boundaries are byte-exact and surviving text keeps its
+    ORIGINAL whitespace (the token variant space-normalizes on reassembly).
+    A duplicated span of length m ≥ min_len is exactly the union of its
+    m−min_len+1 duplicated min_len-char windows, so fixed-size window
+    coverage reproduces maximal-span removal. Like the paper's tool we
+    keep the lexicographically first occurrence (min (doc_id, offset))
+    and remove every other occurrence, within-doc repeats included.
+
+    Two bucketed shuffles, the window_dedup spine at char granularity:
+      1. window-hash-keyed (doc, off, h1, h2) rows — one per char
+         position, 36 B each; hashes are 128-bit rolling polynomials over
+         raw codepoints (_rolling_hashes), so the exchange never carries
+         text. Cost is ∝ total corpus characters — the price of exact
+         substring semantics in a distributed setting (the paper's suffix
+         array is single-node and needs the corpus in RAM; a Bloom
+         prefilter pass could drop the ~unique majority of windows before
+         the shuffle and is the documented 100-TB refinement).
+      2. doc-keyed: non-owner offsets rejoin the doc text (text moves
+         once); coverage is a diff-array cumsum over chars; kept
+         codepoints reassemble via a numpy mask on the utf-32 view.
+
+    Returns (doc_id, clean_text, n_removed_chars, n_chars) for EVERY
+    input doc (empty docs pass through with 0/0)."""
+    nc = n_coarse or N_COARSE
+    ncd = n_coarse_docs or nc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        cps = np.frombuffer("".join(texts).encode("utf-32-le"),
+                            np.uint32).astype(np.uint64) + 1
+        wdoc, woff, h1, h2 = _rolling_hashes(cps, lens, min_len)
+        if len(wdoc) == 0:
+            return pa.table({"_id": pa.array([], pa.int64()),
+                             "off": pa.array([], pa.int64()),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "coarse": pa.array([], pa.int32())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        coarse = (h1 % np.uint64(nc)).astype(np.int32)
+        return pa.table({"_id": pa.array(ids[wdoc]),
+                         "off": pa.array(woff),
+                         "h1": pa.array(h1.view(np.int64)),
+                         "h2": pa.array(h2.view(np.int64)),
+                         "coarse": pa.array(coarse)})
+
+    def removals(df: pd.DataFrame) -> pd.DataFrame:
+        ids_a = df["_id"].to_numpy(np.int64)
+        offs_a = df["off"].to_numpy(np.int64)
+        # same packed-owner-key domain guard as window_dedup (the SQL
+        # oracle mirrors min-(doc_id,off) directly, so overflow must fail
+        # loudly, not misresolve)
+        if len(offs_a) and (int(offs_a.max()) >= _OWNER_OFF_BASE
+                            or int(np.abs(ids_a).max())
+                            >= (2**63 - 1) // _OWNER_OFF_BASE):
+            raise ValueError(
+                f"exact_substr_dedup owner-key overflow: need off < "
+                f"{_OWNER_OFF_BASE} (got max {int(offs_a.max())}) and "
+                f"|doc_id| < {(2**63 - 1) // _OWNER_OFF_BASE} "
+                f"(got max {int(np.abs(ids_a).max())})")
+        okey = ids_a * _OWNER_OFF_BASE + offs_a
+        d = df.assign(okey=okey)
+        g = d.groupby(["h1", "h2"])["okey"]
+        cnt = g.transform("size").to_numpy()
+        owner = g.transform("min").to_numpy()
+        rem = d[(cnt >= 2) & (okey != owner)]
+        out = pd.DataFrame({"_id": rem["_id"], "off": rem["off"]})
+        out["dcoarse"] = (out["_id"] % ncd).astype(np.int32)
+        return out
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_id": pa.array(ids),
+            "off": pa.array(np.full(len(ids), -1, np.int64)),  # text row
+            "text": pc.cast(pc.fill_null(batch[text_col], ""), pa.string()),
+            "dcoarse": pa.array((ids % ncd).astype(np.int32))})
+
+    def tag_removals(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "_id": batch["_id"], "off": batch["off"],
+            "text": pa.array([None] * n, pa.string()),
+            "dcoarse": batch["dcoarse"]})
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_txt, out_rm, out_nc = [], [], [], []
+        for did, grp in df.groupby("_id", sort=True):
+            trow = grp[grp["off"] < 0]
+            if not len(trow):        # removal rows for a doc outside ds —
+                continue             # impossible by construction; be total
+            text = trow["text"].iloc[0] or ""
+            n = len(text)
+            offs = grp.loc[grp["off"] >= 0, "off"].to_numpy(np.int64)
+            if len(offs):
+                cover = np.zeros(n + 1, np.int64)
+                np.add.at(cover, offs, 1)
+                np.add.at(cover, np.minimum(offs + min_len, n), -1)
+                covered = np.cumsum(cover[:-1]) > 0
+                cps = np.frombuffer(text.encode("utf-32-le"), np.uint32)
+                clean = cps[~covered].tobytes().decode("utf-32-le")
+                n_rm = int(covered.sum())
+            else:
+                clean, n_rm = text, 0
+            out_id.append(did)
+            out_txt.append(clean)
+            out_rm.append(n_rm)
+            out_nc.append(n)
+        return pd.DataFrame({
+            "_id": pd.array(out_id, "int64"),
+            "clean_text": pd.array(out_txt, "string"),
+            "n_removed_chars": pd.array(out_rm, "int64"),
+            "n_chars": pd.array(out_nc, "int64")})
+
+    rem = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("coarse").map_groups(removals, batch_format="pandas")
+           .map_batches(tag_removals, batch_format="pyarrow"))
+    out = (ds.map_batches(doc_rows, batch_format="pyarrow")
+           .union(rem)
+           .groupby("dcoarse").map_groups(reassemble,
+                                          batch_format="pandas"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["_id"],
+                         "clean_text": pc.cast(batch["clean_text"],
+                                               pa.string()),
+                         "n_removed_chars": batch["n_removed_chars"],
+                         "n_chars": batch["n_chars"]})
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    return nonempty_or_typed_table(out, {
+        id_col: pa.int64(), "clean_text": pa.string(),
+        "n_removed_chars": pa.int64(), "n_chars": pa.int64()})
 
 
 def cross_window_overlap(docs_ds, ref_ds, id_col: str = "doc_id",

@@ -650,6 +650,94 @@ class TestSentenceDedup:
         assert (m.clean_text == m.clean_text_b)[~strict].all()
 
 
+class TestExactSubstrDedup:
+    B = "a shared boilerplate span well over fifty characters long here"
+
+    @staticmethod
+    def _ds(docs):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string())}))
+
+    @staticmethod
+    def _reference(docs, L=50):
+        """Pure-python ExactSubstr: enumerate every L-char window, owner
+        = min (doc_id, off) per distinct window string, mark coverage of
+        every non-owner occurrence, drop covered chars."""
+        occ = {}
+        for i, t in sorted(docs):
+            for o in range(len(t) - L + 1):
+                occ.setdefault(t[o:o + L], []).append((i, o))
+        cov = {i: set() for i, _ in docs}
+        for positions in occ.values():
+            if len(positions) >= 2:
+                for i, o in positions[1:]:
+                    cov[i].update(range(o, o + L))
+        return {i: ("".join(c for p, c in enumerate(t)
+                            if p not in cov[i]),
+                    len(cov[i]), len(t))
+                for i, t in docs}
+
+    def test_differential_and_edges(self, ray_session):
+        docs = [
+            (0, f"prefix zero {self.B} and an original-only tail."),
+            (1, f"other head text {self.B} different ending here!"),
+            (2, self.B + " " + self.B),   # within-doc overlap repeat
+            (3, "too short to ever have a window"),
+            (4, ""),
+            (5, "𝄞 astral prefix padding " + self.B),  # codepoint offsets
+        ]
+        out = dedup.exact_substr_dedup(self._ds(docs)).sort("doc_id") \
+            .to_pandas()
+        expect = self._reference(docs)
+        assert list(out.doc_id) == sorted(expect)  # every doc, empty incl.
+        for _, r in out.iterrows():
+            ct, nr, nc = expect[int(r.doc_id)]
+            assert (r.clean_text, int(r.n_removed_chars),
+                    int(r.n_chars)) == (ct, nr, nc)
+        byid = out.set_index("doc_id")
+        # doc 0 owns the boilerplate: fully intact
+        assert byid.loc[0, "n_removed_chars"] == 0
+        # doc 1 loses the maximal shared span (windows union), keeps its
+        # ORIGINAL whitespace elsewhere — no space normalization
+        assert self.B not in byid.loc[1, "clean_text"]
+        assert byid.loc[1, "clean_text"].startswith("other head text")
+        assert byid.loc[3, "n_removed_chars"] == 0
+        assert byid.loc[4, "n_chars"] == 0
+
+    def test_partition_invariance(self, ray_session):
+        docs = [(i, f"doc {i} unique head then {self.B} common tail span")
+                for i in range(10)]
+        a = dedup.exact_substr_dedup(self._ds(docs), n_coarse=1,
+                                     n_coarse_docs=1) \
+            .sort("doc_id").to_pandas()
+        b = dedup.exact_substr_dedup(self._ds(docs), n_coarse=7,
+                                     n_coarse_docs=3) \
+            .sort("doc_id").to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_query_doubled_erases_clones(self, ray_session):
+        import __ray_entry__ as e
+        df = e.queries()["exact_substr_dedup_docs"](
+            "/root/testdata/sf0.001").to_pandas()
+        base = df[df.doc_id < 1_000_000].set_index("doc_id")
+        clone = df[df.doc_id >= 1_000_000].copy()
+        clone["base_id"] = clone.doc_id - 1_000_000
+        m = clone.set_index("base_id").join(base, rsuffix="_b")
+        # every ≥50-char clone is erased in full (each of its windows is
+        # owned by the original); shorter clones are untouched
+        big = m.n_chars >= 50
+        assert big.any()
+        assert (m.loc[big, "clean_text"] == "").all()
+        assert (m.loc[big, "n_removed_chars"]
+                == m.loc[big, "n_chars"]).all()
+        assert (m.loc[~big, "n_removed_chars"] == 0).all()
+        # originals only lose corpus-internal repeats — most keep text
+        assert (base.n_removed_chars < base.n_chars)[
+            base.n_chars > 0].mean() > 0.5
+
+
 class TestGopherFlags:
     def test_hand_vectors(self):
         good = ("the quick brown fox jumps over and beside many lazy dogs "
