@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_docs": a.c4_clean_docs,
         "quality_dedup_kept_doubled": a.quality_dedup_kept_doubled,
         "encoding_qc_docs": a.encoding_qc_docs,
+        "badwords_filtered_docs": a.badwords_filtered_docs,
         "length_zscore_by_lang": a.length_zscore_by_lang,
         "bpe_pair_counts": a.bpe_pair_counts_docs,
         "bpe_merges": a.bpe_merges_docs,
@@ -954,6 +955,20 @@ def oracle_sql() -> dict[str, str]:
         # printable-ASCII class) are identical RE2 on both sides; the BEL
         # control char is built via chr(7) so no raw control byte lives
         # in source
+        # C4 bad-words gate: whole-word case-insensitive RE2 counts per
+        # blocklist term; kept ⇔ zero total hits. Same regex engine (RE2)
+        # on both sides, so counts are bit-exact
+        "badwords_filtered_docs": r"""
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(coalesce(text, ''),
+                        '(?i)\bslow\b')) AS BIGINT) AS n_slow,
+                   cast(len(regexp_extract_all(coalesce(text, ''),
+                        '(?i)\bdup\b')) AS BIGINT) AS n_dup,
+                   cast(len(regexp_extract_all(coalesce(text, ''),
+                        '(?i)\bspark\b')) AS BIGINT) AS n_spark,
+                   n_slow + n_dup + n_spark AS n_hits,
+                   (n_slow + n_dup + n_spark) = 0 AS kept
+            FROM documents ORDER BY doc_id""",
         "encoding_qc_docs": r"""
             WITH built AS (
               SELECT doc_id,

@@ -3750,6 +3750,17 @@ def encoding_qc_docs(sf_dir: str):
             .sort("doc_id"))
 
 
+def badwords_filtered_docs(sf_dir: str):
+    """C4 §2.2 bad-words page gate (stages/text_analysis.badwords_counts):
+    per-term whole-word hit counts over the blocklist stand-in, total,
+    and the drop-on-any-hit kept flag. One vectorized RE2 pass per term,
+    no shuffle; bit-exact vs the same RE2 alternation in SQL."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text_analysis.badwords_counts,
+                         batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def length_zscore_by_lang(sf_dir: str):
     """Per-language z-score of document length (stages/text_analysis
     .group_zscore) — normalize a per-doc signal WITHIN each language so a

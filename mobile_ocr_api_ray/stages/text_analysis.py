@@ -1223,6 +1223,32 @@ def encoding_qc(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "ascii_ratio": ascii_ratio, "status": status})
 
 
+# C4's "bad words" page gate (Raffel et al. JMLR'20 §2.2 drops any page
+# containing a term from the LDNOOBW blocklist). The public list is
+# profanity; the synthetic corpus uses a deterministic stand-in chosen to
+# actually hit (the mechanism — whole-word case-insensitive alternation,
+# drop-on-any-hit — is what the operator implements; callers pass their
+# own list in production).
+BADWORDS = ("slow", "dup", "spark")
+
+
+def badwords_counts(batch: pa.Table, text_col: str = "text",
+                    words: tuple = BADWORDS) -> pa.Table:
+    """Per-term whole-word case-insensitive hit counts + total + the C4
+    kept flag (kept ⇔ zero hits). One vectorized RE2 count per term, no
+    shuffle; RE2 on both sides (pyarrow.compute and DuckDB) makes the
+    counts bit-exact in SQL."""
+    text = pc.fill_null(batch[text_col], "")
+    per = {f"n_{w}": pc.cast(
+        pc.count_substring_regex(text, rf"(?i)\b{w}\b"), pa.int64())
+        for w in words}
+    total = None
+    for c in per.values():
+        total = c if total is None else pc.add(total, c)
+    return _emit(batch, {**per, "n_hits": total,
+                         "kept": pc.equal(total, 0)})
+
+
 # ------------------------------------------------ group-stat normalization
 
 def group_zscore(ds, group_col: str, value_col: str,

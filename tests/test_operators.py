@@ -650,6 +650,34 @@ class TestSentenceDedup:
         assert (m.clean_text == m.clean_text_b)[~strict].all()
 
 
+class TestBadwords:
+    def test_hand_vectors(self):
+        t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                      "text": pa.array([
+                          "slow query DUP row Spark job",   # case-insens.
+                          "slowly duplicate sparks",        # no whole word
+                          "dup dup dup.",                   # multi + punct
+                          None,
+                          "clean text only"])})
+        out = text_analysis.badwords_counts(t).to_pydict()
+        assert out["n_slow"] == [1, 0, 0, 0, 0]
+        assert out["n_dup"] == [1, 0, 3, 0, 0]
+        assert out["n_spark"] == [1, 0, 0, 0, 0]
+        assert out["n_hits"] == [3, 0, 3, 0, 0]
+        assert out["kept"] == [False, True, False, True, True]
+
+    def test_query_gate(self, ray_session):
+        import __ray_entry__ as e
+        df = e.queries()["badwords_filtered_docs"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 500
+        assert (df.kept == (df.n_hits == 0)).all()
+        assert (df.n_hits == df.n_slow + df.n_dup + df.n_spark).all()
+        # the stand-in list is chosen to actually hit this corpus, and
+        # the gate must not degenerate to dropping everything
+        assert 0 < (~df.kept).sum() < len(df)
+
+
 class TestExactSubstrDedup:
     B = "a shared boilerplate span well over fifty characters long here"
 
