@@ -174,6 +174,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("length_quartile_docs",
           lambda: a.length_quartile_docs(sf_dir).to_pandas())
     timed("line_dedup_docs", lambda: a.line_dedup_docs(sf_dir).to_pandas())
+    timed("sentence_dedup_docs",
+          lambda: _pd(a.sentence_dedup_docs(sf_dir)))
+    timed("exact_substr_dedup_docs",
+          lambda: _pd(a.exact_substr_dedup_docs(sf_dir)))
+    timed("badwords_filtered_docs",
+          lambda: a.badwords_filtered_docs(sf_dir).to_pandas())
     timed("dup_window_stats", lambda: _pd(a.dup_window_stats_docs(sf_dir)))
     timed("window_dedup_docs", lambda: _pd(a.window_dedup_docs(sf_dir)))
     timed("cross_corpus_overlap",
