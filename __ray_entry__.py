@@ -957,7 +957,10 @@ def oracle_sql() -> dict[str, str]:
         # in source
         # C4 bad-words gate: whole-word case-insensitive RE2 counts per
         # blocklist term; kept ⇔ zero total hits. Same regex engine (RE2)
-        # on both sides, so counts are bit-exact
+        # on both sides, so counts are bit-exact. The engine escapes terms
+        # as literals and drops \b at non-word-char term edges
+        # (_word_literal_pat); the default terms here are all word chars,
+        # so the plain \b...\b form below is the same pattern
         "badwords_filtered_docs": r"""
             SELECT doc_id,
                    cast(len(regexp_extract_all(coalesce(text, ''),

@@ -1322,26 +1322,46 @@ def fingerprint_pairs_doubled(sf_dir: str, threshold: float = 0.5):
 LINE_WIDTH = 80  # synthetic line derivation for line_dedup_docs
 
 
+def _chunked_text(t: "pa.ChunkedArray | pa.Array"):
+    """The 80-char chunk construction shared by line_dedup_docs /
+    sentence_dedup_docs: each row's text split into LINE_WIDTH-char
+    slices joined by '\\n' — byte-identical to the SQL oracles'
+    ``array_to_string([substring(t, i, 80) FOR i IN range(1, length(t)
+    + 1, 80)], chr(10))``, including for text that itself ends in
+    newlines. Slices are batch-wide (one kernel per 80-char step up to
+    the batch max length); a row's nonexistent padding slices become
+    NULL and a null_handling='skip' join drops exactly them — no rtrim,
+    which would also eat GENUINE trailing newlines and diverge from the
+    per-row SQL construction."""
+    maxlen = pc.max(pc.utf8_length(t)).as_py() or 0
+    lens = pc.utf8_length(t)
+    slices = []
+    for i in range(0, max(maxlen, 1), LINE_WIDTH):
+        s = pc.utf8_slice_codeunits(t, i, i + LINE_WIDTH)
+        if i > 0:
+            s = pc.if_else(pc.greater(lens, i), s,
+                           pa.scalar(None, pa.string()))
+        slices.append(s)
+    return slices[0] if len(slices) == 1 else \
+        pc.binary_join_element_wise(*slices, "\n",
+                                    null_handling="skip")
+
+
 def line_dedup_docs(sf_dir: str):
     """C4-style line-level dedup (first occurrence of every 30+-char line
     survives corpus-wide, documents reassembled in order) over the doubled
     corpus. The synthetic docs carry no newlines, so lines derive from
-    fixed 80-char chunking (vectorized slices joined with '\\n', trailing
-    empties trimmed — mirrored as ``substring(t, i, 80)`` slices in the SQL
-    oracle); every full-width chunk is eligible, the <30-char tail chunk is
-    exempt, so the doubled clone loses every full chunk to its original and
-    keeps only its short tail — exercising partial removal + reassembly."""
+    fixed 80-char chunking (_chunked_text — mirrored as ``substring(t, i,
+    80)`` slices in the SQL oracle); every full-width chunk is eligible,
+    the <30-char tail chunk is exempt, so the doubled clone loses every
+    full chunk to its original and keeps only its short tail — exercising
+    partial removal + reassembly."""
     docs = _doubled_docs(sf_dir)
 
     def to_lines(batch: pa.Table) -> pa.Table:
-        t = pc.fill_null(batch["text"], "")
-        maxlen = pc.max(pc.utf8_length(t)).as_py() or 0
-        slices = [pc.utf8_slice_codeunits(t, i, i + LINE_WIDTH)
-                  for i in range(0, max(maxlen, 1), LINE_WIDTH)]
-        joined = slices[0] if len(slices) == 1 else \
-            pc.binary_join_element_wise(*slices, "\n")
         return pa.table({"doc_id": batch["doc_id"],
-                         "text": pc.utf8_rtrim(joined, "\n")})
+                         "text": _chunked_text(
+                             pc.fill_null(batch["text"], ""))})
 
     ds = docs.map_batches(to_lines, batch_format="pyarrow")
     nc = _docs_coarse_hint(sf_dir, 2)
@@ -1368,13 +1388,7 @@ def sentence_dedup_docs(sf_dir: str):
     docs = _doubled_docs(sf_dir)
 
     def to_sentenced(batch: pa.Table) -> pa.Table:
-        t = pc.fill_null(batch["text"], "")
-        maxlen = pc.max(pc.utf8_length(t)).as_py() or 0
-        slices = [pc.utf8_slice_codeunits(t, i, i + LINE_WIDTH)
-                  for i in range(0, max(maxlen, 1), LINE_WIDTH)]
-        joined = slices[0] if len(slices) == 1 else \
-            pc.binary_join_element_wise(*slices, "\n")
-        lt = pc.utf8_rtrim(joined, "\n")
+        lt = _chunked_text(pc.fill_null(batch["text"], ""))
         return pa.table({"doc_id": batch["doc_id"],
                          "text": pc.replace_substring(lt, "\n", ". ")})
 

@@ -1909,6 +1909,82 @@ def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
 _OWNER_OFF_BASE = 100_000_000  # owner key = doc_id·BASE + offset (offsets ≪ BASE)
 
 
+def _span_removal_dedup(ds, explode, reassemble, out_schema: dict,
+                        id_col: str, text_col: str, ncd: int,
+                        opname: str):
+    """Shared spine of window_dedup (token windows) and exact_substr_dedup
+    (char windows): ``explode`` emits one (_id, off, h1, h2, coarse) row
+    per unit-window occurrence; every occurrence of a (h1, h2) value
+    co-locates in its coarse partition, where the owner resolves to the
+    min packed (doc_id, off) key and each NON-owner occurrence becomes a
+    removal row; removals rejoin the doc's text under the doc key (text
+    rides that exchange exactly once) and ``reassemble`` (pandas
+    per-dcoarse-group fn over off=-1 text rows + off≥0 removal rows)
+    rebuilds documents. ``out_schema`` is the final {col: arrow type}
+    mapping with ``id_col`` first; reassemble must emit ``_id`` plus the
+    non-id columns of out_schema."""
+
+    def removals(df: pd.DataFrame) -> pd.DataFrame:
+        ids_a = df["_id"].to_numpy(np.int64)
+        offs_a = df["off"].to_numpy(np.int64)
+        # the packed owner key (doc_id·BASE + off) totally orders
+        # (doc_id, off) ONLY while off < BASE and |doc_id| stays clear of
+        # int64 overflow; a violation would silently misresolve owners
+        # (and the SQL oracles, which mirror the packing, couldn't catch
+        # it) — so reject loudly instead
+        if len(offs_a) and (int(offs_a.max()) >= _OWNER_OFF_BASE
+                            or int(np.abs(ids_a).max())
+                            >= (2**63 - 1) // _OWNER_OFF_BASE):
+            raise ValueError(
+                f"{opname} owner-key overflow: need off < "
+                f"{_OWNER_OFF_BASE} (got max {int(offs_a.max())}) and "
+                f"|doc_id| < {(2**63 - 1) // _OWNER_OFF_BASE} "
+                f"(got max {int(np.abs(ids_a).max())})")
+        okey = ids_a * _OWNER_OFF_BASE + offs_a
+        d = df.assign(okey=okey)
+        g = d.groupby(["h1", "h2"])["okey"]
+        cnt = g.transform("size").to_numpy()
+        owner = g.transform("min").to_numpy()
+        rem = d[(cnt >= 2) & (okey != owner)]
+        out = pd.DataFrame({"_id": rem["_id"], "off": rem["off"]})
+        out["dcoarse"] = (out["_id"] % ncd).astype(np.int32)
+        return out
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_id": pa.array(ids),
+            "off": pa.array(np.full(len(ids), -1, np.int64)),  # text row
+            "text": pc.cast(pc.fill_null(batch[text_col], ""), pa.string()),
+            "dcoarse": pa.array((ids % ncd).astype(np.int32))})
+
+    def tag_removals(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "_id": batch["_id"], "off": batch["off"],
+            "text": pa.array([None] * n, pa.string()),
+            "dcoarse": batch["dcoarse"]})
+
+    rem = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("coarse").map_groups(removals, batch_format="pandas")
+           .map_batches(tag_removals, batch_format="pyarrow"))
+    out = (ds.map_batches(doc_rows, batch_format="pyarrow")
+           .union(rem)
+           .groupby("dcoarse").map_groups(reassemble,
+                                          batch_format="pandas"))
+
+    payload = {c: t for c, t in out_schema.items() if c != id_col}
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {id_col: batch["_id"]}
+        for c, t in payload.items():
+            cols[c] = pc.cast(batch[c], t)
+        return pa.table(cols)
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    return nonempty_or_typed_table(out, out_schema)
+
+
 def window_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                  k: int = WINDOW_K,
                  n_coarse: int | None = None,
@@ -1923,7 +1999,8 @@ def window_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     stream, so original whitespace is normalized; mirrored exactly in the
     SQL oracle).
 
-    Two bucketed shuffles, hash-only exchange:
+    Two bucketed shuffles, hash-only exchange (the _span_removal_dedup
+    spine, shared with exact_substr_dedup):
       1. window-hash-keyed rows (doc, off, h1, h2) — within a coarse
          partition every occurrence of a window value is present, so
          occurrence count and owner resolve locally; only NON-owner
@@ -1955,47 +2032,6 @@ def window_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                          "h2": pa.array(h2.view(np.int64)),
                          "coarse": pa.array(coarse)})
 
-    def removals(df: pd.DataFrame) -> pd.DataFrame:
-        ids_a = df["_id"].to_numpy(np.int64)
-        offs_a = df["off"].to_numpy(np.int64)
-        # the packed owner key (doc_id·BASE + off) totally orders
-        # (doc_id, off) ONLY while off < BASE and |doc_id| stays clear of
-        # int64 overflow; a violation would silently misresolve owners
-        # (and the SQL oracle, which mirrors the packing, couldn't catch
-        # it) — so reject loudly instead
-        if len(offs_a) and (int(offs_a.max()) >= _OWNER_OFF_BASE
-                            or int(np.abs(ids_a).max())
-                            >= (2**63 - 1) // _OWNER_OFF_BASE):
-            raise ValueError(
-                f"window_dedup owner-key overflow: need off < "
-                f"{_OWNER_OFF_BASE} (got max {int(offs_a.max())}) and "
-                f"|doc_id| < {(2**63 - 1) // _OWNER_OFF_BASE} "
-                f"(got max {int(np.abs(ids_a).max())})")
-        okey = ids_a * _OWNER_OFF_BASE + offs_a
-        d = df.assign(okey=okey)
-        g = d.groupby(["h1", "h2"])["okey"]
-        cnt = g.transform("size").to_numpy()
-        owner = g.transform("min").to_numpy()
-        rem = d[(cnt >= 2) & (okey != owner)]
-        out = pd.DataFrame({"_id": rem["_id"], "off": rem["off"]})
-        out["dcoarse"] = (out["_id"] % ncd).astype(np.int32)
-        return out
-
-    def doc_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "_id": pa.array(ids),
-            "off": pa.array(np.full(len(ids), -1, np.int64)),  # text row
-            "text": pc.cast(pc.fill_null(batch[text_col], ""), pa.string()),
-            "dcoarse": pa.array((ids % ncd).astype(np.int32))})
-
-    def tag_removals(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "_id": batch["_id"], "off": batch["off"],
-            "text": pa.array([None] * n, pa.string()),
-            "dcoarse": batch["dcoarse"]})
-
     def reassemble(df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_txt, out_rm, out_nt = [], [], [], []
         for did, grp in df.groupby("_id", sort=True):
@@ -2022,25 +2058,11 @@ def window_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             "n_removed_tokens": pd.array(out_rm, "int64"),
             "n_tokens": pd.array(out_nt, "int64")})
 
-    rem = (ds.map_batches(explode, batch_format="pyarrow")
-           .groupby("coarse").map_groups(removals, batch_format="pandas")
-           .map_batches(tag_removals, batch_format="pyarrow"))
-    out = (ds.map_batches(doc_rows, batch_format="pyarrow")
-           .union(rem)
-           .groupby("dcoarse").map_groups(reassemble,
-                                          batch_format="pandas"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({id_col: batch["_id"],
-                         "clean_text": pc.cast(batch["clean_text"],
-                                               pa.string()),
-                         "n_removed_tokens": batch["n_removed_tokens"],
-                         "n_tokens": batch["n_tokens"]})
-
-    out = out.map_batches(rename, batch_format="pyarrow")
-    return nonempty_or_typed_table(out, {
-        id_col: pa.int64(), "clean_text": pa.string(),
-        "n_removed_tokens": pa.int64(), "n_tokens": pa.int64()})
+    return _span_removal_dedup(
+        ds, explode, reassemble,
+        {id_col: pa.int64(), "clean_text": pa.string(),
+         "n_removed_tokens": pa.int64(), "n_tokens": pa.int64()},
+        id_col, text_col, ncd, "window_dedup")
 
 
 EXACT_SUBSTR_L = 50   # Lee et al. duplicate-span threshold, in characters
@@ -2062,7 +2084,8 @@ def exact_substr_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     keep the lexicographically first occurrence (min (doc_id, offset))
     and remove every other occurrence, within-doc repeats included.
 
-    Two bucketed shuffles, the window_dedup spine at char granularity:
+    Two bucketed shuffles — the _span_removal_dedup spine (shared with
+    window_dedup) at char granularity:
       1. window-hash-keyed (doc, off, h1, h2) rows — one per char
          position, 36 B each; hashes are 128-bit rolling polynomials over
          raw codepoints (_rolling_hashes), so the exchange never carries
@@ -2100,45 +2123,6 @@ def exact_substr_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                          "h2": pa.array(h2.view(np.int64)),
                          "coarse": pa.array(coarse)})
 
-    def removals(df: pd.DataFrame) -> pd.DataFrame:
-        ids_a = df["_id"].to_numpy(np.int64)
-        offs_a = df["off"].to_numpy(np.int64)
-        # same packed-owner-key domain guard as window_dedup (the SQL
-        # oracle mirrors min-(doc_id,off) directly, so overflow must fail
-        # loudly, not misresolve)
-        if len(offs_a) and (int(offs_a.max()) >= _OWNER_OFF_BASE
-                            or int(np.abs(ids_a).max())
-                            >= (2**63 - 1) // _OWNER_OFF_BASE):
-            raise ValueError(
-                f"exact_substr_dedup owner-key overflow: need off < "
-                f"{_OWNER_OFF_BASE} (got max {int(offs_a.max())}) and "
-                f"|doc_id| < {(2**63 - 1) // _OWNER_OFF_BASE} "
-                f"(got max {int(np.abs(ids_a).max())})")
-        okey = ids_a * _OWNER_OFF_BASE + offs_a
-        d = df.assign(okey=okey)
-        g = d.groupby(["h1", "h2"])["okey"]
-        cnt = g.transform("size").to_numpy()
-        owner = g.transform("min").to_numpy()
-        rem = d[(cnt >= 2) & (okey != owner)]
-        out = pd.DataFrame({"_id": rem["_id"], "off": rem["off"]})
-        out["dcoarse"] = (out["_id"] % ncd).astype(np.int32)
-        return out
-
-    def doc_rows(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "_id": pa.array(ids),
-            "off": pa.array(np.full(len(ids), -1, np.int64)),  # text row
-            "text": pc.cast(pc.fill_null(batch[text_col], ""), pa.string()),
-            "dcoarse": pa.array((ids % ncd).astype(np.int32))})
-
-    def tag_removals(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            "_id": batch["_id"], "off": batch["off"],
-            "text": pa.array([None] * n, pa.string()),
-            "dcoarse": batch["dcoarse"]})
-
     def reassemble(df: pd.DataFrame) -> pd.DataFrame:
         out_id, out_txt, out_rm, out_nc = [], [], [], []
         for did, grp in df.groupby("_id", sort=True):
@@ -2168,25 +2152,11 @@ def exact_substr_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             "n_removed_chars": pd.array(out_rm, "int64"),
             "n_chars": pd.array(out_nc, "int64")})
 
-    rem = (ds.map_batches(explode, batch_format="pyarrow")
-           .groupby("coarse").map_groups(removals, batch_format="pandas")
-           .map_batches(tag_removals, batch_format="pyarrow"))
-    out = (ds.map_batches(doc_rows, batch_format="pyarrow")
-           .union(rem)
-           .groupby("dcoarse").map_groups(reassemble,
-                                          batch_format="pandas"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({id_col: batch["_id"],
-                         "clean_text": pc.cast(batch["clean_text"],
-                                               pa.string()),
-                         "n_removed_chars": batch["n_removed_chars"],
-                         "n_chars": batch["n_chars"]})
-
-    out = out.map_batches(rename, batch_format="pyarrow")
-    return nonempty_or_typed_table(out, {
-        id_col: pa.int64(), "clean_text": pa.string(),
-        "n_removed_chars": pa.int64(), "n_chars": pa.int64()})
+    return _span_removal_dedup(
+        ds, explode, reassemble,
+        {id_col: pa.int64(), "clean_text": pa.string(),
+         "n_removed_chars": pa.int64(), "n_chars": pa.int64()},
+        id_col, text_col, ncd, "exact_substr_dedup")
 
 
 def cross_window_overlap(docs_ds, ref_ds, id_col: str = "doc_id",

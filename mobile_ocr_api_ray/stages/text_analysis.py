@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import re
 import zlib
 
 import numpy as np
@@ -1232,6 +1233,19 @@ def encoding_qc(batch: pa.Table, text_col: str = "text") -> pa.Table:
 BADWORDS = ("slow", "dup", "spark")
 
 
+def _word_literal_pat(w: str) -> str:
+    """Case-insensitive whole-word pattern for a LITERAL term: escaped,
+    with \\b applied per edge only where the term's own edge is a word
+    char (\\b at a non-word edge can never match, and RE2 offers no
+    lookaround alternative)."""
+    e = re.escape(w)
+    if re.match(r"\w", w[:1]):
+        e = r"\b" + e
+    if re.match(r"\w", w[-1:]):
+        e = e + r"\b"
+    return "(?i)" + e
+
+
 def badwords_counts(batch: pa.Table, text_col: str = "text",
                     words: tuple = BADWORDS) -> pa.Table:
     """Per-term whole-word case-insensitive hit counts + total + the C4
@@ -1239,8 +1253,12 @@ def badwords_counts(batch: pa.Table, text_col: str = "text",
     shuffle; RE2 on both sides (pyarrow.compute and DuckDB) makes the
     counts bit-exact in SQL."""
     text = pc.fill_null(batch[text_col], "")
+    # terms are LITERALS (re.escape) — a caller-supplied list may contain
+    # regex metacharacters ("c++"). \b only asserts at a word-char edge
+    # (and RE2 has no lookarounds), so each boundary is applied only when
+    # that end of the term IS a word char — the standard whole-word rule
     per = {f"n_{w}": pc.cast(
-        pc.count_substring_regex(text, rf"(?i)\b{w}\b"), pa.int64())
+        pc.count_substring_regex(text, _word_literal_pat(w)), pa.int64())
         for w in words}
     total = None
     for c in per.values():

@@ -559,6 +559,21 @@ class TestLineDedup:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestChunkedText:
+    def test_matches_sql_construction(self):
+        """_chunked_text must equal the oracles' per-row
+        array_to_string([substring(t,i,80) ...], chr(10)) — including for
+        text that itself ends in newlines (the old rtrim ate those) and
+        for exact-multiple-of-80 lengths."""
+        from mobile_ocr_api_ray.pipelines.analysis import _chunked_text
+        texts = ["abc\n", "", "x" * 80, "y" * 85, "z" * 160,
+                 "tail\n\n", "a", "w" * 79 + "\n" + "v" * 5]
+        expect = ["\n".join(t[i:i + 80] for i in range(0, len(t), 80))
+                  for t in texts]
+        got = _chunked_text(pa.array(texts)).to_pylist()
+        assert got == expect
+
+
 class TestSentenceDedup:
     S1 = "this boilerplate sentence repeats across many documents here"
     S2 = "another long recurring sentence that shows up a second time"
@@ -665,6 +680,15 @@ class TestBadwords:
         assert out["n_spark"] == [1, 0, 0, 0, 0]
         assert out["n_hits"] == [3, 0, 3, 0, 0]
         assert out["kept"] == [False, True, False, True, True]
+
+    def test_metachar_terms_are_literal(self):
+        """Caller-supplied blocklists may contain regex metacharacters —
+        they must count as literals, never crash or act as patterns."""
+        t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["we write c++ here", "cxx only"])})
+        out = text_analysis.badwords_counts(t, words=("c++",)).to_pydict()
+        assert out["n_c++"] == [1, 0]
+        assert out["kept"] == [False, True]
 
     def test_query_gate(self, ray_session):
         import __ray_entry__ as e
