@@ -96,6 +96,9 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:   # a typo'd (or flag-like) selector silently checks nothing
+        print(f"WARN: not in queries(): {sorted(unknown)}")
     n_ok = n_bad = 0
     for name, fn in qs.items():
         if only and name not in only:
