@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_dedup_kept_doubled": a.quality_dedup_kept_doubled,
         "encoding_qc_docs": a.encoding_qc_docs,
         "badwords_filtered_docs": a.badwords_filtered_docs,
+        "unigram_entropy_docs": a.unigram_entropy_docs,
         "length_zscore_by_lang": a.length_zscore_by_lang,
         "bpe_pair_counts": a.bpe_pair_counts_docs,
         "bpe_merges": a.bpe_merges_docs,
@@ -955,6 +956,37 @@ def oracle_sql() -> dict[str, str]:
         # printable-ASCII class) are identical RE2 on both sides; the BEL
         # control char is built via chr(7) so no raw control byte lives
         # in source
+        # RedPajama-v2 unigram entropy: Σ (c/n)·ln(n/c) per doc, each
+        # term floor-quantized to micro-nats (libm ln, identical cast
+        # order) so sums are order-independent ints; the float is one
+        # exact division of the int sum
+        "unigram_entropy_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS w
+              FROM documents),
+            c AS (SELECT doc_id, w, cast(count(*) AS BIGINT) AS c
+                  FROM w GROUP BY doc_id, w),
+            n AS (SELECT doc_id, cast(sum(c) AS BIGINT) AS n
+                  FROM c GROUP BY doc_id),
+            t AS (SELECT c.doc_id,
+                         cast(floor((c.c * 1.0 / n.n)
+                                    * ln(n.n * 1.0 / c.c)
+                                    * 1000000.0) AS BIGINT) AS m
+                  FROM c JOIN n USING (doc_id)),
+            s AS (SELECT doc_id, cast(sum(m) AS BIGINT) AS mm
+                  FROM t GROUP BY doc_id)
+            SELECT d.doc_id,
+                   cast(coalesce(n.n, 0) AS BIGINT) AS n_words,
+                   cast(coalesce(s.mm, 0) AS BIGINT)
+                     AS entropy_micro_nats,
+                   cast(coalesce(s.mm, 0) AS BIGINT) / 1000000.0
+                     AS entropy
+            FROM documents d LEFT JOIN n USING (doc_id)
+            LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id""",
         # C4 bad-words gate: whole-word case-insensitive RE2 counts per
         # blocklist term; kept ⇔ zero total hits. Same regex engine (RE2)
         # on both sides, so counts are bit-exact. The engine escapes terms

@@ -180,6 +180,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: _pd(a.exact_substr_dedup_docs(sf_dir)))
     timed("badwords_filtered_docs",
           lambda: a.badwords_filtered_docs(sf_dir).to_pandas())
+    timed("unigram_entropy_docs",
+          lambda: a.unigram_entropy_docs(sf_dir).to_pandas())
     timed("dup_window_stats", lambda: _pd(a.dup_window_stats_docs(sf_dir)))
     timed("window_dedup_docs", lambda: _pd(a.window_dedup_docs(sf_dir)))
     timed("cross_corpus_overlap",

@@ -3764,6 +3764,18 @@ def encoding_qc_docs(sf_dir: str):
             .sort("doc_id"))
 
 
+def unigram_entropy_docs(sf_dir: str):
+    """RedPajama-v2 rps_doc_unigram_entropy over documents
+    (stages/text_analysis.unigram_entropy): per-doc Shannon entropy of
+    the word distribution as order-independent micro-nat int sums +
+    one exact float division. One streaming pass, no shuffle;
+    value-exact in SQL (libm-ln cast-order convention)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text_analysis.unigram_entropy,
+                         batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def badwords_filtered_docs(sf_dir: str):
     """C4 §2.2 bad-words page gate (stages/text_analysis.badwords_counts):
     per-term whole-word hit counts over the blocklist stand-in, total,

@@ -1267,6 +1267,45 @@ def badwords_counts(batch: pa.Table, text_col: str = "text",
                          "kept": pc.equal(total, 0)})
 
 
+def unigram_entropy(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document Shannon entropy of the word distribution — the
+    RedPajama-v2 ``rps_doc_unigram_entropy`` quality signal (low entropy
+    ⇔ repetitive/template text; complements the Gopher repetition
+    counts with a single scalar).
+
+    Entropy = Σ_w (c/n)·ln(n/c) over the doc's distinct words. Each term
+    is floor-quantized to integer micro-nats with libm ``math.log``
+    evaluated once per DISTINCT (c, n) pair (numpy's SIMD log can differ
+    from DuckDB's ln by 1 ulp and flip a floor — the NLP_SCALE
+    convention), so per-doc sums are order-independent int64 and the
+    float ``entropy`` is one exact division. Zero-word docs carry 0/0."""
+    import math
+
+    import pandas as pd
+
+    text = pc.fill_null(batch[text_col], "")
+    n = batch.num_rows
+    w, p = word_frames(text)
+    n_words = np.bincount(p, minlength=n).astype(np.int64)
+    micro = np.zeros(n, np.int64)
+    if len(w):
+        cnt = pd.DataFrame({"p": p, "w": w}) \
+            .groupby(["p", "w"], sort=False).size().reset_index(name="c")
+        cp = cnt["p"].to_numpy()
+        c = cnt["c"].to_numpy(np.int64)
+        nn = n_words[cp]
+        uniq, inv = np.unique(np.stack([c, nn], 1), axis=0,
+                              return_inverse=True)
+        terms = np.fromiter(
+            (math.floor((ci / ni) * math.log(ni / ci) * 1000000.0)
+             for ci, ni in uniq), np.int64, len(uniq))
+        np.add.at(micro, cp, terms[inv])
+    return _emit(batch, {
+        "n_words": pa.array(n_words),
+        "entropy_micro_nats": pa.array(micro),
+        "entropy": pa.array(micro / 1_000_000.0, pa.float64())})
+
+
 # ------------------------------------------------ group-stat normalization
 
 def group_zscore(ds, group_col: str, value_col: str,

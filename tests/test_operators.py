@@ -681,6 +681,36 @@ class TestBadwords:
         assert out["n_hits"] == [3, 0, 3, 0, 0]
         assert out["kept"] == [False, True, False, True, True]
 
+    def test_unigram_entropy_vectors(self):
+        import math
+        t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                      "text": pa.array(["a a a a", "a b c d", "", None])})
+        out = text_analysis.unigram_entropy(t).to_pydict()
+        assert out["n_words"] == [4, 4, 0, 0]
+        assert out["entropy_micro_nats"][0] == 0     # all-same-word doc
+        # uniform 4-word doc → ln(4), within the 4-term micro-floor error
+        assert 0 <= math.log(4) - out["entropy"][1] < 4e-6
+        assert out["entropy"] == [m / 1e6
+                                  for m in out["entropy_micro_nats"]]
+
+    def test_unigram_entropy_recompute(self):
+        """Differential vs a direct per-doc python recompute (same libm
+        log + per-term floor rule)."""
+        import math
+        from collections import Counter
+        texts = ["the cat sat on the mat", "x " * 30 + "y",
+                 "one two three two one", "solo"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        out = text_analysis.unigram_entropy(t).to_pydict()
+        for i, txt in enumerate(texts):
+            words = [w for w in txt.split() if w]
+            n = len(words)
+            micro = sum(
+                math.floor((c / n) * math.log(n / c) * 1000000.0)
+                for c in Counter(words).values())
+            assert out["entropy_micro_nats"][i] == micro
+
     def test_metachar_terms_are_literal(self):
         """Caller-supplied blocklists may contain regex metacharacters —
         they must count as literals, never crash or act as patterns."""
