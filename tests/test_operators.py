@@ -619,6 +619,8 @@ class TestSentenceDedup:
             (5, "no boundary punctuation at all just one long sentence "
                 "body exceeding thirty characters"),
             (6, f"weird\x01embedded marker. {self.S1}. end"),
+            # U+00A0 after '.' is NOT a boundary (explicit-ASCII ws set)
+            (7, f"stuck.\u00a0together here. {self.S2}. done"),
         ]
         out = dedup.sentence_dedup(self._ds(docs)).sort("doc_id") \
             .to_pandas()
