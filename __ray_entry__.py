@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_qc_docs": a.encoding_qc_docs,
         "badwords_filtered_docs": a.badwords_filtered_docs,
         "unigram_entropy_docs": a.unigram_entropy_docs,
+        "readability_docs": a.readability_docs,
         "length_zscore_by_lang": a.length_zscore_by_lang,
         "bpe_pair_counts": a.bpe_pair_counts_docs,
         "bpe_merges": a.bpe_merges_docs,
@@ -960,6 +961,50 @@ def oracle_sql() -> dict[str, str]:
         # term floor-quantized to micro-nats (libm ln, identical cast
         # order) so sums are order-independent ints; the float is one
         # exact division of the int sum
+        # Flesch / FK readability: vowel-group syllable heuristic
+        # (RE2 [aeiouy]+ runs per word, min 1) + the k-word sentence
+        # rule (k = 5 + doc_id % 4); both scores are float expressions
+        # of exact ints in the same literal order on both sides, so
+        # IEEE exact rounding makes them bit-exact
+        "readability_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS w
+              FROM documents),
+            s AS (SELECT doc_id,
+                         cast(count(*) AS BIGINT) AS n_words,
+                         cast(sum(greatest(1,
+                           len(regexp_extract_all(lower(w),
+                                                  '[aeiouy]+'))))
+                              AS BIGINT) AS n_syllables
+                  FROM w GROUP BY doc_id),
+            b AS (SELECT d.doc_id,
+                         cast(coalesce(s.n_words, 0) AS BIGINT)
+                           AS n_words,
+                         cast(coalesce(s.n_syllables, 0) AS BIGINT)
+                           AS n_syllables,
+                         5 + d.doc_id % 4 AS k
+                  FROM documents d LEFT JOIN s USING (doc_id)),
+            c AS (SELECT doc_id, n_words, n_syllables,
+                         cast((n_words + k - 1) // k AS BIGINT)
+                           AS n_sentences
+                  FROM b),
+            f AS (SELECT *,
+                         n_words / (cast(greatest(n_sentences, 1)
+                                         AS DOUBLE)) AS wps,
+                         n_syllables / (cast(greatest(n_words, 1)
+                                             AS DOUBLE)) AS spw
+                  FROM c)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   cast(206.835 AS DOUBLE)
+                     - cast(1.015 AS DOUBLE) * wps
+                     - cast(84.6 AS DOUBLE) * spw AS flesch,
+                   cast(0.39 AS DOUBLE) * wps
+                     + cast(11.8 AS DOUBLE) * spw
+                     - cast(15.59 AS DOUBLE) AS fk_grade
+            FROM f ORDER BY doc_id""",
         "unigram_entropy_docs": r"""
             WITH w AS (
               SELECT doc_id,

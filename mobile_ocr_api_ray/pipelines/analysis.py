@@ -3776,6 +3776,18 @@ def unigram_entropy_docs(sf_dir: str):
             .sort("doc_id"))
 
 
+def readability_docs(sf_dir: str):
+    """Flesch reading-ease / FK grade per document
+    (stages/text_analysis.readability): vowel-group syllable heuristic +
+    the deterministic k-word sentence rule over the unpunctuated corpus.
+    One streaming pass, no shuffle; both scores bit-exact in SQL (float
+    expressions of exact ints in identical literal order)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text_analysis.readability,
+                         batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def badwords_filtered_docs(sf_dir: str):
     """C4 §2.2 bad-words page gate (stages/text_analysis.badwords_counts):
     per-term whole-word hit counts over the blocklist stand-in, total,

@@ -1306,6 +1306,50 @@ def unigram_entropy(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "entropy": pa.array(micro / 1_000_000.0, pa.float64())})
 
 
+def readability(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Flesch reading-ease + Flesch–Kincaid grade per document — the
+    classic readability quality signal (a standard curation feature
+    alongside the Gopher/RPv2 counts; e.g. a kid-safe or textbook-style
+    subset selects on FK grade).
+
+    Syllables use the vowel-group heuristic: per word,
+    max(1, count of ``[aeiouy]+`` runs in the lowered word) — one
+    vectorized RE2 count over the flat word frame. The corpus is
+    unpunctuated word soup, so sentence segmentation is the
+    deterministic k-word rule (k = 5 + doc_id % 4, sentences =
+    ceil(words / k)) — reproduced verbatim in SQL, same shape as the
+    c4_clean construction convention. Both scores are single float
+    expressions of exact int counts evaluated in the same literal
+    order on both sides (IEEE ops are exactly rounded → bit-exact).
+    Purely per-row, no shuffle."""
+    text = pc.fill_null(batch[text_col], "")
+    n = batch.num_rows
+    w, p = word_frames(text)
+    n_words = np.bincount(p, minlength=n).astype(np.int64)
+    n_syll = np.zeros(n, np.int64)
+    if len(w):
+        syl = pc.max_element_wise(
+            pc.cast(pc.count_substring_regex(
+                pc.utf8_lower(pa.array(w, pa.string())), "[aeiouy]+"),
+                pa.int64()),
+            pa.scalar(1, pa.int64())).to_numpy()
+        # bincount weights are float64 — exact for these small ints
+        n_syll = np.bincount(p, weights=syl, minlength=n).astype(np.int64)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    k = 5 + (ids % 4)
+    n_sent = (n_words + k - 1) // k
+    wps = n_words / np.maximum(n_sent, 1)
+    spw = n_syll / np.maximum(n_words, 1)
+    flesch = 206.835 - 1.015 * wps - 84.6 * spw
+    fk_grade = 0.39 * wps + 11.8 * spw - 15.59
+    return _emit(batch, {
+        "n_words": pa.array(n_words),
+        "n_sentences": pa.array(n_sent.astype(np.int64)),
+        "n_syllables": pa.array(n_syll),
+        "flesch": pa.array(flesch, pa.float64()),
+        "fk_grade": pa.array(fk_grade, pa.float64())})
+
+
 # ------------------------------------------------ group-stat normalization
 
 def group_zscore(ds, group_col: str, value_col: str,

@@ -713,6 +713,31 @@ class TestBadwords:
                 for c in Counter(words).values())
             assert out["entropy_micro_nats"][i] == micro
 
+    def test_readability_vectors(self):
+        # doc 0: k=5 → 8 words = 2 sentences; "strength" has one vowel
+        # group, "a" one, vowelless "tch" clamps to 1
+        t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                      "text": pa.array(
+                          ["a a a a a strength tch readable", "", None])})
+        out = text_analysis.readability(t).to_pydict()
+        assert out["n_words"] == [8, 0, 0]
+        assert out["n_sentences"] == [2, 0, 0]
+        # 5×1 + 1 (strength) + 1 (tch, clamped) + 3 (read-a-ble: ea,a,e)
+        assert out["n_syllables"] == [10, 0, 0]
+        wps, spw = 8 / 2, 10 / 8
+        assert out["flesch"][0] == 206.835 - 1.015 * wps - 84.6 * spw
+        assert out["fk_grade"][0] == 0.39 * wps + 11.8 * spw - 15.59
+        # zero-word docs: wps = spw = 0 → constants
+        assert out["flesch"][1] == 206.835
+        assert out["fk_grade"][2] == -15.59
+
+    def test_readability_sentence_rule(self):
+        # k = 5 + doc_id % 4; 13 words → ceil(13/k)
+        t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                      "text": pa.array(["w " * 13] * 4)})
+        out = text_analysis.readability(t).to_pydict()
+        assert out["n_sentences"] == [3, 3, 2, 2]
+
     def test_metachar_terms_are_literal(self):
         """Caller-supplied blocklists may contain regex metacharacters —
         they must count as literals, never crash or act as patterns."""
