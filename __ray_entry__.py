@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "badwords_filtered_docs": a.badwords_filtered_docs,
         "unigram_entropy_docs": a.unigram_entropy_docs,
         "readability_docs": a.readability_docs,
+        "paragraph_dedup_docs": a.paragraph_dedup_docs,
         "length_zscore_by_lang": a.length_zscore_by_lang,
         "bpe_pair_counts": a.bpe_pair_counts_docs,
         "bpe_merges": a.bpe_merges_docs,
@@ -961,6 +962,60 @@ def oracle_sql() -> dict[str, str]:
         # term floor-quantized to micro-nats (libm ln, identical cast
         # order) so sums are order-independent ints; the float is one
         # exact division of the int sum
+        # within-doc paragraph dedup: the 6-word paragraph construction
+        # + doc_id%3 duplicate graft (0 → first para copied, 1 → last)
+        # are rebuilt verbatim; keep = min-ordinal occurrence per exact
+        # paragraph, original order; char fraction is one float division
+        # of exact int sums
+        "paragraph_dedup_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                       '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                     [array_to_string(ws[(i-1)*6+1:(i-1)*6+6], ' ')
+                        FOR i IN range(1, cast(ceil(len(ws) / 6.0)
+                                               AS BIGINT) + 1)] AS ps0
+              FROM w),
+            paras AS (
+              SELECT doc_id,
+                     list_concat(ps0,
+                       CASE WHEN len(ps0) = 0 THEN []
+                            WHEN doc_id % 3 = 0 THEN [ps0[1]]
+                            WHEN doc_id % 3 = 1 THEN [ps0[len(ps0)]]
+                            ELSE [] END) AS ps
+              FROM built),
+            occ AS (
+              SELECT doc_id, unnest(ps) AS para,
+                     unnest(range(1, len(ps) + 1)) AS idx
+              FROM paras),
+            grp AS (
+              SELECT doc_id, para, min(idx) AS fidx,
+                     count(*) AS c, length(para) AS ln
+              FROM occ GROUP BY doc_id, para),
+            st AS (
+              SELECT doc_id,
+                     cast(sum(c) AS BIGINT) AS n_paragraphs,
+                     cast(sum(c - 1) AS BIGINT) AS n_dup_paragraphs,
+                     cast(sum((c - 1) * ln) AS BIGINT) AS dup_chars,
+                     cast(sum(c * ln) AS BIGINT) AS tot_chars,
+                     string_agg(para, chr(10) || chr(10)
+                                ORDER BY fidx) AS dedup_text
+              FROM grp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   cast(coalesce(st.n_paragraphs, 0) AS BIGINT)
+                     AS n_paragraphs,
+                   cast(coalesce(st.n_dup_paragraphs, 0) AS BIGINT)
+                     AS n_dup_paragraphs,
+                   coalesce(st.dup_chars, 0)
+                     / cast(greatest(coalesce(st.tot_chars, 0), 1)
+                            AS DOUBLE) AS dup_para_char_frac,
+                   coalesce(st.dedup_text, '') AS dedup_text
+            FROM documents d LEFT JOIN st USING (doc_id)
+            ORDER BY d.doc_id""",
         # Flesch / FK readability: vowel-group syllable heuristic
         # (RE2 [aeiouy]+ runs per word, min 1) + the k-word sentence
         # rule (k = 5 + doc_id % 4); both scores are float expressions

@@ -3776,6 +3776,17 @@ def unigram_entropy_docs(sf_dir: str):
             .sort("doc_id"))
 
 
+def paragraph_dedup_docs(sf_dir: str):
+    """Within-doc duplicate-paragraph removal + Gopher dup-paragraph
+    metrics (stages/text_analysis.paragraph_dedup): 6-word paragraph
+    construction with a doc_id%3-grafted duplicate, keep-first-occurrence
+    rule, exact-int char fractions. One streaming pass, no shuffle."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(text_analysis.paragraph_dedup,
+                         batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def readability_docs(sf_dir: str):
     """Flesch reading-ease / FK grade per document
     (stages/text_analysis.readability): vowel-group syllable heuristic +

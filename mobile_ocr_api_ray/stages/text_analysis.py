@@ -1350,6 +1350,76 @@ def readability(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "fk_grade": pa.array(fk_grade, pa.float64())})
 
 
+def paragraph_dedup(batch: pa.Table, text_col: str = "text",
+                    para_words: int = 6) -> pa.Table:
+    """Within-document duplicate-paragraph removal + the Gopher
+    duplicate-paragraph metrics (Rae et al. A1.1: fraction of duplicate
+    paragraphs / fraction of characters in duplicate paragraphs) — the
+    RefinedWeb/Dolma in-document cleaning step that precedes corpus-level
+    dedup.
+
+    The corpus is unpunctuated single-line word soup, so paragraphs are
+    the deterministic ``para_words``-word grouping, and a duplicate is
+    grafted per doc_id % 3 (0 → copy of the first paragraph appended,
+    1 → copy of the last, else none) so both dup branches occur — the
+    c4_clean construction convention, reproduced verbatim in SQL. Keep
+    rule: first occurrence of each exact paragraph, original order.
+    ``dup_para_char_frac`` is one float division of exact int char
+    sums. Purely per-row, no shuffle."""
+    import pandas as pd
+
+    text = pc.fill_null(batch[text_col], "")
+    n = batch.num_rows
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    w, p = word_frames(text)
+    n_words = np.bincount(p, minlength=n).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+    widx = np.arange(len(p), dtype=np.int64) - starts[p]
+
+    occ = pd.DataFrame({"p": p, "i": widx // para_words, "w": w}) \
+        .groupby(["p", "i"], sort=True)["w"].agg(" ".join).reset_index()
+    # graft one duplicate per doc_id%3 branch (docs with ≥1 paragraph)
+    last = occ.groupby("p", sort=False).agg(
+        n=("i", "size"), first=("w", "first"), final=("w", "last"))
+    g = ids[last.index] % 3
+    graft = last[g != 2]
+    gw = np.where(g[g != 2] == 0, graft["first"], graft["final"])
+    if len(graft):
+        occ = pd.concat([occ, pd.DataFrame(
+            {"p": graft.index, "i": graft["n"].to_numpy(),
+             "w": gw})], ignore_index=True)
+
+    n_paras = np.zeros(n, np.int64)
+    n_dup = np.zeros(n, np.int64)
+    dup_chars = np.zeros(n, np.int64)
+    tot_chars = np.zeros(n, np.int64)
+    texts = np.full(n, "", object)
+    if len(occ):
+        occ["len"] = occ["w"].str.len().astype(np.int64)
+        per = occ.groupby("p", sort=False)
+        n_paras[per.size().index] = per.size().to_numpy()
+        tot_chars[per["len"].sum().index] = per["len"].sum().to_numpy()
+        grp = occ.groupby(["p", "w"], sort=False).agg(
+            fidx=("i", "min"), c=("i", "size"), ln=("len", "first")) \
+            .reset_index()
+        dd = grp.groupby("p", sort=False)
+        extra = (grp["c"] - 1).to_numpy()
+        n_dup_s = pd.Series(extra, index=grp["p"]).groupby(level=0).sum()
+        n_dup[n_dup_s.index] = n_dup_s.to_numpy()
+        dc = pd.Series(extra * grp["ln"].to_numpy(),
+                       index=grp["p"]).groupby(level=0).sum()
+        dup_chars[dc.index] = dc.to_numpy()
+        joined = grp.sort_values(["p", "fidx"], kind="mergesort") \
+            .groupby("p", sort=False)["w"].agg("\n\n".join)
+        texts[joined.index] = joined.to_numpy()
+    frac = dup_chars / np.maximum(tot_chars, 1)
+    return _emit(batch, {
+        "n_paragraphs": pa.array(n_paras),
+        "n_dup_paragraphs": pa.array(n_dup),
+        "dup_para_char_frac": pa.array(frac, pa.float64()),
+        "dedup_text": pa.array(texts, pa.string())})
+
+
 # ------------------------------------------------ group-stat normalization
 
 def group_zscore(ds, group_col: str, value_col: str,

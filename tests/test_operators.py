@@ -713,6 +713,33 @@ class TestBadwords:
                 for c in Counter(words).values())
             assert out["entropy_micro_nats"][i] == micro
 
+    def test_paragraph_dedup_vectors(self):
+        # doc 0 (id%3=0): 12 words → paras [A, B], graft copies A →
+        # [A, B, A]; keep [A, B]; dup chars = len(A)
+        # doc 2 (id%3=2): no graft, no dups
+        # doc 3 (id%3=0): natural dup — words repeat so A == B
+        a = "w1 w2 w3 w4 w5 w6"
+        b = "x1 x2 x3 x4 x5 x6"
+        t = pa.table({"doc_id": pa.array([0, 2, 3, 4], pa.int64()),
+                      "text": pa.array([a + " " + b, a + " " + b,
+                                        a + " " + a, None])})
+        out = text_analysis.paragraph_dedup(t).to_pydict()
+        assert out["n_paragraphs"] == [3, 2, 3, 0]
+        assert out["n_dup_paragraphs"] == [1, 0, 2, 0]
+        assert out["dedup_text"] == [a + "\n\n" + b, a + "\n\n" + b, a, ""]
+        assert out["dup_para_char_frac"][0] == \
+            len(a) / (2 * len(a) + len(b))
+        assert out["dup_para_char_frac"][3] == 0.0
+
+    def test_paragraph_dedup_last_graft_and_ragged(self):
+        # id%3=1 grafts the LAST paragraph; 8 words → paras of 6 + 2
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["a b c d e f g h"])})
+        out = text_analysis.paragraph_dedup(t).to_pydict()
+        assert out["n_paragraphs"] == [3]
+        assert out["n_dup_paragraphs"] == [1]
+        assert out["dedup_text"] == ["a b c d e f\n\ng h"]
+
     def test_readability_vectors(self):
         # doc 0: k=5 → 8 words = 2 sentences; "strength" has one vowel
         # group, "a" one, vowelless "tch" clamps to 1
