@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_entropy_docs": a.unigram_entropy_docs,
         "readability_docs": a.readability_docs,
         "paragraph_dedup_docs": a.paragraph_dedup_docs,
+        "cdc_chunk_dedup_doubled": a.cdc_chunk_dedup_doubled,
         "length_zscore_by_lang": a.length_zscore_by_lang,
         "bpe_pair_counts": a.bpe_pair_counts_docs,
         "bpe_merges": a.bpe_merges_docs,
@@ -962,6 +963,62 @@ def oracle_sql() -> dict[str, str]:
         # term floor-quantized to micro-nats (libm ln, identical cast
         # order) so sums are order-independent ints; the float is one
         # exact division of the int sum
+        # content-defined chunking dedup over the doubled corpus (twin =
+        # 'zzz ' prefix): cut after word i when md5-hash32 of the last-4
+        # -word window is 0 mod 8 (or end of doc); chunk_idx = cuts
+        # before i; owner = min (doc_id, chunk_idx) per chunk hash —
+        # every expression (window slice, hash rule, prefix-sum, window
+        # argmin) restated in SQL
+        "cdc_chunk_dedup_doubled": r"""
+            WITH u AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     'zzz ' || coalesce(text, '') FROM documents),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ws
+              FROM u),
+            pos AS (
+              SELECT doc_id, ws, unnest(ws) AS word,
+                     unnest(range(1, len(ws) + 1)) AS i
+              FROM w),
+            cutf AS (
+              SELECT doc_id, word, i,
+                     CASE WHEN i = len(ws) THEN 1
+                          WHEN i >= 4 AND
+                               cast(('0x' || substring(md5(
+                                 array_to_string(ws[i-3:i], ' ')), 1, 8))
+                                 AS UBIGINT) % 8 = 0 THEN 1
+                          ELSE 0 END AS cut
+              FROM pos),
+            ch AS (
+              SELECT doc_id, word, i,
+                     cast(coalesce(sum(cut) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS chunk_idx
+              FROM cutf),
+            chunks AS (
+              SELECT doc_id, chunk_idx,
+                     cast(count(*) AS BIGINT) AS n_chunk_words,
+                     md5(string_agg(word, ' ' ORDER BY i)) AS chunk_hash
+              FROM ch GROUP BY doc_id, chunk_idx),
+            own AS (
+              SELECT *,
+                     first_value(doc_id) OVER (
+                       PARTITION BY chunk_hash
+                       ORDER BY doc_id, chunk_idx) AS owner_doc_id,
+                     first_value(chunk_idx) OVER (
+                       PARTITION BY chunk_hash
+                       ORDER BY doc_id, chunk_idx) AS owner_chunk_idx
+              FROM chunks)
+            SELECT doc_id, chunk_idx, n_chunk_words, chunk_hash,
+                   owner_doc_id, owner_chunk_idx,
+                   NOT (owner_doc_id = doc_id
+                        AND owner_chunk_idx = chunk_idx) AS is_dup
+            FROM own ORDER BY doc_id, chunk_idx""",
         # within-doc paragraph dedup: the 6-word paragraph construction
         # + doc_id%3 duplicate graft (0 → first para copied, 1 → last)
         # are rebuilt verbatim; keep = min-ordinal occurrence per exact

@@ -3776,6 +3776,33 @@ def unigram_entropy_docs(sf_dir: str):
             .sort("doc_id"))
 
 
+def cdc_chunk_dedup_doubled(sf_dir: str):
+    """Content-defined-chunking dedup (stages/dedup.cdc_chunk_dedup)
+    over the doubled corpus: each doc gets a +DOUBLE_OFFSET twin with ONE
+    word ('zzz') inserted at the front. Because chunk boundaries are
+    content-defined, the insertion invalidates only the twin's first
+    chunk — every later chunk realigns and dedups against the original,
+    the property fixed-width chunking lacks (and the reason incremental
+    crawl/chunk stores use CDC). One coarse hash-keyed exchange; chunk
+    text never moves."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def construct(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        twin = pc.binary_join_element_wise(
+            pa.array(np.full(batch.num_rows, "zzz", object), pa.string()),
+            t, " ")
+        orig = pa.table({"doc_id": batch["doc_id"], "text": t})
+        twins = pa.table({
+            "doc_id": pc.add(batch["doc_id"],
+                             pa.scalar(DOUBLE_OFFSET, pa.int64())),
+            "text": twin})
+        return pa.concat_tables([orig, twins]).combine_chunks()
+
+    doubled = docs.map_batches(construct, batch_format="pyarrow")
+    return dedup.cdc_chunk_dedup(doubled).sort(["doc_id", "chunk_idx"])
+
+
 def paragraph_dedup_docs(sf_dir: str):
     """Within-doc duplicate-paragraph removal + Gopher dup-paragraph
     metrics (stages/text_analysis.paragraph_dedup): 6-word paragraph

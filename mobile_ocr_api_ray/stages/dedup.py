@@ -2226,3 +2226,120 @@ def cross_window_overlap(docs_ds, ref_ds, id_col: str = "doc_id",
     return nonempty_or_typed_table(out, {
         id_col: pa.int64(), "n_windows": pa.int64(),
         "n_overlap_windows": pa.int64(), "overlap_ratio": pa.float64()})
+
+
+# ------------------------------------------- content-defined chunking (CDC)
+
+CDC_WINDOW = 4   # words per rolling cut window
+CDC_DIVISOR = 8  # cut when hash32(window) % CDC_DIVISOR == 0 (~8-word chunks)
+
+
+def cdc_chunk_rows(batch: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text", window: int = CDC_WINDOW,
+                   divisor: int = CDC_DIVISOR) -> pa.Table:
+    """Explode each document into content-defined chunks (FastCDC-style,
+    at word granularity): a chunk boundary falls after word i when the
+    md5-hash32 of the last ``window`` words is 0 mod ``divisor`` (and at
+    end-of-doc). Boundaries depend only on local content, so inserting a
+    word shifts ONLY the chunk containing it — every later chunk realigns
+    and deduplicates, unlike fixed-width chunking.
+
+    md5-hash32 is the repo-wide oracle-able hash rule
+    (``('0x' || substring(md5(s),1,8))::UBIGINT`` in DuckDB); the 100-TB
+    path swaps in a gear/crc rolling hash with identical plumbing — this
+    is the correctness-anchor variant, the minhash_pairs_md5 convention.
+    Per-row explode, no shuffle."""
+    text = pc.fill_null(batch[text_col], "")
+    n = batch.num_rows
+    words = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words)
+    mask = pc.not_equal(flat, "")
+    w = flat.filter(mask).to_numpy(zero_copy_only=False)
+    p = parent.filter(mask).to_numpy()
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    cols = {id_col: pa.int64(), "chunk_idx": pa.int64(),
+            "n_chunk_words": pa.int64(), "chunk_hash": pa.string()}
+    if len(w) == 0:
+        return pa.table({k: pa.array([], t) for k, t in cols.items()})
+
+    nw = np.bincount(p, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(nw)[:-1]])
+    widx = np.arange(len(p), dtype=np.int64) - starts[p]
+
+    s = pd.Series(w, dtype=object)
+    win = s
+    for k in range(1, window):
+        win = s.shift(k) + " " + win
+    wv = win.to_numpy()
+
+    cut = np.zeros(len(p), bool)
+    cut[:-1] = p[:-1] != p[1:]
+    cut[-1] = True
+    idx = np.nonzero(widx >= window - 1)[0]
+    cut[idx] |= np.fromiter(
+        (int(hashlib.md5(wv[i].encode("utf-8")).hexdigest()[:8], 16)
+         % divisor == 0 for i in idx), bool, len(idx))
+
+    cum = np.concatenate([[0], np.cumsum(cut[:-1])]).astype(np.int64)
+    cidx = cum - cum[starts[p]]
+    g = pd.DataFrame({"p": p, "c": cidx, "w": w}).groupby(["p", "c"],
+                                                          sort=True)
+    ch = g["w"].agg(" ".join).reset_index()
+    sizes = g.size().to_numpy()
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in ch["w"]]
+    return pa.table({
+        id_col: pa.array(ids[ch["p"].to_numpy()], pa.int64()),
+        "chunk_idx": pa.array(ch["c"].to_numpy().astype(np.int64)),
+        "n_chunk_words": pa.array(sizes.astype(np.int64)),
+        "chunk_hash": pa.array(hashes, pa.string())})
+
+
+def cdc_chunk_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR,
+                    n_coarse: int = N_COARSE):
+    """Corpus-level chunk dedup over content-defined chunks: every chunk
+    row is labeled with its global owner = min (doc_id, chunk_idx) among
+    identical chunk hashes, and ``is_dup`` for non-owners — the
+    storage-dedup ratio view of a corpus (and the primitive behind
+    incremental-crawl chunk stores).
+
+    One coarse digest-prefix exchange (the exact_dedup shuffle shape) —
+    chunk TEXT never moves, only 16-byte-hash-keyed stat rows; owners
+    resolve vectorized inside each coarse partition."""
+    chunks = ds.map_batches(
+        lambda b: cdc_chunk_rows(b, id_col, text_col, window, divisor),
+        batch_format="pyarrow")
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        coarse = str_hash.crc32_of_strings(batch["chunk_hash"]) % n_coarse
+        return batch.append_column(
+            "coarse", pa.array(coarse.astype(np.int32), pa.int32()))
+
+    def owners(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["chunk_hash", id_col, "chunk_idx"],
+                           kind="mergesort").reset_index(drop=True)
+        h = d["chunk_hash"].to_numpy()
+        new = np.ones(len(d), bool)
+        if len(d) > 1:
+            new[1:] = h[1:] != h[:-1]
+        sizes = np.diff(np.append(np.nonzero(new)[0], len(d)))
+        od = np.repeat(d[id_col].to_numpy()[new], sizes)
+        oc = np.repeat(d["chunk_idx"].to_numpy()[new], sizes)
+        mine = (od == d[id_col].to_numpy()) & \
+               (oc == d["chunk_idx"].to_numpy())
+        return pd.DataFrame({
+            id_col: d[id_col], "chunk_idx": d["chunk_idx"],
+            "n_chunk_words": d["n_chunk_words"],
+            "chunk_hash": d["chunk_hash"],
+            "owner_doc_id": pd.array(od, "int64"),
+            "owner_chunk_idx": pd.array(oc, "int64"),
+            "is_dup": ~mine})
+
+    out = (chunks.map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("coarse").map_groups(owners, batch_format="pandas"))
+    return _typed_empty_union(out, {
+        id_col: pa.int64(), "chunk_idx": pa.int64(),
+        "n_chunk_words": pa.int64(), "chunk_hash": pa.string(),
+        "owner_doc_id": pa.int64(), "owner_chunk_idx": pa.int64(),
+        "is_dup": pa.bool_()})

@@ -713,6 +713,57 @@ class TestBadwords:
                 for c in Counter(words).values())
             assert out["entropy_micro_nats"][i] == micro
 
+    def test_cdc_chunk_rows_recompute(self):
+        """Chunk boundaries match a direct per-doc python recompute of
+        the md5-hash32 window rule."""
+        import hashlib
+        from mobile_ocr_api_ray.stages import dedup as dd
+        texts = ["the quick brown fox jumps over the lazy dog " * 4,
+                 "one two three", "", None]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        out = dd.cdc_chunk_rows(t).to_pydict()
+        for di, txt in enumerate(texts):
+            ws = (txt or "").split()
+            chunks, cur = [], []
+            for i, w in enumerate(ws):
+                cur.append(w)
+                cut = i == len(ws) - 1
+                if not cut and i >= dd.CDC_WINDOW - 1:
+                    win = " ".join(ws[i - dd.CDC_WINDOW + 1:i + 1])
+                    h = int(hashlib.md5(win.encode()).hexdigest()[:8], 16)
+                    cut = h % dd.CDC_DIVISOR == 0
+                if cut:
+                    chunks.append(" ".join(cur))
+                    cur = []
+            got = [(c, h) for d, c, h in zip(out["doc_id"],
+                                             out["chunk_idx"],
+                                             out["chunk_hash"]) if d == di]
+            assert got == [
+                (j, hashlib.md5(c.encode()).hexdigest())
+                for j, c in enumerate(chunks)]
+
+    def test_cdc_realignment_property(self, ray_session):
+        """The defining CDC property: a one-word front insertion leaves
+        every chunk after the first realigned cut identical — the twin's
+        chunks past its first are all dups owned by the original."""
+        import ray.data
+        from mobile_ocr_api_ray.stages import dedup as dd
+        base = " ".join(f"word{i}" for i in range(80))  # repeat-free
+        t = pa.table({"doc_id": pa.array([0, 1_000_000], pa.int64()),
+                      "text": pa.array([base, "zzz " + base])})
+        out = dd.cdc_chunk_dedup(ray.data.from_arrow(t)) \
+            .to_pandas().sort_values(["doc_id", "chunk_idx"])
+        twin = out[out.doc_id == 1_000_000]
+        assert len(twin) > 3
+        # the insertion can perturb at most the first TWO twin chunks
+        # (its own chunk + one extra cut from a window containing zzz);
+        # everything later realigns and dedups against the original
+        assert twin.iloc[2:].is_dup.all()
+        assert (twin[twin.is_dup].owner_doc_id == 0).all()
+        orig = out[out.doc_id == 0]
+        assert not orig.is_dup.any()  # repeat-free originals sort first
+
     def test_paragraph_dedup_vectors(self):
         # doc 0 (id%3=0): 12 words → paras [A, B], graft copies A →
         # [A, B, A]; keep [A, B]; dup chars = len(A)
