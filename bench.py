@@ -182,6 +182,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: a.badwords_filtered_docs(sf_dir).to_pandas())
     timed("unigram_entropy_docs",
           lambda: a.unigram_entropy_docs(sf_dir).to_pandas())
+    timed("readability_docs",
+          lambda: a.readability_docs(sf_dir).to_pandas())
+    timed("paragraph_dedup_docs",
+          lambda: a.paragraph_dedup_docs(sf_dir).to_pandas())
+    timed("cdc_chunk_dedup_doubled",
+          lambda: _pd(a.cdc_chunk_dedup_doubled(sf_dir)))
     timed("dup_window_stats", lambda: _pd(a.dup_window_stats_docs(sf_dir)))
     timed("window_dedup_docs", lambda: _pd(a.window_dedup_docs(sf_dir)))
     timed("cross_corpus_overlap",
