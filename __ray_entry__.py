@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top_bigrams": a.pmi_top_bigrams,
         "source_unigram_kl": a.source_unigram_kl_docs,
         "source_jsd_matrix": a.source_jsd_matrix_docs,
+        "zipf_by_source": a.zipf_by_source,
         "compacted_shards_manifest": a.compacted_shards_manifest,
         "dsir_resampled_docs": a.dsir_resampled_docs,
         "quality_scores": a.quality_docs,
@@ -1277,6 +1278,56 @@ def oracle_sql() -> dict[str, str]:
         # per-(pair,bucket) term floor-quantized to micro-nats with the
         # identical 0.5·p·ln(p/m)+0.5·q·ln(q/m) expression (both-zero
         # grid cells excluded on both sides), int64 per-pair sums
+        # per-source Zipf fit: rank = row_number by (freq desc, word);
+        # each ln / ln·ln term floor-quantized to micro-units (libm ln,
+        # identical cast order), summed as HUGEINT (they exceed int64 at
+        # real vocab sizes); slope = one double division of the exact
+        # int OLS numerator/denominator — the quantized regression is
+        # the contract on both sides
+        "zipf_by_source": r"""
+            WITH w AS (
+              SELECT coalesce(source, '') AS source,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                               '\w+')) AS w
+              FROM documents),
+            c AS (SELECT source, w, cast(count(*) AS BIGINT) AS c
+                  FROM w GROUP BY source, w),
+            r AS (SELECT source, w, c,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY c DESC, w) AS r
+                  FROM c),
+            t AS (SELECT source, c, r,
+                         cast(floor(ln(cast(r AS DOUBLE)) * 1000000.0)
+                              AS HUGEINT) AS x,
+                         cast(floor(ln(cast(c AS DOUBLE)) * 1000000.0)
+                              AS HUGEINT) AS y,
+                         cast(floor(ln(cast(r AS DOUBLE))
+                                    * ln(cast(c AS DOUBLE))
+                                    * 1000000.0) AS HUGEINT) AS xy,
+                         cast(floor(ln(cast(r AS DOUBLE))
+                                    * ln(cast(r AS DOUBLE))
+                                    * 1000000.0) AS HUGEINT) AS xx
+                  FROM r),
+            s AS (SELECT source, cast(count(*) AS HUGEINT) AS v,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(xy) AS sxy, sum(xx) AS sxx
+                  FROM t GROUP BY source),
+            tok AS (SELECT source,
+                           cast(sum(c) AS BIGINT) AS n_tokens,
+                           cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_hapax,
+                           cast(count(*) AS BIGINT) AS vocab_size
+                    FROM c GROUP BY source)
+            SELECT s.source, tok.n_tokens, tok.vocab_size, tok.n_hapax,
+                   tok.n_hapax / cast(tok.vocab_size AS DOUBLE)
+                     AS hapax_frac,
+                   CASE WHEN s.v * s.sxx * 1000000 - s.sx * s.sx = 0
+                        THEN 0.0
+                        ELSE cast(s.v * s.sxy * 1000000 - s.sx * s.sy
+                                  AS DOUBLE)
+                             / cast(s.v * s.sxx * 1000000 - s.sx * s.sx
+                                    AS DOUBLE) END AS zipf_slope
+            FROM s JOIN tok USING (source) ORDER BY s.source""",
         "source_jsd_matrix": r"""
             WITH tok AS (
               SELECT coalesce(source, '') AS source,

@@ -3615,6 +3615,18 @@ def source_unigram_kl_docs(sf_dir: str):
     return ray.data.from_arrow(t)
 
 
+def zipf_by_source(sf_dir: str):
+    """Per-source Zipf rank–frequency slope + vocabulary/hapax stats
+    (stages/text_analysis.zipf_fit_by_source): vocab-bounded combiner →
+    one groupby → driver reduce; slope is one float division of exact
+    bigint micro-unit sums (value-exact in SQL via HUGEINT)."""
+    import ray.data
+
+    t = text_analysis.zipf_fit_by_source(
+        _docs(sf_dir, ["text", "source"]))
+    return ray.data.from_arrow(t)
+
+
 def source_jsd_matrix_docs(sf_dir: str):
     """Pairwise Jensen–Shannon divergence between source slices
     (stages/text_analysis.source_jsd_matrix): symmetric bounded drift

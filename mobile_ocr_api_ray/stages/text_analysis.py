@@ -1019,6 +1019,87 @@ def source_jsd_matrix(ds, *, n_buckets: int = AFFINITY_BUCKETS,
                         pa.float64())})
 
 
+def zipf_fit_by_source(ds, source_col: str = "source",
+                       text_col: str = "text") -> pa.Table:
+    """Per-source Zipf rank–frequency fit + hapax stats — the
+    corpus-health diagnostic that flags template/boilerplate-heavy or
+    synthetic slices (natural text fits slope ≈ −1; machine-generated or
+    deduplicated-to-death slices drift): OLS slope of ln(freq) on
+    ln(rank) over the source's word-frequency table, plus vocabulary
+    size, hapax-legomenon count, and hapax fraction.
+
+    Scale shape: the per-batch combiner emits (source, word, c)
+    partials → ONE vocab-bounded groupby → driver reduce over the
+    vocabulary table (the vocab_coverage convention — never
+    corpus-scale). Exactness: rank ties break by word; each ln term and
+    pairwise product is floor-quantized to integer micro-units with
+    libm ``math.log`` (the unigram_logprob convention), sums run in
+    Python bigints / SQL HUGEINT (they exceed int64 at real vocab
+    sizes), and the slope is ONE division of two exact ints after
+    nearest-double casts — bit-exact vs DuckDB. The fitted slope is of
+    the quantized regression by contract. Returns one row per source
+    with ≥1 word, sorted by source."""
+    import math
+    import re
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s, t in zip(batch[source_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            s = s or ""
+            for w, n in Counter(
+                    word_re.findall((t or "").lower())).items():
+                c[(s, w)] += n
+        return pa.table({
+            "source": pa.array([k[0] for k in c], pa.string()),
+            "w": pa.array([k[1] for k in c], pa.string()),
+            "c": pa.array(list(c.values()), pa.int64())})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source", "w"])
+            .aggregate(Sum("c", alias_name="c"))
+            .take_all())   # bounded: vocabulary × sources, not corpus
+
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append((int(r["c"]), r["w"]))
+    out = {k: [] for k in ("source", "n_tokens", "vocab_size", "n_hapax",
+                           "hapax_frac", "zipf_slope")}
+    for s in sorted(per):
+        items = sorted(per[s], key=lambda t: (-t[0], t[1]))
+        v = len(items)
+        n_tokens = sum(c for c, _ in items)
+        hapax = sum(1 for c, _ in items if c == 1)
+        sx = sy = sxy = sxx = 0
+        for rank, (c, _) in enumerate(items, 1):
+            lr, lc = math.log(rank), math.log(c)
+            sx += math.floor(lr * 1000000.0)
+            sy += math.floor(lc * 1000000.0)
+            sxy += math.floor(lr * lc * 1000000.0)
+            sxx += math.floor(lr * lr * 1000000.0)
+        den = v * sxx * 1_000_000 - sx * sx
+        num = v * sxy * 1_000_000 - sx * sy
+        out["source"].append(s)
+        out["n_tokens"].append(n_tokens)
+        out["vocab_size"].append(v)
+        out["n_hapax"].append(hapax)
+        out["hapax_frac"].append(hapax / v)
+        out["zipf_slope"].append(
+            float(num) / float(den) if den != 0 else 0.0)
+    return pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+        "vocab_size": pa.array(out["vocab_size"], pa.int64()),
+        "n_hapax": pa.array(out["n_hapax"], pa.int64()),
+        "hapax_frac": pa.array(out["hapax_frac"], pa.float64()),
+        "zipf_slope": pa.array(out["zipf_slope"], pa.float64())})
+
+
 def affinity_resample(scored, *, id_col: str = "doc_id"):
     """DSIR importance RESAMPLING over an ``affinity_score`` output:
     accept a row iff uniform(id) < affinity, with uniform =

@@ -713,6 +713,55 @@ class TestBadwords:
                 for c in Counter(words).values())
             assert out["entropy_micro_nats"][i] == micro
 
+    def test_zipf_fit_recompute(self, ray_session):
+        """Slope/hapax match a direct python recompute of the quantized
+        OLS; an exact-Zipf frequency table fits slope ≈ -1."""
+        import math
+
+        import ray.data
+        # source A: exact Zipf — word i has freq round(120/rank)
+        words = []
+        for rank, w in enumerate(
+                ["alpha", "beta", "gamma", "delta", "epsilon"], 1):
+            words += [w] * round(120 / rank)
+        t = pa.table({
+            "source": pa.array(["A"] * 2 + ["B"], pa.string()),
+            "text": pa.array([" ".join(words[:150]),
+                              " ".join(words[150:]),
+                              "x x x y z"])})
+        out = text_analysis.zipf_fit_by_source(
+            ray.data.from_arrow(t)).to_pydict()
+        assert out["source"] == ["A", "B"]
+        ia = out["source"].index("A")
+        assert -1.2 < out["zipf_slope"][ia] < -0.8
+        # B: freqs x=3, y=1, z=1 → hapax 2/3; recompute slope exactly
+        ib = out["source"].index("B")
+        assert out["vocab_size"][ib] == 3
+        assert out["n_hapax"][ib] == 2
+        assert out["hapax_frac"][ib] == 2 / 3
+        items = [(3, "x"), (1, "y"), (1, "z")]
+        sx = sy = sxy = sxx = 0
+        for rank, (c, _) in enumerate(items, 1):
+            lr, lc = math.log(rank), math.log(c)
+            sx += math.floor(lr * 1000000.0)
+            sy += math.floor(lc * 1000000.0)
+            sxy += math.floor(lr * lc * 1000000.0)
+            sxx += math.floor(lr * lr * 1000000.0)
+        num = 3 * sxy * 1_000_000 - sx * sy
+        den = 3 * sxx * 1_000_000 - sx * sx
+        assert out["zipf_slope"][ib] == float(num) / float(den)
+
+    def test_zipf_fit_degenerate_vocab(self, ray_session):
+        import ray.data
+        t = pa.table({"source": pa.array(["solo", "empty"], pa.string()),
+                      "text": pa.array(["word word word", None])})
+        out = text_analysis.zipf_fit_by_source(
+            ray.data.from_arrow(t)).to_pydict()
+        # empty-text source has no words → absent; vocab-1 source → 0.0
+        assert out["source"] == ["solo"]
+        assert out["zipf_slope"] == [0.0]
+        assert out["n_tokens"] == [3]
+
     def test_cdc_chunk_rows_recompute(self):
         """Chunk boundaries match a direct per-doc python recompute of
         the md5-hash32 window rule."""
