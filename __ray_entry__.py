@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantized": a.embedding_quantized,
         "ann_quantized_topk": a.ann_quantized_topk,
         "knn_graph_topk": a.knn_graph_topk,
+        "mmr_diverse_sample": a.mmr_diverse_sample,
         # non-SQL-expressible (rows-only checks)
         "ann_lsh_topk": a.ann_lsh_topk,
         "kmeans_labels": a.kmeans_labels,

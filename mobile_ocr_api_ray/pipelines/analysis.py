@@ -2042,6 +2042,19 @@ def ann_brute_topk(sf_dir: str):
     return res.map_batches(strip, batch_format="pyarrow").sort(["query_id", "rank"])
 
 
+def mmr_diverse_sample(sf_dir: str, k: int = 16, lam: float = 0.7):
+    """MMR diverse selection over the embeddings table against the fixed
+    query (stages/similarity.mmr_select): shortlist-then-rerank —
+    bounded partial-top-256 relevance pass, one broadcast-set vector
+    fetch, deterministic greedy on the driver. Emits the selection order
+    (rank, vec_id) plus relevance/mmr_score."""
+    import ray.data
+
+    t = similarity.mmr_select(_embeddings(sf_dir), _query_matrix(sf_dir)[0],
+                              k=k, lam=lam)
+    return ray.data.from_arrow(t)
+
+
 def knn_graph_topk(sf_dir: str, k: int = 5):
     """Exact cosine k-NN graph over the embeddings corpus (self excluded);
     emits (vec_id, rank, nbr_id) — ranks only, same cross-engine float

@@ -666,3 +666,80 @@ def kmeans_labels(ds, k: int = 8, n_iter: int = 5,
             "dist": pa.array(np.sqrt(np.maximum(d2, 0.0)))})
 
     return ds.map_batches(final, batch_format="pyarrow")
+
+
+# --------------------------------------------- MMR diverse selection
+
+def mmr_select(ds, query: np.ndarray, k: int = 16, lam: float = 0.7,
+               shortlist: int = 256, id_col: str = "vec_id",
+               emb_col: str = "embedding") -> pa.Table:
+    """Maximal-marginal-relevance diverse selection (Carbonell & Goldstein
+    SIGIR'98): greedily pick k vectors maximizing
+    lam·cos(v, query) − (1−lam)·max_{s∈S} cos(v, s) — the standard
+    diversity-aware eval-set / few-shot-pool picker (pure top-k returns
+    near-duplicates; MMR spreads the picks).
+
+    Scale shape = shortlist-then-rerank, the standard distributed MMR
+    contract: stage 1 is brute_topk's bounded partial-top-`shortlist`
+    relevance pass (per-block prune, candidates ∝ shortlist not corpus);
+    stage 2 fetches only the shortlist's vectors via one broadcast-set
+    filter pass; the greedy loop runs on the bounded shortlist×dim
+    matrix driver-side (each round is one matvec against the last pick —
+    running-max update, not an S×M rescan). Ties break on min vec_id at
+    every step, so the selection is deterministic. Returns
+    (rank, vec_id, relevance, mmr_score) in selection order."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64).reshape(1, -1)
+    cand = _global_topk(
+        ds.map_batches(
+            BruteTopKStage,
+            fn_constructor_kwargs={"queries_ref": q, "k": shortlist},
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=4, num_cpus=0.5),
+        shortlist).to_pandas()
+    cols = {"rank": pa.int64(), id_col: pa.int64(),
+            "relevance": pa.float64(), "mmr_score": pa.float64()}
+    if len(cand) == 0:
+        return pa.table({c: pa.array([], t) for c, t in cols.items()})
+    cand = cand.sort_values(id_col).reset_index(drop=True)
+    keep_ids = set(cand[id_col].tolist())
+    ref = ray.put(keep_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch, id_col, emb_col)
+        ks = ray.get(ref)
+        mask = np.fromiter((i in ks for i in ids), bool, len(ids))
+        sub = mat[mask]
+        return pa.table({
+            id_col: pa.array(ids[mask], pa.int64()),
+            "_vec": pa.array(list(sub), pa.list_(pa.float64()))})
+
+    got = ds.map_batches(fetch, batch_format="pyarrow").to_pandas() \
+            .sort_values(id_col).reset_index(drop=True)
+    vecs = _normalize(np.stack(got["_vec"].to_numpy()))
+    ids = got[id_col].to_numpy(np.int64)
+    # candidate relevance aligned to the fetched (sorted-by-id) order
+    rel = cand.set_index(id_col)["cosine"].reindex(ids).to_numpy()
+
+    n = len(ids)
+    chosen: list[int] = []
+    max_sim = np.zeros(n, np.float64)
+    picked = np.zeros(n, bool)
+    out_rank, out_id, out_rel, out_score = [], [], [], []
+    for r in range(min(k, n)):
+        score = lam * rel - (0.0 if r == 0 else (1.0 - lam) * max_sim)
+        score = np.where(picked, -np.inf, score)
+        best = np.lexsort((ids, -score))[0]
+        picked[best] = True
+        out_rank.append(r)
+        out_id.append(int(ids[best]))
+        out_rel.append(float(rel[best]))
+        out_score.append(float(score[best]))
+        # running-max update: one matvec vs the new pick only
+        max_sim = np.maximum(max_sim, vecs @ vecs[best])
+    return pa.table({
+        "rank": pa.array(out_rank, pa.int64()),
+        id_col: pa.array(out_id, pa.int64()),
+        "relevance": pa.array(out_rel, pa.float64()),
+        "mmr_score": pa.array(out_score, pa.float64())})

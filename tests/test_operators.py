@@ -713,6 +713,57 @@ class TestBadwords:
                 for c in Counter(words).values())
             assert out["entropy_micro_nats"][i] == micro
 
+    def test_mmr_select_recompute(self, ray_session):
+        """shortlist ≥ n → exact MMR; differential vs a naive python
+        greedy over the same vectors."""
+        import ray.data
+        from mobile_ocr_api_ray.stages import similarity as sim
+        rng = np.random.RandomState(3)
+        vecs = rng.normal(size=(40, 8))
+        q = rng.normal(size=8)
+        t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                      "embedding": pa.array([list(v) for v in vecs],
+                                            pa.list_(pa.float32()))})
+        out = sim.mmr_select(ray.data.from_arrow(t), q, k=6, lam=0.7,
+                             shortlist=100).to_pydict()
+        # naive recompute (float32 storage → float64 math, like engine)
+        v = vecs.astype(np.float32).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        rel = v @ qn
+        sel, max_sim = [], np.zeros(40)
+        for r in range(6):
+            score = 0.7 * rel - (0.0 if r == 0 else 0.3 * max_sim)
+            score[sel] = -np.inf
+            best = int(np.lexsort((np.arange(40), -score))[0])
+            sel.append(best)
+            max_sim = np.maximum(max_sim, v @ v[best])
+        assert out["vec_id"] == sel
+        assert out["rank"] == list(range(6))
+
+    def test_mmr_prefers_diversity(self, ray_session):
+        """A near-duplicate of the top pick must lose to a less-relevant
+        but diverse vector once lambda weighs diversity."""
+        import ray.data
+        from mobile_ocr_api_ray.stages import similarity as sim
+        q = np.array([1.0, 0.05, 0.0])
+        vecs = [[1.0, 0.0, 0.0],        # top relevance
+                [0.995, 0.1, 0.0],      # near-dup of it
+                [0.6, 0.8, 0.0]]        # diverse, less relevant
+        t = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                      "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+        out = sim.mmr_select(ray.data.from_arrow(t), q, k=2, lam=0.5,
+                             shortlist=10).to_pydict()
+        assert out["vec_id"] == [0, 2]
+
+    def test_mmr_query_gate(self, ray_session):
+        import __ray_entry__ as e
+        df = e.queries()["mmr_diverse_sample"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 16
+        assert df.vec_id.nunique() == 16
+        assert list(df["rank"]) == list(range(16))
+
     def test_zipf_fit_recompute(self, ray_session):
         """Slope/hapax match a direct python recompute of the quantized
         OLS; an exact-Zipf frequency table fits slope ≈ -1."""
