@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_quantized_topk": a.ann_quantized_topk,
         "knn_graph_topk": a.knn_graph_topk,
         "mmr_diverse_sample": a.mmr_diverse_sample,
+        "image_dhash_dups": a.image_dhash_dups,
         # non-SQL-expressible (rows-only checks)
         "ann_lsh_topk": a.ann_lsh_topk,
         "kmeans_labels": a.kmeans_labels,

@@ -191,6 +191,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("zipf_by_source", lambda: a.zipf_by_source(sf_dir).to_pandas())
     timed("mmr_diverse_sample",
           lambda: a.mmr_diverse_sample(sf_dir).to_pandas())
+    timed("image_dhash_dups",
+          lambda: a.image_dhash_dups(sf_dir).to_pandas())
     timed("dup_window_stats", lambda: _pd(a.dup_window_stats_docs(sf_dir)))
     timed("window_dedup_docs", lambda: _pd(a.window_dedup_docs(sf_dir)))
     timed("cross_corpus_overlap",

@@ -2272,6 +2272,61 @@ def image_meta(sf_dir: str):
     return out.sort("url")
 
 
+def image_dhash_dups(sf_dir: str):
+    """Perceptual-hash image near-dup detection over the pages corpus:
+    IMGX payloads → 64-bit dHash (stages/multimodal.ImageDHashStage;
+    gradient-sign fingerprint that survives re-encode / brightness / small
+    noise where byte digests split) → global owner labeling per hash via
+    the exact_dedup coarse digest-prefix exchange (16-byte hash rows move,
+    pixels never do). The hamming-tolerant extension is the simhash
+    4-band machinery (stages/dedup.simhash_pairs) over the same column."""
+    from .. import str_hash
+    from ..stages.multimodal import ImageDHashStage, image_payload_mask
+
+    d = _pages_dir_for(sf_dir)
+    ds = read_pages(os.path.join(d, "pages.parquet"))
+
+    def strip_non_images(batch: pa.Table) -> pa.Table:
+        pcol = batch["html"] if "html" in batch.column_names \
+            else batch["payload"]
+        mask = image_payload_mask(pcol)
+        return pa.table({"url": batch["url"],
+                         "payload": pc.if_else(mask, pcol,
+                                               pa.scalar(None, pa.binary()))})
+
+    hashed = (ds.map_batches(strip_non_images, batch_format="pyarrow")
+              .map_batches(ImageDHashStage, batch_format="pyarrow",
+                           batch_size=256, concurrency=4, num_cpus=0.5))
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        coarse = str_hash.crc32_of_strings(batch["dhash"]) % 64
+        return batch.append_column(
+            "coarse", pa.array(coarse.astype(np.int32), pa.int32()))
+
+    def owners(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["dhash", "url"], kind="mergesort") \
+            .reset_index(drop=True)
+        h = d["dhash"].to_numpy()
+        new = np.ones(len(d), bool)
+        if len(d) > 1:
+            new[1:] = h[1:] != h[:-1]
+        sizes = np.diff(np.append(np.nonzero(new)[0], len(d)))
+        own = np.repeat(d["url"].to_numpy()[new], sizes)
+        return pd.DataFrame({
+            "url": d["url"], "dhash": d["dhash"],
+            "width": d["width"], "height": d["height"],
+            "owner_url": pd.array(own, "string"),
+            "is_dup": own != d["url"].to_numpy()})
+
+    out = (hashed.map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("coarse").map_groups(owners, batch_format="pandas"))
+    out = dedup.nonempty_or_typed_table(out, {
+        "url": pa.string(), "dhash": pa.string(), "width": pa.int64(),
+        "height": pa.int64(), "owner_url": pa.string(),
+        "is_dup": pa.bool_()})
+    return out.sort("url")
+
+
 def frame_samples(sf_dir: str):
     """Frame sampling over PDFX multi-frame containers (video stand-in):
     every 2nd frame, metadata only."""

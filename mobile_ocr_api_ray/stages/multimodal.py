@@ -194,3 +194,55 @@ class AudioFeatureStage:
         return pa.Table.from_pylist(rows, schema=pa.schema([
             ("url", pa.string()), ("duration_s", pa.float64()), ("rms", pa.float64()),
             ("zero_crossings", pa.int64()), ("status", pa.string()), ("error", pa.string())]))
+
+
+# --------------------------------------------- perceptual hash (dHash)
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of a grayscale image: area-mean
+    downsample to 9×8, hash bit (r, c) = cell[r, c+1] > cell[r, c] —
+    the standard perceptual near-dup fingerprint (gradient signs survive
+    re-encoding, uniform brightness shifts, and small noise, unlike a
+    byte digest). Deterministic: integer-boundary area means in float64,
+    bits packed row-major MSB-first."""
+    h, w = img.shape
+    if h == 0 or w == 0:
+        return 0
+    rb = (np.arange(9) * h) // 8        # 8 row bands
+    cb = (np.arange(10) * w) // 9       # 9 col bands
+    s = img.astype(np.float64)
+    rows = np.add.reduceat(s, rb[:-1], axis=0)
+    cells = np.add.reduceat(rows, cb[:-1], axis=1)
+    area = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+    m = cells / area
+    bits = (m[:, 1:] > m[:, :-1]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageDHashStage:
+    """Actor-pool stage: IMGX payload → (url, dhash hex, width, height).
+    Non-IMGX / undecodable payloads emit no row (the prefilter task
+    upstream already nulls non-image payloads, so blobs never ship into
+    the pool). Pure per-row compute, no shuffle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pcol = batch["html"] if "html" in batch.column_names \
+            else batch["payload"]
+        urls = batch["url"].to_pylist()
+        out_u, out_h, out_w, out_ht = [], [], [], []
+        for u, p in zip(urls, pcol.to_pylist()):
+            if not p or p[:4] != glyphs.IMGX_MAGIC:
+                continue
+            try:
+                img = glyphs.decode_imgx(p)
+            except Exception:
+                continue
+            out_u.append(u)
+            out_h.append(f"{dhash64(img):016x}")
+            out_w.append(img.shape[1])
+            out_ht.append(img.shape[0])
+        return pa.table({
+            "url": pa.array(out_u, pa.string()),
+            "dhash": pa.array(out_h, pa.string()),
+            "width": pa.array(out_w, pa.int64()),
+            "height": pa.array(out_ht, pa.int64())})

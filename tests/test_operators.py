@@ -713,6 +713,36 @@ class TestBadwords:
                 for c in Counter(words).values())
             assert out["entropy_micro_nats"][i] == micro
 
+    def test_dhash_invariance_and_discrimination(self):
+        """dHash is invariant to uniform brightness shift and sub-gradient
+        noise, but splits images with different gradient structure."""
+        from mobile_ocr_api_ray.stages.multimodal import dhash64
+        rng = np.random.RandomState(5)
+        img = (rng.rand(64, 96) * 200).astype(np.uint8)
+        h0 = dhash64(img)
+        assert dhash64(np.clip(img.astype(np.int32) + 30, 0, 255)
+                       .astype(np.uint8)) == h0
+        assert 0 <= h0 < 2 ** 64
+        flipped = img[:, ::-1].copy()  # mirrored gradients → different hash
+        assert dhash64(flipped) != h0
+
+    def test_dhash_known_gradient(self):
+        """A strict left-to-right ramp sets every difference bit."""
+        from mobile_ocr_api_ray.stages.multimodal import dhash64
+        img = np.tile(np.arange(0, 180, 20, dtype=np.uint8), (8, 1))
+        assert dhash64(img) == 2 ** 64 - 1
+
+    def test_image_dhash_query_gate(self, ray_session):
+        import __ray_entry__ as e
+        df = e.queries()["image_dhash_dups"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(df) > 0
+        assert (df.dhash.str.len() == 16).all()
+        # owner is the lexicographic min of its hash group; owners are
+        # never dups of themselves
+        assert (df.owner_url <= df.url).all()
+        assert not df[df.url == df.owner_url].is_dup.any()
+
     def test_mmr_select_recompute(self, ray_session):
         """shortlist ≥ n → exact MMR; differential vs a naive python
         greedy over the same vectors."""
