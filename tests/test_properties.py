@@ -288,3 +288,88 @@ class TestHtmlKernelTotality:
         out = page_out_links("https://h.example/p",
                              b'<a href="HTTP://EX.COM/x">a</a>')
         assert out == [("http://EX.COM/x", "a")]
+
+
+def _cdc_reference(ws, window, divisor):
+    """Per-doc python reference of the CDC cut rule (mirrors the fixed
+    vector in test_operators; shared ground truth for the property
+    sweep)."""
+    import hashlib
+    chunks, cur = [], []
+    for i, w in enumerate(ws):
+        cur.append(w)
+        cut = i == len(ws) - 1
+        if not cut and i >= window - 1:
+            win = " ".join(ws[i - window + 1:i + 1])
+            h = int(hashlib.md5(win.encode()).hexdigest()[:8], 16)
+            cut = h % divisor == 0
+        if cut:
+            chunks.append(" ".join(cur))
+            cur = []
+    return chunks
+
+
+class TestCdcProperties:
+    @given(st.lists(st.lists(st.text(alphabet="ab", min_size=1,
+                                     max_size=2),
+                             min_size=0, max_size=30),
+                    min_size=1, max_size=6))
+    @settings(max_examples=40, deadline=None)
+    def test_chunks_match_reference_and_cover(self, docs):
+        """Chunk rows equal the per-doc reference; chunks partition the
+        word sequence (concatenation restores it) for every doc in the
+        batch — including empties. Tiny alphabet forces window-hash
+        collisions and cross-doc dup chunks."""
+        import hashlib
+
+        import pyarrow as pa
+        t = pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs], pa.string())})
+        out = dedup.cdc_chunk_rows(t).to_pydict()
+        for di, ws in enumerate(docs):
+            ref = _cdc_reference(ws, dedup.CDC_WINDOW, dedup.CDC_DIVISOR)
+            got = [(c, h, n) for d, c, h, n in zip(
+                out["doc_id"], out["chunk_idx"], out["chunk_hash"],
+                out["n_chunk_words"]) if d == di]
+            assert [c for c, _, _ in got] == list(range(len(ref)))
+            assert [h for _, h, _ in got] == [
+                hashlib.md5(c.encode()).hexdigest() for c in ref]
+            assert sum(n for _, _, n in got) == len(ws)
+
+
+class TestParagraphDedupProperties:
+    @given(st.lists(st.lists(st.text(alphabet="abc", min_size=1,
+                                     max_size=2),
+                             min_size=0, max_size=40),
+                    min_size=1, max_size=6),
+           st.integers(min_value=0, max_value=10**6))
+    @settings(max_examples=40, deadline=None)
+    def test_matches_python_reference(self, docs, base_id):
+        """dedup_text / counts equal a per-doc python restatement of the
+        6-word construction + doc_id%3 graft + keep-first rule."""
+        import pyarrow as pa
+        ids = [base_id + i for i in range(len(docs))]
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs], pa.string())})
+        out = text_analysis.paragraph_dedup(t).to_pydict()
+        for row, (i, ws) in enumerate(zip(ids, docs)):
+            paras = [" ".join(ws[j:j + 6]) for j in range(0, len(ws), 6)]
+            if paras and i % 3 == 0:
+                paras.append(paras[0])
+            elif paras and i % 3 == 1:
+                paras.append(paras[-1])
+            seen, kept = set(), []
+            for p in paras:
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            assert out["n_paragraphs"][row] == len(paras)
+            assert out["n_dup_paragraphs"][row] == len(paras) - len(kept)
+            assert out["dedup_text"][row] == "\n\n".join(kept)
+            # dup chars = all occurrences minus the first of each
+            tot = sum(len(p) for p in paras)
+            exp_dup = tot - sum(len(p) for p in kept)
+            assert out["dup_para_char_frac"][row] == \
+                (exp_dup / max(tot, 1))
