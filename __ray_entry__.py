@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "authority_filtered_pages": a.authority_filtered_pages,
         "host_hits_int": a.host_hits_int,
         "page_metadata": a.page_metadata,
+        "html_markup_stats": a.html_markup_stats,
         "title_body_pairs": a.title_body_pairs,
         "anchor_text_summary": a.anchor_text_summary,
         "pdf_page_rows": a.pdf_page_rows,
@@ -2945,6 +2946,30 @@ def oracle_sql() -> dict[str, str]:
         # strip + whitespace collapse — the html_extract.page_metadata
         # spec re-expressed over the unescaped blob cast; non-HTML
         # payloads left-join back as empty strings
+        # markup density per HTML page: the same blob→varchar doc
+        # reconstruction as page_metadata; tag/script counts and the
+        # stripped-length difference are the identical RE2 expressions;
+        # text_ratio is one float division of exact ints
+        "html_markup_stats": rf"""
+            WITH hp AS (SELECT url, {_HTML_DOC_SQL} AS doc
+                        FROM read_parquet('{pg}')
+                        WHERE CAST(html AS VARCHAR)
+                              LIKE '<!DOCTYPE html>%'),
+            s AS (SELECT url,
+                         cast(length(doc) AS BIGINT) AS n_chars,
+                         cast(len(regexp_extract_all(doc, '<[^>]*>'))
+                              AS BIGINT) AS n_tags,
+                         cast(len(regexp_extract_all(doc,
+                              '(?is)<script\b')) AS BIGINT) AS n_scripts,
+                         cast(length(regexp_replace(doc, '<[^>]*>', '',
+                                                    'g')) AS BIGINT)
+                           AS text_chars
+                  FROM hp)
+            SELECT url, n_chars, n_tags, n_scripts,
+                   n_chars - text_chars AS markup_chars, text_chars,
+                   text_chars / cast(greatest(n_chars, 1) AS DOUBLE)
+                     AS text_ratio
+            FROM s ORDER BY url""",
         "page_metadata": rf"""
             WITH hp AS (SELECT url, {_HTML_DOC_SQL} AS doc
                         FROM read_parquet('{pg}')

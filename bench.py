@@ -193,6 +193,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: a.mmr_diverse_sample(sf_dir).to_pandas())
     timed("image_dhash_dups",
           lambda: a.image_dhash_dups(sf_dir).to_pandas())
+    timed("html_markup_stats",
+          lambda: a.html_markup_stats(sf_dir).to_pandas())
     timed("dup_window_stats", lambda: _pd(a.dup_window_stats_docs(sf_dir)))
     timed("window_dedup_docs", lambda: _pd(a.window_dedup_docs(sf_dir)))
     timed("cross_corpus_overlap",

@@ -2815,6 +2815,45 @@ def page_metadata(sf_dir: str):
                              batch_format="pyarrow").sort("url")
 
 
+def html_markup_stats(sf_dir: str):
+    """Markup-density diagnostics per HTML page — the text-to-markup
+    ratio every content-extraction heuristic thresholds on (boilerplate
+    pages are tag-dense; article pages are text-dense): tag-token count,
+    script-open count, markup vs text chars (markup = chars removed by
+    stripping ``<[^>]*>`` tokens), and the ratio as one float division
+    of exact ints. Gate = the page_metadata DOCTYPE rule. Three
+    vectorized RE2 kernels per batch, no shuffle; value-exact in SQL
+    over the blob→varchar reconstruction."""
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        html = batch["html"]
+        mask = pc.starts_with(pc.fill_null(html, b""),
+                              pattern=b"<!DOCTYPE html>")
+        t = pa.table({"url": batch["url"], "html": html}).filter(mask)
+        doc = pc.cast(t["html"], pa.string())
+        n_chars = pc.cast(pc.utf8_length(doc), pa.int64())
+        n_tags = pc.cast(pc.count_substring_regex(doc, r"<[^>]*>"),
+                         pa.int64())
+        n_scripts = pc.cast(pc.count_substring_regex(
+            doc, r"(?is)<script\b"), pa.int64())
+        text_chars = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(doc, r"<[^>]*>", "")), pa.int64())
+        markup = pc.subtract(n_chars, text_chars)
+        ratio = pc.divide(
+            pc.cast(text_chars, pa.float64()),
+            pc.max_element_wise(pc.cast(n_chars, pa.float64()),
+                                pa.scalar(1.0)))
+        return pa.table({
+            "url": t["url"], "n_chars": n_chars, "n_tags": n_tags,
+            "n_scripts": n_scripts, "markup_chars": markup,
+            "text_chars": text_chars, "text_ratio": ratio})
+
+    return pages.map_batches(kernel, batch_format="pyarrow").sort("url")
+
+
 def anchor_text_summary(sf_dir: str):
     """dst_url → in-link count + bounded distinct anchor-text digest over
     the crawl's hyperlink graph."""

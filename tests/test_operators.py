@@ -713,6 +713,18 @@ class TestBadwords:
                 for c in Counter(words).values())
             assert out["entropy_micro_nats"][i] == micro
 
+    def test_html_markup_stats_gate(self, ray_session):
+        import __ray_entry__ as e
+        df = e.queries()["html_markup_stats"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(df) > 0
+        # markup + text partition the doc; every HTML page has tags and
+        # the ratio is a proper fraction
+        assert (df.markup_chars + df.text_chars == df.n_chars).all()
+        assert (df.n_tags > 0).all()
+        assert ((df.text_ratio > 0) & (df.text_ratio < 1)).all()
+        assert (df.text_ratio == df.text_chars / df.n_chars).all()
+
     def test_dhash_invariance_and_discrimination(self):
         """dHash is invariant to uniform brightness shift and sub-gradient
         noise, but splits images with different gradient structure."""
