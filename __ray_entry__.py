@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits_int": a.host_hits_int,
         "page_metadata": a.page_metadata,
         "html_markup_stats": a.html_markup_stats,
+        "host_boilerplate_pages": a.host_boilerplate_pages,
         "title_body_pairs": a.title_body_pairs,
         "anchor_text_summary": a.anchor_text_summary,
         "pdf_page_rows": a.pdf_page_rows,
@@ -2970,6 +2971,38 @@ def oracle_sql() -> dict[str, str]:
                    text_chars / cast(greatest(n_chars, 1) AS DOUBLE)
                      AS text_ratio
             FROM s ORDER BY url""",
+        # host-scoped line boilerplate: same blob→varchar doc and
+        # chr(10) line construction as the engine; a 4+-char line in >=2
+        # distinct urls of one host is removed everywhere in that host;
+        # string_agg skips the removed (NULL) lines so separators vanish
+        # with them, exactly like the engine's join-of-kept-lines
+        "host_boilerplate_pages": rf"""
+            WITH hp AS (SELECT url, {_HTML_DOC_SQL} AS doc
+                        FROM read_parquet('{pg}')
+                        WHERE CAST(html AS VARCHAR)
+                              LIKE '<!DOCTYPE html>%'),
+            h AS (SELECT url,
+                         lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+                           AS host,
+                         string_split(doc, chr(10)) AS ls FROM hp),
+            l AS (SELECT url, host, unnest(ls) AS line,
+                         unnest(range(1, len(ls) + 1)) AS idx FROM h),
+            b AS (SELECT host, line FROM l WHERE length(line) >= 4
+                  GROUP BY host, line HAVING count(DISTINCT url) >= 2),
+            k AS (SELECT l.url, l.host, l.idx, l.line,
+                         (length(l.line) >= 4 AND b.line IS NOT NULL)
+                           AS rm
+                  FROM l LEFT JOIN b
+                    ON l.host = b.host AND l.line = b.line)
+            SELECT url, any_value(host) AS host,
+                   cast(count(*) AS BIGINT) AS n_lines,
+                   cast(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_removed,
+                   coalesce(string_agg(
+                     CASE WHEN NOT rm THEN line END, chr(10)
+                     ORDER BY idx), '') AS clean_text
+            FROM k GROUP BY url ORDER BY url""",
         "page_metadata": rf"""
             WITH hp AS (SELECT url, {_HTML_DOC_SQL} AS doc
                         FROM read_parquet('{pg}')

@@ -2854,6 +2854,23 @@ def html_markup_stats(sf_dir: str):
     return pages.map_batches(kernel, batch_format="pyarrow").sort("url")
 
 
+def host_boilerplate_pages(sf_dir: str):
+    """Host-scoped line-level boilerplate removal over the HTML crawl:
+    a 4+-char line appearing in >=2 distinct pages of the SAME host is
+    template chrome and is removed from every page of that host (the
+    CCNet/jusText boilerplate semantic — remove all copies, host-scoped
+    — vs line_dedup's corpus-wide keep-first). Returns (url, host,
+    n_lines, n_removed, clean_text) sorted by url; value-exact in SQL
+    over the blob→varchar doc reconstruction."""
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+    nc = _pages_coarse_hint(sf_dir)
+    out = crawl.host_line_boilerplate(pages, n_coarse=nc,
+                                      n_coarse_docs=nc)
+    return out if isinstance(out, pa.Table) else out.sort("url")
+
+
 def anchor_text_summary(sf_dir: str):
     """dst_url → in-link count + bounded distinct anchor-text digest over
     the crawl's hyperlink graph."""

@@ -301,3 +301,146 @@ def _compiled_block(patterns):
         cached[key] = [_re.compile(p) for p in patterns]
         _compiled_block.cache = cached
     return cached[key]
+
+
+HTML_DOCTYPE_PREFIX = b"<!DOCTYPE html>"
+BOILER_LINE_MIN_PAGES = 2
+BOILER_LINE_MIN_CHARS = 4
+
+
+def host_line_boilerplate(pages_ds, min_pages: int = BOILER_LINE_MIN_PAGES,
+                          min_chars: int = BOILER_LINE_MIN_CHARS,
+                          n_coarse: int | None = None,
+                          n_coarse_docs: int | None = None):
+    """Host-scoped line-level boilerplate removal over an HTML crawl
+    (CCNet/jusText lineage): a line of ``min_chars``+ characters that
+    appears in ``min_pages``+ DISTINCT pages of the same host is template
+    chrome (header / footer / nav / style), not content, and is removed
+    from EVERY page of that host. This is the boilerplate semantic —
+    remove all copies — unlike ``dedup.line_dedup``'s corpus-wide
+    keep-first rule, and it is host-scoped: a single-page host keeps its
+    chrome (no within-host evidence it is template). Pages reassemble in
+    line order; returns (url, host, n_lines, n_removed, clean_text) for
+    HTML pages (DOCTYPE-gated, the page_metadata rule). The reference
+    has no host-batch analogue — its per-request HTML path
+    (/root/reference/app2.py:860+) sees one document at a time and
+    cannot observe cross-page repetition.
+
+    Scale shape — two shuffles, page text moves exactly once:
+      1. line-keyed (crc32(host + NUL + line) % nc): only ELIGIBLE line
+         occurrences ride it; inside a partition, occurrences group by
+         the exact (host, line) strings (no hash-collision risk) and a
+         distinct-url count >= min_pages marks every occurrence of that
+         line as a removal. Only (url, line_idx) removal rows leave.
+      2. url-keyed (crc32(url) % ncd): each page's doc rides once, meets
+         its removal rows, and drops the removed line indexes.
+    A chrome line shared by a mega-host's every page is a hot key in
+    exchange 1, bounded by that host's page count (not corpus size) —
+    the same exposure line_dedup documents for ubiquitous lines.
+    """
+    from .dedup import N_COARSE, nonempty_or_typed_table
+
+    nc = n_coarse or N_COARSE
+    ncd = n_coarse_docs or nc
+    out_types = {"url": pa.string(), "host": pa.string(),
+                 "n_lines": pa.int64(), "n_removed": pa.int64(),
+                 "clean_text": pa.string()}
+
+    def html_docs(batch: pa.Table) -> pa.Table:
+        html = pc.fill_null(batch["html"], b"")
+        mask = pc.starts_with(html, pattern=HTML_DOCTYPE_PREFIX)
+        t = pa.table({"url": batch["url"], "html": html}).filter(mask)
+        return pa.table({
+            "url": t["url"],
+            "host": pc.fill_null(host_of(t["url"]), ""),
+            "doc": pc.cast(t["html"], pa.string())})
+
+    def elig_lines(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(batch["doc"], "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.flatten()
+        parent = pc.list_parent_indices(lines)
+        lens = pc.list_value_length(lines).to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        ends = np.cumsum(lens)
+        idxs = np.arange(total, dtype=np.int64) \
+            - np.repeat(ends - lens, lens)
+        elig = pc.greater_equal(pc.utf8_length(flat), min_chars)
+        emask = elig.to_numpy(zero_copy_only=False)
+        flat = flat.filter(elig)
+        urls = pc.take(batch["url"], parent).filter(elig)
+        hosts = pc.take(batch["host"], parent).filter(elig)
+        key = pc.binary_join_element_wise(hosts, flat, "\x00")
+        return pa.table({
+            "url": urls,
+            "line": flat,
+            "host": hosts,
+            "line_idx": pa.array(idxs[emask], pa.int64()),
+            "coarse": pa.array(str_hash.str_coarse(key, nc))})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        n_urls = (df.groupby(["host", "line"], sort=False)["url"]
+                  .transform("nunique").to_numpy())
+        rem = df[n_urls >= min_pages]
+        return pd.DataFrame({
+            "url": rem["url"].to_numpy(),
+            "line_idx": rem["line_idx"].to_numpy(np.int64),
+            "dcoarse": str_hash.str_coarse(rem["url"], ncd)})
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "url": batch["url"],
+            "host": batch["host"],
+            "line_idx": pa.array(np.full(n, -1, np.int64)),
+            "text": batch["doc"],
+            "dcoarse": pa.array(str_hash.str_coarse(batch["url"], ncd))})
+
+    def tag_removals(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "url": pc.cast(batch["url"], pa.string()),
+            "host": pa.array([None] * n, pa.string()),
+            "line_idx": batch["line_idx"],
+            "text": pa.array([None] * n, pa.string()),
+            "dcoarse": pc.cast(batch["dcoarse"], pa.int32())})
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["line_idx"] < 0]
+        rem = df[df["line_idx"] >= 0]
+        rem_by_url = ({u: frozenset(g.to_numpy(np.int64).tolist())
+                       for u, g in rem.groupby("url", sort=False)
+                       ["line_idx"]} if len(rem) else {})
+        urls, hosts, nl, nr, ct = [], [], [], [], []
+        for u, h, t in zip(docs["url"], docs["host"], docs["text"]):
+            parts = (t or "").split("\n")
+            rset = rem_by_url.get(u, frozenset())
+            urls.append(u)
+            hosts.append(h)
+            nl.append(len(parts))
+            nr.append(len(rset))
+            ct.append("\n".join(
+                ln for i, ln in enumerate(parts) if i not in rset))
+        return pd.DataFrame({
+            "url": urls, "host": hosts,
+            "n_lines": np.array(nl, np.int64),
+            "n_removed": np.array(nr, np.int64),
+            "clean_text": ct})
+
+    docs = pages_ds.map_batches(html_docs, batch_format="pyarrow")
+    removals = (docs.map_batches(elig_lines, batch_format="pyarrow")
+                .groupby("coarse")
+                .map_groups(resolve, batch_format="pandas")
+                .map_batches(tag_removals, batch_format="pyarrow"))
+    out = (docs.map_batches(doc_rows, batch_format="pyarrow")
+           .union(removals)
+           .groupby("dcoarse")
+           .map_groups(reassemble, batch_format="pandas"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({c: pc.cast(batch[c], t)
+                         for c, t in out_types.items()})
+
+    out = out.map_batches(finish, batch_format="pyarrow")
+    return nonempty_or_typed_table(out, out_types)

@@ -299,3 +299,88 @@ class TestHostCapNullHost:
         # the fixed mapping: None → "" groups and caps
         mapped = ["" if h is None else h for h in hosts.to_pylist()]
         assert mapped == ["", "x.ex"]
+
+
+class TestHostLineBoilerplate:
+    CHROME = "<p>(c) 2024 Shared Footer Chrome Line</p>"
+
+    def _page(self, body_lines):
+        return ("<!DOCTYPE html>\n" + "\n".join(body_lines) + "\n").encode()
+
+    def _run(self, rows, **kw):
+        import ray.data
+        from mobile_ocr_api_ray.stages import crawl as c
+        ds = ray.data.from_arrow(pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "html": pa.array([r[1] for r in rows], pa.binary())}))
+        out = c.host_line_boilerplate(ds, n_coarse=4, n_coarse_docs=4, **kw)
+        df = out.to_pandas() if not isinstance(out, pa.Table) \
+            else out.to_pandas()
+        return df.sort_values("url").reset_index(drop=True)
+
+    def test_host_scoped_removal(self, ray_session):
+        """A 4+-char line in 2 distinct pages of ONE host is removed from
+        both; the SAME line on a single-page host survives; unique
+        content lines always survive; reassembly preserves order."""
+        rows = [
+            ("https://a.ex/1", self._page([self.CHROME, "<p>alpha one</p>"])),
+            ("https://a.ex/2", self._page(["<p>beta two</p>", self.CHROME])),
+            ("https://b.ex/1", self._page([self.CHROME, "<p>gamma</p>"])),
+        ]
+        df = self._run(rows)
+        assert list(df.url) == ["https://a.ex/1", "https://a.ex/2",
+                                "https://b.ex/1"]
+        assert list(df.host) == ["a.ex", "a.ex", "b.ex"]
+        # both a.ex pages lose the chrome line AND the shared DOCTYPE
+        # line (any 4+-char host-repeated line is chrome by the rule)
+        assert list(df.n_removed) == [2, 2, 0]
+        assert df.clean_text[0] == "<p>alpha one</p>\n"
+        assert df.clean_text[1] == "<p>beta two</p>\n"
+        # b.ex keeps its copy — no within-host evidence
+        assert self.CHROME in df.clean_text[2]
+        # n_lines counts every chr(10)-split piece incl. the trailing ''
+        assert list(df.n_lines) == [4, 4, 4]
+
+    def test_short_lines_exempt_and_within_page_repeats(self, ray_session):
+        """<4-char lines are never removed however often they repeat;
+        a line repeated WITHIN one page only (1 distinct url) is kept."""
+        rows = [
+            ("https://a.ex/1", self._page(["<p>", "same line here",
+                                           "same line here", "<p>"])),
+            ("https://a.ex/2", self._page(["<p>", "other text"])),
+        ]
+        df = self._run(rows)
+        # only the shared DOCTYPE line goes; '<p>' (3 chars) and the
+        # single-url repeated line stay
+        assert list(df.n_removed) == [1, 1]
+        assert "same line here\nsame line here" in df.clean_text[0]
+        assert "<p>\n" in df.clean_text[0]
+
+    def test_non_html_payloads_excluded(self, ray_session):
+        """Rows whose payload is not DOCTYPE-gated HTML emit no output."""
+        rows = [
+            ("https://a.ex/1", self._page(["<p>page one</p>"])),
+            ("https://a.ex/2", b"%PDF-1.4 not html"),
+            ("https://a.ex/3", b""),
+        ]
+        df = self._run(rows)
+        assert list(df.url) == ["https://a.ex/1"]
+
+    def test_query_gate(self, ray_session):
+        """Query surface over the sf0.001 corpus: chrome lines vanish
+        exactly on multi-page hosts."""
+        import __ray_entry__ as e
+        df = e.queries()["host_boilerplate_pages"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(df) > 0
+        multi = df.groupby("host")["url"].transform("size") >= 2
+        # every page of a multi-page host loses its chrome (header line
+        # is identical across all generated pages); single-page hosts
+        # keep everything
+        assert (df.loc[multi, "n_removed"] > 0).all()
+        assert (df.loc[~multi, "n_removed"] == 0).all()
+        chrome = '<header><p><a href="/">Home</a> | <a href="/about">About</a></p></header>'
+        assert df.loc[multi, "clean_text"].str.contains(
+            chrome, regex=False).sum() == 0
+        assert df.loc[~multi, "clean_text"].str.contains(
+            chrome, regex=False).all()
