@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": a.source_overlap_matrix,
         "heavy_hitter_words": a.heavy_hitter_words,
         "incremental_dedup": a.incremental_dedup_docs,
+        "near_dedup_incremental": a.near_dedup_incremental_docs,
         "mixed_sample_docs": a.mixed_sample_docs,
         "temperature_mixed_docs": a.temperature_mixed_docs,
         "corpus_datasheet": a.corpus_datasheet,
@@ -1680,6 +1681,26 @@ def oracle_sql() -> dict[str, str]:
         # single joined gram, empty text → empty set (pair of empties → 1.0)
         # full MinHash LSH in SQL — see _minhash_md5_sql
         "minhash_pairs_md5_doubled": _minhash_md5_sql(),
+        # incremental near-dedup: the SAME md5-minhash candidate chain,
+        # split by the incremental_dedup 50% doc_id-hash snapshot rule;
+        # keep only mixed (old, new) band pairs — the engine's old×new
+        # rectangle sweep equals the full self-join filtered to mixed
+        "near_dedup_incremental": _minhash_md5_sql(final_sql=r"""
+            , o AS (SELECT doc_id,
+                      cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)),
+                            1, 8)) AS UBIGINT)
+                        < cast(4294967296 * 50 // 100 AS UBIGINT) AS is_old
+                    FROM dd)
+            SELECT CASE WHEN oa.is_old THEN e.id_b ELSE e.id_a END
+                     AS new_id,
+                   CASE WHEN oa.is_old THEN e.id_a ELSE e.id_b END
+                     AS old_id,
+                   CAST(k AS DOUBLE) / 16.0 AS est_jaccard
+            FROM eq e JOIN o oa ON oa.doc_id = e.id_a
+                      JOIN o ob ON ob.doc_id = e.id_b
+            WHERE oa.is_old <> ob.is_old
+              AND CAST(k AS DOUBLE) / 16.0 >= 0.5
+            ORDER BY new_id, old_id"""),
         "edit_verified_pairs_doubled": _edit_verified_sql(),
         "ngram_jaccard_adjacent": r"""
             WITH words AS (

@@ -395,6 +395,27 @@ def incremental_dedup_docs(sf_dir: str):
         "doc_id": pa.int64(), "digest": pa.string()})
 
 
+def near_dedup_incremental_docs(sf_dir: str):
+    """Incremental NEAR-dedup of a new shard against an existing snapshot
+    — the MinHash sibling of incremental_dedup (same deterministic 50%
+    doc_id-hash snapshot rule, same doubled corpus so clone pairs
+    straddle the boundary), completing the incremental dimension of the
+    dedup ladder at near-dup grain. Returns every (new_id, old_id,
+    est_jaccard) mixed pair sharing an LSH band with est >= 0.5, via the
+    value-exact md5-minhash arithmetic (stages/dedup.minhash_pairs_md5
+    conventions); the bucket walk sweeps only the old×new rectangle, so
+    snapshot-internal pairs are never enumerated."""
+
+    def old_pred(ids: np.ndarray) -> np.ndarray:
+        return np.array([_hash_keep(int(i), 50) for i in ids], bool)
+
+    out = dedup.minhash_pairs_md5_incremental(
+        _doubled_docs(sf_dir), old_pred,
+        n_coarse=_docs_coarse_hint(sf_dir, 2))
+    return out if isinstance(out, pa.Table) \
+        else out.sort(["new_id", "old_id"])
+
+
 MG_CAPACITY = 2000     # Misra-Gries summary size per batch
 MG_CANDIDATES = 400    # candidate pool carried into the exact pass
 

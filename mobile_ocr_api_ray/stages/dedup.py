@@ -730,6 +730,128 @@ def minhash_pairs_md5(ds, id_col: str = "doc_id", text_col: str = "text",
     return _dedup_pairs_coarse(pairs, "est_jaccard", pa.float64())
 
 
+def _cross_chunks(m: int, n: int, pair_chunk: int):
+    """Yield (a_i, b_i) index slabs covering the full m×n cross product
+    with ≤ ~pair_chunk elements per slab — the rectangular sibling of
+    _triu_chunks for old×new candidate sweeps."""
+    if m == 0 or n == 0:
+        return
+    rows_per = max(1, pair_chunk // n)
+    cols = np.arange(n)
+    for i in range(0, m, rows_per):
+        rows = np.arange(i, min(i + rows_per, m))
+        yield np.repeat(rows, n), np.tile(cols, len(rows))
+
+
+def minhash_pairs_md5_incremental(ds, old_pred,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  threshold: float = 0.5,
+                                  n_coarse: int | None = None):
+    """INCREMENTAL near-dedup: candidate pairs between a NEW shard and an
+    existing SNAPSHOT only — the steady-state production shape (each crawl
+    near-dedups against everything already ingested; incremental_dedup is
+    the exact-digest sibling, this is the MinHash one). ``old_pred`` maps
+    an int64 id array to a bool snapshot-membership array (a pure function
+    of the key, reproducible in SQL). Returns (new_id, old_id,
+    est_jaccard) for every mixed pair sharing an LSH band with estimated
+    Jaccard ≥ threshold — identical arithmetic to minhash_pairs_md5
+    (md5-hash32 shingles, 16 affine perms mod 2^31-1, 8×2 banding,
+    est = eq_count/16), so the same SQL oracle chain applies with an
+    is_old split on the band self-join.
+
+    Scale shape: same band exchange as minhash_pairs_md5, but the bucket
+    walk sweeps the OLD×NEW rectangle instead of the full triangle — a
+    bucket dominated by snapshot rows (the common case: the snapshot is
+    the LARGER side at 100 TB) costs old·new, never old², and snapshot-
+    internal pairs are never enumerated at all. Bounded slabs via
+    _cross_chunks. The snapshot side is never broadcast — both sides ride
+    the same coarse band shuffle and meet in-partition."""
+    nc = n_coarse or N_COARSE
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        t = md5_minhash_batch(batch, id_col, text_col)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "is_old": pa.array([], pa.bool_()),
+                "band_id": pa.array([], pa.int32()),
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
+                "signature": pa.array([], pa.list_(pa.int64())),
+                "coarse": pa.array([], pa.int32())})
+        S = np.vstack(t["signature"].to_pylist()).astype(np.int64)
+        ids = t[id_col].to_numpy()
+        old = np.asarray(old_pred(ids), bool)
+        rid = np.repeat(ids, MD5MH_BANDS)
+        rold = np.repeat(old, MD5MH_BANDS)
+        band = np.tile(np.arange(MD5MH_BANDS, dtype=np.int32), n)
+        h1 = S[:, 0::2].reshape(-1)
+        h2 = S[:, 1::2].reshape(-1)
+        sig_rep = [s for s in t["signature"].to_pylist()
+                   for _ in range(MD5MH_BANDS)]
+        coarse = ((h1 * 1000003 + h2 + band) % nc).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(rid, pa.int64()),
+            "is_old": pa.array(rold),
+            "band_id": pa.array(band, pa.int32()),
+            "h1": pa.array(h1, pa.int64()),
+            "h2": pa.array(h2, pa.int64()),
+            "signature": pa.array(sig_rep, pa.list_(pa.int64())),
+            "coarse": pa.array(coarse)})
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        new_id, old_id, est = [], [], []
+        if len(df):
+            code = (df.groupby(["band_id", "h1", "h2"], sort=False)
+                    .ngroup().to_numpy())
+            order = np.argsort(code, kind="stable")
+            code = code[order]
+            ids = df[id_col].to_numpy()[order]
+            olds = df["is_old"].to_numpy()[order]
+            payload = df["signature"].to_numpy()[order]
+            bounds = np.searchsorted(code, np.arange(code[-1] + 2))
+            for g in range(len(bounds) - 1):
+                s, e = bounds[g], bounds[g + 1]
+                if e - s < 2:
+                    continue
+                om = olds[s:e]
+                if om.all() or not om.any():
+                    continue
+                oi = np.where(om)[0] + s
+                ni = np.where(~om)[0] + s
+                So = np.vstack(payload[oi])
+                Sn = np.vstack(payload[ni])
+                for a_i, b_i in _cross_chunks(len(oi), len(ni), 1 << 22):
+                    ev = (So[a_i] == Sn[b_i]).sum(axis=1) \
+                        / float(MD5MH_PERM)
+                    ok = ev >= threshold
+                    old_id.extend(ids[oi[a_i[ok]]].tolist())
+                    new_id.extend(ids[ni[b_i[ok]]].tolist())
+                    est.extend(ev[ok].tolist())
+        out = pd.DataFrame({"id_a": pd.array(new_id, "int64"),
+                            "id_b": pd.array(old_id, "int64"),
+                            "est_jaccard": pd.array(est, "float64")})
+        out = out.drop_duplicates(["id_a", "id_b"])
+        out["pcoarse"] = ((out["id_a"] * 1000003 + out["id_b"]) % nc) \
+            .astype("int32")
+        return out
+
+    pairs = (ds.map_batches(band_rows, batch_format="pyarrow")
+             .groupby("coarse").map_groups(cross_pairs,
+                                           batch_format="pandas"))
+    out = _dedup_pairs_coarse(pairs, "est_jaccard", pa.float64())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"new_id": batch["id_a"], "old_id": batch["id_b"],
+                         "est_jaccard": batch["est_jaccard"]})
+
+    if isinstance(out, pa.Table):
+        return out.rename_columns(["new_id", "old_id", "est_jaccard"])
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- SimHash
 
 def _token_hash64(token: str) -> int:

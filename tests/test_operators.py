@@ -3058,3 +3058,76 @@ class TestMinhashMd5Exact:
                 base = out
             else:
                 assert base.equals(out)
+
+
+class TestIncrementalNearDedup:
+    def _mk(self, ids, texts):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_mixed_pairs_only(self, ray_session):
+        """Clones straddling the snapshot boundary appear as (new, old)
+        pairs; clone pairs INSIDE one side never do."""
+        texts = [f"document body number {i} alpha beta gamma delta" for i
+                 in range(8)]
+        # ids 0..7 old, 100..107 new; 200..207 also old (clone of 0..7)
+        ds = self._mk(list(range(8)) + [100 + i for i in range(8)]
+                      + [200 + i for i in range(8)], texts * 3)
+        out = dedup.minhash_pairs_md5_incremental(
+            ds, old_pred=lambda ids: (np.asarray(ids) < 100)
+            | (np.asarray(ids) >= 200)).to_pandas()
+        got = {(n, o) for n, o in zip(out.new_id, out.old_id)}
+        # each new clone pairs with BOTH old copies
+        assert {(100 + i, i) for i in range(8)} <= got
+        assert {(100 + i, 200 + i) for i in range(8)} <= got
+        # no old-old (0,200) or new-new pairs, and orientation is new→old
+        assert all(n >= 100 and n < 200 and (o < 100 or o >= 200)
+                   for n, o in got)
+        # exact clone pairs estimate 1.0; near-misses (texts differing in
+        # one token) clear the 0.5 gate but never reach 1.0
+        clone = (out.new_id % 100) == (out.old_id % 100)
+        assert (out.est_jaccard[clone] == 1.0).all()
+        assert (out.est_jaccard >= 0.5).all()
+
+    def test_differential_vs_full_pairs(self, ray_session):
+        """Incremental output == full minhash_pairs_md5 filtered to mixed
+        pairs (same est values, orientation flipped to new→old)."""
+        texts = [f"shared boilerplate words {i % 3} tail token {i}"
+                 for i in range(24)]
+        ids = list(range(24))
+        ds = self._mk(ids, texts)
+        old = lambda a: np.asarray(a) % 2 == 0
+        inc = dedup.minhash_pairs_md5_incremental(
+            ds, old_pred=old, n_coarse=16).to_pandas()
+        full = dedup.minhash_pairs_md5(ds, n_coarse=16).to_pandas()
+        mixed = full[(full.id_a % 2) != (full.id_b % 2)]
+        want = {((b if a % 2 == 0 else a), (a if a % 2 == 0 else b),
+                 e) for a, b, e in zip(mixed.id_a, mixed.id_b,
+                                       mixed.est_jaccard)}
+        got = set(zip(inc.new_id, inc.old_id, inc.est_jaccard))
+        assert got == want
+        assert len(inc) == len(mixed)
+
+    def test_cross_chunks_cover_exactly(self):
+        for m, n, chunk in ((0, 5, 4), (5, 0, 4), (3, 4, 5), (7, 7, 3),
+                            (1, 9, 100), (6, 2, 1)):
+            seen = set()
+            for a_i, b_i in dedup._cross_chunks(m, n, chunk):
+                assert len(a_i) <= max(chunk, n)
+                seen |= set(zip(a_i.tolist(), b_i.tolist()))
+            assert seen == {(i, j) for i in range(m) for j in range(n)}
+
+    def test_query_gate(self, ray_session):
+        import __ray_entry__ as e
+        df = e.queries()["near_dedup_incremental"](
+            "/root/testdata/sf0.001").to_pandas()
+        assert len(df) > 0
+        from mobile_ocr_api_ray.pipelines.analysis import _hash_keep
+        # orientation invariant: every new_id is outside the snapshot,
+        # every old_id inside
+        assert not any(_hash_keep(i, 50) for i in df.new_id)
+        assert all(_hash_keep(i, 50) for i in df.old_id)
+        assert (df.est_jaccard >= 0.5).all()
+        assert ((df.est_jaccard * 16) % 1 == 0).all()
