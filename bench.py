@@ -195,6 +195,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: a.image_dhash_dups(sf_dir).to_pandas())
     timed("html_markup_stats",
           lambda: a.html_markup_stats(sf_dir).to_pandas())
+    timed("host_boilerplate_pages",
+          lambda: _pd(a.host_boilerplate_pages(sf_dir)))
     timed("dup_window_stats", lambda: _pd(a.dup_window_stats_docs(sf_dir)))
     timed("window_dedup_docs", lambda: _pd(a.window_dedup_docs(sf_dir)))
     timed("cross_corpus_overlap",
@@ -206,6 +208,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("source_overlap_matrix", lambda: _pd(a.source_overlap_matrix(sf_dir)))
     timed("heavy_hitter_words", lambda: a.heavy_hitter_words(sf_dir).to_pandas())
     timed("incremental_dedup", lambda: _pd(a.incremental_dedup_docs(sf_dir)))
+    timed("near_dedup_incremental",
+          lambda: _pd(a.near_dedup_incremental_docs(sf_dir)))
     timed("mixed_sample_docs", lambda: a.mixed_sample_docs(sf_dir).to_pandas())
     timed("temperature_mixed_docs",
           lambda: a.temperature_mixed_docs(sf_dir).to_pandas())
