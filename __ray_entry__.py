@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": a.exact_dedup_docs,
         "exact_dedup_kept": a.exact_dedup_kept,
         "exact_dedup_doubled": a.exact_dedup_doubled,
+        "soft_dedup_weights_doubled": a.soft_dedup_weights_doubled,
+        "shuffle_order_docs": a.shuffle_order_docs,
+        "length_fit_docs": a.length_fit_docs,
         "line_dedup_docs": a.line_dedup_docs,
         "sentence_dedup_docs": a.sentence_dedup_docs,
         "exact_substr_dedup_docs": a.exact_substr_dedup_docs,
@@ -1676,6 +1679,63 @@ def oracle_sql() -> dict[str, str]:
                        UNION ALL SELECT doc_id + 1000000, text FROM documents)
             SELECT md5(coalesce(text, '')) AS digest, min(doc_id) AS rep_id, count(*) AS dup_count
             FROM d GROUP BY 1 ORDER BY 1""",
+        # SoftDeDup reweighting: per-row 1e6 // md5-cluster-size in exact
+        # integer micro-units — DuckDB's // is the same floor division
+        "soft_dedup_weights_doubled": r"""
+            WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS digest
+                       FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, md5(coalesce(text, ''))
+                       FROM documents),
+            c AS (SELECT digest, cast(count(*) AS BIGINT) AS cluster_size
+                  FROM d GROUP BY digest)
+            SELECT d.doc_id, d.digest, c.cluster_size,
+                   cast(1000000 // c.cluster_size AS BIGINT) AS weight_micro
+            FROM d JOIN c USING (digest) ORDER BY d.doc_id""",
+        # deterministic seeded global shuffle: rank = row_number over the
+        # identical (md5('s0:'||id), id) lexicographic order the engine's
+        # bucketed prefix-sum produces without a global sort
+        "shuffle_order_docs": r"""
+            SELECT doc_id,
+                   md5('s0:' || cast(doc_id AS VARCHAR)) AS shuffle_hash,
+                   cast(row_number() OVER (
+                        ORDER BY md5('s0:' || cast(doc_id AS VARCHAR)),
+                                 doc_id) - 1 AS BIGINT) AS shuffle_rank,
+                   cast((row_number() OVER (
+                        ORDER BY md5('s0:' || cast(doc_id AS VARCHAR)),
+                                 doc_id) - 1) % 8 AS BIGINT) AS shard
+            FROM documents ORDER BY doc_id""",
+        # exact integer normal equations: BIGINT sums of x=\S+ tokens,
+        # y=char length; Cramer numerators/denominator in BIGINT; floats
+        # from the same cast-then-divide order as the engine
+        "length_fit_docs": r"""
+            WITH f AS (
+              SELECT cast(len(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\s+'),
+                       t -> t <> '')) AS BIGINT) AS x,
+                     cast(length(coalesce(text, '')) AS BIGINT) AS y
+              FROM documents),
+            s AS (SELECT cast(count(*) AS BIGINT) AS n_docs,
+                         cast(coalesce(sum(x), 0) AS BIGINT) AS sum_x,
+                         cast(coalesce(sum(y), 0) AS BIGINT) AS sum_y,
+                         cast(coalesce(sum(x * x), 0) AS BIGINT) AS sum_xx,
+                         cast(coalesce(sum(x * y), 0) AS BIGINT) AS sum_xy
+                  FROM f)
+            SELECT n_docs, sum_x, sum_y, sum_xx, sum_xy,
+                   cast(n_docs * sum_xx - sum_x * sum_x AS BIGINT) AS den,
+                   cast(n_docs * sum_xy - sum_x * sum_y AS BIGINT)
+                     AS slope_num,
+                   cast(sum_y * sum_xx - sum_x * sum_xy AS BIGINT)
+                     AS intercept_num,
+                   CASE WHEN n_docs * sum_xx - sum_x * sum_x = 0 THEN 0.0
+                        ELSE cast(n_docs * sum_xy - sum_x * sum_y AS DOUBLE)
+                             / cast(n_docs * sum_xx - sum_x * sum_x
+                                    AS DOUBLE) END AS slope,
+                   CASE WHEN n_docs * sum_xx - sum_x * sum_x = 0 THEN 0.0
+                        ELSE cast(sum_y * sum_xx - sum_x * sum_xy AS DOUBLE)
+                             / cast(n_docs * sum_xx - sum_x * sum_x
+                                    AS DOUBLE) END AS intercept
+            FROM s""",
         # exact word-3-gram Jaccard between adjacent doc_ids; gram semantics
         # mirror dedup.ngram_set: lowercase, whitespace split, <3 words →
         # single joined gram, empty text → empty set (pair of empties → 1.0)

@@ -208,6 +208,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("source_overlap_matrix", lambda: _pd(a.source_overlap_matrix(sf_dir)))
     timed("heavy_hitter_words", lambda: a.heavy_hitter_words(sf_dir).to_pandas())
     timed("incremental_dedup", lambda: _pd(a.incremental_dedup_docs(sf_dir)))
+    timed("soft_dedup_weights_doubled",
+          lambda: _pd(a.soft_dedup_weights_doubled(sf_dir)))
+    timed("shuffle_order_docs", lambda: _pd(a.shuffle_order_docs(sf_dir)))
+    timed("length_fit_docs", lambda: _pd(a.length_fit_docs(sf_dir)))
     timed("near_dedup_incremental",
           lambda: _pd(a.near_dedup_incremental_docs(sf_dir)))
     timed("mixed_sample_docs", lambda: a.mixed_sample_docs(sf_dir).to_pandas())

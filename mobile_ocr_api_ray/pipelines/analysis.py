@@ -1223,6 +1223,37 @@ def exact_dedup_doubled(sf_dir: str):
     return dedup.exact_dedup_stats(_doubled_docs(sf_dir)).sort("digest")
 
 
+def soft_dedup_weights_doubled(sf_dir: str):
+    """SoftDeDup duplication reweighting (stages/dedup.soft_dedup_weights)
+    over the doubled corpus — every text has ≥2 copies, so every row's
+    weight is a real reduction (1_000_000 // cluster_size micro-units).
+    One coarse digest-prefix exchange of (id, digest) rows; value-exact
+    vs the SQL count-per-md5-group + integer division."""
+    return dedup.soft_dedup_weights(
+        _doubled_docs(sf_dir),
+        n_coarse=_docs_coarse_hint(sf_dir, 2)).sort("doc_id")
+
+
+def shuffle_order_docs(sf_dir: str):
+    """Deterministic seeded global training-order shuffle
+    (stages/text_analysis.global_shuffle_order): rank = position of
+    (md5('s0:' || doc_id), doc_id) in corpus order, shard = rank % 8.
+    Hash-first-byte range partitioning + a ≤256-row driver prefix sum —
+    NO global sort, and the text column never moves. Value-exact vs
+    row_number() over the same md5 ordering in SQL."""
+    return text_analysis.global_shuffle_order(
+        _docs(sf_dir, ["doc_id"])).sort("doc_id")
+
+
+def length_fit_docs(sf_dir: str):
+    """On-engine exact least-squares fit of n_chars on n_ws_tokens
+    (stages/text_analysis.length_fit): five int64 partial sums per batch,
+    one distributed Sum, Cramer closed form on the driver — partials are
+    exact integers so the fit is partition-invariant and value-exact
+    (BIGINT sums + identical cast/divide order for the float slope)."""
+    return text_analysis.length_fit(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def minhash_pairs_doubled(sf_dir: str):
     return dedup.minhash_dedup_pairs(
         _doubled_docs(sf_dir), threshold=0.7,

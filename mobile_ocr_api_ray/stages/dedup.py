@@ -116,6 +116,55 @@ def exact_dup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return _typed_empty_union(pairs, {"id_a": pa.int64(), "id_b": pa.int64()})
 
 
+def soft_dedup_weights(ds, id_col: str = "doc_id", text_col: str = "text",
+                       n_coarse: int | None = None):
+    """SoftDeDup-style duplication REWEIGHTING (He et al. 2024,
+    arXiv:2407.06654): instead of dropping duplicates, every row keeps a
+    training-sampling weight inversely proportional to its content's
+    duplication count — ``weight_micro = 1_000_000 // cluster_size`` in
+    exact integer micro-units (the engine-wide order-independent
+    fixed-point convention). A 3-copy document trains at ~1/3 rate, unique
+    text at full rate; corpus COVERAGE is preserved, which the hard-drop
+    policies (exact_dedup / near_dedup_kept) lose. Extends the reference's
+    digest-dedup policy (app2.py result cache, SURVEY §2.7 D1) from
+    drop-duplicates to weight-duplicates.
+
+    Same coarse digest-prefix exchange as exact_dedup — the shuffled rows
+    are (id, 32-char digest) only, text never moves — and cluster sizes
+    resolve vectorized per coarse partition (sort by digest, group sizes
+    from boundary diff, np.repeat broadcast; no per-digest dispatch).
+    Value-exact in SQL: count(*) over md5(text) groups + the same integer
+    division. → (id, digest, cluster_size, weight_micro) per input row."""
+    nc = n_coarse or N_COARSE
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        t = add_md5_digest(batch, text_col).select([id_col, "digest"])
+        coarse = str_hash.crc32_of_strings(t["digest"]) % nc
+        return t.append_column(
+            "coarse", pa.array(coarse.astype(np.int32), pa.int32()))
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["digest", id_col]).reset_index(drop=True)
+        dig = d["digest"].to_numpy()
+        new = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new[1:] = dig[1:] != dig[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, len(d)))
+        per_row = np.repeat(sizes.astype(np.int64), sizes)
+        return pd.DataFrame({
+            id_col: pd.array(d[id_col].to_numpy(), "int64"),
+            "digest": d["digest"],
+            "cluster_size": pd.array(per_row, "int64"),
+            "weight_micro": pd.array(1_000_000 // per_row, "int64")})
+
+    out = (ds.map_batches(add_keys, batch_format="pyarrow")
+           .groupby("coarse").map_groups(weigh, batch_format="pandas"))
+    return _typed_empty_union(out, {
+        id_col: pa.int64(), "digest": pa.string(),
+        "cluster_size": pa.int64(), "weight_micro": pa.int64()})
+
+
 def canonical_quality_keep(ds, id_col: str = "doc_id",
                            text_col: str = "text", n_coarse: int = 64):
     """Normalization-aware exact dedup keeping the highest-QUALITY member

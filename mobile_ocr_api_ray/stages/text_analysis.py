@@ -348,6 +348,128 @@ def pack_sequences(ds, budget: int = SEQ_BUDGET, id_col: str = "doc_id",
     return nonempty_or_typed_table(out, out_schema)
 
 
+def global_shuffle_order(ds, id_col: str = "doc_id", seed: str = "s0",
+                         n_shards: int = 8, n_buckets: int = 256):
+    """Deterministic seeded GLOBAL training-order shuffle — the
+    reproducible alternative to ``ds.random_shuffle()`` a training
+    pipeline needs when a run must be resumable/replayable: every row's
+    position is a pure function of (seed, id), so two runs (or a resumed
+    run) emit the identical order with no RNG state to checkpoint.
+
+    rank(row) = position of (md5(seed || ':' || id), id) in lexicographic
+    order over the corpus; shard = rank % n_shards interleaves the
+    shuffled order round-robin across output shards (every shard is an
+    unbiased sample of the corpus, in shuffled order).
+
+    NO global sort: the hash's first byte is already uniform, so it
+    range-partitions the order — per-bucket counts form a ≤ ``n_buckets``
+    driver table whose exclusive prefix sum gives each bucket's base
+    rank (the pack_sequences convention); one bucket-keyed map_groups
+    sorts each bucket internally and adds the base. Exchange = (id,
+    32-char hash) per row; the payload never moves — the caller joins
+    ranks back or feeds (id → shard) straight to a partitioned writer.
+    Value-exact in SQL: row_number() over the same md5 ordering."""
+    import hashlib
+
+    import pandas as pd
+
+    pre = f"{seed}:"
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = [hashlib.md5((pre + str(i)).encode()).hexdigest() for i in ids]
+        bucket = np.array([int(x[:2], 16) for x in h],
+                          dtype=np.int64) % n_buckets
+        return pa.table({id_col: batch[id_col],
+                         "shuffle_hash": pa.array(h, pa.string()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    out_schema = {id_col: pa.int64(), "shuffle_hash": pa.string(),
+                  "shuffle_rank": pa.int64(), "shard": pa.int64()}
+    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
+    if proj.count() == 0:
+        return pa.table({n: pa.array([], t) for n, t in out_schema.items()})
+
+    counts = proj.groupby("bucket").count().to_pandas()
+    counts = counts.sort_values("bucket")
+    base = counts["count()"].astype(np.int64).cumsum().shift(fill_value=0)
+    base_map = dict(zip(counts["bucket"].astype(np.int64),
+                        base.astype(np.int64)))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["shuffle_hash", id_col], kind="mergesort")
+        rank = base_map[int(d["bucket"].iloc[0])] \
+            + np.arange(len(d), dtype=np.int64)
+        return pd.DataFrame({
+            id_col: d[id_col].to_numpy(),
+            "shuffle_hash": d["shuffle_hash"].to_numpy(),
+            "shuffle_rank": rank,
+            "shard": rank % n_shards})
+
+    from .dedup import nonempty_or_typed_table
+
+    out = proj.groupby("bucket").map_groups(assign, batch_format="pandas")
+    return nonempty_or_typed_table(out, out_schema)
+
+
+def length_fit(ds, text_col: str = "text"):
+    """On-engine EXACT simple linear regression (distributed normal
+    equations): fit chars ≈ slope · ws_tokens + intercept over the whole
+    corpus in one streaming pass. Each batch contributes five int64
+    partial sums (n, Σx, Σy, Σx², Σxy) — integer addition is exact and
+    order-independent, so the distributed Sum aggregation is
+    partition-invariant, unlike float SGD (the structural reason
+    nb_source_predictions is rows-only while this fit is value-exact).
+    Cramer closed form on the driver over the five scalars:
+    den = nΣx²-(Σx)², slope_num = nΣxy-ΣxΣy,
+    intercept_num = ΣyΣx²-ΣxΣxy — emitted as exact BIGINTs plus the
+    float quotients (cast num → double, cast den → double, divide: the
+    identical literal operation order as the SQL oracle, so the doubles
+    match bit-for-bit). Magnitudes: safe in int64 through ~1e6 docs ×
+    1e4 tokens; a 100-TB corpus promotes the partials to the int128 /
+    Python-int path (DuckDB side is already HUGEINT-capable).
+
+    → one row: (n_docs, sum_x, sum_y, sum_xx, sum_xy, den, slope_num,
+    intercept_num, slope, intercept)."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col], "")
+        x = pc.cast(_count(t, _WS_TOKEN_RE), pa.int64()).to_numpy()
+        y = pc.utf8_length(t).cast(pa.int64()).to_numpy()
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64())})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("sxy", alias_name="sxy")))
+    n = int(agg["n"] or 0)
+    sx, sy = int(agg["sx"] or 0), int(agg["sy"] or 0)
+    sxx, sxy = int(agg["sxx"] or 0), int(agg["sxy"] or 0)
+    den = n * sxx - sx * sx
+    slope_num = n * sxy - sx * sy
+    intercept_num = sy * sxx - sx * sxy
+    slope = 0.0 if den == 0 else float(slope_num) / float(den)
+    intercept = 0.0 if den == 0 else float(intercept_num) / float(den)
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "sum_x": pa.array([sx], pa.int64()),
+        "sum_y": pa.array([sy], pa.int64()),
+        "sum_xx": pa.array([sxx], pa.int64()),
+        "sum_xy": pa.array([sxy], pa.int64()),
+        "den": pa.array([den], pa.int64()),
+        "slope_num": pa.array([slope_num], pa.int64()),
+        "intercept_num": pa.array([intercept_num], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([intercept], pa.float64())})
+
+
 # --------------------------------------------------- Gopher quality flags
 
 GOPHER_MIN_WORDS = 25

@@ -3131,3 +3131,126 @@ class TestIncrementalNearDedup:
         assert all(_hash_keep(i, 50) for i in df.old_id)
         assert (df.est_jaccard >= 0.5).all()
         assert ((df.est_jaccard * 16) % 1 == 0).all()
+
+
+class TestSoftDedupWeights:
+    def _mk(self, ids, texts):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_weights_match_cluster_sizes(self, ray_session):
+        """3 copies of A → 333333 micro-units each; singleton → 1000000;
+        every input row survives with its id."""
+        ds = self._mk([1, 2, 3, 4, 5],
+                      ["aaa", "aaa", "aaa", "bbb", "ccc"])
+        df = (dedup.soft_dedup_weights(ds).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        assert df.doc_id.tolist() == [1, 2, 3, 4, 5]
+        assert df.cluster_size.tolist() == [3, 3, 3, 1, 1]
+        assert df.weight_micro.tolist() == [333333] * 3 + [1000000] * 2
+
+    def test_agrees_with_exact_dedup_stats(self, ray_session):
+        """cluster_size per digest equals exact_dedup_stats' dup_count —
+        the weight table is that rollup broadcast back to rows."""
+        texts = [f"t{i % 4}" for i in range(12)]
+        ds = self._mk(list(range(12)), texts)
+        w = dedup.soft_dedup_weights(ds).to_pandas()
+        s = dedup.exact_dedup_stats(ds).to_pandas()
+        per_digest = w.groupby("digest").cluster_size.first()
+        expect = s.set_index("digest").dup_count
+        assert per_digest.sort_index().tolist() == \
+            expect.sort_index().tolist()
+        # weights partition the unit mass up to floor rounding
+        assert (w.weight_micro * w.cluster_size <= 1_000_000).all()
+        assert (w.weight_micro * (w.cluster_size + 1) > 1_000_000).all()
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"doc {i % 5} body" for i in range(20)]
+        a = (dedup.soft_dedup_weights(
+                self._mk(list(range(20)), texts)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (dedup.soft_dedup_weights(
+                self._mk(list(range(20)), texts).repartition(7))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)
+
+
+class TestGlobalShuffleOrder:
+    def _mk(self, n):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64())}))
+
+    def test_rank_is_md5_order_permutation(self, ray_session):
+        """Ranks are exactly 0..n-1 and agree with a local recompute of
+        the (md5('s0:'||id), id) lexicographic order."""
+        import hashlib
+        n = 100
+        df = (text_analysis.global_shuffle_order(self._mk(n)).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        assert sorted(df.shuffle_rank.tolist()) == list(range(n))
+        expect = sorted(range(n), key=lambda i: (
+            hashlib.md5(f"s0:{i}".encode()).hexdigest(), i))
+        got = df.set_index("doc_id").shuffle_rank
+        assert [got[i] for i in expect] == list(range(n))
+        assert (df.shard == df.shuffle_rank % 8).all()
+
+    def test_seed_changes_order_and_partition_invariance(self, ray_session):
+        a = (text_analysis.global_shuffle_order(self._mk(64))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (text_analysis.global_shuffle_order(self._mk(64).repartition(5))
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)
+        c = (text_analysis.global_shuffle_order(self._mk(64), seed="s1")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert c.shuffle_rank.tolist() != a.shuffle_rank.tolist()
+        assert sorted(c.shuffle_rank.tolist()) == list(range(64))
+
+    def test_shards_are_balanced(self, ray_session):
+        """Round-robin over the shuffled order ⇒ shard sizes differ by
+        at most 1 (an unbiased corpus sample per shard)."""
+        df = text_analysis.global_shuffle_order(
+            self._mk(50), n_shards=4).to_pandas()
+        sizes = df.groupby("shard").size()
+        assert sizes.max() - sizes.min() <= 1
+
+
+class TestLengthFit:
+    def _mk(self, texts):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_exact_closed_form(self, ray_session):
+        texts = ["a bb ccc", "dddd ee", "f", "", "gg hh ii jj"]
+        t = text_analysis.length_fit(self._mk(texts)).to_pandas().iloc[0]
+        xs = [len([w for w in s.split() if w]) for s in texts]
+        ys = [len(s) for s in texts]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        assert (t.n_docs, t.sum_x, t.sum_y, t.sum_xx, t.sum_xy) == \
+            (n, sx, sy, sxx, sxy)
+        den = n * sxx - sx * sx
+        assert t.den == den
+        assert t.slope_num == n * sxy - sx * sy
+        assert t.intercept_num == sy * sxx - sx * sxy
+        assert t.slope == float(n * sxy - sx * sy) / float(den)
+        # residuals of the exact fit are orthogonal to x (normal equation):
+        # n*sxy - sx*sy == slope_num exactly by construction
+        assert t.intercept == float(sy * sxx - sx * sxy) / float(den)
+
+    def test_partition_invariance_and_degenerate(self, ray_session):
+        texts = [f"word {'x ' * (i % 7)}tail" for i in range(40)]
+        a = text_analysis.length_fit(self._mk(texts)).to_pandas()
+        b = text_analysis.length_fit(
+            self._mk(texts).repartition(9)).to_pandas()
+        assert a.equals(b)
+        # constant x (den == 0) → documented 0.0 fallback, no crash
+        d = text_analysis.length_fit(
+            self._mk(["aa bb", "cc dd", "ee ff"])).to_pandas().iloc[0]
+        assert d.den == 0 and d.slope == 0.0 and d.intercept == 0.0
