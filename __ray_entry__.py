@@ -137,8 +137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_kept": a.exact_dedup_kept,
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "soft_dedup_weights_doubled": a.soft_dedup_weights_doubled,
+        "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,
+        "source_epoch_plan": a.source_epoch_plan,
         "line_dedup_docs": a.line_dedup_docs,
         "sentence_dedup_docs": a.sentence_dedup_docs,
         "exact_substr_dedup_docs": a.exact_substr_dedup_docs,
@@ -1692,6 +1694,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.digest, c.cluster_size,
                    cast(1000000 // c.cluster_size AS BIGINT) AS weight_micro
             FROM d JOIN c USING (digest) ORDER BY d.doc_id""",
+        # SoftDeDup sampling: the weight table filtered by the shared
+        # deterministic Bernoulli rule (keep ⇔ hash·1e6 < weight·2^32)
+        "soft_dedup_sampled_docs": r"""
+            WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS digest
+                       FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, md5(coalesce(text, ''))
+                       FROM documents),
+            c AS (SELECT digest, cast(count(*) AS BIGINT) AS cluster_size
+                  FROM d GROUP BY digest),
+            w AS (SELECT d.doc_id, c.cluster_size,
+                         cast(1000000 // c.cluster_size AS BIGINT)
+                           AS weight_micro
+                  FROM d JOIN c USING (digest))
+            SELECT doc_id, cluster_size, weight_micro FROM w
+            WHERE cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)),
+                       1, 8)) AS UBIGINT) * 1000000
+                  < cast(weight_micro AS UBIGINT) * 4294967296
+            ORDER BY doc_id""",
+        # LLaMA-recipe epoch plan: per-source inventory + proportional
+        # integer budget allocation; all divisions floor so values are
+        # exact
+        "source_epoch_plan": r"""
+            WITH s AS (
+              SELECT source,
+                     cast(count(*) AS BIGINT) AS n_docs,
+                     cast(coalesce(sum(len(regexp_extract_all(
+                       coalesce(text, ''), '\S+'))), 0) AS BIGINT)
+                       AS n_tokens,
+                     cast(1 + cast(substring(source, 4) AS BIGINT) % 4
+                          AS BIGINT) AS rel_weight
+              FROM documents GROUP BY source),
+            t AS (SELECT cast(sum(rel_weight) AS BIGINT) AS total_rel
+                  FROM s),
+            p AS (SELECT s.*,
+                         cast(1000000 * s.rel_weight // t.total_rel
+                              AS BIGINT) AS target_tokens
+                  FROM s CROSS JOIN t),
+            e AS (SELECT *,
+                         CASE WHEN n_tokens > 0
+                              THEN cast(target_tokens * 1000000
+                                        // n_tokens AS BIGINT)
+                              ELSE 0 END AS epochs_micro
+                  FROM p)
+            SELECT source, n_docs, n_tokens, rel_weight, target_tokens,
+                   epochs_micro,
+                   cast(n_tokens * epochs_micro // 1000000 AS BIGINT)
+                     AS effective_tokens
+            FROM e ORDER BY source""",
         # deterministic seeded global shuffle: rank = row_number over the
         # identical (md5('s0:'||id), id) lexicographic order the engine's
         # bucketed prefix-sum produces without a global sort

@@ -210,6 +210,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("incremental_dedup", lambda: _pd(a.incremental_dedup_docs(sf_dir)))
     timed("soft_dedup_weights_doubled",
           lambda: _pd(a.soft_dedup_weights_doubled(sf_dir)))
+    timed("soft_dedup_sampled_docs",
+          lambda: _pd(a.soft_dedup_sampled_docs(sf_dir)))
+    timed("source_epoch_plan", lambda: _pd(a.source_epoch_plan(sf_dir)))
     timed("shuffle_order_docs", lambda: _pd(a.shuffle_order_docs(sf_dir)))
     timed("length_fit_docs", lambda: _pd(a.length_fit_docs(sf_dir)))
     timed("near_dedup_incremental",

@@ -1234,6 +1234,79 @@ def soft_dedup_weights_doubled(sf_dir: str):
         n_coarse=_docs_coarse_hint(sf_dir, 2)).sort("doc_id")
 
 
+def soft_dedup_sampled_docs(sf_dir: str):
+    """SoftDeDup sampling — the reweighting APPLIED: keep each row of the
+    doubled corpus with probability weight_micro/1e6 via the engine-wide
+    deterministic Bernoulli rule (keep ⇔ hash32(doc_id)·1e6 <
+    weight_micro·2^32, pure function of the key — integer compare, no
+    float). A 2-copy cluster keeps each member at ~50%, so in
+    expectation one copy's worth of mass survives per cluster while
+    every cluster keeps nonzero coverage. Membership never depends on
+    partitioning; value-exact in SQL with the shared md5-prefix hash."""
+    weights = dedup.soft_dedup_weights(
+        _doubled_docs(sf_dir), n_coarse=_docs_coarse_hint(sf_dir, 2))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = np.array([_hash32(i) for i in batch["doc_id"].to_pylist()],
+                     np.int64)
+        w = batch["weight_micro"].to_numpy().astype(np.int64)
+        mask = h * 1_000_000 < w * (1 << 32)
+        return batch.select(
+            ["doc_id", "cluster_size", "weight_micro"]).filter(
+            pa.array(mask))
+
+    return weights.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+SOURCE_MIX_BUDGET = 1_000_000  # token budget the epoch plan allocates
+
+
+def source_epoch_plan(sf_dir: str):
+    """Mixture/epoch planning table (the LLaMA-recipe 'epochs per source'
+    computation, done on-engine with exact integers): per-source corpus
+    inventory (n_docs, n_tokens) + a deterministic relative weight
+    (1 + source_index % 4), allocated a fixed token budget
+    proportionally — target_tokens = budget·rel_w // Σrel_w,
+    epochs_micro = target·1e6 // n_tokens (how many passes over the
+    source the budget implies, in micro-epochs), effective_tokens =
+    n_tokens·epochs_micro // 1e6. Per-batch (source, count, Σtokens)
+    partials → one bounded source groupby → the ≤|sources| plan computed
+    on the driver; all divisions integer-floor so the plan is
+    partition-invariant and value-exact in SQL."""
+    from ray.data.aggregate import Count, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        return pa.table({
+            "source": batch["source"],
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t, r"\S+"), pa.int64())})
+
+    rows = (_docs(sf_dir, ["doc_id", "text", "source"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"))
+            .to_pandas().sort_values("source").reset_index(drop=True))
+    idx = rows["source"].str.slice(3).astype(int)
+    rel = (1 + idx % 4).astype(np.int64)
+    total_rel = int(rel.sum())
+    target = SOURCE_MIX_BUDGET * rel // total_rel
+    ntok = rows["n_tokens"].astype(np.int64)
+    epochs_micro = np.where(
+        ntok > 0, target * 1_000_000 // np.maximum(ntok, 1), 0)
+    return pa.table({
+        "source": pa.array(rows["source"], pa.string()),
+        "n_docs": pa.array(rows["n_docs"].astype(np.int64), pa.int64()),
+        "n_tokens": pa.array(ntok, pa.int64()),
+        "rel_weight": pa.array(rel, pa.int64()),
+        "target_tokens": pa.array(target.astype(np.int64), pa.int64()),
+        "epochs_micro": pa.array(epochs_micro.astype(np.int64), pa.int64()),
+        "effective_tokens": pa.array(
+            (ntok * epochs_micro // 1_000_000).astype(np.int64),
+            pa.int64())})
+
+
 def shuffle_order_docs(sf_dir: str):
     """Deterministic seeded global training-order shuffle
     (stages/text_analysis.global_shuffle_order): rank = position of

@@ -3254,3 +3254,40 @@ class TestLengthFit:
         d = text_analysis.length_fit(
             self._mk(["aa bb", "cc dd", "ee ff"])).to_pandas().iloc[0]
         assert d.den == 0 and d.slope == 0.0 and d.intercept == 0.0
+
+
+class TestSoftDedupSampling:
+    def test_sampled_is_weight_rule_subset(self, ray_session):
+        """soft_dedup_sampled_docs keeps exactly the weight-table rows
+        passing hash32(id)·1e6 < weight·2^32 — membership recomputed
+        locally from the shared sampling hash."""
+        from mobile_ocr_api_ray.hashing import hash32
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        sf = "/root/testdata/sf0.001"
+        w = a.soft_dedup_weights_doubled(sf).to_pandas()
+        kept = a.soft_dedup_sampled_docs(sf).to_pandas()
+        expect = w[[hash32(i) * 1_000_000 < wm * (1 << 32)
+                    for i, wm in zip(w.doc_id, w.weight_micro)]]
+        assert kept.doc_id.tolist() == sorted(expect.doc_id.tolist())
+        # doubled corpus ⇒ weights ≤ 500000 ⇒ the sample is a strict cut
+        assert 0 < len(kept) < len(w)
+
+
+class TestSourceEpochPlan:
+    def test_plan_arithmetic(self, ray_session):
+        """Exact integer allocation: Σtarget ≤ budget (floor rounding),
+        epochs·n_tokens//1e6 = effective, rel_weight from the source
+        index rule."""
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        df = a.source_epoch_plan("/root/testdata/sf0.001").to_pandas()
+        assert (df.rel_weight ==
+                1 + df.source.str.slice(3).astype(int) % 4).all()
+        total_rel = df.rel_weight.sum()
+        assert (df.target_tokens ==
+                a.SOURCE_MIX_BUDGET * df.rel_weight // total_rel).all()
+        assert df.target_tokens.sum() <= a.SOURCE_MIX_BUDGET
+        assert (df.effective_tokens ==
+                df.n_tokens * df.epochs_micro // 1_000_000).all()
+        assert (df.epochs_micro[df.n_tokens > 0] ==
+                df.target_tokens[df.n_tokens > 0] * 1_000_000
+                // df.n_tokens[df.n_tokens > 0]).all()
