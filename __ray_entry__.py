@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": a.pii_scrub_docs,
         # similarity search (SQL-checked via list_cosine_similarity)
         "ann_brute_topk": a.ann_brute_topk,
+        "hard_negatives": a.hard_negatives,
         "embedding_quantized": a.embedding_quantized,
         "ann_quantized_topk": a.ann_quantized_topk,
         "knn_graph_topk": a.knn_graph_topk,
@@ -3011,6 +3012,24 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN (SELECT * FROM embeddings
                                  WHERE embedding IS NOT NULL) e)
             WHERE rnk <= 10 ORDER BY query_id, rnk""",
+        # contrastive hard negatives: per anchor (vec_id < 8), top-10
+        # cosine among DIFFERENT-label vectors; float score excluded from
+        # the compared columns (ann_brute_topk convention)
+        "hard_negatives": r"""
+            WITH e AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> cast(x AS DOUBLE)) AS v
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            a AS (SELECT * FROM e WHERE vec_id < 8)
+            SELECT anchor_id, rnk AS "rank", vec_id FROM (
+              SELECT a.vec_id AS anchor_id, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.v, e.v) DESC,
+                                e.vec_id) AS rnk
+              FROM a JOIN e ON e.label <> a.label)
+            WHERE rnk <= 10 ORDER BY anchor_id, rnk""",
         # int8 quantization exploded to rows: the floor(x·127/max|x|+0.5)
         # code rule replayed over the same double casts; scale = max/127
         # one division both sides. ann_quantized_topk (the recall probe)

@@ -2167,6 +2167,26 @@ def ann_brute_topk(sf_dir: str):
     return res.map_batches(strip, batch_format="pyarrow").sort(["query_id", "rank"])
 
 
+def hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining over the embeddings table
+    (stages/similarity.hard_negative_topk): for each of the 8 anchor
+    vectors (vec_id < 8), the 10 most-cosine-similar DIFFERENT-label
+    vectors. Anchors broadcast once via ray.put; the corpus streams
+    through one matmul/mask/top-k pass + the bounded global reduce.
+    Compared columns are (anchor_id, rank, vec_id) — the float score is
+    kept out per the ann_brute_topk cross-engine-float convention."""
+    emb = reads.read_small_aware(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"])
+    res = similarity.hard_negative_topk(emb, k=ANN_K)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["anchor_id", "rank", "vec_id"])
+
+    return (res.map_batches(strip, batch_format="pyarrow")
+            .sort(["anchor_id", "rank"]))
+
+
 def mmr_diverse_sample(sf_dir: str, k: int = 16, lam: float = 0.7):
     """MMR diverse selection over the embeddings table against the fixed
     query (stages/similarity.mmr_select): shortlist-then-rerank —

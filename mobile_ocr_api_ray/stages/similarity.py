@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -109,6 +110,91 @@ def brute_topk(ds, queries: np.ndarray, k: int = 10, concurrency: int | None = N
         # upstream stages into deadlock (pipelines/extract.py pool rule)
         concurrency=concurrency or 4, num_cpus=0.5)
     return _global_topk(candidates, k)
+
+
+def hard_negative_topk(ds, k: int = 10, n_anchors: int = 8,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       label_col: str = "label"):
+    """Contrastive hard-negative mining: for each anchor vector, the k
+    most-similar vectors with a DIFFERENT label — the training-pair
+    construction contrastive/retrieval fine-tuning needs (the hardest
+    negatives are the near-misses, not random rows).
+
+    Anchors are the rows with ``id < n_anchors`` — a fixed O(1) set by
+    construction, fetched with a bounded filter and broadcast via
+    ``ray.put`` (one object, read by every task; never re-shipped per
+    batch). Per batch: one matmul against the anchor matrix, same-label
+    columns masked to -inf (self is same-label, so self-exclusion is
+    implied), local top-k per anchor → the bounded ``_global_topk``
+    reduce. Scale shape = brute_topk: the corpus streams, only
+    k·n_anchors candidate rows per batch leave the task. Rows with null
+    embeddings or null labels are excluded on both engine and SQL sides."""
+    import ray
+
+    def anchors_only(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less(batch[id_col], n_anchors),
+                       pc.and_(batch[emb_col].combine_chunks().is_valid()
+                               if isinstance(batch[emb_col], pa.ChunkedArray)
+                               else batch[emb_col].is_valid(),
+                               batch[label_col].is_valid()))
+        return batch.filter(keep).select([id_col, emb_col, label_col])
+
+    import ray.data  # noqa: F401 — to_arrow_refs needs the Dataset API
+
+    at = pa.concat_tables(ray.get(
+        ds.map_batches(anchors_only, batch_format="pyarrow")
+        .to_arrow_refs()))
+    a_ids, a_mat = _batch_matrix(at, id_col, emb_col)
+    a_lab = np.asarray(at[label_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    if len(a_ids) == 0:
+        return ray.data.from_arrow(pa.table({
+            "anchor_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64())}))
+    a_norm = _normalize(a_mat)
+    aref = ray.put((a_ids, a_norm, a_lab))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids_a, mat_a, lab_a = ray.get(aref)
+        valid = pc.and_(batch[emb_col].combine_chunks().is_valid()
+                        if isinstance(batch[emb_col], pa.ChunkedArray)
+                        else batch[emb_col].is_valid(),
+                        batch[label_col].is_valid())
+        b = batch.filter(valid)
+        ids, mat = _batch_matrix(b, id_col, emb_col)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(ids) == 0:
+            return empty
+        labs = np.asarray(b[label_col].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        sims = _normalize(mat) @ mat_a.T  # (n, A)
+        sims[labs[:, None] == lab_a[None, :]] = -np.inf
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for ai in range(len(ids_a)):
+            col = sims[:, ai]
+            order = np.lexsort((ids, -col))[:kk]
+            order = order[np.isfinite(col[order])]
+            out_q.extend([int(ids_a[ai])] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    cand = ds.map_batches(kernel, batch_format="pyarrow", batch_size=4096)
+    out = _global_topk(cand, k)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["anchor_id" if c == "query_id" else c
+             for c in batch.column_names])
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 # --------------------------------------------------- int8 quantization

@@ -3291,3 +3291,48 @@ class TestSourceEpochPlan:
         assert (df.epochs_micro[df.n_tokens > 0] ==
                 df.target_tokens[df.n_tokens > 0] * 1_000_000
                 // df.n_tokens[df.n_tokens > 0]).all()
+
+
+class TestHardNegatives:
+    def _mk(self, n=30, dim=8, n_labels=3):
+        import ray.data
+        rng = np.random.RandomState(11)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array(
+                [rng.randn(dim).tolist() for _ in range(n)],
+                pa.list_(pa.float32())),
+            "label": pa.array([i % n_labels for i in range(n)],
+                              pa.int32())}))
+
+    def test_matches_local_recompute_and_excludes_same_label(
+            self, ray_session):
+        ds = self._mk()
+        df = (similarity.hard_negative_topk(ds, k=5, n_anchors=4)
+              .to_pandas().sort_values(["anchor_id", "rank"])
+              .reset_index(drop=True))
+        full = ds.to_pandas()
+        mat = np.stack(full.embedding.map(
+            lambda v: np.asarray(v, np.float64)))
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        labs = full.label.to_numpy()
+        for a in range(4):
+            sims = mat @ mat[a]
+            cand = [(i, s) for i, s in enumerate(sims)
+                    if labs[i] != labs[a]]
+            cand.sort(key=lambda t: (-t[1], t[0]))
+            want = [i for i, _ in cand[:5]]
+            got = df[df.anchor_id == a].sort_values("rank").vec_id.tolist()
+            assert got == want
+            # same-label rows (including self) never appear
+            assert all(labs[i] != labs[a] for i in got)
+
+    def test_partition_invariance(self, ray_session):
+        a = (similarity.hard_negative_topk(self._mk(), k=5, n_anchors=4)
+             .to_pandas().sort_values(["anchor_id", "rank"])
+             .reset_index(drop=True))
+        b = (similarity.hard_negative_topk(
+                self._mk().repartition(7), k=5, n_anchors=4)
+             .to_pandas().sort_values(["anchor_id", "rank"])
+             .reset_index(drop=True))
+        assert a.equals(b)
