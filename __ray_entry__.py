@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_source_predictions": a.nb_source_predictions,
         "kwic_snippets": a.kwic_snippets,
         "ann_ivf_topk": a.ann_ivf_topk,
+        "ann_recall_eval": a.ann_recall_eval,
         "minhash_pairs_doubled": a.minhash_pairs_doubled,
         "minhash_pairs_two_pass_doubled": a.minhash_pairs_two_pass_doubled,
         "minhash_pairs_md5_doubled": a.minhash_pairs_md5_doubled,

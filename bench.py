@@ -244,6 +244,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: x.hll_distinct_users_hourly(sf_dir).to_pandas())
     timed("ann_brute_topk", lambda: a.ann_brute_topk(sf_dir).to_pandas())
     timed("hard_negatives", lambda: a.hard_negatives(sf_dir).to_pandas())
+    timed("ann_recall_eval", lambda: _pd(a.ann_recall_eval(sf_dir)))
     timed("knn_graph_topk", lambda: a.knn_graph_topk(sf_dir).to_pandas())
     timed("fingerprint_pairs_doubled",
           lambda: a.fingerprint_pairs_doubled(sf_dir).to_pandas())

@@ -2222,6 +2222,47 @@ def ann_lsh_topk(sf_dir: str):
     return res.map_batches(strip, batch_format="pyarrow").sort(["query_id", "rank"])
 
 
+def ann_recall_eval(sf_dir: str):
+    """ANN self-evaluation (the similarity-family sibling of
+    extraction_eval): run brute-force cosine top-k (ground truth) and
+    both approximate routes (sign-LSH multiprobe, IVF) over the SAME
+    fixed queries, and score each method's recall@k = |approx ∩ brute|/k
+    per query. All three result tables are bounded by construction
+    (n_queries × k rows), so the set intersection happens on the driver
+    over tiny frames — the mmr_select bounded-driver convention; the
+    corpus itself streams through each method's own distributed pass.
+    Deterministic (fixed hyperplanes/centroid seeding), but the LSH/IVF
+    bucketing has no SQL form → rows-only, pinned by the brute-self-
+    recall=1.0 invariant and a differential recompute of each recall
+    value from the underlying result tables."""
+    emb = _embeddings(sf_dir)
+    q = _query_matrix(sf_dir)
+    results = {
+        "brute": similarity.brute_topk(emb, q, k=ANN_K).to_pandas(),
+        "lsh": similarity.lsh_topk(emb, q, k=ANN_K).to_pandas(),
+        "ivf": similarity.ivf_topk(emb, q, k=ANN_K).to_pandas(),
+    }
+    truth = {qid: set(g.vec_id)
+             for qid, g in results["brute"].groupby("query_id")}
+    method_col, qid_col, hits_col, napp_col, rec_col = [], [], [], [], []
+    for method in ("brute", "lsh", "ivf"):
+        df = results[method]
+        got = {qid: set(g.vec_id) for qid, g in df.groupby("query_id")}
+        for qid in sorted(truth):
+            inter = len(got.get(qid, set()) & truth[qid])
+            method_col.append(method)
+            qid_col.append(int(qid))
+            hits_col.append(inter)
+            napp_col.append(len(got.get(qid, set())))
+            rec_col.append(inter / ANN_K)
+    return pa.table({
+        "method": pa.array(method_col, pa.string()),
+        "query_id": pa.array(qid_col, pa.int64()),
+        "n_approx": pa.array(napp_col, pa.int64()),
+        "n_hits": pa.array(hits_col, pa.int64()),
+        "recall": pa.array(rec_col, pa.float64())})
+
+
 def embedding_quantized(sf_dir: str):
     """Int8 quantization of the embeddings table, EXPLODED to
     (vec_id, dim_idx, q, scale) rows for the value-exact gate — the

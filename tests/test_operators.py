@@ -3336,3 +3336,29 @@ class TestHardNegatives:
              .to_pandas().sort_values(["anchor_id", "rank"])
              .reset_index(drop=True))
         assert a.equals(b)
+
+
+class TestAnnRecallEval:
+    def test_brute_self_recall_and_differential(self, ray_session):
+        """brute scores 1.0 against itself by construction; each
+        approximate method's recall equals a local recompute of
+        |approx ∩ brute|/k from the underlying result tables (the eval's
+        arithmetic is the pin — absolute recall is the LSH/IVF params'
+        contract, asserted at kernel level in TestSimilarity)."""
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        sf = "/root/testdata/sf0.001"
+        df = a.ann_recall_eval(sf).to_pandas()
+        brute = df[df.method == "brute"]
+        assert (brute.recall == 1.0).all()
+        assert (brute.n_hits == a.ANN_K).all()
+        assert (df.n_hits <= df.n_approx).all()
+        assert df.recall.between(0.0, 1.0).all()
+        assert len(df) == 3 * df.query_id.nunique()
+        truth = a.ann_brute_topk(sf).to_pandas()
+        lsh = a.ann_lsh_topk(sf).to_pandas()
+        for qid, g in lsh.groupby("query_id"):
+            t = set(truth[truth.query_id == qid].vec_id)
+            want = len(set(g.vec_id) & t) / a.ANN_K
+            got = df[(df.method == "lsh")
+                     & (df.query_id == qid)].recall.iloc[0]
+            assert got == want
