@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_kept": a.exact_dedup_kept,
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "soft_dedup_weights_doubled": a.soft_dedup_weights_doubled,
+        "cms_word_counts": a.cms_word_counts_docs,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,
@@ -231,6 +232,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_samples": a.frame_samples,
         "audio_features": a.audio_features,
     }
+
+
+def _cms_probe_values() -> str:
+    """The CMS probe-word set (QUALITY_STOPWORDS) as a SQL VALUES literal
+    — built from the same Python list the engine uses, so the two sides
+    cannot drift."""
+    from mobile_ocr_api_ray.stages.text_analysis import QUALITY_STOPWORDS
+
+    return ", ".join(f"('{w}')" for w in QUALITY_STOPWORDS)
 
 
 def _ann_query_values() -> str:
@@ -1696,6 +1706,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.digest, c.cluster_size,
                    cast(1000000 // c.cluster_size AS BIGINT) AS weight_micro
             FROM d JOIN c USING (digest) ORDER BY d.doc_id""",
+        # count-min sketch: cell(d,b) = Σ counts of words hashing to b at
+        # depth d (md5-prefix hash32 of 'd:word' mod 1024); estimate =
+        # min over depths — identical integer arithmetic both sides
+        "cms_word_counts": rf"""
+            WITH w AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS w
+              FROM documents),
+            c AS (SELECT w, cast(count(*) AS BIGINT) AS c
+                  FROM w GROUP BY w),
+            d(d) AS (VALUES (0), (1), (2), (3)),
+            cells AS (
+              SELECT d.d AS depth,
+                     cast(cast(('0x' || substring(md5(
+                            cast(d.d AS VARCHAR) || ':' || c.w), 1, 8))
+                          AS UBIGINT) % 1024 AS BIGINT) AS bucket,
+                     cast(sum(c.c) AS BIGINT) AS cnt
+              FROM c CROSS JOIN d GROUP BY 1, 2),
+            p(word) AS (VALUES {_cms_probe_values()}),
+            pb AS (SELECT p.word, d.d AS depth,
+                          cast(cast(('0x' || substring(md5(
+                                 cast(d.d AS VARCHAR) || ':' || p.word),
+                                 1, 8)) AS UBIGINT) % 1024 AS BIGINT)
+                            AS bucket
+                   FROM p CROSS JOIN d)
+            SELECT pb.word,
+                   cast(min(coalesce(cells.cnt, 0)) AS BIGINT)
+                     AS est_count
+            FROM pb LEFT JOIN cells USING (depth, bucket)
+            GROUP BY pb.word ORDER BY pb.word""",
         # SoftDeDup sampling: the weight table filtered by the shared
         # deterministic Bernoulli rule (keep ⇔ hash·1e6 < weight·2^32)
         "soft_dedup_sampled_docs": r"""

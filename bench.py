@@ -215,6 +215,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("source_epoch_plan", lambda: _pd(a.source_epoch_plan(sf_dir)))
     timed("shuffle_order_docs", lambda: _pd(a.shuffle_order_docs(sf_dir)))
     timed("length_fit_docs", lambda: _pd(a.length_fit_docs(sf_dir)))
+    timed("cms_word_counts", lambda: _pd(a.cms_word_counts_docs(sf_dir)))
     timed("near_dedup_incremental",
           lambda: _pd(a.near_dedup_incremental_docs(sf_dir)))
     timed("mixed_sample_docs", lambda: a.mixed_sample_docs(sf_dir).to_pandas())

@@ -1307,6 +1307,17 @@ def source_epoch_plan(sf_dir: str):
             pa.int64())})
 
 
+def cms_word_counts_docs(sf_dir: str):
+    """Count-min sketch frequency estimates for the quality-stopword
+    probe set (stages/text_analysis.cms_word_counts): 4×1024 cells,
+    md5-prefix bucket hash, sparse per-batch cell combiner, one bounded
+    groupby-sum — the mergeable fixed-memory counting sketch. Value-exact
+    in SQL (same hash, same min-over-depths)."""
+    return text_analysis.cms_word_counts(
+        _docs(sf_dir, ["doc_id", "text"]),
+        text_analysis.QUALITY_STOPWORDS)
+
+
 def shuffle_order_docs(sf_dir: str):
     """Deterministic seeded global training-order shuffle
     (stages/text_analysis.global_shuffle_order): rank = position of

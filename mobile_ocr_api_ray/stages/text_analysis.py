@@ -412,6 +412,79 @@ def global_shuffle_order(ds, id_col: str = "doc_id", seed: str = "s0",
     return nonempty_or_typed_table(out, out_schema)
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_word_counts(ds, probe_words: list[str], *,
+                    depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                    text_col: str = "text"):
+    """Count-min sketch word frequencies — the fixed-memory, mergeable
+    counting sketch that completes the sketch family (HLL = distincts,
+    Misra-Gries = top-k, Bloom = membership, CMS = per-key counts with
+    a one-sided overestimate guarantee). Cell(d, b) = Σ counts of words
+    with hash_d(word) = b, where hash_d = the engine-wide md5-prefix
+    hash32 of ``f"{d}:{word}"`` mod width; estimate(w) =
+    min_d cell(d, hash_d(w)) ≥ true count, with equality unless every
+    depth collides.
+
+    Per batch: one \\s+ split + a local value_counts combiner, then D
+    bucket scatters into SPARSE (depth, bucket, count) partials — the
+    exchange is ≤ depth·width rows per batch regardless of vocabulary,
+    and the final native groupby-sum table is ≤ depth·width rows total
+    (16 KB-class, the HLL convention). Probe estimates resolve on the
+    driver against that bounded table. Integer sums only → mergeable,
+    partition-invariant, and value-exact in SQL (same md5 hash, same
+    min-over-depths)."""
+    import pandas as pd
+
+    from ..hashing import hash32
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch[text_col], "")
+        words, _ = word_frames(t)
+        if len(words) == 0:
+            return pa.table({"depth": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = pd.Series(words).value_counts()
+        uniq = vc.index.to_numpy()
+        counts = vc.to_numpy().astype(np.int64)
+        dd, bb, cc = [], [], []
+        for d in range(depth):
+            buckets = np.fromiter(
+                (hash32(f"{d}:{w}") % width for w in uniq),
+                dtype=np.int64, count=len(uniq))
+            # in-batch cell combiner: one row per touched cell
+            cells = pd.Series(counts).groupby(buckets).sum()
+            dd.append(np.full(len(cells), d, np.int64))
+            bb.append(cells.index.to_numpy().astype(np.int64))
+            cc.append(cells.to_numpy().astype(np.int64))
+        return pa.table({"depth": pa.array(np.concatenate(dd)),
+                         "bucket": pa.array(np.concatenate(bb)),
+                         "cnt": pa.array(np.concatenate(cc))})
+
+    def with_cell(batch: pa.Table) -> pa.Table:
+        cell = (np.asarray(batch["depth"]) * width
+                + np.asarray(batch["bucket"]))
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "cnt": batch["cnt"]})
+
+    sk = (ds.map_batches(partials, batch_format="pyarrow")
+          .map_batches(with_cell, batch_format="pyarrow")
+          .groupby("cell").sum("cnt").to_pandas())
+    cells = dict(zip(sk["cell"].astype(np.int64),
+                     sk["sum(cnt)"].astype(np.int64)))
+    out_w, out_e = [], []
+    for w in sorted(set(probe_words)):
+        est = min(cells.get(d * width + hash32(f"{d}:{w}") % width, 0)
+                  for d in range(depth))
+        out_w.append(w)
+        out_e.append(int(est))
+    return pa.table({"word": pa.array(out_w, pa.string()),
+                     "est_count": pa.array(out_e, pa.int64())})
+
+
 def length_fit(ds, text_col: str = "text"):
     """On-engine EXACT simple linear regression (distributed normal
     equations): fit chars ≈ slope · ws_tokens + intercept over the whole

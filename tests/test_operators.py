@@ -3362,3 +3362,35 @@ class TestAnnRecallEval:
             got = df[(df.method == "lsh")
                      & (df.query_id == qid)].recall.iloc[0]
             assert got == want
+
+
+class TestCmsWordCounts:
+    def _mk(self, texts):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string())}))
+
+    def test_overestimate_guarantee_and_typical_exactness(
+            self, ray_session):
+        """CMS estimates are ≥ true counts always (one-sided guarantee)
+        and exact here (tiny vocab, 4×1024 cells ⇒ no full-depth
+        collision among probes)."""
+        texts = ["the a the b", "a the c", "", "the"]
+        probes = ["the", "a", "zzz-absent"]
+        df = (text_analysis.cms_word_counts(self._mk(texts), probes)
+              .to_pandas().set_index("word"))
+        true = {"the": 4, "a": 2, "zzz-absent": 0}
+        for w, t in true.items():
+            assert df.est_count[w] >= t
+        assert df.est_count["the"] == 4
+        assert df.est_count["a"] == 2
+
+    def test_merge_partition_invariance(self, ray_session):
+        texts = [f"w{i % 9} common tail" for i in range(60)]
+        probes = ["common", "w0", "w8", "tail"]
+        a = text_analysis.cms_word_counts(
+            self._mk(texts), probes).to_pandas()
+        b = text_analysis.cms_word_counts(
+            self._mk(texts).repartition(11), probes).to_pandas()
+        assert a.equals(b)
