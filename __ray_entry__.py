@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_doubled": a.exact_dedup_doubled,
         "soft_dedup_weights_doubled": a.soft_dedup_weights_doubled,
         "cms_word_counts": a.cms_word_counts_docs,
+        "length_percentile_docs": a.length_percentile_docs,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,
@@ -1706,6 +1707,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.digest, c.cluster_size,
                    cast(1000000 // c.cluster_size AS BIGINT) AS weight_micro
             FROM d JOIN c USING (digest) ORDER BY d.doc_id""",
+        # global rank transform: 0-based row_number over (n_chars, doc_id)
+        # and the exact integer percentile — identical floor arithmetic
+        "length_percentile_docs": r"""
+            WITH r AS (
+              SELECT doc_id,
+                     cast(n_chars AS BIGINT) AS value,
+                     cast(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                          AS BIGINT) AS rank_idx,
+                     cast(count(*) OVER () AS BIGINT) AS n
+              FROM documents)
+            SELECT doc_id, value, rank_idx,
+                   cast(rank_idx * 1000000 // n AS BIGINT)
+                     AS percentile_micro
+            FROM r ORDER BY doc_id""",
         # count-min sketch: cell(d,b) = Σ counts of words hashing to b at
         # depth d (md5-prefix hash32 of 'd:word' mod 1024); estimate =
         # min over depths — identical integer arithmetic both sides

@@ -1307,6 +1307,17 @@ def source_epoch_plan(sf_dir: str):
             pa.int64())})
 
 
+def length_percentile_docs(sf_dir: str):
+    """Exact global rank + percentile of every document by (n_chars,
+    doc_id) — the rank-transform normalization
+    (stages/text_analysis.global_value_rank): value-range bucketing +
+    a bounded driver prefix sum, no global sort. Value-exact vs SQL
+    row_number over the same order."""
+    return text_analysis.global_value_rank(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        value_col="n_chars").sort("doc_id")
+
+
 def cms_word_counts_docs(sf_dir: str):
     """Count-min sketch frequency estimates for the quality-stopword
     probe set (stages/text_analysis.cms_word_counts): 4×1024 cells,

@@ -412,6 +412,62 @@ def global_shuffle_order(ds, id_col: str = "doc_id", seed: str = "s0",
     return nonempty_or_typed_table(out, out_schema)
 
 
+def global_value_rank(ds, value_col: str, id_col: str = "doc_id",
+                      range_width: int = 64):
+    """Global ORDER-STATISTICS transform: every row's exact rank (0-based)
+    and percentile in the corpus-wide (value, id) order — the
+    rank-transform normalization (percentile features, rank-based
+    cutoffs) that complements group_zscore's moment-based one.
+
+    NO global sort: integer values range-partition themselves —
+    bucket = value // range_width → per-bucket counts → a bounded driver
+    prefix sum gives each bucket's base rank → one bucket-keyed
+    map_groups sorts locally and adds the base (the pack_sequences /
+    global_shuffle_order convention; buckets are contiguous in value, so
+    cross-bucket order is the prefix order and in-bucket order the local
+    sort). Exchange = (id, value) per row. percentile_micro =
+    rank · 1e6 // n — exact integers, value-exact in SQL row_number.
+
+    Contract: values are NON-NEGATIVE ints (true for every count/length
+    column this engine emits) — Arrow's truncated integer division would
+    misbucket negatives relative to floor order; nulls count as 0."""
+    import pandas as pd
+
+    def project(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.fill_null(batch[value_col], 0), pa.int64())
+        b = pc.divide(v, pa.scalar(range_width, pa.int64()))
+        return pa.table({id_col: batch[id_col], "value": v,
+                         "bucket": pc.cast(b, pa.int64())})
+
+    out_schema = {id_col: pa.int64(), "value": pa.int64(),
+                  "rank_idx": pa.int64(), "percentile_micro": pa.int64()}
+    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
+    n = proj.count()
+    if n == 0:
+        return pa.table({c: pa.array([], t) for c, t in out_schema.items()})
+
+    counts = proj.groupby("bucket").count().to_pandas()
+    counts = counts.sort_values("bucket")
+    base = counts["count()"].astype(np.int64).cumsum().shift(fill_value=0)
+    base_map = dict(zip(counts["bucket"].astype(np.int64),
+                        base.astype(np.int64)))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["value", id_col], kind="mergesort")
+        rank = base_map[int(d["bucket"].iloc[0])] \
+            + np.arange(len(d), dtype=np.int64)
+        return pd.DataFrame({
+            id_col: d[id_col].to_numpy(),
+            "value": d["value"].to_numpy(),
+            "rank_idx": rank,
+            "percentile_micro": rank * 1_000_000 // n})
+
+    from .dedup import nonempty_or_typed_table
+
+    out = proj.groupby("bucket").map_groups(assign, batch_format="pandas")
+    return nonempty_or_typed_table(out, out_schema)
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 

@@ -3394,3 +3394,31 @@ class TestCmsWordCounts:
         b = text_analysis.cms_word_counts(
             self._mk(texts).repartition(11), probes).to_pandas()
         assert a.equals(b)
+
+
+class TestGlobalValueRank:
+    def _mk(self, vals):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(len(vals))), pa.int64()),
+            "n_chars": pa.array(vals, pa.int64())}))
+
+    def test_rank_matches_local_sort(self, ray_session):
+        vals = [5, 200, 5, 0, 1000, 63, 64, 65, 200]
+        df = (text_analysis.global_value_rank(self._mk(vals), "n_chars")
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], i))
+        want = {i: r for r, i in enumerate(order)}
+        assert df.rank_idx.tolist() == [want[i] for i in range(len(vals))]
+        n = len(vals)
+        assert (df.percentile_micro ==
+                df.rank_idx * 1_000_000 // n).all()
+
+    def test_partition_invariance(self, ray_session):
+        vals = [(i * 37) % 500 for i in range(80)]
+        a = (text_analysis.global_value_rank(self._mk(vals), "n_chars")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (text_analysis.global_value_rank(
+                self._mk(vals).repartition(13), "n_chars")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)
