@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff_status": a.crawl_diff_status,
         "host_capped_pages": a.host_capped_pages,
         "url_filtered_pages": a.url_filtered_pages,
+        "url_features_pages": a.url_features_pages,
         "domain_page_stats": a.domain_page_stats,
         "page_links": a.page_links,
         "host_graph_edges": a.host_graph_edges,
@@ -3114,6 +3115,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS q,
                    CASE WHEN mx > 0 THEN mx / 127 ELSE 0.0 END AS scale
             FROM ex ORDER BY vec_id, dim_idx""",
+        # URL shape/spam features over the same messy-crawl simulation:
+        # every expression is the identical RE2 pattern; integer floor
+        # division for the digit ratio
+        "url_features_pages": rf"""
+            WITH p AS (SELECT url FROM read_parquet('{pg}')),
+            v AS (
+              SELECT url FROM p
+              UNION ALL
+              SELECT url || CASE cast(('0x' || substring(md5(url), 1, 8))
+                                 AS UBIGINT) % 4
+                  WHEN 0 THEN '?utm_source=news&utm_medium=rss'
+                  WHEN 1 THEN '?id=123456'
+                  WHEN 2 THEN '/a/b/c/d/e'
+                  ELSE '?q=x&page=2&ref=9' END
+              FROM p)
+            SELECT url,
+                   coalesce(lower(regexp_extract(url, '{_HOST_SQL_RE}',
+                                                 1)), '') AS host,
+                   cast(length(url) AS BIGINT) AS url_len,
+                   cast(len(regexp_extract_all(url, '/')) AS BIGINT)
+                     AS n_slashes,
+                   cast(len(regexp_extract_all(url, '[0-9]')) AS BIGINT)
+                     AS n_digits,
+                   cast(len(regexp_extract_all(url, '[?&][^?&=#]+='))
+                        AS BIGINT) AS n_params,
+                   CASE WHEN length(url) > 0
+                        THEN cast(len(regexp_extract_all(url, '[0-9]'))
+                                  * 1000000 // length(url) AS BIGINT)
+                        ELSE 0 END AS digit_ratio_micro,
+                   regexp_matches(url, '[?&](?:utm_[a-z]+|gclid|fbclid)=')
+                     AS has_tracking
+            FROM v ORDER BY url""",
         # URL blocklist over the simulated messy crawl: clean corpus urls
         # + one md5-hash-routed trap variant each; first-matching-rule
         # attribution mirrors the engine's pattern order (RE2 both sides).

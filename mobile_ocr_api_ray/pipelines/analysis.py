@@ -3298,6 +3298,29 @@ def window_dedup_docs(sf_dir: str):
     return out if isinstance(out, pa.Table) else out.sort("doc_id")
 
 
+def url_features_pages(sf_dir: str):
+    """URL shape/spam features (stages/crawl.url_features) over the
+    simulated messy crawl log: each corpus url spawns one deterministic
+    variant by hash32%4 (tracking params, numeric id, deep path, paged
+    query) so every feature fires. One vectorized RE2 pass per feature,
+    column-pruned to the url — the html payload never reads."""
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"), columns=["url"])
+
+    def messy(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        out = list(urls)
+        for u in urls:
+            g = _hash32(u) % 4
+            out.append(u + ["?utm_source=news&utm_medium=rss",
+                            "?id=123456", "/a/b/c/d/e",
+                            "?q=x&page=2&ref=9"][g])
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    return crawl.url_features(
+        pages.map_batches(messy, batch_format="pyarrow")).sort("url")
+
+
 def url_filtered_pages(sf_dir: str):
     """URL blocklist gate over a simulated messy crawl log: each corpus
     url spawns one trap variant by hash32%4 (media asset, session-id,

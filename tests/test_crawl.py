@@ -384,3 +384,32 @@ class TestHostLineBoilerplate:
             chrome, regex=False).sum() == 0
         assert df.loc[~multi, "clean_text"].str.contains(
             chrome, regex=False).all()
+
+
+class TestUrlFeatures:
+    def test_feature_vectors(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages import crawl
+        urls = [
+            "http://ex.com/a/b?id=42&utm_source=x",
+            "https://Host.NET/p",
+            "",
+            "no-scheme/path?x=1",
+            "http://h.io/123456789",
+        ]
+        ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+        df = (crawl.url_features(ds).to_pandas()
+              .set_index("url"))
+        r = df.loc[urls[0]]
+        assert r.host == "ex.com"
+        assert r.n_params == 2 and r.has_tracking
+        assert r.n_digits == 2
+        assert r.n_slashes == 4
+        assert r.digit_ratio_micro == 2 * 1_000_000 // len(urls[0])
+        assert df.loc[urls[1]].host == "host.net"
+        assert not df.loc[urls[1]].has_tracking
+        e = df.loc[""]
+        assert (e.host, e.url_len, e.digit_ratio_micro) == ("", 0, 0)
+        assert df.loc[urls[3]].host == ""  # schemeless → empty host
+        assert df.loc[urls[3]].n_params == 1
+        assert df.loc[urls[4]].n_digits == 9
