@@ -40,6 +40,13 @@ URL_TRACKING_RE = r"[?&](?:utm_[a-z]+|gclid|fbclid)="
 _URL_PARAM_RE = r"[?&][^?&=#]+="
 
 
+def url_feature_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """The url_features per-batch kernel, exposed module-level so the
+    totality property tests can sweep it without a Ray session."""
+    u = pc.fill_null(batch[url_col], "")
+    return _url_feature_cols(u)
+
+
 def url_features(ds, url_col: str = "url"):
     """Per-URL spam/shape features (the URL-side quality signals crawl
     pipelines gate on before fetching/keeping a page): host, length,
@@ -48,31 +55,29 @@ def url_features(ds, url_col: str = "url"):
     RE2 pass per feature per batch — no shuffle, the html payload never
     reads (column-pruned to the url). Every expression is the identical
     RE2 pattern in DuckDB → value-exact."""
+    return ds.map_batches(lambda b: url_feature_batch(b, url_col),
+                          batch_format="pyarrow")
 
-    def kernel(batch: pa.Table) -> pa.Table:
-        u = pc.fill_null(batch[url_col], "")
-        ulen = pc.cast(pc.utf8_length(u), pa.int64())
-        n_digits = pc.cast(pc.count_substring_regex(u, r"[0-9]"),
-                           pa.int64())
-        # divisor clamped to ≥1: Arrow eagerly evaluates both if_else
-        # branches, and 0-length rows (empty url) would raise on /0;
-        # n_digits is 0 there, so the clamped quotient is the wanted 0
-        ratio = pc.divide(
-            pc.multiply(n_digits, pa.scalar(1_000_000, pa.int64())),
-            pc.max_element_wise(ulen, pa.scalar(1, pa.int64())))
-        return pa.table({
-            "url": u,
-            "host": pc.fill_null(host_of(u), ""),
-            "url_len": ulen,
-            "n_slashes": pc.cast(
-                pc.count_substring(u, "/"), pa.int64()),
-            "n_digits": n_digits,
-            "n_params": pc.cast(
-                pc.count_substring_regex(u, _URL_PARAM_RE), pa.int64()),
-            "digit_ratio_micro": ratio,
-            "has_tracking": pc.match_substring_regex(u, URL_TRACKING_RE)})
 
-    return ds.map_batches(kernel, batch_format="pyarrow")
+def _url_feature_cols(u) -> pa.Table:
+    ulen = pc.cast(pc.utf8_length(u), pa.int64())
+    n_digits = pc.cast(pc.count_substring_regex(u, r"[0-9]"), pa.int64())
+    # divisor clamped to ≥1: Arrow eagerly evaluates both if_else
+    # branches, and 0-length rows (empty url) would raise on /0;
+    # n_digits is 0 there, so the clamped quotient is the wanted 0
+    ratio = pc.divide(
+        pc.multiply(n_digits, pa.scalar(1_000_000, pa.int64())),
+        pc.max_element_wise(ulen, pa.scalar(1, pa.int64())))
+    return pa.table({
+        "url": u,
+        "host": pc.fill_null(host_of(u), ""),
+        "url_len": ulen,
+        "n_slashes": pc.cast(pc.count_substring(u, "/"), pa.int64()),
+        "n_digits": n_digits,
+        "n_params": pc.cast(
+            pc.count_substring_regex(u, _URL_PARAM_RE), pa.int64()),
+        "digit_ratio_micro": ratio,
+        "has_tracking": pc.match_substring_regex(u, URL_TRACKING_RE)})
 
 
 def _argmax_block(df: pd.DataFrame, key: str,

@@ -3422,3 +3422,35 @@ class TestGlobalValueRank:
                 self._mk(vals).repartition(13), "n_chars")
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert a.equals(b)
+
+
+class TestNewOpSkew:
+    """Hot-key stress for the session-11 ops: one digest owning most of
+    the corpus and one rank bucket owning every row must stay linear
+    (vectorized group kernels), not O(m²) or driver-bound."""
+
+    def test_soft_dedup_hot_cluster(self, ray_session):
+        import ray.data
+        n = 30_000
+        texts = ["same hot payload"] * (n - 5) + [f"uniq {i}" for i
+                                                  in range(5)]
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(texts, pa.string())})).repartition(8)
+        df = dedup.soft_dedup_weights(ds).to_pandas()
+        assert len(df) == n
+        hot = df[df.cluster_size == n - 5]
+        assert len(hot) == n - 5
+        assert (hot.weight_micro == 1_000_000 // (n - 5)).all()
+        assert (df[df.cluster_size == 1].weight_micro == 1_000_000).all()
+
+    def test_rank_single_bucket(self, ray_session):
+        import ray.data
+        n = 30_000
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "n_chars": pa.array([7] * n, pa.int64())})).repartition(8)
+        df = (text_analysis.global_value_rank(ds, "n_chars").to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        # all-equal values tie-break by id: rank == doc_id
+        assert (df.rank_idx.to_numpy() == np.arange(n)).all()

@@ -373,3 +373,78 @@ class TestParagraphDedupProperties:
             exp_dup = tot - sum(len(p) for p in kept)
             assert out["dup_para_char_frac"][row] == \
                 (exp_dup / max(tot, 1))
+
+
+class TestUrlFeatureTotality:
+    @given(st.lists(st.text(max_size=40), min_size=0, max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def test_total_and_bounded(self, urls):
+        """Any unicode url column (incl. empty/None-free arbitrary text)
+        produces a full feature row: no raise, counts ≥ 0, digit ratio
+        in [0, 1e6], host lowercase."""
+        import pyarrow as pa
+
+        from mobile_ocr_api_ray.stages.crawl import url_feature_batch
+        t = url_feature_batch(pa.table({"url": pa.array(urls, pa.string())}))
+        assert t.num_rows == len(urls)
+        df = t.to_pandas()
+        for col in ("url_len", "n_slashes", "n_digits", "n_params"):
+            assert (df[col] >= 0).all()
+        assert df.digit_ratio_micro.between(0, 1_000_000).all()
+        assert (df.host == df.host.str.lower()).all()
+
+
+class TestCmsEstimateProperty:
+    @given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=3),
+                    min_size=0, max_size=120))
+    @settings(max_examples=40, deadline=None)
+    def test_one_sided_overestimate(self, ws):
+        """The CMS arithmetic (md5-prefix bucket, min over depths) never
+        underestimates a word's count, for any word multiset."""
+        from collections import Counter
+
+        from mobile_ocr_api_ray.hashing import hash32
+        from mobile_ocr_api_ray.stages.text_analysis import (CMS_DEPTH,
+                                                             CMS_WIDTH)
+        true = Counter(ws)
+        cells: dict[tuple[int, int], int] = {}
+        for w, c in true.items():
+            for d in range(CMS_DEPTH):
+                key = (d, hash32(f"{d}:{w}") % CMS_WIDTH)
+                cells[key] = cells.get(key, 0) + c
+        for w, c in true.items():
+            est = min(cells.get((d, hash32(f"{d}:{w}") % CMS_WIDTH), 0)
+                      for d in range(CMS_DEPTH))
+            assert est >= c
+
+
+class TestLengthFitOptimality:
+    @given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 500)),
+                    min_size=2, max_size=30))
+    @settings(max_examples=40, deadline=None)
+    def test_cramer_minimizes_sse(self, pts):
+        """The exact Cramer solution is the SSE minimizer: perturbing
+        slope or intercept by ±1/7 never reduces the (Fraction-exact)
+        sum of squared residuals."""
+        from fractions import Fraction
+
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = n * sxx - sx * sx
+        if den == 0:
+            return
+        m = Fraction(n * sxy - sx * sy, den)
+        b = Fraction(sy * sxx - sx * sxy, den)
+
+        def sse(mm, bb):
+            return sum((Fraction(y) - mm * x - bb) ** 2
+                       for x, y in zip(xs, ys))
+        best = sse(m, b)
+        eps = Fraction(1, 7)
+        for dm in (-eps, 0, eps):
+            for db in (-eps, 0, eps):
+                assert sse(m + dm, b + db) >= best
