@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_corpus_overlap": a.cross_corpus_overlap,
         "ngram_jaccard_adjacent": a.ngram_jaccard_adjacent,
         "sample_docs": a.sample_docs,
+        "sample_exact_k_docs": a.sample_exact_k_docs,
         "stratified_sample_docs": a.stratified_sample_docs,
         "per_lang_topk_sample": a.per_lang_topk_sample,
         "scrub_docs": a.scrub_docs,
@@ -1623,6 +1624,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
                   < cast(4294967296 * 10 // 100 AS UBIGINT)
+            ORDER BY doc_id""",
+        # exact-k deterministic sample: the k smallest (hash32(id), id)
+        # rows — fixed size, pure function of the key set
+        "sample_exact_k_docs": r"""
+            SELECT doc_id, text FROM (
+              SELECT doc_id, text FROM documents
+              ORDER BY cast(('0x' || substring(md5(cast(doc_id AS VARCHAR)),
+                            1, 8)) AS UBIGINT), doc_id
+              LIMIT 50)
             ORDER BY doc_id""",
         # stratified per-lang hash sampling: per-group fraction, same
         # pure-function membership as sample_docs

@@ -1307,6 +1307,35 @@ def source_epoch_plan(sf_dir: str):
             pa.int64())})
 
 
+SAMPLE_EXACT_K = 50
+
+
+def sample_exact_k_docs(sf_dir: str):
+    """Deterministic EXACT-k corpus sample — the fixed-size complement of
+    sample_docs' Bernoulli fraction (an eval set needs exactly k rows, not
+    ~k): the k smallest (hash32(doc_id), doc_id) rows, i.e. a seedless
+    uniform draw that is a pure function of the key set. One distributed
+    partial-top-k pass (stages/topk.topk_table — each block prunes to its
+    own top k, the driver merges ≤ k·blocks rows); no global sort, no
+    Bernoulli variance. Value-exact vs SQL ORDER BY md5-prefix LIMIT k."""
+    from ..stages.topk import topk_table
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = np.array([_hash32(i) for i in batch["doc_id"].to_pylist()],
+                     np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": batch["text"],
+                         "h": pa.array(h, pa.int64())})
+
+    t = topk_table(docs.map_batches(add_hash, batch_format="pyarrow"),
+                   [("h", "ascending"), ("doc_id", "ascending")],
+                   SAMPLE_EXACT_K)
+    return (ray.data.from_arrow(t.select(["doc_id", "text"]))
+            .sort("doc_id"))
+
+
 def length_percentile_docs(sf_dir: str):
     """Exact global rank + percentile of every document by (n_chars,
     doc_id) — the rank-transform normalization

@@ -3454,3 +3454,21 @@ class TestNewOpSkew:
               .sort_values("doc_id").reset_index(drop=True))
         # all-equal values tie-break by id: rank == doc_id
         assert (df.rank_idx.to_numpy() == np.arange(n)).all()
+
+
+class TestSampleExactK:
+    def test_exact_size_and_membership(self, ray_session):
+        """Exactly k rows; membership = the k smallest (hash32(id), id)
+        recomputed locally; subset-stability: the sample over a superset
+        keeps any member whose hash stays in the top k."""
+        from mobile_ocr_api_ray.hashing import hash32
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        import pyarrow.parquet as pq
+        sf = "/root/testdata/sf0.001"
+        df = a.sample_exact_k_docs(sf).to_pandas()
+        assert len(df) == a.SAMPLE_EXACT_K
+        ids = pq.read_table(sf + "/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_pylist()
+        want = sorted(sorted(ids, key=lambda i: (hash32(i), i))
+                      [:a.SAMPLE_EXACT_K])
+        assert df.doc_id.tolist() == want
