@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup_weights_doubled": a.soft_dedup_weights_doubled,
         "cms_word_counts": a.cms_word_counts_docs,
         "length_percentile_docs": a.length_percentile_docs,
+        "lang_percentile_docs": a.lang_percentile_docs,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,
@@ -1729,6 +1730,22 @@ def oracle_sql() -> dict[str, str]:
                      cast(count(*) OVER () AS BIGINT) AS n
               FROM documents)
             SELECT doc_id, value, rank_idx,
+                   cast(rank_idx * 1000000 // n AS BIGINT)
+                     AS percentile_micro
+            FROM r ORDER BY doc_id""",
+        # per-group rank transform: row_number within lang over the same
+        # (n_chars, doc_id) order; identical floor percentile
+        "lang_percentile_docs": r"""
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     cast(row_number() OVER (
+                          PARTITION BY lang
+                          ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+                       AS rank_idx,
+                     cast(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+              FROM documents)
+            SELECT doc_id, lang, cast(n_chars AS BIGINT) AS n_chars,
+                   rank_idx,
                    cast(rank_idx * 1000000 // n AS BIGINT)
                      AS percentile_micro
             FROM r ORDER BY doc_id""",

@@ -222,6 +222,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: _pd(a.url_features_pages(sf_dir)))
     timed("sample_exact_k_docs",
           lambda: _pd(a.sample_exact_k_docs(sf_dir)))
+    timed("lang_percentile_docs",
+          lambda: _pd(a.lang_percentile_docs(sf_dir)))
     timed("near_dedup_incremental",
           lambda: _pd(a.near_dedup_incremental_docs(sf_dir)))
     timed("mixed_sample_docs", lambda: a.mixed_sample_docs(sf_dir).to_pandas())

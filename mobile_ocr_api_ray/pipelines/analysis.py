@@ -1347,6 +1347,31 @@ def length_percentile_docs(sf_dir: str):
         value_col="n_chars").sort("doc_id")
 
 
+def lang_percentile_docs(sf_dir: str):
+    """Per-GROUP rank transform: every document's rank and exact integer
+    percentile by (n_chars, doc_id) WITHIN its language — the group-scoped
+    sibling of length_percentile_docs (per-group normalization wants the
+    group's own distribution, per the group_zscore rationale). One lang
+    groupby; ranks resolve vectorized per group (argsort + arange, no
+    per-row dispatch). Value-exact vs SQL row_number PARTITION BY lang."""
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["n_chars", "doc_id"],
+                           kind="mergesort").reset_index(drop=True)
+        n = len(d)
+        rank = np.arange(n, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy(),
+            "lang": d["lang"].to_numpy(),
+            "n_chars": d["n_chars"].to_numpy(),
+            "rank_idx": rank,
+            "percentile_micro": rank * 1_000_000 // n})
+
+    out = (_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+           .groupby("lang").map_groups(rank_group, batch_format="pandas"))
+    return out.sort("doc_id")
+
+
 def cms_word_counts_docs(sf_dir: str):
     """Count-min sketch frequency estimates for the quality-stopword
     probe set (stages/text_analysis.cms_word_counts): 4×1024 cells,

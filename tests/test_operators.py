@@ -3472,3 +3472,16 @@ class TestSampleExactK:
         want = sorted(sorted(ids, key=lambda i: (hash32(i), i))
                       [:a.SAMPLE_EXACT_K])
         assert df.doc_id.tolist() == want
+
+
+class TestLangPercentile:
+    def test_group_scoped_ranks(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        df = a.lang_percentile_docs("/root/testdata/sf0.001").to_pandas()
+        for lang, g in df.groupby("lang"):
+            n = len(g)
+            assert sorted(g.rank_idx.tolist()) == list(range(n))
+            order = g.sort_values(["n_chars", "doc_id"])
+            assert (order.rank_idx.to_numpy() == np.arange(n)).all()
+            assert (g.percentile_micro ==
+                    g.rank_idx * 1_000_000 // n).all()
