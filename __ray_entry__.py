@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_word_counts": a.cms_word_counts_docs,
         "length_percentile_docs": a.length_percentile_docs,
         "lang_percentile_docs": a.lang_percentile_docs,
+        "bow_dedup_docs": a.bow_dedup_docs,
+        "fineweb_filter_docs": a.fineweb_filter_docs,
+        "script_mix_docs": a.script_mix_docs,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,
@@ -1749,6 +1752,129 @@ def oracle_sql() -> dict[str, str]:
                    cast(rank_idx * 1000000 // n AS BIGINT)
                      AS percentile_micro
             FROM r ORDER BY doc_id""",
+        # bag-of-words canonical dedup: md5 of the sorted ascii-\w token
+        # multiset; +DOUBLE_OFFSET twin with tokens REVERSED (different
+        # bytes, same multiset) forces every cluster to collapse. Tokens
+        # are [0-9a-z_]-only so list_sort binary collation == Python
+        # codepoint sort; min(doc_id) per hash + member count
+        "bow_dedup_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       lower(coalesce(text, '')), '[^0-9a-z_]+'),
+                       x -> x <> '') AS w
+              FROM documents),
+            u AS (
+              SELECT doc_id, w FROM toks
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     list_filter(regexp_split_to_array(
+                       lower(array_to_string(list_reverse(w), ' ')),
+                       '[^0-9a-z_]+'), x -> x <> '')
+              FROM toks),
+            h AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(w), ' ')) AS bow_hash
+              FROM u)
+            SELECT cast(min(doc_id) AS BIGINT) AS doc_id, bow_hash,
+                   cast(count(*) AS BIGINT) AS n_members
+            FROM h GROUP BY bow_hash ORDER BY doc_id""",
+        # composite gate with first-fail reason: the gopher oracle's
+        # metric CTE verbatim + the identical ordered CASE chain
+        "fineweb_filter_docs": rf"""
+            WITH toks AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '\s+'), x -> x <> '') AS w,
+                     ({_stop_case_sum()}) AS n_stop
+              FROM documents),
+            base AS (
+              SELECT doc_id, w, n_stop, len(w) AS n_words,
+                     length(t) - length(regexp_extract_all(t, '\s'))
+                         AS nw_chars,
+                     CASE WHEN len(w) >= 2
+                          THEN [w[i] || ' ' || w[i+1]
+                                FOR i IN range(1, len(w))]
+                          ELSE []::VARCHAR[] END AS g2
+              FROM toks),
+            tw AS (
+              SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+                GROUP BY doc_id, word)
+              GROUP BY doc_id),
+            m AS (
+              SELECT b.doc_id, cast(b.n_words AS BIGINT) AS n_words,
+                     cast(b.nw_chars AS DOUBLE)
+                         / greatest(cast(b.n_words AS DOUBLE), 1.0)
+                         AS mwl,
+                     cast(b.n_stop AS BIGINT) AS n_stop,
+                     cast(coalesce(tw.top_c, 0) AS DOUBLE)
+                         / greatest(cast(b.n_words AS DOUBLE), 1.0)
+                         AS twf,
+                     cast(len(b.g2) - len(list_distinct(b.g2)) AS DOUBLE)
+                         / greatest(cast(len(b.g2) AS DOUBLE), 1.0)
+                         AS dgf
+              FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id)
+            SELECT doc_id, n_words,
+                   CASE WHEN NOT (n_words BETWEEN 25 AND 500)
+                            THEN 'word_count'
+                        WHEN NOT (mwl >= 4.0 AND mwl <= 10.0)
+                            THEN 'mean_word_len'
+                        WHEN NOT (n_stop >= 2) THEN 'stopwords'
+                        WHEN NOT (twf <= 0.12) THEN 'top_word'
+                        WHEN NOT (dgf <= 0.06) THEN 'dup_2gram'
+                        ELSE 'keep' END AS reason,
+                   n_words BETWEEN 25 AND 500
+                     AND mwl >= 4.0 AND mwl <= 10.0 AND n_stop >= 2
+                     AND twf <= 0.12 AND dgf <= 0.06 AS keep
+            FROM m ORDER BY doc_id""",
+        # script-mix histogram: doc_id%4 grafts reproduced verbatim;
+        # counts via exact codepoint-range RE2 classes, space via
+        # replace(' ') (U+0020 only — \s parity is NOT assumed),
+        # dominant = first-max CASE chain in the engine's fixed order
+        "script_mix_docs": r"""
+            WITH built AS (
+              SELECT doc_id, coalesce(text, '') ||
+                     CASE doc_id % 4
+                       WHEN 1 THEN ' привет мир'
+                       WHEN 2 THEN ' 你好 世界'
+                       WHEN 3 THEN ' αβγδ εζ'
+                       ELSE '' END AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id, cast(length(t) AS BIGINT) AS n_chars,
+                     cast(length(regexp_extract_all(t, '[A-Za-z]'))
+                          AS BIGINT) AS n_latin,
+                     cast(length(regexp_extract_all(t, '[0-9]'))
+                          AS BIGINT) AS n_digit,
+                     cast(length(regexp_extract_all(t,
+                          '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+                     cast(length(regexp_extract_all(t,
+                          '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+                     cast(length(regexp_extract_all(t,
+                          '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+                     cast(length(t) - length(replace(t, ' ', ''))
+                          AS BIGINT) AS n_space
+              FROM built)
+            SELECT doc_id, n_chars, n_latin, n_digit, n_cyrillic, n_cjk,
+                   n_greek, n_space,
+                   n_chars - (n_latin + n_digit + n_cyrillic + n_cjk
+                              + n_greek + n_space) AS n_other,
+                   CASE WHEN n_latin + n_digit + n_cyrillic + n_cjk
+                             + n_greek = 0 THEN 'none'
+                        WHEN n_latin >= greatest(n_digit, n_cyrillic,
+                             n_cjk, n_greek) THEN 'latin'
+                        WHEN n_digit >= greatest(n_cyrillic, n_cjk,
+                             n_greek) THEN 'digit'
+                        WHEN n_cyrillic >= greatest(n_cjk, n_greek)
+                             THEN 'cyrillic'
+                        WHEN n_cjk >= n_greek THEN 'cjk'
+                        ELSE 'greek' END AS dominant_script,
+                   cast((n_cyrillic + n_cjk + n_greek) * 1000000
+                        // greatest(n_chars, 1) AS BIGINT)
+                     AS mix_frac_micro
+            FROM c ORDER BY doc_id""",
         # count-min sketch: cell(d,b) = Σ counts of words hashing to b at
         # depth d (md5-prefix hash32 of 'd:word' mod 1024); estimate =
         # min over depths — identical integer arithmetic both sides

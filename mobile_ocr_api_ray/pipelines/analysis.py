@@ -4420,3 +4420,122 @@ def _pmi_from_ds(docs, k: int, min_count: int,
                         "n_y": pa.array([], pa.int64()),
                         "pmi": pa.array([], pa.float64())})
     return ray.data.from_arrow(top.select(cols))
+
+
+def bow_dedup_docs(sf_dir: str):
+    """Bag-of-words canonical dedup: docs whose TOKEN MULTISETS match are
+    duplicates even when token order differs — the paragraph-shuffle /
+    sentence-reorder near-dup class that byte-exact digest dedup misses
+    entirely (reference digest semantics: app2.py md5-of-bytes).
+
+    The corpus is single-order word soup, so the query constructs a
+    guaranteed-positive workload (the _doubled_docs convention): every
+    doc gets a +DOUBLE_OFFSET twin whose tokens are REVERSED — a
+    different byte string (exact dedup keeps both) with the identical
+    multiset (bag-of-words dedup collapses the pair). bow_hash =
+    md5(' '.join(sorted(ascii-\\w tokens of lower(text)))); tokens are
+    [0-9a-z_]-only so Python codepoint sort == DuckDB binary collation.
+
+    Scale shape: the canonicalization runs inside the projection
+    map_batches, so only (doc_id, 32-char hash) rows reach the single
+    groupby — the corpus text never shuffles; the aggregate is Ray
+    Data's distributed Min/Count, no map_groups materialization."""
+    import hashlib
+    import re as _re
+
+    word_re = _re.compile(r"\w+", _re.ASCII)
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        txts = pc.fill_null(batch["text"], "").to_pylist()
+        out_id, out_h = [], []
+        for i, t in zip(ids, txts):
+            toks = word_re.findall(t.lower())
+            out_id.append(i)
+            out_h.append(hashlib.md5(
+                " ".join(sorted(toks)).encode()).hexdigest())
+            # the reversed twin goes through the SAME tokenize+sort path
+            twin_toks = word_re.findall(" ".join(reversed(toks)).lower())
+            out_id.append(i + DOUBLE_OFFSET)
+            out_h.append(hashlib.md5(
+                " ".join(sorted(twin_toks)).encode()).hexdigest())
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "bow_hash": pa.array(out_h, pa.string())})
+
+    from ray.data.aggregate import Min
+    agg = (docs.map_batches(project, batch_format="pyarrow")
+           .groupby("bow_hash")
+           .aggregate(Min("doc_id", alias_name="doc_id"),
+                      Count(alias_name="n_members")))
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "bow_hash", "n_members"])
+
+    return agg.map_batches(order_cols, batch_format="pyarrow").sort("doc_id")
+
+
+def fineweb_filter_docs(sf_dir: str):
+    """Composite quality gate with FIRST-FAIL reason routing (the
+    FineWeb/RefinedWeb production shape: every rejected doc carries the
+    single rule that killed it, in a FIXED priority order, so filter-rate
+    dashboards and ablations attribute removals unambiguously).
+
+    Rules are the five Gopher flags already oracled individually
+    (stages/text_analysis.gopher_flags); this op adds the routing:
+    reason = first failed flag in (word_count, mean_word_len, stopwords,
+    top_word, dup_2gram) order, 'keep' when all pass — np.select
+    first-hit semantics, reproduced in SQL as the identical ordered CASE
+    chain over the gopher oracle's metric CTE. Purely per-row, one
+    vectorized pass, no shuffle."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        g = text_analysis.gopher_flags(batch)
+        flags = {n: g[n].to_numpy(zero_copy_only=False)
+                 for n in ("flag_word_count", "flag_mean_word_len",
+                           "flag_stopwords", "flag_top_word",
+                           "flag_dup_2gram", "keep")}
+        reason = np.select(
+            [~flags["flag_word_count"], ~flags["flag_mean_word_len"],
+             ~flags["flag_stopwords"], ~flags["flag_top_word"],
+             ~flags["flag_dup_2gram"]],
+            ["word_count", "mean_word_len", "stopwords",
+             "top_word", "dup_2gram"],
+            default="keep")
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_words": g["n_words"],
+            "reason": pa.array(list(reason), pa.string()),
+            "keep": pa.array(flags["keep"])})
+
+    return (docs.map_batches(kernel, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
+# deterministic non-ASCII grafts for script_mix_docs, keyed by doc_id%4;
+# reproduced verbatim in the SQL oracle (the c4_clean construction
+# convention — the base corpus is ASCII soup, so every script class must
+# be grafted to occur at all)
+_SCRIPT_GRAFTS = {1: " привет мир", 2: " 你好 世界", 3: " αβγδ εζ"}
+
+
+def script_mix_docs(sf_dir: str):
+    """Unicode-script histogram + dominant script per doc
+    (stages/text_analysis.script_mix). Construction: doc_id%4 grafts a
+    Cyrillic / CJK / Greek tail (doc_id%4==0 stays pure ASCII) so every
+    script class and the 'mixed-script' signal occur in the corpus."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def build_and_count(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        t = pc.fill_null(batch["text"], "")
+        tail = np.array([_SCRIPT_GRAFTS.get(int(i) % 4, "")
+                         for i in ids], dtype=object)
+        built = pc.binary_join_element_wise(
+            t, pa.array(tail, pa.string()), "")
+        return text_analysis.script_mix(
+            pa.table({"doc_id": batch["doc_id"], "text": built}))
+
+    return (docs.map_batches(build_and_count, batch_format="pyarrow")
+            .sort("doc_id"))

@@ -2037,3 +2037,80 @@ def bpe_encode(ds, merges: pa.Table, *, id_col: str = "doc_id",
             "preview": pa.array(previews, pa.string())})
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ script mix
+
+# Unicode script ranges for the code-switching / script-mix signal.
+# Deliberately EXACT-RANGE (not regex \p{} classes): the engine counts
+# codepoints with numpy comparisons and the SQL oracle with RE2
+# [\x{...}-\x{...}] classes over the same ranges, so both sides agree
+# by construction. "space" is U+0020 ONLY (counted via replace() in
+# SQL) — RE2 \s and Python ASCII \s disagree on \v, so neither is used.
+SCRIPT_RANGES = (
+    ("latin", ((0x41, 0x5A), (0x61, 0x7A))),
+    ("digit", ((0x30, 0x39),)),
+    ("cyrillic", ((0x0400, 0x04FF),)),
+    ("cjk", ((0x4E00, 0x9FFF),)),
+    ("greek", ((0x0370, 0x03FF),)),
+)
+
+
+def script_mix(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document Unicode-script histogram — the code-switching /
+    wrong-script-for-declared-language signal multilingual web pipelines
+    (CCNet, mC4, OSCAR) gate on before language-specific filtering.
+
+    Vectorized across the WHOLE batch: one utf-32 decode of the
+    concatenated batch text -> a single uint32 codepoint array, one
+    boolean mask per script class, and per-doc counts via cumulative-sum
+    differences at document offsets (exact for empty docs, unlike
+    reduceat). No Python loop over rows, no shuffle; mix_frac_micro is
+    an exact integer micro-fraction so the SQL comparison is bit-exact.
+
+    dominant_script = first-max over (latin, digit, cyrillic, cjk,
+    greek) in that fixed order, 'none' when all are zero — np.argmax
+    first-hit semantics, reproduced in SQL as an ordered CASE chain."""
+    texts = [t or "" for t in batch[text_col].to_pylist()]
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    bounds = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
+
+    def seg_counts(mask: np.ndarray) -> np.ndarray:
+        cs = np.concatenate([np.zeros(1, np.int64),
+                             np.cumsum(mask, dtype=np.int64)])
+        return cs[bounds[1:]] - cs[bounds[:-1]]
+
+    counts = {}
+    for name, ranges in SCRIPT_RANGES:
+        m = np.zeros(len(cp), dtype=bool)
+        for lo, hi in ranges:
+            m |= (cp >= lo) & (cp <= hi)
+        counts[name] = seg_counts(m)
+    n_space = seg_counts(cp == 0x20)
+    n_chars = lens
+    classified = sum(counts.values()) + n_space
+    n_other = n_chars - classified
+
+    script_names = [n for n, _ in SCRIPT_RANGES]
+    mat = np.stack([counts[n] for n in script_names])  # (5, n_docs)
+    arg = np.argmax(mat, axis=0)
+    dominant = np.array(script_names, dtype=object)[arg]
+    dominant[mat.max(axis=0) == 0] = "none"
+
+    non_latin = counts["cyrillic"] + counts["cjk"] + counts["greek"]
+    mix = non_latin * 1_000_000 // np.maximum(n_chars, 1)
+
+    return _emit(batch, {
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_latin": pa.array(counts["latin"], pa.int64()),
+        "n_digit": pa.array(counts["digit"], pa.int64()),
+        "n_cyrillic": pa.array(counts["cyrillic"], pa.int64()),
+        "n_cjk": pa.array(counts["cjk"], pa.int64()),
+        "n_greek": pa.array(counts["greek"], pa.int64()),
+        "n_space": pa.array(n_space, pa.int64()),
+        "n_other": pa.array(n_other, pa.int64()),
+        "dominant_script": pa.array(list(dominant), pa.string()),
+        "mix_frac_micro": pa.array(mix, pa.int64())})

@@ -3485,3 +3485,89 @@ class TestLangPercentile:
             assert (order.rank_idx.to_numpy() == np.arange(n)).all()
             assert (g.percentile_micro ==
                     g.rank_idx * 1_000_000 // n).all()
+
+
+class TestScriptMix:
+    def test_kernel_vectors(self):
+        b = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["hello Мир 你好 αβ 12", "", None, "你好世界"]})
+        t = text_analysis.script_mix(b).to_pandas().set_index("doc_id")
+        r1 = t.loc[1]
+        assert (r1.n_latin, r1.n_digit, r1.n_cyrillic, r1.n_cjk,
+                r1.n_greek, r1.n_space, r1.n_other) == (5, 2, 3, 2, 2, 4, 0)
+        assert r1.dominant_script == "latin"
+        assert r1.mix_frac_micro == 7 * 1_000_000 // 18
+        # empty and null docs: all zero, dominant 'none'
+        for i in (2, 3):
+            assert t.loc[i].n_chars == 0
+            assert t.loc[i].dominant_script == "none"
+        assert t.loc[4].dominant_script == "cjk"
+        assert t.loc[4].mix_frac_micro == 1_000_000
+
+    def test_first_max_tie_break(self):
+        # latin and cyrillic tie -> first in the fixed order wins
+        b = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": ["abПр"]})
+        t = text_analysis.script_mix(b).to_pandas()
+        assert t.dominant_script[0] == "latin"
+
+    def test_counts_partition_invariant(self):
+        texts = ["ab Пр 你 α 9", "xyz", "", "你你你 δδ"]
+        b = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": texts})
+        whole = text_analysis.script_mix(b).to_pandas()
+        parts = pd.concat([
+            text_analysis.script_mix(b.slice(i, 1)).to_pandas()
+            for i in range(4)], ignore_index=True)
+        pd.testing.assert_frame_equal(whole, parts)
+
+
+class TestBowDedup:
+    def test_every_cluster_collapses(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        df = a.bow_dedup_docs("/root/testdata/sf0.001").to_pandas()
+        # reversed twin shares the multiset -> every cluster has >= 2
+        # members, and the canonical id is the original (min) side
+        assert (df.n_members >= 2).all()
+        assert (df.doc_id < a.DOUBLE_OFFSET).all()
+        assert df.bow_hash.is_unique
+        # the construction doubles the corpus; clusters halve it back
+        assert df.n_members.sum() == 2 * len(
+            pd.read_parquet("/root/testdata/sf0.001/documents.parquet"))
+
+    def test_order_insensitive_hash(self):
+        import hashlib
+        import re
+        w = re.compile(r"\w+", re.ASCII)
+        def bow(t):
+            return hashlib.md5(
+                " ".join(sorted(w.findall(t.lower()))).encode()).hexdigest()
+        assert bow("alpha beta gamma") == bow("gamma beta alpha")
+        assert bow("alpha beta") != bow("alpha beta beta")
+
+
+class TestFinewebFilter:
+    def test_first_fail_priority(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        df = a.fineweb_filter_docs("/root/testdata/sf0.001").to_pandas()
+        assert set(df.reason) <= {"word_count", "mean_word_len",
+                                  "stopwords", "top_word", "dup_2gram",
+                                  "keep"}
+        assert (df.keep == (df.reason == "keep")).all()
+        # cross-check reasons against the per-flag op on the same corpus
+        g = a.gopher_quality_flags("/root/testdata/sf0.001") \
+            .to_pandas().set_index("doc_id")
+        for _, r in df.head(200).iterrows():
+            flags = g.loc[r.doc_id]
+            order = [("word_count", "flag_word_count"),
+                     ("mean_word_len", "flag_mean_word_len"),
+                     ("stopwords", "flag_stopwords"),
+                     ("top_word", "flag_top_word"),
+                     ("dup_2gram", "flag_dup_2gram")]
+            expect = "keep"
+            for reason, col in order:
+                if not flags[col]:
+                    expect = reason
+                    break
+            assert r.reason == expect
