@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bow_dedup_docs": a.bow_dedup_docs,
         "fineweb_filter_docs": a.fineweb_filter_docs,
         "script_mix_docs": a.script_mix_docs,
+        "embedding_pca_docs": a.embedding_pca_docs,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,

@@ -294,6 +294,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("perplexity_buckets",
           lambda: _pd(a.perplexity_buckets_docs(sf_dir)))
     timed("moore_lewis_docs", lambda: _pd(a.moore_lewis_docs(sf_dir)))
+    timed("bow_dedup_docs", lambda: _pd(a.bow_dedup_docs(sf_dir)))
+    timed("fineweb_filter_docs",
+          lambda: a.fineweb_filter_docs(sf_dir).to_pandas())
+    timed("script_mix_docs", lambda: a.script_mix_docs(sf_dir).to_pandas())
+    timed("embedding_pca_docs",
+          lambda: a.embedding_pca_docs(sf_dir).to_pandas())
     timed("bm25_top_docs", lambda: _pd(a.bm25_top_docs(sf_dir)))
     timed("page_metadata", lambda: a.page_metadata(sf_dir).to_pandas())
     timed("title_body_pairs", lambda: a.title_body_pairs(sf_dir).to_pandas())

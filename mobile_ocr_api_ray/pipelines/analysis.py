@@ -4539,3 +4539,15 @@ def script_mix_docs(sf_dir: str):
 
     return (docs.map_batches(build_and_count, batch_format="pyarrow")
             .sort("doc_id"))
+
+
+def embedding_pca_docs(sf_dir: str, d_out: int = 8):
+    """Distributed PCA projection of the embeddings table
+    (stages/similarity.pca_fit/pca_project): bounded two-pass fit
+    (per-block moment partials, 64-way pre-combine, driver eigh of the
+    dim×dim covariance) + one streaming projection pass. Rows-only at
+    the driver (eigendecomposition has no SQL form — the HLL/zlib
+    justification class); correctness is pinned by the differential
+    test against numpy PCA on the full matrix."""
+    return (similarity.pca_project(_embeddings(sf_dir), d_out=d_out)
+            .sort("vec_id"))

@@ -829,3 +829,123 @@ def mmr_select(ds, query: np.ndarray, k: int = 16, lam: float = 0.7,
         id_col: pa.array(out_id, pa.int64()),
         "relevance": pa.array(out_rel, pa.float64()),
         "mmr_score": pa.array(out_score, pa.float64())})
+
+
+# --------------------------------------------- distributed PCA
+
+def pca_fit(ds, d_out: int = 8, id_col: str = "vec_id",
+            emb_col: str = "embedding"):
+    """Distributed PCA fit: two bounded passes, never the matrix.
+
+    Pass 1: each batch emits ONE partial row — (n, Σx, Σx·xᵀ flattened),
+    keyed by the batch's min id (the kmeans_labels partial convention).
+    Partials pre-combine in a 64-way keyed groupby (sums accumulated in
+    sorted part order), so the driver merges ≤64 rows of dim²-sized
+    sums no matter how many blocks the corpus has — at 100 TB the
+    block-partial table would otherwise be #blocks × dim² doubles.
+    Driver: cov = Σxxᵀ/n − mean·meanᵀ (d×d, model-sized), np.linalg.eigh,
+    top-d_out components by descending eigenvalue.
+
+    Determinism: exact for a FIXED block layout (sorted-order
+    accumulation); across layouts float sums associate differently, so
+    components agree to rounding — tests pin allclose, not bit-equality
+    (the kmeans_labels contract). Sign convention: each component's
+    largest-|coefficient| entry is made positive, so eigenvector sign
+    ambiguity never flips a projection between runs.
+
+    Returns (mean 1×dim, components d_out×dim, explained_var_ratio
+    length-d_out) or None for an empty/all-null dataset."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch, id_col, emb_col)
+        if len(ids) == 0:
+            return pa.table({
+                "part": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "ssum": pa.array([], pa.list_(pa.float64())),
+                "gsum": pa.array([], pa.list_(pa.float64()))})
+        g = mat.T @ mat
+        return pa.table({
+            "part": pa.array([int(ids.min())], pa.int64()),
+            "n": pa.array([len(ids)], pa.int64()),
+            "ssum": pa.array([mat.sum(axis=0).tolist()],
+                             pa.list_(pa.float64())),
+            "gsum": pa.array([g.ravel().tolist()], pa.list_(pa.float64()))})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values("part", kind="mergesort")
+        s = np.zeros(len(d["ssum"].iloc[0]), np.float64)
+        g = np.zeros(len(d["gsum"].iloc[0]), np.float64)
+        for v in d["ssum"]:
+            s = s + np.asarray(v, np.float64)
+        for v in d["gsum"]:
+            g = g + np.asarray(v, np.float64)
+        return pd.DataFrame({
+            "part": [int(d["part"].iloc[0])],
+            "n": [int(d["n"].sum())],
+            "ssum": [s.tolist()], "gsum": [g.tolist()]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = parts.map_batches(
+        lambda b: b.append_column(
+            "ckey", pc.cast(pc.bit_wise_and(b["part"], pa.scalar(63)),
+                            pa.int64())),
+        batch_format="pyarrow")
+    pdf = (parts.groupby("ckey").map_groups(combine, batch_format="pandas")
+           .to_pandas())
+    if not len(pdf):
+        return None
+    pdf = pdf.sort_values("part", kind="mergesort")
+    n = int(pdf["n"].sum())
+    dim = len(pdf["ssum"].iloc[0])
+    s = np.zeros(dim, np.float64)
+    g = np.zeros(dim * dim, np.float64)
+    for v in pdf["ssum"]:
+        s = s + np.asarray(v, np.float64)
+    for v in pdf["gsum"]:
+        g = g + np.asarray(v, np.float64)
+    mean = s / float(n)
+    cov = g.reshape(dim, dim) / float(n) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:min(d_out, dim)]
+    comps = evecs[:, order].T                   # (d_out, dim)
+    ev = np.maximum(evals[order], 0.0)
+    # sign fix: largest-|coeff| entry positive (argmax takes first tie)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(np.trace(cov.reshape(dim, dim))) if dim else 0.0
+    evr = ev / total if total > 0 else np.zeros_like(ev)
+    return mean, comps, evr
+
+
+def pca_project(ds, d_out: int = 8, id_col: str = "vec_id",
+                emb_col: str = "embedding"):
+    """PCA projection: fit via ``pca_fit`` (bounded two-pass), then one
+    streaming projection pass — (x − mean) @ Wᵀ per batch, the (mean, W)
+    pair riding the task closure (a dim×d_out broadcast, model-sized).
+    Output: one row per valid vector, pc_0..pc_{d_out−1} float columns —
+    the embedding-compression step that runs before ANN indexing or
+    clustering at scale (d_out ≪ dim cuts every downstream matmul and
+    shuffle proportionally)."""
+    fit = pca_fit(ds, d_out, id_col, emb_col)
+    if fit is None:
+        cols = {id_col: pa.array([], pa.int64())}
+        for i in range(d_out):
+            cols[f"pc_{i}"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    mean, comps, _ = fit
+    k = comps.shape[0]
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch, id_col, emb_col)
+        proj = (mat - mean) @ comps.T if len(ids) \
+            else np.zeros((0, k), np.float64)
+        cols = {id_col: pa.array(ids, pa.int64())}
+        for i in range(k):
+            cols[f"pc_{i}"] = pa.array(proj[:, i], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -3571,3 +3571,82 @@ class TestFinewebFilter:
                     expect = reason
                     break
             assert r.reason == expect
+
+
+class TestPca:
+    def _numpy_pca(self, mat, d_out):
+        mean = mat.mean(axis=0)
+        cov = (mat - mean).T @ (mat - mean) / len(mat)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:d_out]
+        comps = evecs[:, order].T
+        for i in range(comps.shape[0]):
+            j = int(np.argmax(np.abs(comps[i])))
+            if comps[i, j] < 0:
+                comps[i] = -comps[i]
+        return mean, comps, evals[order]
+
+    def test_differential_vs_numpy(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        df = a.embedding_pca_docs("/root/testdata/sf0.001").to_pandas()
+        emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        mat = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+        mean, comps, evals = self._numpy_pca(mat, 8)
+        ref = (mat[np.argsort(emb.vec_id.to_numpy())] - mean) @ comps.T
+        got = df.sort_values("vec_id")[
+            [f"pc_{i}" for i in range(8)]].to_numpy()
+        assert df.shape == (len(emb), 9)
+        # eigh basis is unique up to rounding when eigenvalues are
+        # distinct; sign convention pins the rest
+        assert np.all(np.diff(evals) <= 1e-9)
+        assert np.allclose(got, ref, atol=1e-8)
+
+    def test_fit_contract(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages import similarity as sim
+        emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        ds = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(emb.vec_id, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in emb.embedding],
+                                  pa.list_(pa.float64()))}))
+        mean, comps, evr = sim.pca_fit(ds, d_out=4)
+        # orthonormal rows, descending explained variance, evr <= 1
+        assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+        assert np.all(np.diff(evr) <= 1e-12)
+        assert 0.0 < evr.sum() <= 1.0 + 1e-12
+        # sign convention: largest-|coeff| entry positive
+        for row in comps:
+            assert row[int(np.argmax(np.abs(row)))] > 0
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages import similarity as sim
+        emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        t = pa.table({
+            "vec_id": pa.array(emb.vec_id, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in emb.embedding],
+                                  pa.list_(pa.float64()))})
+        d1 = ray.data.from_arrow(t)
+        d2 = ray.data.from_arrow(t).repartition(7)
+        p1 = sim.pca_project(d1, 4).to_pandas().sort_values("vec_id")
+        p2 = sim.pca_project(d2, 4).to_pandas().sort_values("vec_id")
+        cols = [f"pc_{i}" for i in range(4)]
+        assert np.allclose(p1[cols].to_numpy(), p2[cols].to_numpy(),
+                           atol=1e-8)
+
+    def test_empty_and_nulls(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.stages import similarity as sim
+        empty = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64()))}))
+        t = sim.pca_project(empty, 3)
+        assert t.num_rows == 0
+        assert t.column_names == ["vec_id", "pc_0", "pc_1", "pc_2"]
+        withnull = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], None, [0.0, 2.0]],
+                                  pa.list_(pa.float64()))}))
+        out = sim.pca_project(withnull, 2).to_pandas()
+        assert sorted(out.vec_id) == [1, 3]
