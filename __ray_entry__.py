@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fineweb_filter_docs": a.fineweb_filter_docs,
         "script_mix_docs": a.script_mix_docs,
         "embedding_pca_docs": a.embedding_pca_docs,
+        "dup_cluster_size_hist": a.dup_cluster_size_hist,
+        "host_quality_blocklist": a.host_quality_blocklist,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,
@@ -305,7 +307,8 @@ _PAGE_CORPUS_ORACLES = (
     "page_links", "host_graph_edges", "anchor_text_summary",
     "latest_capture_per_url", "canonical_capture_dedup",
     "host_capped_pages", "crawl_diff_status", "host_components",
-    "host_pagerank_int", "host_hits_int", "authority_filtered_pages")
+    "host_pagerank_int", "host_hits_int", "authority_filtered_pages",
+    "host_quality_blocklist")
 
 
 # url → lowercase host, the crawl.host_of RE2 (stages/crawl.py:29)
@@ -3785,6 +3788,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rnk AS "rank", word, cast(tf AS BIGINT) AS tf,
                    cast(df AS BIGINT) AS df
             FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+        # dedup-depth histogram over the doubled corpus: md5 cluster
+        # sizes → (size, clusters, rows covered)
+        "dup_cluster_size_hist": r"""
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000, text FROM documents
+              WHERE doc_id % 10 = 0),
+            g AS (SELECT md5(coalesce(text, '')) AS d,
+                         cast(count(*) AS BIGINT) AS c
+                  FROM u GROUP BY 1)
+            SELECT c AS cluster_size, cast(count(*) AS BIGINT)
+                       AS n_clusters,
+                   cast(c * count(*) AS BIGINT) AS n_docs
+            FROM g GROUP BY c ORDER BY cluster_size""",
+        # two-level host gate: page text-density signal (the
+        # html_markup_stats doc construction verbatim) → host rollup →
+        # integer per-mille verdict joined back to every page
+        "host_quality_blocklist": rf"""
+            WITH hp AS (SELECT url, {_HTML_DOC_SQL} AS doc
+                        FROM read_parquet('{pg}')
+                        WHERE CAST(html AS VARCHAR)
+                              LIKE '<!DOCTYPE html>%'),
+            s AS (SELECT url,
+                         coalesce(lower(regexp_extract(url,
+                             '{_HOST_SQL_RE}', 1)), '') AS host,
+                         cast(length(doc) AS BIGINT) AS n_chars,
+                         cast(length(regexp_replace(doc, '<[^>]*>', '',
+                                                    'g')) AS BIGINT)
+                           AS text_chars
+                  FROM hp),
+            h AS (SELECT host, sum(text_chars) AS st, sum(n_chars) AS sc
+                  FROM s GROUP BY host)
+            SELECT s.url, s.host,
+                   cast(h.st * 1000 // greatest(h.sc, 1) AS BIGINT)
+                     AS host_text_permille,
+                   h.st * 1000 < 680 * h.sc AS blocked
+            FROM s JOIN h USING (host) ORDER BY s.url""",
     }
     if pg is None:
         for name in _PAGE_CORPUS_ORACLES:

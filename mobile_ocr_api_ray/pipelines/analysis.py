@@ -4551,3 +4551,153 @@ def embedding_pca_docs(sf_dir: str, d_out: int = 8):
     test against numpy PCA on the full matrix."""
     return (similarity.pca_project(_embeddings(sf_dir), d_out=d_out)
             .sort("vec_id"))
+
+
+def dup_cluster_size_hist(sf_dir: str):
+    """Dedup diagnostics rollup: histogram of exact-dup cluster sizes
+    (cluster_size → number of clusters, rows covered) — the one-page
+    summary a dedup run reports (how much corpus mass sits in what
+    duplication depth) before anyone commits to a keep policy.
+
+    Construction: the doubled corpus plus a SECOND twin (+2·OFFSET) for
+    every doc_id%10==0 row, so the histogram has two real buckets
+    (size 2 and size 3) at every tier instead of a degenerate single
+    row. Scale shape: exact_dedup_stats' digest groupby already reduces
+    to one row per distinct content; the histogram is a per-batch
+    combiner over THOSE rows (size → count inside each batch) + a
+    second groupby over ≤ distinct-sizes rows — the exchange after the
+    digest pass carries cluster-size integers, never digests."""
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def triple(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        t = batch.filter(pa.array(ids % 10 == 0))
+        return pa.table({
+            "doc_id": pc.add(t["doc_id"],
+                             pa.scalar(2 * DOUBLE_OFFSET, pa.int64())),
+            "text": t["text"]})
+
+    corpus3 = _doubled_docs(sf_dir).union(
+        base.map_batches(triple, batch_format="pyarrow"))
+    stats = dedup.exact_dedup_stats(corpus3)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"cluster_size": batch["dup_count"]})
+             .group_by("cluster_size")
+             .aggregate([("cluster_size", "count")]))
+        return pa.table({
+            "cluster_size": pc.cast(g["cluster_size"], pa.int64()),
+            "n": pc.cast(g["cluster_size_count"], pa.int64())})
+
+    agg = (stats.map_batches(partial, batch_format="pyarrow")
+           .groupby("cluster_size")
+           .aggregate(Sum("n", alias_name="n_clusters")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_size": batch["cluster_size"],
+            "n_clusters": pc.cast(batch["n_clusters"], pa.int64()),
+            "n_docs": pc.multiply(
+                pc.cast(batch["cluster_size"], pa.int64()),
+                pc.cast(batch["n_clusters"], pa.int64()))})
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("cluster_size"))
+
+
+# host-level text-density gate: hosts whose aggregate text/markup ratio
+# falls below this per-mille threshold are blocklisted wholesale (the
+# synthetic crawl's host ratios span ~450-950‰, so both branches occur
+# at every tier)
+HOST_TEXT_PERMILLE_MIN = 680
+
+
+def host_quality_blocklist(sf_dir: str,
+                           thresh_permille: int = HOST_TEXT_PERMILLE_MIN,
+                           broadcast_cap_rows: "int | None" = None):
+    """Two-level quality gate (the CCNet / UT1-blocklist production
+    shape): page-level text-density signal → HOST-level decision →
+    page-level action. A host whose aggregate text_chars/n_chars ratio
+    is below ``thresh_permille`` is blocklisted wholesale; every page
+    carries its host verdict, so downstream stages filter on a boolean
+    instead of recomputing density.
+
+    Integer semantics end to end: blocked ⇔ Σtext·1000 < thresh·Σchars
+    and host_text_permille = Σtext·1000 // max(Σchars,1) — exact in SQL.
+    Scale shape: one signal pass (DOCTYPE-gated, the html_markup_stats
+    kernel), per-batch host combiner → one host groupby; the verdict
+    table is host-sized, so it rides the dim_broadcast size routing —
+    ≤ cap: ray.put dict lookup inside map_batches (the pmi decorate
+    convention); past the cap: the shuffle_probe_join hash-join route.
+    Both routes are differential-tested on the same input."""
+    d = _pages_dir_for(sf_dir)
+    pages = read_pages(os.path.join(d, "pages.parquet"),
+                       columns=["url", "html"])
+
+    def signal(batch: pa.Table) -> pa.Table:
+        html = batch["html"]
+        mask = pc.starts_with(pc.fill_null(html, b""),
+                              pattern=b"<!DOCTYPE html>")
+        t = pa.table({"url": batch["url"], "html": html}).filter(mask)
+        doc = pc.cast(t["html"], pa.string())
+        n_chars = pc.cast(pc.utf8_length(doc), pa.int64())
+        text_chars = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(doc, r"<[^>]*>", "")), pa.int64())
+        return pa.table({
+            "url": t["url"],
+            "host": pc.fill_null(crawl.host_of(t["url"]), ""),
+            "text_chars": text_chars, "n_chars": n_chars})
+
+    sig = pages.map_batches(signal, batch_format="pyarrow").materialize()
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        g = (pa.table({"host": batch["host"], "st": batch["text_chars"],
+                       "sc": batch["n_chars"]})
+             .group_by("host").aggregate([("st", "sum"), ("sc", "sum")]))
+        return pa.table({"host": g["host"], "st": g["st_sum"],
+                         "sc": g["sc_sum"]})
+
+    hosts = (sig.map_batches(host_partial, batch_format="pyarrow")
+             .groupby("host")
+             .aggregate(Sum("st", alias_name="st"),
+                        Sum("sc", alias_name="sc")))
+
+    thresh = int(thresh_permille)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        st = pc.cast(batch["st"], pa.int64()).to_numpy()
+        sc = pc.cast(batch["sc"], pa.int64()).to_numpy()
+        permille = st * 1000 // np.maximum(sc, 1)
+        blocked = st * 1000 < thresh * sc
+        return pa.table({
+            "host": batch["host"],
+            "host_text_permille": pa.array(permille, pa.int64()),
+            "blocked": pa.array(blocked)})
+
+    hv = hosts.map_batches(verdict, batch_format="pyarrow").materialize()
+
+    from ..stages.dim_broadcast import DIM_BROADCAST_CAP_ROWS
+    cap = DIM_BROADCAST_CAP_ROWS if broadcast_cap_rows is None \
+        else broadcast_cap_rows
+    probe = sig.select_columns(["url", "host"])
+    if hv.count() <= cap:
+        vref = ray.put({r["host"]: (int(r["host_text_permille"]),
+                                    bool(r["blocked"]))
+                        for r in hv.take_all()})
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m = ray.get(vref)
+            vals = [m[h] for h in batch["host"].to_pylist()]
+            return pa.table({
+                "url": batch["url"], "host": batch["host"],
+                "host_text_permille": pa.array(
+                    [v[0] for v in vals], pa.int64()),
+                "blocked": pa.array([v[1] for v in vals])})
+
+        out = probe.map_batches(attach, batch_format="pyarrow")
+    else:
+        from ..stages.dim_broadcast import shuffle_probe_join
+        out = shuffle_probe_join(
+            probe, hv, "host", "host",
+            ["url", "host", "host_text_permille", "blocked"])
+    return out.sort("url")

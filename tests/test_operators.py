@@ -3650,3 +3650,39 @@ class TestPca:
                                   pa.list_(pa.float64()))}))
         out = sim.pca_project(withnull, 2).to_pandas()
         assert sorted(out.vec_id) == [1, 3]
+
+
+class TestDupClusterHist:
+    def test_buckets_and_mass(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        df = a.dup_cluster_size_hist("/root/testdata/sf0.001").to_pandas()
+        n = len(pd.read_parquet("/root/testdata/sf0.001/documents.parquet"))
+        # doubled corpus + a third copy for every doc_id%10==0 row
+        assert sorted(df.cluster_size) == [2, 3]
+        assert (df.n_docs == df.cluster_size * df.n_clusters).all()
+        assert df.n_docs.sum() == 2 * n + (n + 9) // 10
+
+
+class TestHostBlocklist:
+    def test_verdict_consistency(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        df = a.host_quality_blocklist("/root/testdata/sf0.001").to_pandas()
+        # both branches occur in the synthetic crawl
+        assert df.blocked.any() and (~df.blocked).any()
+        # every page of a host carries the identical verdict
+        per_host = df.groupby("host")[["host_text_permille", "blocked"]] \
+            .nunique()
+        assert (per_host == 1).all().all()
+        # the threshold rule holds at the emitted permille granularity
+        assert (df.loc[df.host_text_permille
+                       < a.HOST_TEXT_PERMILLE_MIN, "blocked"]).all()
+        assert (~df.loc[df.host_text_permille
+                        >= a.HOST_TEXT_PERMILLE_MIN, "blocked"]).all()
+
+    def test_broadcast_vs_shuffle_route(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        b = a.host_quality_blocklist("/root/testdata/sf0.001").to_pandas()
+        s = a.host_quality_blocklist(
+            "/root/testdata/sf0.001", broadcast_cap_rows=0).to_pandas()
+        pd.testing.assert_frame_equal(
+            b.reset_index(drop=True), s[b.columns].reset_index(drop=True))
