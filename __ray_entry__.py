@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_mix_docs": a.script_mix_docs,
         "embedding_pca_docs": a.embedding_pca_docs,
         "dup_cluster_size_hist": a.dup_cluster_size_hist,
+        "fineweb_filter_rates": a.fineweb_filter_rates,
         "host_quality_blocklist": a.host_quality_blocklist,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
@@ -3788,6 +3789,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rnk AS "rank", word, cast(tf AS BIGINT) AS tf,
                    cast(df AS BIGINT) AS df
             FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+        # filter-rate rollup: the fineweb CASE chain grouped by reason,
+        # integer micro-share over the footer-exact corpus count
+        "fineweb_filter_rates": rf"""
+            WITH toks AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '\s+'), x -> x <> '') AS w,
+                     ({_stop_case_sum()}) AS n_stop
+              FROM documents),
+            base AS (
+              SELECT doc_id, w, n_stop, len(w) AS n_words,
+                     length(t) - length(regexp_extract_all(t, '\s'))
+                         AS nw_chars,
+                     CASE WHEN len(w) >= 2
+                          THEN [w[i] || ' ' || w[i+1]
+                                FOR i IN range(1, len(w))]
+                          ELSE []::VARCHAR[] END AS g2
+              FROM toks),
+            tw AS (
+              SELECT doc_id, max(c) AS top_c FROM (
+                SELECT doc_id, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+                GROUP BY doc_id, word)
+              GROUP BY doc_id),
+            m AS (
+              SELECT b.doc_id, cast(b.n_words AS BIGINT) AS n_words,
+                     cast(b.nw_chars AS DOUBLE)
+                         / greatest(cast(b.n_words AS DOUBLE), 1.0)
+                         AS mwl,
+                     cast(b.n_stop AS BIGINT) AS n_stop,
+                     cast(coalesce(tw.top_c, 0) AS DOUBLE)
+                         / greatest(cast(b.n_words AS DOUBLE), 1.0)
+                         AS twf,
+                     cast(len(b.g2) - len(list_distinct(b.g2)) AS DOUBLE)
+                         / greatest(cast(len(b.g2) AS DOUBLE), 1.0)
+                         AS dgf
+              FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id),
+            r AS (
+              SELECT CASE WHEN NOT (n_words BETWEEN 25 AND 500)
+                              THEN 'word_count'
+                          WHEN NOT (mwl >= 4.0 AND mwl <= 10.0)
+                              THEN 'mean_word_len'
+                          WHEN NOT (n_stop >= 2) THEN 'stopwords'
+                          WHEN NOT (twf <= 0.12) THEN 'top_word'
+                          WHEN NOT (dgf <= 0.06) THEN 'dup_2gram'
+                          ELSE 'keep' END AS reason
+              FROM m)
+            SELECT reason, cast(count(*) AS BIGINT) AS n_docs,
+                   cast(count(*) * 1000000
+                        // greatest((SELECT count(*) FROM documents), 1)
+                        AS BIGINT) AS share_micro
+            FROM r GROUP BY reason ORDER BY reason""",
         # dedup-depth histogram over the doubled corpus: md5 cluster
         # sizes → (size, clusters, rows covered)
         "dup_cluster_size_hist": r"""

@@ -4701,3 +4701,48 @@ def host_quality_blocklist(sf_dir: str,
             probe, hv, "host", "host",
             ["url", "host", "host_text_permille", "blocked"])
     return out.sort("url")
+
+
+def fineweb_filter_rates(sf_dir: str):
+    """Filter-rate dashboard companion to ``fineweb_filter_docs``: docs
+    per first-fail reason + exact integer micro-share of the corpus —
+    the per-rule removal attribution FineWeb publishes for every filter
+    ablation. One vectorized kernel pass + per-batch reason combiner →
+    a ≤6-row global groupby; the denominator is the parquet footer row
+    count (metadata-only, no extra pass)."""
+    import pyarrow.parquet as _pq
+
+    n_total = _pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = text_analysis.gopher_flags(batch)
+        flags = {n: g[n].to_numpy(zero_copy_only=False)
+                 for n in ("flag_word_count", "flag_mean_word_len",
+                           "flag_stopwords", "flag_top_word",
+                           "flag_dup_2gram")}
+        reason = np.select(
+            [~flags["flag_word_count"], ~flags["flag_mean_word_len"],
+             ~flags["flag_stopwords"], ~flags["flag_top_word"],
+             ~flags["flag_dup_2gram"]],
+            ["word_count", "mean_word_len", "stopwords",
+             "top_word", "dup_2gram"],
+            default="keep")
+        u, c = np.unique(reason, return_counts=True)
+        return pa.table({"reason": pa.array(list(u), pa.string()),
+                         "n": pa.array(c, pa.int64())})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("reason").aggregate(Sum("n", alias_name="n_docs")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["n_docs"], pa.int64()).to_numpy()
+        return pa.table({
+            "reason": batch["reason"],
+            "n_docs": pa.array(n, pa.int64()),
+            "share_micro": pa.array(
+                n * 1_000_000 // max(n_total, 1), pa.int64())})
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort("reason"))

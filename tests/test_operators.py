@@ -3686,3 +3686,18 @@ class TestHostBlocklist:
             "/root/testdata/sf0.001", broadcast_cap_rows=0).to_pandas()
         pd.testing.assert_frame_equal(
             b.reset_index(drop=True), s[b.columns].reset_index(drop=True))
+
+
+class TestFinewebRates:
+    def test_rollup_matches_per_doc(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        rates = a.fineweb_filter_rates("/root/testdata/sf0.001") \
+            .to_pandas().set_index("reason")
+        per_doc = a.fineweb_filter_docs("/root/testdata/sf0.001") \
+            .to_pandas()
+        counts = per_doc.reason.value_counts()
+        n = len(per_doc)
+        assert rates.n_docs.sum() == n
+        for reason, row in rates.iterrows():
+            assert counts[reason] == row.n_docs
+            assert row.share_micro == row.n_docs * 1_000_000 // n
