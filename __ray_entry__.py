@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_docs": a.embedding_pca_docs,
         "dup_cluster_size_hist": a.dup_cluster_size_hist,
         "fineweb_filter_rates": a.fineweb_filter_rates,
+        "lang_ttr_corr": a.lang_ttr_corr,
         "host_quality_blocklist": a.host_quality_blocklist,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
@@ -3789,6 +3790,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rnk AS "rank", word, cast(tf AS BIGINT) AS tf,
                    cast(df AS BIGINT) AS df
             FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""",
+        # per-lang Pearson r of (tokens, distinct tokens) from exact
+        # integer moment sums; num and variance terms formed in integers
+        # and cast to double once, same op order as the engine
+        "lang_ttr_corr": r"""
+            WITH t AS (
+              SELECT lang,
+                     list_filter(regexp_split_to_array(coalesce(text, ''),
+                                 '\s+'), x -> x <> '') AS w
+              FROM documents),
+            c AS (SELECT lang, cast(len(w) AS BIGINT) AS x,
+                         cast(len(list_distinct(w)) AS BIGINT) AS y
+                  FROM t),
+            s AS (SELECT lang, cast(count(*) AS BIGINT) AS n,
+                         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM c GROUP BY lang)
+            SELECT lang, n AS n_docs, cast(sx AS BIGINT) AS sum_words,
+                   cast(sy AS BIGINT) AS sum_distinct,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0
+                        THEN cast(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(cast(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(cast(n * syy - sy * sy AS DOUBLE)))
+                        ELSE 0.0 END AS ttr_corr
+            FROM s ORDER BY lang""",
         # filter-rate rollup: the fineweb CASE chain grouped by reason,
         # integer micro-share over the footer-exact corpus count
         "fineweb_filter_rates": rf"""

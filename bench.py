@@ -306,6 +306,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: a.host_quality_blocklist(sf_dir).to_pandas())
     timed("fineweb_filter_rates",
           lambda: a.fineweb_filter_rates(sf_dir).to_pandas())
+    timed("lang_ttr_corr", lambda: a.lang_ttr_corr(sf_dir).to_pandas())
     timed("bm25_top_docs", lambda: _pd(a.bm25_top_docs(sf_dir)))
     timed("page_metadata", lambda: a.page_metadata(sf_dir).to_pandas())
     timed("title_body_pairs", lambda: a.title_body_pairs(sf_dir).to_pandas())

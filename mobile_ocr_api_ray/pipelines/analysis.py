@@ -4746,3 +4746,73 @@ def fineweb_filter_rates(sf_dir: str):
 
     return (agg.map_batches(finalize, batch_format="pyarrow")
             .sort("reason"))
+
+
+def lang_ttr_corr(sf_dir: str):
+    """Per-language Pearson correlation between document token count and
+    DISTINCT-token count — the type-token-ratio (lexical diversity)
+    drift diagnostic run per language slice before mixing corpora (a
+    slice whose diversity stops growing with length is template/spam
+    heavy). Exact-integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) flow
+    through a per-batch lang combiner → one ≤n_langs groupby; the
+    correlation is ONE fixed float expression over those ints, mirrored
+    operation-for-operation in SQL (num and both variance terms formed
+    in integers, each cast to double once) — value-exact. Token counts
+    reuse the shared word_frames/repetition_counts kernels (the gopher
+    tokenizer), so engines cannot drift. Int64 moment sums are exact at
+    the test tiers; a 100-TB run would lift the Σx² lanes to the int128
+    partial convention."""
+    import math
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        w, p = text_analysis.word_frames(t)
+        x, _, y, _, _ = text_analysis.repetition_counts(
+            w, p, batch.num_rows)
+        df = pd.DataFrame({"lang": batch["lang"].to_pylist(),
+                           "x": np.asarray(x, np.int64),
+                           "y": np.asarray(y, np.int64)})
+        df["xy"] = df.x * df.y
+        df["xx"] = df.x * df.x
+        df["yy"] = df.y * df.y
+        g = df.groupby("lang", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
+        g = g.reset_index()
+        return pa.table({c: pa.array(g[c].to_numpy(), pa.int64())
+                         if c != "lang" else pa.array(g[c], pa.string())
+                         for c in ("lang", "n", "sx", "sy", "sxy",
+                                   "sxx", "syy")})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        d = batch.to_pydict()
+        corr = []
+        for i in range(len(d["lang"])):
+            n, sx, sy = d["n"][i], d["sx"][i], d["sy"][i]
+            sxy, sxx, syy = d["sxy"][i], d["sxx"][i], d["syy"][i]
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if vx > 0 and vy > 0:
+                corr.append(float(n * sxy - sx * sy)
+                            / (math.sqrt(float(vx)) * math.sqrt(float(vy))))
+            else:
+                corr.append(0.0)
+        return pa.table({
+            "lang": pa.array(d["lang"], pa.string()),
+            "n_docs": pa.array(d["n"], pa.int64()),
+            "sum_words": pa.array(d["sx"], pa.int64()),
+            "sum_distinct": pa.array(d["sy"], pa.int64()),
+            "ttr_corr": pa.array(corr, pa.float64())})
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort("lang")

@@ -3701,3 +3701,34 @@ class TestFinewebRates:
         for reason, row in rates.iterrows():
             assert counts[reason] == row.n_docs
             assert row.share_micro == row.n_docs * 1_000_000 // n
+
+
+class TestLangTtrCorr:
+    def test_differential_vs_pandas(self, ray_session):
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        df = a.lang_ttr_corr("/root/testdata/sf0.001").to_pandas() \
+            .set_index("lang")
+        docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        docs["x"] = docs.text.fillna("").str.split().str.len()
+        docs["y"] = docs.text.fillna("").str.split() \
+            .apply(lambda ws: len(set(ws)))
+        for lang, g in docs.groupby("lang"):
+            row = df.loc[lang]
+            assert row.n_docs == len(g)
+            assert row.sum_words == g.x.sum()
+            assert row.sum_distinct == g.y.sum()
+            if g.x.std() > 0 and g.y.std() > 0:
+                assert abs(row.ttr_corr - g.x.corr(g.y)) < 1e-12
+
+    def test_degenerate_group_is_zero(self, ray_session):
+        import ray.data
+        from mobile_ocr_api_ray.pipelines import analysis as a
+        # all-identical counts -> zero variance -> corr pinned to 0.0
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3], "lang": ["zz"] * 3,
+            "text": ["a b c", "d e f", "g h i"]})
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            docs.to_parquet(os.path.join(td, "documents.parquet"))
+            out = a.lang_ttr_corr(td).to_pandas()
+        assert out.ttr_corr.tolist() == [0.0]
