@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fineweb_filter_rates": a.fineweb_filter_rates,
         "lang_ttr_corr": a.lang_ttr_corr,
         "host_quality_blocklist": a.host_quality_blocklist,
+        "host_split_pages": a.host_split_pages,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,
@@ -310,7 +311,7 @@ _PAGE_CORPUS_ORACLES = (
     "latest_capture_per_url", "canonical_capture_dedup",
     "host_capped_pages", "crawl_diff_status", "host_components",
     "host_pagerank_int", "host_hits_int", "authority_filtered_pages",
-    "host_quality_blocklist")
+    "host_quality_blocklist", "host_split_pages")
 
 
 # url → lowercase host, the crawl.host_of RE2 (stages/crawl.py:29)
@@ -3907,6 +3908,24 @@ def oracle_sql() -> dict[str, str]:
                      AS host_text_permille,
                    h.st * 1000 < 680 * h.sc AS blocked
             FROM s JOIN h USING (host) ORDER BY s.url""",
+        # leakage-safe split: 90/5/5 by the shared sampling hash of the
+        # HOST string (train_val_test_split's rule, host as the key)
+        "host_split_pages": rf"""
+            WITH p AS (SELECT url,
+                coalesce(lower(regexp_extract(url, '{_HOST_SQL_RE}', 1)),
+                         '') AS host
+              FROM read_parquet('{pg}'))
+            SELECT url, host,
+                   CASE WHEN h < cast(4294967296 * 90 // 100 AS UBIGINT)
+                          THEN 'train'
+                        WHEN h < cast(4294967296 * 95 // 100 AS UBIGINT)
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT url, host,
+                         cast(('0x' || substring(md5(host), 1, 8))
+                             AS UBIGINT) AS h
+                  FROM p)
+            ORDER BY url""",
     }
     if pg is None:
         for name in _PAGE_CORPUS_ORACLES:

@@ -4816,3 +4816,33 @@ def lang_ttr_corr(sf_dir: str):
             "ttr_corr": pa.array(corr, pa.float64())})
 
     return agg.map_batches(finalize, batch_format="pyarrow").sort("lang")
+
+
+def host_split_pages(sf_dir: str):
+    """Leakage-safe corpus split at HOST granularity: every page of a host
+    lands in the same train/val/test bucket (90/5/5 by hash32(host) — the
+    train_val_test_split rule with the host string as the key). Splitting
+    a web corpus at page granularity leaks template and near-duplicate
+    content from the same site across the eval boundary (the C4
+    train/test contamination finding, Dodge et al. 2021 §5); holding out
+    whole domains is the standard mitigation. Membership is a pure
+    function of the host string — stable across runs, partitionings and
+    cluster sizes, SQL-reproducible — so the operator is one streaming
+    map_batches over the url column only (html never reads), no shuffle.
+    Returns (url, host, split) sorted by url; schemeless/malformed urls
+    (host None) group under '' and split together like any host."""
+    lo = (1 << 32) * SPLIT_PCT[0] // 100
+    hi = (1 << 32) * SPLIT_PCT[1] // 100
+    d = _pages_dir_for(sf_dir)
+    ds = read_pages(os.path.join(d, "pages.parquet"), columns=["url"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        hosts = ["" if h is None else h
+                 for h in crawl.host_of(batch["url"]).to_pylist()]
+        h = np.array([_hash32(s) for s in hosts], np.uint64)
+        split = np.where(h < lo, "train", np.where(h < hi, "val", "test"))
+        return pa.table({"url": batch["url"],
+                         "host": pa.array(hosts, pa.string()),
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("url")

@@ -529,3 +529,22 @@ class TestBm25Query:
         assert got.n_terms.between(1, 10).all()
         key = list(zip(-got.score_micro, got.doc_id))
         assert key == sorted(key)
+
+
+def test_host_split_pages(queries):
+    df = queries["host_split_pages"](SF).to_pandas()
+    assert list(df.columns) == ["url", "host", "split"]
+    # the leakage guarantee: every host maps to exactly ONE split
+    assert (df.groupby("host").split.nunique() == 1).all()
+    assert set(df.split) <= {"train", "val", "test"}
+    # membership is a pure function of the host string (split-hash rule)
+    from mobile_ocr_api_ray.pipelines.analysis import _hash32
+    lo, hi = (1 << 32) * 90 // 100, (1 << 32) * 95 // 100
+    for _, r in df.drop_duplicates("host").iterrows():
+        h = _hash32(r.host)
+        assert r.split == ("train" if h < lo else
+                           "val" if h < hi else "test")
+    # host is the crawl host_of of the url (null → "")
+    from mobile_ocr_api_ray.stages.crawl import host_of
+    hosts = host_of(pa.array(df.url.tolist())).to_pylist()
+    assert df.host.tolist() == ["" if h is None else h for h in hosts]
