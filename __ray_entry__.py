@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_ttr_corr": a.lang_ttr_corr,
         "host_quality_blocklist": a.host_quality_blocklist,
         "host_split_pages": a.host_split_pages,
+        "redirect_chains": a.redirect_chains,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,
@@ -3908,6 +3909,36 @@ def oracle_sql() -> dict[str, str]:
                      AS host_text_permille,
                    h.st * 1000 < 680 * h.sc AS blocked
             FROM s JOIN h USING (host) ORDER BY s.url""",
+        # redirect-chain resolution: the oracle WALKS the same grafted
+        # parent table (shared sampling hash) with a recursive CTE; the
+        # engine resolves it by pointer doubling — final node and hop
+        # count must agree exactly
+        "redirect_chains": r"""
+            WITH RECURSIVE e AS (
+              SELECT doc_id,
+                     cast(('0x' || substring(
+                         md5(cast(doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) AS h
+              FROM documents),
+            p AS (SELECT doc_id,
+                         (doc_id = 0 OR h % 4 = 0) AS term,
+                         CASE WHEN doc_id = 0 OR h % 4 = 0 THEN doc_id
+                              ELSE greatest(
+                                  doc_id - 1 - cast(h % 3 AS BIGINT), 0)
+                         END AS parent
+                  FROM e),
+            walk AS (
+              SELECT doc_id AS id, doc_id AS cur,
+                     cast(0 AS BIGINT) AS n_hops
+              FROM p
+              UNION ALL
+              SELECT w.id, p.parent, w.n_hops + 1
+              FROM walk w JOIN p ON p.doc_id = w.cur
+              WHERE NOT p.term)
+            SELECT id AS doc_id,
+                   arg_max(cur, n_hops) AS final_id,
+                   max(n_hops) AS n_hops
+            FROM walk GROUP BY id ORDER BY doc_id""",
         # leakage-safe split: 90/5/5 by the shared sampling hash of the
         # HOST string (train_val_test_split's rule, host as the key)
         "host_split_pages": rf"""

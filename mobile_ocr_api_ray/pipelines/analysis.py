@@ -4846,3 +4846,46 @@ def host_split_pages(sf_dir: str):
                          "split": pa.array(split, pa.string())})
 
     return ds.map_batches(assign, batch_format="pyarrow").sort("url")
+
+
+REDIRECT_TERM_MOD = 4  # terminal when hash32(doc_id) % 4 == 0 (or id 0)
+REDIRECT_SKIP_MOD = 3  # parent = doc_id - 1 - hash32(doc_id) % 3
+
+
+def redirect_chains(sf_dir: str):
+    """Redirect-chain canonicalization — the URL-graph cleanup every crawl
+    pipeline runs before dedup (captures of ``a → b → c`` redirect chains
+    must all credit the terminal url, or per-url dedup/stats split across
+    chain members). The corpus has no real redirects, so the chain table
+    is GRAFTED deterministically over doc_id (both sides derive it from
+    the shared sampling hash): doc i redirects to
+    ``max(i - 1 - hash32(i) % 3, 0)`` unless terminal
+    (``hash32(i) % 4 == 0`` or ``i == 0``) — termination is geometric per
+    hop, so chain lengths reach ~log_{4/3}(n) ≈ 25+ at corpus scale and
+    genuinely exercise the doubling. Resolution is
+    ``crawl.resolve_pointer_chains`` pointer doubling: ⌈log2 L⌉
+    co-partitioned self-join rounds over (id, ptr, hops) rows — never a
+    sequential walk, never a driver-side dict. The SQL oracle walks the
+    same grafted parent table with a recursive CTE, so the fixpoint is
+    value-exact end to end. Returns (doc_id, final_id, n_hops)."""
+
+    def ptr_table(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.array([_hash32(int(i)) for i in ids], np.uint64)
+        term = (ids == 0) | (h % REDIRECT_TERM_MOD == 0)
+        parent = np.maximum(ids - 1 - (h % REDIRECT_SKIP_MOD).astype(np.int64), 0)
+        return pa.table({
+            "id": pa.array(ids),
+            "ptr": pa.array(np.where(term, ids, parent)),
+            "hops": pa.array(np.where(term, 0, 1).astype(np.int64))})
+
+    ptrs = _docs(sf_dir, ["doc_id"]).map_batches(ptr_table,
+                                                 batch_format="pyarrow")
+    res = crawl.resolve_pointer_chains(
+        ptrs, n_coarse=_docs_coarse_hint(sf_dir))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["id"], "final_id": batch["final_id"],
+                         "n_hops": batch["n_hops"]})
+
+    return res.map_batches(rename, batch_format="pyarrow").sort("doc_id")

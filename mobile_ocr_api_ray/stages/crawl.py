@@ -488,3 +488,73 @@ def host_line_boilerplate(pages_ds, min_pages: int = BOILER_LINE_MIN_PAGES,
 
     out = out.map_batches(finish, batch_format="pyarrow")
     return nonempty_or_typed_table(out, out_types)
+
+
+# --------------------------------------- pointer-chain (redirect) resolve
+
+MAX_JUMP_ROUNDS = 64  # 2^64-long chains would exceed any id space anyway
+
+
+def resolve_pointer_chains(ptr_ds, n_coarse: "int | None" = None,
+                           max_rounds: int = MAX_JUMP_ROUNDS):
+    """Resolve every pointer chain ``id → ptr → … → terminal`` to its
+    terminal node by POINTER DOUBLING (pointer jumping, Wyllie 1979 — the
+    classic O(log L) parallel list-ranking technique): each round, every
+    row's pointer jumps to its pointer's pointer via one co-partitioned
+    ``hash_join`` of the table with itself, and accumulated hop counts
+    add. A chain of length L resolves in ⌈log2 L⌉ rounds — redirect
+    canonicalization over a 100 TB crawl is ~6 join rounds of 24 B/row
+    (id, ptr, hops) exchanges, never a per-hop sequential walk.
+
+    Input rows: ``(id, ptr, hops)`` with TERMINAL nodes encoded as
+    self-loops (``ptr == id``, ``hops == 0``) and non-terminals carrying
+    ``hops = 1`` to their immediate target. Every ``ptr`` value must
+    exist as an ``id`` (the self-loop closure makes the per-round inner
+    join total). Ids must be non-negative (stages/joins sentinel).
+
+    Convergence is a distributed sum over a per-row ``changed`` flag:
+    jumping is monotone (once a row points at a terminal it never moves
+    again — the terminal's self-loop contributes hops 0), so
+    changed == 0 ⇔ every row points at its chain's terminal. Each round
+    materializes the (id, ptr, hops) table — proportional to the node
+    set, never the corpus payloads.
+
+    Returns a Dataset (id, final_id, n_hops)."""
+    from .joins import hash_join
+
+    cur = ptr_ds.materialize()
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        return pa.table({"jid": batch["id"], "nptr": batch["ptr"],
+                         "nhops": batch["hops"]})
+
+    for _ in range(max_rounds):
+        right = cur.map_batches(as_right, batch_format="pyarrow")
+        joined = hash_join(cur, right, "ptr", "jid", how="inner",
+                           n_coarse=n_coarse)
+
+        def jump(batch: pa.Table) -> pa.Table:
+            old = batch["ptr"].to_numpy(zero_copy_only=False)
+            new = batch["nptr"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "id": batch["id"],
+                "ptr": batch["nptr"],
+                "hops": pc.add(batch["hops"], batch["nhops"]),
+                "changed": pa.array((old != new).astype(np.int64))})
+
+        # one materialization per round; the changed flag rides along and
+        # is simply not read by the next round's join inputs
+        nxt = joined.map_batches(jump, batch_format="pyarrow").materialize()
+        changed = nxt.sum("changed") or 0
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"pointer chains unresolved after {max_rounds} doubling rounds")
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch["id"], "final_id": batch["ptr"],
+                         "n_hops": batch["hops"]})
+
+    return cur.map_batches(final, batch_format="pyarrow")

@@ -413,3 +413,67 @@ class TestUrlFeatures:
         assert df.loc[urls[3]].host == ""  # schemeless → empty host
         assert df.loc[urls[3]].n_params == 1
         assert df.loc[urls[4]].n_digits == 9
+
+
+class TestResolvePointerChains:
+    def _resolve(self, ids, ptrs, hops, nc=4):
+        import ray.data as rd
+        from mobile_ocr_api_ray.stages.crawl import resolve_pointer_chains
+        tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                        "ptr": pa.array(ptrs, pa.int64()),
+                        "hops": pa.array(hops, pa.int64())})
+        return (resolve_pointer_chains(rd.from_arrow(tbl), n_coarse=nc)
+                .to_pandas().sort_values("id").reset_index(drop=True))
+
+    def test_single_long_chain(self, ray_session):
+        # 9 → 8 → … → 0 (terminal): hop counts are the distance, and the
+        # chain is longer than 2^3 so at least 4 doubling rounds happen
+        n = 10
+        ids = list(range(n))
+        ptrs = [0] + [i - 1 for i in range(1, n)]
+        hops = [0] + [1] * (n - 1)
+        df = self._resolve(ids, ptrs, hops)
+        assert df.final_id.tolist() == [0] * n
+        assert df.n_hops.tolist() == ids
+
+    def test_forest_with_branches(self, ray_session):
+        # two trees: {0 ← 1 ← 3, 0 ← 2} and {4 ← 5}; 6 isolated terminal
+        ids = [0, 1, 2, 3, 4, 5, 6]
+        ptrs = [0, 0, 0, 1, 4, 4, 6]
+        hops = [0, 1, 1, 1, 0, 1, 0]
+        df = self._resolve(ids, ptrs, hops)
+        assert df.final_id.tolist() == [0, 0, 0, 0, 4, 4, 6]
+        assert df.n_hops.tolist() == [0, 1, 1, 2, 0, 1, 0]
+
+    def test_partition_invariance(self, ray_session):
+        ids = list(range(40))
+        ptrs = [i if i % 5 == 0 else i - 1 for i in ids]
+        hops = [0 if i % 5 == 0 else 1 for i in ids]
+        a = self._resolve(ids, ptrs, hops, nc=1)
+        b = self._resolve(ids, ptrs, hops, nc=7)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_redirect_chains_query(self, ray_session):
+        """Query-level differential: the grafted rule walked in pure
+        python must agree with the pointer-doubled result exactly."""
+        from mobile_ocr_api_ray.hashing import hash32
+        from mobile_ocr_api_ray.pipelines.analysis import redirect_chains
+        df = redirect_chains(SF).to_pandas()
+
+        def parent(i):
+            h = hash32(i)
+            if i == 0 or h % 4 == 0:
+                return None
+            return max(i - 1 - h % 3, 0)
+
+        finals, hops = [], []
+        for i in df.doc_id:
+            cur, k = int(i), 0
+            while parent(cur) is not None:
+                cur, k = parent(cur), k + 1
+            finals.append(cur)
+            hops.append(k)
+        assert df.final_id.tolist() == finals
+        assert df.n_hops.tolist() == hops
+        # the graft produces real multi-hop chains at every tier
+        assert df.n_hops.max() >= 3
