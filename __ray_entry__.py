@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quality_blocklist": a.host_quality_blocklist,
         "host_split_pages": a.host_split_pages,
         "redirect_chains": a.redirect_chains,
+        "containment_pairs_doubled": a.containment_pairs_doubled,
         "soft_dedup_sampled_docs": a.soft_dedup_sampled_docs,
         "shuffle_order_docs": a.shuffle_order_docs,
         "length_fit_docs": a.length_fit_docs,
@@ -3909,6 +3910,51 @@ def oracle_sql() -> dict[str, str]:
                      AS host_text_permille,
                    h.st * 1000 < 680 * h.sc AS blocked
             FROM s JOIN h USING (host) ORDER BY s.url""",
+        # asymmetric shingle containment over the superset-twin corpus:
+        # distinct md5-hash32 3-gram shingles (the minhash_pairs_md5 gram
+        # rule), DF cap 16 + min-size 3 mirrored verbatim, containment =
+        # one IEEE division of exact ints on both sides
+        "containment_pairs_doubled": r"""
+            WITH dd AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     coalesce(text, '') || ' qq0 ww1 ee2 rr3 tt4 yy5'
+              FROM documents),
+            words AS (SELECT doc_id,
+                             list_filter(regexp_split_to_array(
+                                 lower(coalesce(text, '')), '\s+'),
+                                         x -> x <> '') AS w FROM dd),
+            grams AS (SELECT doc_id,
+                             CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                                  WHEN len(w) < 3
+                                    THEN [array_to_string(w, ' ')]
+                                  ELSE [array_to_string(w[i:i+2], ' ')
+                                        FOR i IN range(1, len(w) - 1)]
+                             END AS g FROM words),
+            sh AS (SELECT DISTINCT doc_id,
+                          CAST(CAST(('0x' || substring(md5(gram), 1, 8))
+                                    AS UBIGINT) AS BIGINT) AS fp
+                   FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+            df AS (SELECT fp, count(*) AS dfc FROM sh GROUP BY fp),
+            surv AS (SELECT sh.doc_id, sh.fp
+                     FROM sh JOIN df USING (fp) WHERE dfc <= 16),
+            sz AS (SELECT doc_id, count(*) AS eff FROM surv GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             count(*) AS n_shared
+                      FROM surv a JOIN surv b
+                        ON a.fp = b.fp AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b, n_shared,
+                   CAST(n_shared AS DOUBLE) / sa.eff AS cont_a,
+                   CAST(n_shared AS DOUBLE) / sb.eff AS cont_b
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.id_a
+            JOIN sz sb ON sb.doc_id = inter.id_b
+            WHERE sa.eff >= 3 AND sb.eff >= 3
+              AND greatest(CAST(n_shared AS DOUBLE) / sa.eff,
+                           CAST(n_shared AS DOUBLE) / sb.eff) >= 0.9
+            ORDER BY id_a, id_b""",
         # redirect-chain resolution: the oracle WALKS the same grafted
         # parent table (shared sampling hash) with a recursive CTE; the
         # engine resolves it by pointer doubling — final node and hop

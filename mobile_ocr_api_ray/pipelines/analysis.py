@@ -4889,3 +4889,34 @@ def redirect_chains(sf_dir: str):
                          "n_hops": batch["n_hops"]})
 
     return res.map_batches(rename, batch_format="pyarrow").sort("doc_id")
+
+
+SUPERSET_FILLER = " qq0 ww1 ee2 rr3 tt4 yy5"  # appended to every twin
+
+
+def _superset_docs(sf_dir: str):
+    """documents ∪ superset twins (doc_id + DOUBLE_OFFSET, text +
+    SUPERSET_FILLER): every twin CONTAINS its base verbatim plus extra
+    words — containment(base→twin) = 1.0 by construction while symmetric
+    Jaccard sits below 1, the workload the asymmetric operator exists
+    for. The filler's interior shingles recur in every twin, so the
+    CONT_DF_CAP boilerplate rule provably fires at every tier."""
+    base = _docs(sf_dir, ["doc_id", "text"])
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.add(batch["doc_id"],
+                             pa.scalar(DOUBLE_OFFSET, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                pc.fill_null(batch["text"], ""), SUPERSET_FILLER, "")})
+
+    return base.union(base.map_batches(shift, batch_format="pyarrow"))
+
+
+def containment_pairs_doubled(sf_dir: str):
+    """Shingle-containment near-dup pairs over the superset-twin corpus —
+    see stages/dedup.shingle_containment_pairs for the semantics and the
+    two SQL-mirrored rules (DF cap, min size)."""
+    return dedup.shingle_containment_pairs(
+        _superset_docs(sf_dir),
+        n_coarse=_docs_coarse_hint(sf_dir, mult=2)).sort(["id_a", "id_b"])

@@ -1389,11 +1389,42 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
                          "fp": pa.array(fp),
                          "coarse": pa.array((fp % nc).astype(np.int32))})
 
+    def finalize(pairs: pd.DataFrame) -> pd.DataFrame:
+        n = pairs["n_shared"].to_numpy()
+        overlap = n / np.maximum(
+            np.minimum(pairs["eff_a"].to_numpy(),
+                       pairs["eff_b"].to_numpy()), 1)
+        keep = overlap >= threshold
+        return pd.DataFrame({
+            "id_a": pd.array(pairs["id_a"].to_numpy()[keep], "int64"),
+            "id_b": pd.array(pairs["id_b"].to_numpy()[keep], "int64"),
+            "n_shared": pd.array(n[keep], "int64"),
+            "overlap": pd.array(overlap[keep], "float64")})
+
+    out = _fp_overlap_pairs(ds.map_batches(explode, batch_format="pyarrow"),
+                            id_col=id_col, cap=MAX_BUCKET, ncp=ncp,
+                            finalize=finalize)
+    return _typed_empty_union(out, {"id_a": pa.int64(), "id_b": pa.int64(),
+                                    "n_shared": pa.int64(),
+                                    "overlap": pa.float64()})
+
+
+def _fp_overlap_pairs(exploded, *, id_col: str, cap: int, ncp: int,
+                      finalize):
+    """The shared 3-shuffle fingerprint-overlap machinery (see
+    fingerprint_collision_pairs for the shuffle accounting): ``exploded``
+    carries per-doc DISTINCT (id_col, fp, coarse) rows with the full
+    bucket of any fp routed to one coarse partition. Buckets larger than
+    ``cap`` are discriminative-filtered consistently from BOTH the pair
+    walk and the per-doc effective counts. ``finalize`` receives the
+    resolved (id_a, id_b, n_shared, eff_a, eff_b) frame per id_b
+    partition and scores/filters it."""
+
     def pairs_and_counts(df: pd.DataFrame) -> pd.DataFrame:
-        # surviving buckets: fp doc-frequency <= MAX_BUCKET (the full
-        # bucket is in THIS partition — frequency is exact, not partial)
+        # surviving buckets: fp doc-frequency <= cap (the full bucket is
+        # in THIS partition — frequency is exact, not partial)
         sizes = df.groupby("fp")["fp"].transform("size")
-        surv = df[sizes <= MAX_BUCKET]
+        surv = df[sizes <= cap]
         # per-doc effective fp partial count (kind rows: id_b = -1)
         eff = surv.groupby(id_col, as_index=False).size()
         kind_rows = pd.DataFrame({
@@ -1451,32 +1482,95 @@ def fingerprint_collision_pairs(ds, id_col: str = "doc_id",
                            k2=(effs["id_a"] % ncp).astype("int32"))
         return pd.concat([pairs, effs], ignore_index=True)
 
-    def attach_b_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+    def attach_b_and_finalize(df: pd.DataFrame) -> pd.DataFrame:
         effs = df[df["id_b"] < 0]
-        pairs = df[df["id_b"] >= 0]
-        eff_b = pairs["id_b"].map(
+        pairs = df[df["id_b"] >= 0].copy()
+        pairs["eff_b"] = pd.array(pairs["id_b"].map(
             pd.Series(effs["n_shared"].to_numpy(),
-                      index=effs["id_a"].to_numpy())).to_numpy()
+                      index=effs["id_a"].to_numpy())).to_numpy(), "int64")
+        return finalize(pairs)
+
+    return (exploded
+            .groupby("coarse").map_groups(pairs_and_counts,
+                                          batch_format="pandas")
+            .groupby("k1").map_groups(sum_and_attach_a,
+                                      batch_format="pandas")
+            .groupby("k2").map_groups(attach_b_and_finalize,
+                                      batch_format="pandas"))
+
+
+CONT_DF_CAP = 16     # shingles in more docs are boilerplate: excluded
+CONT_MIN_GRAMS = 3   # both sides need this many effective shingles
+
+
+def shingle_containment_pairs(ds, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              threshold: float = 0.9,
+                              n_coarse: int | None = None,
+                              n_coarse_pairs: int | None = None):
+    """ASYMMETRIC containment near-dups (Broder 1997 distinguishes
+    resemblance — Jaccard — from CONTAINMENT c(A→B) = |S(A)∩S(B)|/|S(A)|):
+    the subset/superset duplicate class MinHash misses — a quote, an
+    article embedded in a longer page, a doc plus appended boilerplate —
+    scores c ≈ 1 on the contained side while symmetric Jaccard can sit
+    arbitrarily low. Shingles are DISTINCT md5-hash32 word 3-grams
+    (md5_shingle32 — the value-exact SQL-reproducible domain).
+
+    Two rules are part of the operator SEMANTICS and mirrored exactly in
+    the SQL oracle (so nothing is a silent engine-side cap):
+    - document-frequency cap ``CONT_DF_CAP``: shingles present in more
+      than 16 docs are boilerplate-filtered from both intersections and
+      doc sizes — this also bounds the per-shingle pair fan-out at
+      C(16,2), so the pair walk is exact, never truncated;
+    - minimum size ``CONT_MIN_GRAMS``: pairs where either side has < 3
+      effective shingles are dropped (one-shingle docs are 'contained'
+      in anything sharing that shingle — noise, not duplication).
+
+    Rides the shared 3-shuffle _fp_overlap_pairs machinery
+    (fingerprint_collision_pairs' accounting): one full-explode bucket
+    shuffle + two candidate-bounded doc-keyed passes. Returns
+    (id_a, id_b, n_shared, cont_a, cont_b), id_a < id_b, where
+    cont_a = n_shared / |S(id_a)| — each a single IEEE division of exact
+    ints, bit-equal to the SQL."""
+    nc = n_coarse or N_COARSE
+    ncp = n_coarse_pairs or nc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_fp = [], []
+        for i, t in zip(ids, texts):
+            fps = np.unique(md5_shingle32(t))
+            out_id.extend([i] * len(fps))
+            out_fp.append(fps)
+        fp = (np.concatenate(out_fp).astype(np.int64) if out_fp
+              else np.array([], np.int64))
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "fp": pa.array(fp),
+                         "coarse": pa.array((fp % nc).astype(np.int32))})
+
+    def finalize(pairs: pd.DataFrame) -> pd.DataFrame:
         n = pairs["n_shared"].to_numpy()
-        overlap = n / np.maximum(
-            np.minimum(pairs["eff_a"].to_numpy(), eff_b), 1)
-        keep = overlap >= threshold
+        eff_a = pairs["eff_a"].to_numpy()
+        eff_b = pairs["eff_b"].to_numpy()
+        cont_a = n / np.maximum(eff_a, 1)
+        cont_b = n / np.maximum(eff_b, 1)
+        keep = ((np.maximum(cont_a, cont_b) >= threshold)
+                & (eff_a >= CONT_MIN_GRAMS) & (eff_b >= CONT_MIN_GRAMS))
         return pd.DataFrame({
             "id_a": pd.array(pairs["id_a"].to_numpy()[keep], "int64"),
             "id_b": pd.array(pairs["id_b"].to_numpy()[keep], "int64"),
             "n_shared": pd.array(n[keep], "int64"),
-            "overlap": pd.array(overlap[keep], "float64")})
+            "cont_a": pd.array(cont_a[keep], "float64"),
+            "cont_b": pd.array(cont_b[keep], "float64")})
 
-    out = (ds.map_batches(explode, batch_format="pyarrow")
-           .groupby("coarse").map_groups(pairs_and_counts,
-                                         batch_format="pandas")
-           .groupby("k1").map_groups(sum_and_attach_a,
-                                     batch_format="pandas")
-           .groupby("k2").map_groups(attach_b_and_filter,
-                                     batch_format="pandas"))
+    out = _fp_overlap_pairs(ds.map_batches(explode, batch_format="pyarrow"),
+                            id_col=id_col, cap=CONT_DF_CAP, ncp=ncp,
+                            finalize=finalize)
     return _typed_empty_union(out, {"id_a": pa.int64(), "id_b": pa.int64(),
                                     "n_shared": pa.int64(),
-                                    "overlap": pa.float64()})
+                                    "cont_a": pa.float64(),
+                                    "cont_b": pa.float64()})
 
 
 # ------------------------------------------------- embedding near-dup (LSH)

@@ -382,3 +382,68 @@ class TestEmbeddingDedupKept:
                            np.float64)
             assert np.isfinite(mat).all()
             assert (np.linalg.norm(mat, axis=1) > 0).all()
+
+
+class TestContainmentPairs:
+    def _run(self, texts, nc=4, threshold=0.9):
+        import ray.data
+        from mobile_ocr_api_ray.stages.dedup import shingle_containment_pairs
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+        df = shingle_containment_pairs(ds, n_coarse=nc,
+                                       threshold=threshold).to_pandas()
+        if len(df) == 0:
+            df = pd.DataFrame(columns=["id_a", "id_b", "n_shared",
+                                       "cont_a", "cont_b"])
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def test_superset_scores_one_on_contained_side(self, ray_session):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = [base,
+                 base + " lambda mu nu xi",     # superset of doc 0
+                 "totally unrelated words about streaming dataset engines"]
+        df = self._run(texts)
+        assert df[["id_a", "id_b"]].values.tolist() == [[0, 1]]
+        r = df.iloc[0]
+        # doc 0: 8 distinct 3-gram shingles, all present in doc 1
+        assert r.n_shared == 8 and r.cont_a == 1.0 and r.cont_b < 1.0
+        # symmetric Jaccard on the same pair is n/(|A|+|B|-n) = 8/12 < 0.9
+        # — the asymmetric operator is what catches it
+
+    def test_df_cap_filters_boilerplate_shingles(self, ray_session):
+        from mobile_ocr_api_ray.stages.dedup import CONT_DF_CAP
+        # 20 docs (> CONT_DF_CAP) share one hot phrase; each also carries
+        # unique content. The hot shingles are excluded everywhere, so no
+        # pair forms on their account.
+        hot = "every page carries this exact boilerplate footer line"
+        texts = [f"{hot} unique{u} tail{u} words{u} here{u} more{u}"
+                 for u in range(CONT_DF_CAP + 4)]
+        df = self._run(texts)
+        assert len(df) == 0
+
+    def test_min_grams_rule(self, ray_session):
+        # the 2-word doc collapses to ONE shingle, fully contained in doc
+        # 1 — dropped by the min-size rule, not reported as containment 1
+        texts = ["alpha beta",
+                 "alpha beta gamma delta epsilon zeta eta"]
+        df = self._run(texts)
+        assert len(df) == 0
+
+    def test_partition_invariance(self, ray_session):
+        texts = [f"w{i} x{i} y{i} z{i} common tail phrase here now ok"
+                 for i in range(12)]
+        texts += [texts[3] + " extra appended words beyond the base"]
+        a = self._run(texts, nc=1)
+        b = self._run(texts, nc=7)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_query_surface_twins(self, ray_session):
+        """Every base doc with ≥ 3 effective shingles must pair with its
+        superset twin at cont_a == 1.0 over the query corpus."""
+        from mobile_ocr_api_ray.pipelines.analysis import (
+            DOUBLE_OFFSET, containment_pairs_doubled)
+        df = containment_pairs_doubled(SF).to_pandas()
+        twins = df[df.id_b == df.id_a + DOUBLE_OFFSET]
+        assert len(twins) > 0
+        assert (twins.cont_a == 1.0).all()
+        assert (twins.cont_b < 1.0).all()
