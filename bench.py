@@ -307,6 +307,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("fineweb_filter_rates",
           lambda: a.fineweb_filter_rates(sf_dir).to_pandas())
     timed("lang_ttr_corr", lambda: a.lang_ttr_corr(sf_dir).to_pandas())
+    timed("host_split_pages", lambda: a.host_split_pages(sf_dir).to_pandas())
+    timed("redirect_chains", lambda: a.redirect_chains(sf_dir).to_pandas())
+    timed("containment_pairs_doubled",
+          lambda: _pd(a.containment_pairs_doubled(sf_dir)))
     timed("bm25_top_docs", lambda: _pd(a.bm25_top_docs(sf_dir)))
     timed("page_metadata", lambda: a.page_metadata(sf_dir).to_pandas())
     timed("title_body_pairs", lambda: a.title_body_pairs(sf_dir).to_pandas())
