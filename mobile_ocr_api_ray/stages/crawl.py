@@ -519,10 +519,18 @@ def resolve_pointer_chains(ptr_ds, n_coarse: "int | None" = None,
     materializes the (id, ptr, hops) table — proportional to the node
     set, never the corpus payloads.
 
+    Closure is ASSERTED, not assumed: the per-round inner join drops any
+    row whose ``ptr`` has no matching ``id`` (and would duplicate rows if
+    ids repeated), so each round checks the joined row count against the
+    input row count — metadata-only on a materialized dataset — and
+    raises instead of silently losing walkers on a malformed pointer
+    table.
+
     Returns a Dataset (id, final_id, n_hops)."""
     from .joins import hash_join
 
     cur = ptr_ds.materialize()
+    n_rows = cur.count()
 
     def as_right(batch: pa.Table) -> pa.Table:
         return pa.table({"jid": batch["id"], "nptr": batch["ptr"],
@@ -552,6 +560,12 @@ def resolve_pointer_chains(ptr_ds, n_coarse: "int | None" = None,
         from .dedup import N_COARSE
         nxt = (joined.map_batches(jump, batch_format="pyarrow")
                .repartition(n_coarse or N_COARSE).materialize())
+        if nxt.count() != n_rows:
+            raise ValueError(
+                "pointer table is not closed: round joined "
+                f"{nxt.count()} rows from {n_rows} inputs (every ptr "
+                "must exist as an id, ids must be unique; terminals "
+                "are self-loops)")
         changed = nxt.sum("changed") or 0
         cur = nxt
         if changed == 0:

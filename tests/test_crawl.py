@@ -445,6 +445,12 @@ class TestResolvePointerChains:
         assert df.final_id.tolist() == [0, 0, 0, 0, 4, 4, 6]
         assert df.n_hops.tolist() == [0, 1, 1, 2, 0, 1, 0]
 
+    def test_unclosed_pointer_table_raises(self, ray_session):
+        # ptr 99 has no matching id: the inner join would silently drop
+        # the walker — the per-round closure assertion must raise instead
+        with pytest.raises(Exception, match="not closed"):
+            self._resolve([0, 1, 2], [0, 0, 99], [0, 1, 1])
+
     def test_partition_invariance(self, ray_session):
         ids = list(range(40))
         ptrs = [i if i % 5 == 0 else i - 1 for i in ids]
