@@ -1223,6 +1223,33 @@ def exact_dedup_doubled(sf_dir: str):
     return dedup.exact_dedup_stats(_doubled_docs(sf_dir)).sort("digest")
 
 
+SKEW_HOT_TEXT = "HOT DUPLICATE PAYLOAD"
+
+
+def exact_dedup_skew(sf_dir: str):
+    """Hot-key stress form of exact dedup (SURVEY §2.7 D1): ~30% of the
+    corpus is rewritten to ONE hot payload (keep ⇔ hash32(doc_id) % 10 < 3,
+    the engine-wide sampling hash), so a single digest owns ~30% of all
+    rows — the worst-case key skew a 100 TB dedup hits on boilerplate
+    pages. Correct AND straggler-free under that skew because
+    exact_dedup_stats exchanges per-block PARTIALS (Min/Count combine
+    inside each block before the shuffle), so the hot digest reaches its
+    reducer as ~n_blocks one-row partials, never 30% of the corpus;
+    tests/test_operators.py asserts the wall-time stays comparable to the
+    uniform corpus. Value-exact vs the same CASE/md5 SQL."""
+    def skew(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [SKEW_HOT_TEXT if _hash32(i) % 10 < 3 else (t or "")
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    skewed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        skew, batch_format="pyarrow")
+    return dedup.exact_dedup_stats(skewed).sort("digest")
+
+
 def soft_dedup_weights_doubled(sf_dir: str):
     """SoftDeDup duplication reweighting (stages/dedup.soft_dedup_weights)
     over the doubled corpus — every text has ≥2 copies, so every row's

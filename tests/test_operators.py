@@ -91,6 +91,40 @@ class TestDedupPipelines:
         assert len(kept) == 40
         assert (kept.doc_id < 40).all()  # representative = min doc_id
 
+    def test_exact_dedup_skew_correct_and_no_straggler(self, ray_session):
+        """Hot-key stress: one text owning ~30% of rows must (a) produce
+        the same stats a pandas groupby gives and (b) not straggler-
+        collapse — exact_dedup_stats exchanges per-block Min/Count
+        partials, so the hot digest costs ~n_blocks rows, and wall time
+        stays comparable to a uniform corpus of the same size."""
+        import time
+
+        import ray.data
+        from mobile_ocr_api_ray.hashing import hash32
+        n = 4_000
+        hot = "HOT DUPLICATE PAYLOAD"
+        uniform = [f"unique skew-test doc {i} alpha beta {i * 7}" for i in range(n)]
+        skewed = [hot if hash32(i) % 10 < 3 else t
+                  for i, t in enumerate(uniform)]
+
+        def run(texts):
+            ds = ray.data.from_arrow(_docs_table(texts)).repartition(8)
+            t0 = time.perf_counter()
+            out = dedup.exact_dedup_stats(ds).to_pandas()
+            return out, time.perf_counter() - t0
+
+        skew_df, t_skew = run(skewed)
+        _, t_uniform = run(uniform)
+        n_hot = sum(1 for i in range(n) if hash32(i) % 10 < 3)
+        assert 0.25 * n < n_hot < 0.35 * n  # the corpus really is skewed
+        hot_row = skew_df.sort_values("dup_count").iloc[-1]
+        assert hot_row.dup_count == n_hot
+        assert len(skew_df) == n - n_hot + 1
+        assert int(skew_df.dup_count.sum()) == n
+        # generous flake margin; a reducer that receives the raw hot rows
+        # instead of partials shows up as a multiple, not a fraction
+        assert t_skew < 3.0 * t_uniform + 1.0, (t_skew, t_uniform)
+
     def test_minhash_finds_exact_dups(self, ray_session, doc_ds):
         pairs = dedup.minhash_dedup_pairs(doc_ds, threshold=0.9).to_pandas()
         expected = {(i, i + 40) for i in range(10)}
