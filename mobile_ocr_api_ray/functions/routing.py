@@ -55,6 +55,55 @@ def add_routing_columns(batch: pa.Table, quality_col: str = "quality") -> pa.Tab
     return batch
 
 
+# kernel_config passthrough (reference app.py:567,580-581: the raw
+# ``config`` string is appended verbatim to the engine invocation and can
+# override any engine parameter per request). The engine's equivalent is a
+# per-row space-separated ``key=value`` string refining the quality-routed
+# parameters; like tesseract with a malformed config, an unknown key or a
+# bad value raises — M11 turns it into an error ROW, never a batch failure.
+_CONFIG_KEYS = {
+    "preprocess": ("preprocess_kind",
+                   frozenset(("fast", "balanced", "quality", "default"))),
+    "ocr_mode": ("ocr_mode", frozenset(("fast", "standard", "accurate"))),
+}
+_CONFIG_INT_KEYS = {"max_dim": "max_dim", "jpeg_quality": "jpeg_quality"}
+
+
+def parse_kernel_config(config: "str | None") -> dict:
+    """Parse a per-row kernel config string into ctx overrides.
+
+    ``'ocr_mode=accurate max_dim=2000 deskew=1'`` →
+    ``{'ocr_mode': 'accurate', 'max_dim': 2000, 'do_deskew': True}``.
+    Raises ValueError on unknown keys / malformed tokens (the reference
+    engine rejects bad config strings at invocation time)."""
+    out: dict = {}
+    for token in (config or "").split():
+        key, sep, value = token.partition("=")
+        if not sep or not value:
+            raise ValueError(f"malformed kernel_config token: {token!r}")
+        if key in _CONFIG_KEYS:
+            ctx_key, allowed = _CONFIG_KEYS[key]
+            if value not in allowed:
+                raise ValueError(
+                    f"kernel_config {key}={value!r} not in {sorted(allowed)}")
+            out[ctx_key] = value
+        elif key in _CONFIG_INT_KEYS:
+            try:
+                out[_CONFIG_INT_KEYS[key]] = int(value)
+            except ValueError:
+                raise ValueError(
+                    f"kernel_config {key} needs an int, got {value!r}") \
+                    from None
+        elif key == "deskew":
+            if value not in ("0", "1"):
+                raise ValueError(
+                    f"kernel_config deskew needs 0 or 1, got {value!r}")
+            out["do_deskew"] = value == "1"
+        else:
+            raise ValueError(f"unknown kernel_config key: {key!r}")
+    return out
+
+
 def supported_languages() -> list[str]:
     """S8 — the languages source. The reference shells out
     ``tesseract --list-langs`` and strips the header (app.py:2130-2153);

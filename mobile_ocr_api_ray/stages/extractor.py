@@ -166,6 +166,17 @@ register_kernel("image", "default", image_kernel)
 register_kernel("pdf", "default", pdf_kernel)
 
 
+def _result_nbytes(result: tuple) -> int:
+    """Deterministic heap-size estimate of a cached kernel result
+    (text, confidence, paragraph_dicts, total_pages): text + paragraph
+    text bytes plus a fixed per-paragraph structure overhead. An estimate
+    is enough — the byte cap bounds order-of-magnitude blowup, not exact
+    accounting."""
+    text, _, para_dicts, _ = result
+    return (len(text) + sum(len(p.get("text", "")) + 128
+                            for p in para_dicts) + 256)
+
+
 class ExtractorActor:
     """Stateful extraction stage; one instance per actor in the pool.
 
@@ -178,14 +189,21 @@ class ExtractorActor:
                  build_spans: bool = True,
                  kernels: dict[str, str | object] | None = None,
                  build_visualization: bool = False,
-                 lru_size: int = 512):
+                 lru_size: int = 512,
+                 lru_bytes: int = 64 << 20):
         from collections import OrderedDict
         self.build_visualization = build_visualization
-        # A2b: per-actor LRU keyed by (kind, lang, payload digest) — repeats
-        # WITHIN an actor's stream skip the kernel entirely (the reference's
-        # v2 result cache, app2.py:46-48, as warm actor state); cross-cluster
-        # dedup is the separate D1 digest pipeline. lru_size=0 disables.
+        # A2b: per-actor LRU keyed by (kind, lang, config, payload digest) —
+        # repeats WITHIN an actor's stream skip the kernel entirely (the
+        # reference's v2 result cache, app2.py:46-48, as warm actor state);
+        # cross-cluster dedup is the separate D1 digest pipeline.
+        # Bounded by BOTH entry count (lru_size, 0 disables) and result
+        # BYTES (lru_bytes): 512 entries of multi-MB extractions would
+        # otherwise pin GBs of heap per actor on a pathological corpus —
+        # the cap evicts oldest-first until the estimate fits.
         self.lru_size = lru_size
+        self.lru_bytes = lru_bytes
+        self._lru_nbytes = 0
         self._lru: "OrderedDict[tuple, tuple]" = OrderedDict()
         from ..functions.routing import QUALITY_PARAMS
         self.quality = quality if quality in QUALITY_PARAMS else "medium"
@@ -208,15 +226,23 @@ class ExtractorActor:
     # ---- per-kind kernels ----------------------------------------------
 
     def _extract_payload(self, payload: bytes, kind: str,
-                         lang: str | None) -> tuple[str, float, list[dict], int]:
+                         lang: str | None,
+                         config: "str | None" = None
+                         ) -> tuple[str, float, list[dict], int]:
         """Returns (text, confidence, paragraph_dicts, total_pages); counts a
-        kernel invocation on LRU miss only."""
+        kernel invocation on LRU miss only. ``config`` is the per-row raw
+        config passthrough (reference app.py:567,580-581) — parsed into ctx
+        overrides on top of the quality-routed params, and part of the LRU
+        key (two rows with the same payload but different configs must not
+        share a cached result, the v2 cache-key rule app2.py:330)."""
         import hashlib
+
+        from ..functions.routing import parse_kernel_config
 
         lang = lang or "eng"
         key = None
         if self.lru_size:
-            key = (kind, lang,
+            key = (kind, lang, config or "",
                    hashlib.blake2b(payload, digest_size=16).digest())
             hit = self._lru.get(key)
             if hit is not None:
@@ -225,15 +251,21 @@ class ExtractorActor:
         self.kernel_invocations += 1
         ctx = dict(self._ctx)
         ctx["lang"] = lang  # per-row -l routing (app.py:567,1127)
+        if config:
+            ctx.update(parse_kernel_config(config))  # bad config raises → M11
         result = self._kernels[kind](payload, ctx)
         if key is not None:
             self._lru[key] = result
-            if len(self._lru) > self.lru_size:
-                self._lru.popitem(last=False)
+            self._lru_nbytes += _result_nbytes(result)
+            while (len(self._lru) > self.lru_size
+                   or (self.lru_bytes and self._lru_nbytes > self.lru_bytes)) \
+                    and self._lru:
+                _, old = self._lru.popitem(last=False)
+                self._lru_nbytes -= _result_nbytes(old)
         return result
 
     def extract_row(self, url: str, payload: bytes | None, text_layer: str | None,
-                    lang: str | None) -> dict:
+                    lang: str | None, config: "str | None" = None) -> dict:
         t0 = time.perf_counter()
         row = {
             "url": url, "extracted_text": "", "spans": [], "paragraphs": [],
@@ -261,7 +293,7 @@ class ExtractorActor:
                 row["processing_time_ms"] = (time.perf_counter() - t0) * 1e3
                 return row
             text, conf, para_dicts, total_pages = self._extract_payload(
-                payload, kind, lang)
+                payload, kind, lang, config)
             if self.build_spans:
                 text2, paragraphs, columns, spans, actions = build_structure(para_dicts)
                 # structure text and kernel text agree by construction (every
@@ -292,9 +324,14 @@ class ExtractorActor:
         return row
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         urls = batch["url"].to_pylist()
         payloads = batch["html"].to_pylist()
-        texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(urls)
-        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
-        rows = [self.extract_row(u, p, t, l) for u, p, t, l in zip(urls, payloads, texts, langs)]
+        texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * n
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * n
+        # per-row raw config passthrough column (reference app.py:580-581)
+        cfgs = (batch["kernel_config"].to_pylist()
+                if "kernel_config" in batch.column_names else [None] * n)
+        rows = [self.extract_row(u, p, t, l, c)
+                for u, p, t, l, c in zip(urls, payloads, texts, langs, cfgs)]
         return pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA)

@@ -229,6 +229,83 @@ class TestOcrModeRouting:
         assert a["confidence"] == b["confidence"]
 
 
+class TestKernelConfig:
+    """Raw config-string passthrough (reference app.py:567,580-581: the
+    caller's ``config`` is appended verbatim to the engine invocation).
+    Engine form: a per-row ``kernel_config`` column of ``key=value``
+    tokens overriding the quality-routed params for that row."""
+
+    def _payload(self):
+        from mobile_ocr_api_ray.stages import glyphs
+        img = glyphs.render_text(["HELLO WORLD", "SECOND LINE OF TEXT"],
+                                 scale=3, margin=12)
+        img = glyphs.add_noise(img, 80, seed=5)
+        return glyphs.encode_imgx(glyphs.rotate_nn(img, 1.5))
+
+    def test_config_reaches_engine(self):
+        """The raw string must CHANGE engine behavior: ocr_mode=accurate
+        on a medium-quality actor recovers the rotated text the default
+        routing does not (same observable as TestOcrModeRouting)."""
+        from mobile_ocr_api_ray.stages.extractor import ExtractorActor
+        p = self._payload()
+        batch = pa.table({
+            "url": pa.array(["a", "b"], pa.string()),
+            "html": pa.array([p, p], pa.binary()),
+            "kernel_config": pa.array([None, "ocr_mode=accurate"],
+                                      pa.string())})
+        df = ExtractorActor(quality="medium")(batch).to_pandas() \
+            .set_index("url")
+        assert not df.loc["a"].extracted_text.startswith("HELLO WORLD")
+        assert df.loc["b"].extracted_text.startswith("HELLO WORLD")
+        assert (df.status == "ok").all()
+
+    def test_config_distinct_lru_entries(self):
+        """Same payload + different config must NOT share a cached result
+        (the v2 cache-key rule extended to the config field)."""
+        from mobile_ocr_api_ray.stages.extractor import ExtractorActor
+        p = self._payload()
+        act = ExtractorActor(quality="medium")
+        batch = pa.table({
+            "url": pa.array(["a", "b", "c"], pa.string()),
+            "html": pa.array([p, p, p], pa.binary()),
+            "kernel_config": pa.array(
+                [None, "ocr_mode=accurate", "ocr_mode=accurate"],
+                pa.string())})
+        df = act(batch).to_pandas()
+        assert act.kernel_invocations == 2  # b,c share; a distinct
+        assert df.extracted_text[1] == df.extracted_text[2]
+        assert df.extracted_text[0] != df.extracted_text[1]
+
+    def test_bad_config_is_error_row(self):
+        """A malformed config degrades to an M11 error ROW (the reference
+        engine rejects bad config at invocation), never a batch failure."""
+        from mobile_ocr_api_ray.stages.extractor import ExtractorActor
+        p = self._payload()
+        batch = pa.table({
+            "url": pa.array(["bad", "good"], pa.string()),
+            "html": pa.array([p, p], pa.binary()),
+            "kernel_config": pa.array(
+                ["tessedit_do_invert", None], pa.string())})
+        df = ExtractorActor(quality="medium")(batch).to_pandas() \
+            .set_index("url")
+        assert df.loc["bad"].status == "error"
+        assert "kernel_config" in df.loc["bad"].error
+        assert df.loc["good"].status == "ok"
+
+    def test_parse_kernel_config(self):
+        from mobile_ocr_api_ray.functions.routing import parse_kernel_config
+        assert parse_kernel_config(
+            "ocr_mode=fast max_dim=800 deskew=1 preprocess=quality") == {
+            "ocr_mode": "fast", "max_dim": 800, "do_deskew": True,
+            "preprocess_kind": "quality"}
+        assert parse_kernel_config(None) == {}
+        assert parse_kernel_config("") == {}
+        for bad in ("psm=3", "ocr_mode=turbo", "max_dim=big", "deskew=2",
+                    "oem"):
+            with pytest.raises(ValueError):
+                parse_kernel_config(bad)
+
+
 class TestLangRouting:
     """M9/-l — the lang column must route observable recognizer behavior
     (reference -l passthrough, app.py:567,580,1127)."""
@@ -303,6 +380,34 @@ class TestPerActorLru:
             "lang": pa.array(["ind"], pa.string())})
         actor(batch2)
         assert actor.kernel_invocations == 3
+
+    def test_byte_cap_evicts(self):
+        """The BYTE cap evicts oldest-first even while the entry count is
+        under lru_size — big extraction results cannot pin unbounded
+        per-actor heap (VERDICT r4 item 7)."""
+        from mobile_ocr_api_ray.stages import glyphs
+        from mobile_ocr_api_ray.stages.extractor import (ExtractorActor,
+                                                         _result_nbytes)
+        mk = lambda s: glyphs.encode_imgx(
+            glyphs.render_text([s], scale=2, margin=8))
+        p1, p2, p3 = mk("HELLO"), mk("WORLD"), mk("AGAIN")
+        one = _result_nbytes(ExtractorActor()._extract_payload(
+            p1, "image", "eng"))
+        # cap fits ~2 results; entry cap stays loose
+        actor = ExtractorActor(lru_size=512, lru_bytes=2 * one + 10)
+        for p in (p1, p2, p3):
+            actor(pa.table({"url": pa.array(["u"], pa.string()),
+                            "html": pa.array([p], pa.binary())}))
+        assert actor.kernel_invocations == 3
+        assert len(actor._lru) == 2  # p1 evicted by bytes
+        assert actor._lru_nbytes <= 2 * one + 10
+        # p1 is a miss again; p3 still cached
+        actor(pa.table({"url": pa.array(["u"], pa.string()),
+                        "html": pa.array([p3], pa.binary())}))
+        assert actor.kernel_invocations == 3
+        actor(pa.table({"url": pa.array(["u"], pa.string()),
+                        "html": pa.array([p1], pa.binary())}))
+        assert actor.kernel_invocations == 4
 
     def test_lru_disabled(self):
         from mobile_ocr_api_ray.stages import glyphs
