@@ -548,3 +548,71 @@ def test_host_split_pages(queries):
     from mobile_ocr_api_ray.stages.crawl import host_of
     hosts = host_of(pa.array(df.url.tolist())).to_pylist()
     assert df.host.tolist() == ["" if h is None else h for h in hosts]
+
+
+class TestCurationRecipe:
+    """The end-to-end curation recipe: lineage-manifest invariants plus a
+    full value differential against the composed DuckDB oracle (extraction
+    resolved through the golden table)."""
+
+    @pytest.fixture(scope="class")
+    def manifest(self, queries):
+        return queries["curation_recipe"](SF).to_pandas().set_index("stage")
+
+    def test_stage_chain_is_consistent(self, manifest):
+        m = manifest
+        n = m.loc["read_pages"].rows_in
+        assert m.loc["read_pages"].rows_out == n
+        # each gate's rows_in equals the previous stage's rows_out
+        chain = ["read_pages", "url_filter", "extract_checkpoint",
+                 "payload_gate", "exact_dedup", "near_dedup", "c4_gate",
+                 "gopher_gate", "host_split"]
+        for prev, cur in zip(chain, chain[1:]):
+            assert m.loc[cur].rows_in == m.loc[prev].rows_out, (prev, cur)
+        # monotone non-increasing survivors; every stage really fires at
+        # this tier except url/near (corpus has no blocked urls, and its
+        # near-dups are exact dups removed one stage earlier)
+        assert m.loc["payload_gate"].rows_out < m.loc["payload_gate"].rows_in
+        assert m.loc["exact_dedup"].rows_out < m.loc["exact_dedup"].rows_in
+        assert m.loc["c4_gate"].rows_out < m.loc["c4_gate"].rows_in
+        assert m.loc["gopher_gate"].rows_out < m.loc["gopher_gate"].rows_in
+
+    def test_pack_and_shards(self, manifest):
+        m = manifest
+        n_train = m.loc["pack_plan"].rows_in
+        assert m.loc["export"].rows_in == n_train
+        shards = m[m.index.str.startswith("export_shard_")]
+        assert shards.rows_out.sum() == n_train
+        assert (shards.digest.str.len() == 32).all()
+        assert shards.digest.nunique() == len(shards)
+        # text moves through exactly ONE exchange in the whole chain
+        assert m.text_exchanges.sum() == 1
+        assert m.loc["export"].text_exchanges == 1
+
+    def test_value_exact_vs_composed_oracle(self, queries, manifest):
+        import duckdb
+        import __ray_entry__ as e
+        os.environ["GRAFT_SF_DIR"] = SF
+        sql = e.oracle_sql()["curation_recipe"]
+        odf = duckdb.connect().execute(sql).df().set_index("stage")
+        m = manifest
+        assert list(m.index) == list(odf.index)
+        for col in ("stage_idx", "rows_in", "rows_out", "text_exchanges"):
+            assert m[col].astype("int64").tolist() == \
+                odf[col].astype("int64").tolist(), col
+        assert m.digest.tolist() == odf.digest.tolist()
+
+    def test_export_shards_on_disk_match_manifest(self, manifest):
+        import glob
+        import pyarrow.parquet as pq
+        shards = manifest[manifest.index.str.startswith("export_shard_")]
+        base = f"/tmp/mobile_ocr_recipe_{os.getpid()}"
+        files = sorted(glob.glob(os.path.join(
+            base, os.path.basename(SF), "shards", "shard-*.parquet")))
+        assert len(files) == len(shards)
+        for f, (_, row) in zip(files, shards.iterrows()):
+            t = pq.read_table(f)
+            assert t.num_rows == row.rows_out
+            assert set(t.column_names) == {"doc_id", "url", "seq_id",
+                                           "clean_text"}
+            assert all(len(c) > 0 for c in t["clean_text"].to_pylist())
