@@ -327,6 +327,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: _pd(x.monthly_cumulative_revenue(sf_dir)))
     timed("latest_event_per_user",
           lambda: x.latest_event_per_user(sf_dir).to_pandas())
+    timed("exact_dedup_skew",
+          lambda: a.exact_dedup_skew(sf_dir).to_pandas())
+
+    def _recipe():
+        from mobile_ocr_api_ray.pipelines.recipe import curation_recipe
+        return _pd(curation_recipe(sf_dir))
+    timed("curation_recipe", _recipe)
 
     result = {
         "metric": "flagship extraction wall time (docs -> extracted+summary), "

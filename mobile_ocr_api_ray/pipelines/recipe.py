@@ -327,9 +327,17 @@ def curation_recipe(sf_dir: str):
     decisions = joined.map_batches(fate_batch,
                                    batch_format="pyarrow").materialize()
 
-    fate_counts = {r["fate"]: int(r["count()"])
-                   for r in decisions.groupby("fate").count()
-                   .to_pandas().to_dict("records")}
+    # fate counts via in-batch value_counts partials — one streaming pass
+    # over the materialized narrow table, no groupby shuffle (the combine
+    # is ≤ 9 rows per block)
+    def fate_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["fate"])
+        return pa.table({"fate": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    fp = decisions.map_batches(fate_partial,
+                               batch_format="pyarrow").to_pandas()
+    fate_counts = fp.groupby("fate")["n"].sum().to_dict()
     n = {f: fate_counts.get(f, 0) for f in FATE_ORDER}
     n_pages = sum(n.values())
     k0 = n_pages - n["url_quarantined"]
