@@ -94,8 +94,12 @@ def knn_graph_topk(sf_dir: str, k: int = 5):
     """Exact cosine k-NN graph over the embeddings corpus (self excluded);
     emits (vec_id, rank, nbr_id) — ranks only, same cross-engine float
     discipline as ann_brute_topk. Corpus side broadcasts once as the index
-    (see stages/similarity.knn_graph for the scale-path note)."""
-    res = similarity.knn_graph(_embeddings(sf_dir), k=k)
+    (see stages/similarity.knn_graph for the scale-path note). The cap
+    decision uses the parquet METADATA row count — no extra
+    materialize+count pass just to route."""
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    res = similarity.knn_graph(_embeddings(sf_dir), k=k, n_rows=n)
 
     def strip(batch: pa.Table) -> pa.Table:
         return batch.select(["vec_id", "rank", "nbr_id"])

@@ -1140,21 +1140,31 @@ def _verify_pairs_core(pairs_ds, docs_ds, id_col: str, text_col: str,
     pairs_ds = pairs_mat
 
     def pair_refs(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_pylist()
-        b = batch["id_b"].to_pylist()
-        est = (batch["est_jaccard"].to_pylist()
-               if "est_jaccard" in batch.column_names else [None] * len(a))
-        rid, pid, side, txt, ej = [], [], [], [], []
-        for x, y, e in zip(a, b, est):
-            key = f"{x}_{y}"
-            rid += [x, y]; pid += [key, key]; side += ["a", "b"]
-            txt += [None, None]; ej += [e, None]
-        return pa.table({"id": pa.array(rid, pa.int64()),
-                         "coarse": pa.array([i % nc for i in rid], pa.int32()),
-                         "pid": pa.array(pid, pa.string()),
-                         "side": pa.array(side, pa.string()),
-                         "text": pa.array(txt, pa.string()),
-                         "est_jaccard": pa.array(ej, pa.float64())})
+        # fully vectorized interleave: (a,b) → rows [a:"a", b:"b"] per pair
+        n = batch.num_rows
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = np.empty(2 * n, np.int64)
+        rid[0::2] = a
+        rid[1::2] = b
+        keys = np.char.add(np.char.add(a.astype("U20"), "_"),
+                           b.astype("U20"))
+        ej = np.full(2 * n, np.nan)
+        ej_mask = np.ones(2 * n, bool)  # True = null
+        if "est_jaccard" in batch.column_names:
+            est = batch["est_jaccard"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ej[0::2] = est
+            ej_mask[0::2] = np.isnan(est)
+        return pa.table({"id": pa.array(rid),
+                         "coarse": pa.array((rid % nc).astype(np.int32)),
+                         "pid": pa.array(np.repeat(keys, 2), pa.string()),
+                         "side": pa.array(np.tile(np.array(["a", "b"],
+                                                           object), n),
+                                          pa.string()),
+                         "text": pa.array([None] * (2 * n), pa.string()),
+                         "est_jaccard": pa.array(ej, pa.float64(),
+                                                 mask=ej_mask)})
 
     def doc_rows(batch: pa.Table) -> pa.Table:
         nn = batch.num_rows

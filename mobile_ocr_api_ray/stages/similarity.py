@@ -498,7 +498,7 @@ def _knn_index_from_blocks(block_tables, id_col: str, emb_col: str):
 
 def knn_graph(ds, k: int = 5, concurrency: int | None = None,
               index_cap_rows: int = KNN_INDEX_CAP_ROWS,
-              on_overflow: str = "lsh"):
+              on_overflow: str = "lsh", n_rows: "int | None" = None):
     """Cosine k-nearest-neighbor graph over the corpus (self excluded):
     (vec_id, rank, nbr_id, cosine).
 
@@ -517,13 +517,21 @@ def knn_graph(ds, k: int = 5, concurrency: int | None = None,
       RuntimeWarning (never silent; a value-exact knn oracle would
       mismatch above the cap).
     - ``'error'``: raise ValueError — for callers (and oracle harnesses)
-      that depend on the documented exact graph."""
+      that depend on the documented exact graph.
+
+    ``n_rows``: optional caller-known row count (e.g. parquet METADATA).
+    Without it the cap decision costs a materialize+count; with it the
+    over-cap LSH route skips that pass entirely, and the exact route
+    materializes only once it is committed to building the index."""
     import warnings
 
     import ray
 
-    ds = ds.materialize()           # blocks land in the (spillable) store
-    n = ds.count()
+    if n_rows is None:
+        ds = ds.materialize()       # blocks land in the (spillable) store
+        n = ds.count()              # metadata-only on the materialized ds
+    else:
+        n = n_rows
     if n > index_cap_rows:
         if on_overflow == "error":
             raise ValueError(
@@ -545,6 +553,8 @@ def knn_graph(ds, k: int = 5, concurrency: int | None = None,
         import ray.data
         return (ray.data.from_arrow(out) if isinstance(out, pa.Table)
                 else out)
+    if n_rows is not None:
+        ds = ds.materialize()       # exact route committed — build index
     refs = ds.to_arrow_refs()
     build = ray.remote(num_cpus=1)(_knn_index_from_blocks)
     index_ref = build.remote(refs, "vec_id", "embedding")
