@@ -246,9 +246,19 @@ def _pack_assign(decisions, n_coarse: int):
     return counts.groupby("rkey").map_groups(assign, batch_format="pandas")
 
 
-def curation_recipe(sf_dir: str):
+def curation_recipe(sf_dir: str, work_dir: "str | None" = None,
+                    resume: bool = False):
     """Run the full recipe; return the lineage manifest (see module
-    docstring). Value-exact vs the composed SQL oracle."""
+    docstring). Value-exact vs the composed SQL oracle.
+
+    ``resume=True`` with an explicit ``work_dir``: if a prior run's
+    extraction checkpoint committed (its ``_DONE`` marker exists — written
+    AFTER the parquet parts, so a preempted pass 0 is never mistaken for
+    complete), pass 0 is skipped entirely and the run re-derives every
+    downstream decision from the checkpoint — the preemption-recovery
+    behavior the 100-TB run needs, where pass 0 (html + extraction) is
+    the dominant cost. Default (no work_dir) keeps the fresh-scratch
+    behavior the oracle comparison relies on."""
     from .analysis import _coarse_hint_for, _pages_dir_for
     from .extract import read_pages
 
@@ -257,19 +267,29 @@ def curation_recipe(sf_dir: str):
     nc = _coarse_hint_for(os.path.join(pages_dir, shard_files[0]),
                           mult=max(1, len(shard_files)))
 
-    work_dir = os.path.join(
-        "/tmp", f"mobile_ocr_recipe_{os.getpid()}",
-        os.path.basename(sf_dir.rstrip("/")))
+    if work_dir is None:
+        work_dir = os.path.join(
+            "/tmp", f"mobile_ocr_recipe_{os.getpid()}",
+            os.path.basename(sf_dir.rstrip("/")))
     ckpt_dir = os.path.join(work_dir, "checkpoint")
     out_dir = os.path.join(work_dir, "shards")
-    shutil.rmtree(work_dir, ignore_errors=True)
-    os.makedirs(ckpt_dir)
+    # marker lives BESIDE the checkpoint dir (read_parquet scans every
+    # file inside it) and is written only after the parts commit
+    done_marker = os.path.join(work_dir, "_CKPT_DONE")
+    ckpt_ready = resume and os.path.exists(done_marker)
+    if not ckpt_ready:
+        shutil.rmtree(work_dir, ignore_errors=True)
+        os.makedirs(ckpt_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
 
     # ---- pass 0: url filter → flagship extraction → parquet checkpoint
-    (read_pages(pages_dir)
-     .map_batches(_extract_checkpoint_batch, batch_format="pyarrow")
-     .write_parquet(ckpt_dir))
+    if not ckpt_ready:
+        (read_pages(pages_dir)
+         .map_batches(_extract_checkpoint_batch, batch_format="pyarrow")
+         .write_parquet(ckpt_dir))
+        with open(done_marker, "w") as fh:
+            fh.write("complete\n")
 
     def ckpt(columns):
         return ray.data.read_parquet(ckpt_dir, columns=columns)

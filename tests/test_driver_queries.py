@@ -602,6 +602,27 @@ class TestCurationRecipe:
                 odf[col].astype("int64").tolist(), col
         assert m.digest.tolist() == odf.digest.tolist()
 
+    def test_resume_skips_extraction_pass(self, queries, manifest):
+        """resume=True over a committed checkpoint must skip pass 0 (the
+        checkpoint parts stay byte-identical, mtimes untouched) and still
+        produce the identical manifest; a missing _CKPT_DONE marker
+        (preempted pass 0) forces a fresh extraction."""
+        import glob
+        from mobile_ocr_api_ray.pipelines.recipe import curation_recipe
+        wd = "/tmp/recipe_resume_test"
+        m1 = curation_recipe(SF, work_dir=wd).to_pandas()
+        parts = sorted(glob.glob(os.path.join(wd, "checkpoint", "*")))
+        stamps = [os.path.getmtime(p) for p in parts]
+        m2 = curation_recipe(SF, work_dir=wd, resume=True).to_pandas()
+        pd.testing.assert_frame_equal(m1, m2)
+        assert [os.path.getmtime(p) for p in parts] == stamps
+        # torn pass 0: no marker → checkpoint rebuilt from scratch
+        os.remove(os.path.join(wd, "_CKPT_DONE"))
+        m3 = curation_recipe(SF, work_dir=wd, resume=True).to_pandas()
+        pd.testing.assert_frame_equal(m1, m3)
+        new_parts = sorted(glob.glob(os.path.join(wd, "checkpoint", "*")))
+        assert [os.path.getmtime(p) for p in new_parts] != stamps
+
     def test_export_shards_on_disk_match_manifest(self, manifest):
         import glob
         import pyarrow.parquet as pq
