@@ -623,6 +623,33 @@ class TestCurationRecipe:
         new_parts = sorted(glob.glob(os.path.join(wd, "checkpoint", "*")))
         assert [os.path.getmtime(p) for p in new_parts] != stamps
 
+    def test_checkpoint_batch_quarantines_blocked_urls(self):
+        """The synthetic corpus has no blocklist hits, so pin the
+        url-quarantine branch at the kernel level: blocked urls must skip
+        extraction entirely (fate0, null text), clean urls extract."""
+        from mobile_ocr_api_ray.pipelines.recipe import (
+            _extract_checkpoint_batch, _url_id)
+        html = b"<!DOCTYPE html><html><body><p>" + \
+            b"Seven words make a real sentence here." * 3 + \
+            b"</p></body></html>"
+        batch = pa.table({
+            "url": pa.array(["https://ok.example/page",
+                             "https://bad.example/pic.jpeg",
+                             "https://bad.example/x?phpsessid=abc123"],
+                            pa.string()),
+            "html": pa.array([html, html, html], pa.binary()),
+            "text": pa.array([None] * 3, pa.string()),
+            "lang": pa.array(["eng"] * 3, pa.string())})
+        out = _extract_checkpoint_batch(batch).to_pandas() \
+            .set_index("url")
+        assert out.loc["https://ok.example/page"].fate0 == "ok"
+        assert len(out.loc["https://ok.example/page"].extracted_text) > 0
+        for bad in ("https://bad.example/pic.jpeg",
+                    "https://bad.example/x?phpsessid=abc123"):
+            assert out.loc[bad].fate0 == "url_quarantined"
+            assert out.loc[bad].extracted_text is None
+            assert out.loc[bad].doc_id == _url_id(bad)
+
     def test_export_shards_on_disk_match_manifest(self, manifest):
         import glob
         import pyarrow.parquet as pq
