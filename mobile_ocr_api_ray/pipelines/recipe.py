@@ -52,10 +52,16 @@ Architecture — "checkpoint the text once, then decisions, not data":
       prefix-sum (budget 512, pack_sequences contract); tape order = the
       60-bit url-hash id order, a deterministic pre-shuffled training
       order. Text: 0.
-  pass 3 (export): read checkpoint, inner-join the train plan (narrow),
-      recompute C4-clean text per row (deterministic map), group by
-      shard = seq_id % 4, write one atomic parquet part per shard with a
-      content digest — the ONLY shuffle the text column ever rides.
+  pass 3 (export): read checkpoint, attach the train plan via the
+      size-routed lookup (under the cap: a Ray-task-built broadcast
+      (pid→seq_id) array probed per batch — the dim_broadcast
+      convention; above: co-partitioned hash_join), recompute C4-clean
+      text per row (deterministic map), group by shard = seq_id % 4,
+      write one atomic parquet part per shard with a content digest —
+      the shard groupby is the ONLY shuffle the text column ever rides
+      (the over-cap join route adds one co-partition pass). The
+      near-dup reject set takes the same size routing on the decisions
+      side.
 
 One html read + one extracted-text checkpoint + three column-pruned
 checkpoint reads + one text exchange. Returns the LINEAGE MANIFEST
@@ -246,8 +252,53 @@ def _pack_assign(decisions, n_coarse: int):
     return counts.groupby("rkey").map_groups(assign, batch_format="pandas")
 
 
+@ray.remote(num_cpus=1)
+def _sorted_ids_task(refs, col: str) -> np.ndarray:
+    """Concatenate one int64 column from materialized block refs into a
+    sorted numpy array INSIDE a Ray task — the knn-index convention: the
+    driver holds only the ObjectRef, never the ids. ``refs`` is a list
+    of block ObjectRefs; Ray does not auto-resolve refs nested in a
+    list, so they are fetched here, inside the task."""
+    parts = [t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+             for t in ray.get(list(refs)) if t.num_rows]
+    return (np.sort(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64))
+
+
+def _sorted_member_mask(ids_sorted: np.ndarray,
+                        keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of keys in a pre-sorted id array
+    (binary search; np.isin would re-sort per batch)."""
+    if len(ids_sorted) == 0:
+        return np.zeros(len(keys), bool)
+    pos = np.minimum(np.searchsorted(ids_sorted, keys),
+                     len(ids_sorted) - 1)
+    return ids_sorted[pos] == keys
+
+
+@ray.remote(num_cpus=1)
+def _plan_lookup_task(refs) -> "tuple[np.ndarray, np.ndarray]":
+    """(sorted pid array, aligned seq_id array) from the pack plan's
+    block refs — the broadcast doc_id→seq_id lookup (refs fetched
+    inside the task, as in _sorted_ids_task)."""
+    pids, seqs = [], []
+    for t in ray.get(list(refs)):
+        if t.num_rows:
+            pids.append(t["pid"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+            seqs.append(t["seq_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+    if not pids:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    p = np.concatenate(pids)
+    s = np.concatenate(seqs)
+    order = np.argsort(p, kind="mergesort")
+    return p[order], s[order]
+
+
 def curation_recipe(sf_dir: str, work_dir: "str | None" = None,
-                    resume: bool = False):
+                    resume: bool = False,
+                    broadcast_cap_rows: int = 2_000_000):
     """Run the full recipe; return the lineage manifest (see module
     docstring). Value-exact vs the composed SQL oracle.
 
@@ -319,15 +370,36 @@ def curation_recipe(sf_dir: str, work_dir: "str | None" = None,
 
     rejects = (pairs.map_batches(
         lambda b: pa.table({"rid": b["id_b"]}), batch_format="pyarrow")
-        .groupby("rid").count())
+        .groupby("rid").count()).materialize()
 
-    # ---- decisions: flags ⋈ rejects → fate per row, one narrow table
-    joined = hash_join(flags, rejects, "doc_id", "rid", how="left",
+    # ---- decisions: flags × reject set → fate per row, one narrow table.
+    # Size-routed (the dim_broadcast convention): the reject set is
+    # duplicate-proportional — under the cap a Ray task concatenates its
+    # block refs into ONE sorted id array (driver holds only the
+    # ObjectRef) and membership is a vectorized searchsorted per batch;
+    # past the cap it falls through to the co-partitioned hash_join.
+    if rejects.count() <= broadcast_cap_rows:
+        rid_ref = _sorted_ids_task.remote(rejects.to_arrow_refs(), "rid")
+
+        def mark_near(batch: pa.Table) -> pa.Table:
+            ids = ray.get(rid_ref)
+            keys = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            near = _sorted_member_mask(ids, keys)
+            return batch.append_column("near", pa.array(near))
+
+        joined = flags.map_batches(mark_near, batch_format="pyarrow")
+    else:
+        jt = hash_join(flags, rejects, "doc_id", "rid", how="left",
                        n_coarse=nc)
+        joined = jt.map_batches(
+            lambda b: b.append_column(
+                "near", pc.is_valid(b["count()"])),
+            batch_format="pyarrow")
 
     def fate_batch(batch: pa.Table) -> pa.Table:
         fate0 = np.asarray(batch["fate0"].to_pylist(), object)
-        near = pc.is_valid(batch["count()"]).to_numpy(zero_copy_only=False)
+        near = batch["near"].to_numpy(zero_copy_only=False)
         exact_rep = batch["exact_rep"].to_numpy(zero_copy_only=False)
         c4_kept = batch["c4_kept"].to_numpy(zero_copy_only=False)
         gopher = batch["gopher_keep"].to_numpy(zero_copy_only=False)
@@ -374,12 +446,32 @@ def curation_recipe(sf_dir: str, work_dir: "str | None" = None,
         batch_format="pyarrow")
     plan = _pack_assign(train, nc)
 
-    # ---- pass 3: export — the single text exchange
+    # ---- pass 3: export — the single text exchange. The pack plan is
+    # train-row-proportional: size-routed like the reject set (broadcast
+    # (pid→seq_id) lookup under the cap, co-partitioned hash_join above).
     shard_rows = []
     if plan is not None and n_train > 0:
-        exp = hash_join(
-            ckpt(["doc_id", "url", "extracted_text"]),
-            plan.materialize(), "doc_id", "pid", how="inner", n_coarse=nc)
+        plan_mat = plan.materialize()
+        if n_train <= broadcast_cap_rows:
+            lk_ref = _plan_lookup_task.remote(plan_mat.to_arrow_refs())
+
+            def attach_plan(batch: pa.Table) -> pa.Table:
+                pids, seqs = ray.get(lk_ref)
+                keys = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                mask = _sorted_member_mask(pids, keys)
+                kept = batch.filter(pa.array(mask))
+                kk = kept["doc_id"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                seq = seqs[np.searchsorted(pids, kk)]
+                return kept.append_column("seq_id", pa.array(seq))
+
+            exp = ckpt(["doc_id", "url", "extracted_text"]).map_batches(
+                attach_plan, batch_format="pyarrow")
+        else:
+            exp = hash_join(
+                ckpt(["doc_id", "url", "extracted_text"]),
+                plan_mat, "doc_id", "pid", how="inner", n_coarse=nc)
 
         def add_shard(batch: pa.Table) -> pa.Table:
             shard = pa.array(

@@ -623,6 +623,16 @@ class TestCurationRecipe:
         new_parts = sorted(glob.glob(os.path.join(wd, "checkpoint", "*")))
         assert [os.path.getmtime(p) for p in new_parts] != stamps
 
+    def test_join_route_matches_broadcast_route(self, manifest):
+        """Size-routing differential (TestDimBroadcastRouting
+        convention): broadcast_cap_rows=0 forces BOTH small-side lookups
+        (reject set, pack plan) down the co-partitioned hash_join route —
+        the manifest must be identical."""
+        from mobile_ocr_api_ray.pipelines.recipe import curation_recipe
+        m2 = curation_recipe(SF, broadcast_cap_rows=0).to_pandas() \
+            .set_index("stage")
+        pd.testing.assert_frame_equal(manifest, m2)
+
     def test_checkpoint_batch_quarantines_blocked_urls(self):
         """The synthetic corpus has no blocklist hits, so pin the
         url-quarantine branch at the kernel level: blocked urls must skip
