@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quartile_docs": a.length_quartile_docs,
         "near_dedup_kept_doubled": a.near_dedup_kept_doubled,
         "embedding_dedup_kept_doubled": a.embedding_dedup_kept_doubled,
+        "semdedup_kept_doubled": a.semdedup_kept_doubled,
         "near_dedup_kept_simhash_doubled": a.near_dedup_kept_simhash_doubled,
         "decontaminate_docs": a.decontaminate_docs,
         "bloom_decontaminate_docs": a.bloom_decontaminate_docs,
@@ -3915,6 +3916,19 @@ def oracle_sql() -> dict[str, str]:
         # semantic-dedup keep over the doubled embeddings: kept = the
         # min-vec_id representative per identical-embedding clone group
         # (gaussian vectors: only exact clones reach cosine 0.999999)
+        # TRUE SemDeDup (cluster-bounded pairwise): same min-per-identical-
+        # embedding ground truth as the components-based sibling (at the
+        # clones-only tau, both policies coincide — see analysis_graph)
+        "semdedup_kept_doubled": r"""
+            WITH d AS (SELECT vec_id, embedding FROM embeddings
+                       UNION ALL
+                       SELECT vec_id + 1000000, embedding FROM embeddings)
+            SELECT vec_id FROM d
+            WHERE embedding IS NULL
+               OR vec_id IN (SELECT min(vec_id) FROM d
+                             WHERE embedding IS NOT NULL
+                             GROUP BY embedding)
+            ORDER BY vec_id""",
         "embedding_dedup_kept_doubled": r"""
             WITH d AS (SELECT vec_id, embedding FROM embeddings
                        UNION ALL

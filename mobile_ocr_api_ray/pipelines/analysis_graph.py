@@ -90,6 +90,21 @@ def mmr_diverse_sample(sf_dir: str, k: int = 16, lam: float = 0.7):
     return ray.data.from_arrow(t)
 
 
+def semdedup_kept_doubled(sf_dir: str):
+    """TRUE SemDeDup (Abbas et al. 2023) over the doubled embeddings
+    corpus — k-means clusters bound the pairwise cosine work
+    (stages/similarity.semdedup_kept), drop-larger at tau. VALUE-EXACT
+    despite the iterative clustering: at tau = 0.999999 only exact
+    clones pair among gaussian vectors, and clones provably share a
+    cluster (identical vectors get identical centroid assignments under
+    the deterministic tie-break), so kept = min(vec_id) per identical
+    embedding — the same SQL ground truth as the components-based
+    sibling embedding_dedup_kept_doubled, reached through a completely
+    different (and 100-TB-preferred) execution shape. Returns (vec_id)."""
+    return similarity.semdedup_kept(
+        _doubled_embeddings(sf_dir), k=8, tau=0.999999).sort("vec_id")
+
+
 def knn_graph_topk(sf_dir: str, k: int = 5):
     """Exact cosine k-NN graph over the embeddings corpus (self excluded);
     emits (vec_id, rank, nbr_id) — ranks only, same cross-engine float

@@ -959,3 +959,93 @@ def pca_project(ds, d_out: int = 8, id_col: str = "vec_id",
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- SemDeDup
+
+SEMDEDUP_TAU = 0.999
+SEMDEDUP_PAIR_CHUNK = 1 << 22
+
+
+def semdedup_kept(ds, k: int = 8, tau: float = SEMDEDUP_TAU,
+                  n_iter: int = 5, id_col: str = "vec_id",
+                  emb_col: str = "embedding",
+                  pair_chunk: int = SEMDEDUP_PAIR_CHUNK):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    whose pairwise work is BOUNDED BY CLUSTERING — k-means partitions the
+    embedded corpus, cosine pairs are examined only WITHIN a cluster
+    (the paper's trick: near-duplicates land in the same cluster, so the
+    all-pairs blowup shrinks from n² to Σ|cluster|²), and of every pair
+    with cosine ≥ tau the larger id is dropped (the keep-first greedy
+    policy; the components-based keep lives in
+    analysis.embedding_dedup_kept_doubled).
+
+    Shape: kmeans_labels (bounded per-block partials, centroids ride the
+    closure) → labels ⋈ embeddings co-partitioned hash_join (narrow side
+    is (id, label)) → per-label map_groups with a chunked triu sweep
+    (≤ pair_chunk cosine entries in flight). At 100 TB, k scales like
+    √n (the paper's regime), keeping clusters at ~√n rows — each group
+    fits one task, and a pathological hot cluster degrades to that one
+    task's wall time, never to driver memory.
+
+    EXACT for identical vectors at any tau (clones share distances to
+    every centroid; the shared lowest-centroid-id tie-break puts them in
+    the same cluster — pinned by tests against the clone-pair ground
+    truth). Across different block layouts k-means labels can flip for
+    boundary-tied vectors (see kmeans_labels), so the near-but-not-
+    identical pair set is layout-stable only to that epsilon.
+
+    Returns (vec_id) kept, i.e. every vector minus dropped duplicates."""
+    from .joins import hash_join
+    from ..stages.dedup import _triu_chunks
+
+    emb = ds.materialize()
+    labels = kmeans_labels(emb, k=k, n_iter=n_iter, id_col=id_col,
+                           emb_col=emb_col)
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"lid": batch[id_col], "label": batch["label"]})
+
+    lab = labels.map_batches(label_rows, batch_format="pyarrow")
+    joined = hash_join(emb, lab, id_col, "lid")
+
+    def cluster_drops(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        ids = df[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        ids = ids[order]
+        mat = _normalize(np.array(df[emb_col].tolist(),
+                                  np.float64)[order])
+        dropped = np.zeros(len(ids), bool)
+        for a_i, b_i in _triu_chunks(len(ids), pair_chunk):
+            cos = np.einsum("ij,ij->i", mat[a_i], mat[b_i])
+            hit = cos >= tau
+            if hit.any():
+                dropped[b_i[hit]] = True  # ids sorted → b is the larger
+        return pd.DataFrame({"vid": ids[dropped]})
+
+    drops = joined.groupby("label").map_groups(
+        cluster_drops, batch_format="pandas")
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        # marker column: a left join against a key-only table has nothing
+        # to distinguish matched rows by
+        return pa.table({"vid": pc.cast(batch["vid"], pa.int64()),
+                         "is_dup": pa.array([1] * batch.num_rows,
+                                            pa.int8())})
+
+    from ..stages.dedup import nonempty_or_typed_table
+    drops = nonempty_or_typed_table(
+        drops.map_batches(drop_rows, batch_format="pyarrow"),
+        {"vid": pa.int64(), "is_dup": pa.int8()}).materialize()
+
+    ids_only = emb.select_columns([id_col])
+    if drops.count() == 0:
+        return ids_only
+    joined_out = hash_join(ids_only, drops, id_col, "vid", how="left")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["is_dup"])) \
+            .select([id_col])
+
+    return joined_out.map_batches(keep, batch_format="pyarrow")

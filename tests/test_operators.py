@@ -191,6 +191,76 @@ class TestDedupPipelines:
         assert {(i, i + 30) for i in range(5)} <= got
 
 
+class TestSemDeDup:
+    """True SemDeDup (cluster-bounded pairwise, drop-larger at tau)."""
+
+    def _ds(self, vecs):
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float64()))}))
+
+    def test_near_dups_within_clusters_dropped(self, ray_session):
+        rs = np.random.RandomState(3)
+        base = rs.normal(size=(40, 16))
+        vecs = list(base)
+        # ids 40..44: tiny perturbations of ids 0..4 — cosine ≈ 1,
+        # guaranteed same k-means cluster as their base
+        for i in range(5):
+            vecs.append(base[i] + 1e-6 * rs.normal(size=16))
+        kept = similarity.semdedup_kept(
+            self._ds(vecs), k=4, tau=0.999).to_pandas().vec_id.tolist()
+        assert sorted(kept) == sorted(set(range(40)) - self._extra(base)), \
+            kept
+
+    def _extra(self, base):
+        # random gaussian pairs may exceed tau only if degenerate; verify
+        # none do, so the expected kept set is exactly 0..39
+        m = base / np.linalg.norm(base, axis=1, keepdims=True)
+        cos = m @ m.T
+        np.fill_diagonal(cos, 0)
+        assert cos.max() < 0.999
+        return set()
+
+    def test_brute_force_differential_within_clusters(self, ray_session):
+        """Within-cluster pair detection is EXACT: recompute the drop set
+        in numpy from the same labels and compare."""
+        rs = np.random.RandomState(7)
+        vecs = rs.normal(size=(60, 8))
+        vecs[15] = vecs[3] * 1.7          # same direction, scaled
+        vecs[41] = vecs[20] + 1e-8
+        ds = self._ds(vecs).materialize()
+        tau = 0.999
+        labels = similarity.kmeans_labels(ds, k=3).to_pandas() \
+            .set_index("vec_id").label
+        m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        dropped = set()
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                if labels[i] == labels[j] and float(m[i] @ m[j]) >= tau:
+                    dropped.add(j)
+        kept = similarity.semdedup_kept(ds, k=3, tau=tau) \
+            .to_pandas().vec_id.tolist()
+        assert sorted(kept) == sorted(set(range(len(vecs))) - dropped)
+        assert 15 in dropped and 41 in dropped  # the planted near-dups
+
+    def test_null_embeddings_survive(self, ray_session):
+        import ray.data
+        rs = np.random.RandomState(5)
+        vecs = [list(map(float, v)) for v in rs.normal(size=(20, 8))]
+        vecs.append(list(vecs[0]))  # clone of 0 → dropped
+        tbl = pa.table({
+            "vec_id": pa.array(range(22), pa.int64()),
+            "embedding": pa.array(vecs + [None], pa.list_(pa.float64()))})
+        kept = similarity.semdedup_kept(
+            ray.data.from_arrow(tbl), k=2, tau=0.999999) \
+            .to_pandas().vec_id.tolist()
+        assert 21 in kept      # null-embedding row survives
+        assert 20 not in kept  # clone dropped
+        assert sorted(kept) == sorted(set(range(22)) - {20})
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb_ds(self, ray_session):
