@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages_dedup": a.extract_pages_dedup,
         "extract_lang_stats": a.extract_lang_stats,
         "extraction_eval": a.extraction_eval,
+        "extraction_rejection_report": a.extraction_rejection_report,
         "curation_recipe": rcp.curation_recipe,
         "training_shards_manifest": a.training_shards_manifest,
         "jsonl_export_manifest": a.jsonl_export_manifest,
@@ -4266,4 +4267,19 @@ def oracle_sql() -> dict[str, str]:
             _os.path.dirname(_os.path.dirname(pg)), "golden.parquet")
         if _os.path.exists(golden):
             out["curation_recipe"] = _curation_recipe_sql(golden)
+            # quarantine rollup: kind pinned to the golden table, fixed
+            # M11 error strings (stages/extractor.py)
+            out["extraction_rejection_report"] = rf"""
+                WITH r AS (SELECT payload_kind,
+                       CASE WHEN payload_kind IN ('empty', 'unknown')
+                            THEN 'rejected' ELSE 'ok' END AS status,
+                       CASE WHEN payload_kind = 'empty'
+                              THEN 'empty payload'
+                            WHEN payload_kind = 'unknown'
+                              THEN 'unsupported payload type'
+                            ELSE '' END AS error
+                       FROM read_parquet('{golden}'))
+                SELECT payload_kind, status, error,
+                       cast(count(*) AS BIGINT) AS n
+                FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
     return out

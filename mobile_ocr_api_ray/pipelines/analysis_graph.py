@@ -237,6 +237,46 @@ def extract_pages(sf_dir: str):
                                "compression_ratio", "lang", "quality"]).sort("url")
 
 
+def extraction_rejection_report(sf_dir: str):
+    """Ops rollup of the extraction quarantine surface — the reference's
+    HTTP-400/error responses (app.py:317-320 whitelist rejection,
+    app.py:602 error path) as ONE aggregated table instead of per-request
+    JSON: per (payload_kind, status, error) → row count over the full
+    crawl. In-batch value_counts partials → driver combine (≤ kinds ×
+    statuses rows per block; no shuffle). VALUE-EXACT: payload kind is
+    pinned to the generation-time golden table (engine sniff ≡ golden
+    kind, tested corpus-wide by extraction_eval) and the rejected-row
+    error strings are fixed constants (stages/extractor.py M11), so the
+    oracle reproduces the rollup from golden.payload_kind alone."""
+    d = _pages_dir_for(sf_dir)
+    out = extract_pipeline(read_pages(os.path.join(d, "pages.parquet")),
+                           with_summary=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "payload_kind": batch["payload_kind"].to_pylist(),
+            "status": batch["status"].to_pylist(),
+            "error": [e or "" for e in batch["error"].to_pylist()]})
+        g = (df.groupby(["payload_kind", "status", "error"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "payload_kind": pa.array(g["payload_kind"].tolist(),
+                                     pa.string()),
+            "status": pa.array(g["status"].tolist(), pa.string()),
+            "error": pa.array(g["error"].tolist(), pa.string()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    parts = out.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby(["payload_kind", "status", "error"])["n"].sum()
+           .reset_index().sort_values(["payload_kind", "status", "error"])
+           .reset_index(drop=True))
+    return pa.table({
+        "payload_kind": pa.array(agg["payload_kind"].tolist(), pa.string()),
+        "status": pa.array(agg["status"].tolist(), pa.string()),
+        "error": pa.array(agg["error"].tolist(), pa.string()),
+        "n": pa.array(agg["n"].to_numpy(), pa.int64())})
+
+
 def extract_pages_skew(sf_dir: str):
     """extract_pages through the SKEW-AWARE pipeline (extract_pipeline_
     skew_aware): oversized payload rows (> BIG_ROW_BYTES ≈ 2 MiB; the
