@@ -296,6 +296,31 @@ def _plan_lookup_task(refs) -> "tuple[np.ndarray, np.ndarray]":
     return p[order], s[order]
 
 
+def fate_batch(batch: pa.Table) -> pa.Table:
+    """Per-row fate = the FIRST rejecting stage in pipeline order
+    (url/payload quarantine → exact dup → near dup → C4 → Gopher), else
+    ``kept_{split}``. Module-level so the priority ladder is unit-testable
+    without a pipeline run (the synthetic corpus never exercises the
+    near-dup branch end to end — its near-dups are all exact dups)."""
+    fate0 = np.asarray(batch["fate0"].to_pylist(), object)
+    near = batch["near"].to_numpy(zero_copy_only=False)
+    exact_rep = batch["exact_rep"].to_numpy(zero_copy_only=False)
+    c4_kept = batch["c4_kept"].to_numpy(zero_copy_only=False)
+    gopher = batch["gopher_keep"].to_numpy(zero_copy_only=False)
+    split = batch["split"].to_pylist()
+    rejected = np.select(
+        [fate0 != "ok", ~exact_rep, near, ~c4_kept, ~gopher],
+        [fate0, "exact_dup", "near_dup", "c4_rejected",
+         "gopher_rejected"],
+        default="")
+    fate = np.array([r if r else "kept_" + s
+                     for r, s in zip(rejected, split)], object)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fate": pa.array(fate, pa.string()),
+        "n_tokens": batch["n_tokens"]})
+
+
 def curation_recipe(sf_dir: str, work_dir: "str | None" = None,
                     resume: bool = False,
                     broadcast_cap_rows: int = 2_000_000):
@@ -396,25 +421,6 @@ def curation_recipe(sf_dir: str, work_dir: "str | None" = None,
             lambda b: b.append_column(
                 "near", pc.is_valid(b["count()"])),
             batch_format="pyarrow")
-
-    def fate_batch(batch: pa.Table) -> pa.Table:
-        fate0 = np.asarray(batch["fate0"].to_pylist(), object)
-        near = batch["near"].to_numpy(zero_copy_only=False)
-        exact_rep = batch["exact_rep"].to_numpy(zero_copy_only=False)
-        c4_kept = batch["c4_kept"].to_numpy(zero_copy_only=False)
-        gopher = batch["gopher_keep"].to_numpy(zero_copy_only=False)
-        split = batch["split"].to_pylist()
-        rejected = np.select(
-            [fate0 != "ok", ~exact_rep, near, ~c4_kept, ~gopher],
-            [fate0, "exact_dup", "near_dup", "c4_rejected",
-             "gopher_rejected"],
-            default="")
-        fate = np.array([r if r else "kept_" + s
-                         for r, s in zip(rejected, split)], object)
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "fate": pa.array(fate, pa.string()),
-            "n_tokens": batch["n_tokens"]})
 
     decisions = joined.map_batches(fate_batch,
                                    batch_format="pyarrow").materialize()

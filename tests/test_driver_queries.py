@@ -623,6 +623,36 @@ class TestCurationRecipe:
         new_parts = sorted(glob.glob(os.path.join(wd, "checkpoint", "*")))
         assert [os.path.getmtime(p) for p in new_parts] != stamps
 
+    def test_fate_priority_ladder(self):
+        """Unit-pin the fate ladder, ESPECIALLY the near_dup branch the
+        synthetic corpus never exercises end to end (its near-dups are
+        all exact dups, removed one stage earlier)."""
+        from mobile_ocr_api_ray.pipelines.recipe import fate_batch
+        rows = [
+            # fate0,            rep,   near,  c4,    gopher, split, want
+            ("url_quarantined", False, True,  False, False, "train",
+             "url_quarantined"),
+            ("payload_rejected", False, True, False, False, "val",
+             "payload_rejected"),
+            ("ok", False, True,  True,  True,  "train", "exact_dup"),
+            ("ok", True,  True,  True,  True,  "train", "near_dup"),
+            ("ok", True,  False, False, True,  "test",  "c4_rejected"),
+            ("ok", True,  False, True,  False, "val",  "gopher_rejected"),
+            ("ok", True,  False, True,  True,  "val",  "kept_val"),
+            ("ok", True,  False, True,  True,  "train", "kept_train"),
+        ]
+        batch = pa.table({
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "fate0": pa.array([r[0] for r in rows], pa.string()),
+            "exact_rep": pa.array([r[1] for r in rows], pa.bool_()),
+            "near": pa.array([r[2] for r in rows], pa.bool_()),
+            "c4_kept": pa.array([r[3] for r in rows], pa.bool_()),
+            "gopher_keep": pa.array([r[4] for r in rows], pa.bool_()),
+            "split": pa.array([r[5] for r in rows], pa.string()),
+            "n_tokens": pa.array([7] * len(rows), pa.int64())})
+        got = fate_batch(batch).to_pandas().fate.tolist()
+        assert got == [r[6] for r in rows]
+
     def test_join_route_matches_broadcast_route(self, manifest):
         """Size-routing differential (TestDimBroadcastRouting
         convention): broadcast_cap_rows=0 forces BOTH small-side lookups
