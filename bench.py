@@ -329,6 +329,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
           lambda: x.latest_event_per_user(sf_dir).to_pandas())
     timed("exact_dedup_skew",
           lambda: a.exact_dedup_skew(sf_dir).to_pandas())
+    timed("semdedup_kept_doubled",
+          lambda: a.semdedup_kept_doubled(sf_dir).to_pandas())
+    timed("extraction_rejection_report",
+          lambda: _pd(a.extraction_rejection_report(sf_dir)))
 
     def _recipe():
         from mobile_ocr_api_ray.pipelines.recipe import curation_recipe
