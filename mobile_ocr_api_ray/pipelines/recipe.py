@@ -218,7 +218,7 @@ def _exact_rep_group(df: pd.DataFrame) -> pa.Table:
         "exact_rep": pa.array(rep, pa.bool_())})
 
 
-def _pack_assign(decisions, n_coarse: int):
+def _pack_assign(decisions):
     """Distributed range prefix-sum pack plan over the narrow train rows —
     the pack_sequences contract (budget tape cut) with token counts
     already in hand. → (pid, seq_id)."""
@@ -328,7 +328,7 @@ def curation_recipe(sf_dir: str, work_dir: "str | None" = None,
     docstring). Value-exact vs the composed SQL oracle.
 
     ``resume=True`` with an explicit ``work_dir``: if a prior run's
-    extraction checkpoint committed (its ``_DONE`` marker exists — written
+    extraction checkpoint committed (its ``_CKPT_DONE`` marker exists — written
     AFTER the parquet parts, so a preempted pass 0 is never mistaken for
     complete), pass 0 is skipped entirely and the run re-derives every
     downstream decision from the checkpoint — the preemption-recovery
@@ -450,7 +450,7 @@ def curation_recipe(sf_dir: str, work_dir: "str | None" = None,
     train = decisions.map_batches(
         lambda b: b.filter(pc.equal(b["fate"], pa.scalar("kept_train"))),
         batch_format="pyarrow")
-    plan = _pack_assign(train, nc)
+    plan = _pack_assign(train)
 
     # ---- pass 3: export — the single text exchange. The pack plan is
     # train-row-proportional: size-routed like the reject set (broadcast
