@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from .stages import glyphs
 from .stages.html_extract import MIN_BLOCK_CHARS
 
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9  # v9: near-duplicate html pages (base + one appended paragraph)
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 EN_WORDS = (
@@ -267,6 +267,40 @@ def generate_pages(n_rows: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
             g_pages.append(g_pages[j])
             g_dup_of.append(urls[j])
             continue
+        if i > 20 and r < 0.13 and dup_pool:
+            # NEAR-duplicate (v9): an earlier html page plus ONE appended
+            # paragraph — distinct digest (exact dedup keeps both) but
+            # 3-gram Jaccard ≈ base/(base+extra) ≳ 0.7, so MinHash
+            # near-dedup genuinely fires end to end. Base must be a plain
+            # byte-exact html kernel row (no direct-text layer — the twin
+            # would otherwise share the cheap path verbatim and be an
+            # EXACT dup again). Per-row rng: the extra draws below cannot
+            # perturb any other row's stream.
+            start = rng.randrange(len(dup_pool))
+            base_j = None
+            for off in range(len(dup_pool)):
+                cand = dup_pool[(start + off) % len(dup_pool)]
+                if (g_kind[cand] == "html" and g_exact[cand]
+                        and g_source[cand] == "kernel"
+                        and texts[cand] == ""
+                        and b"</body>" in payloads[cand]):
+                    base_j = cand
+                    break
+            if base_j is not None:
+                extra = _paragraph(rng, _words_for(langs[base_j]))
+                payloads.append(payloads[base_j].replace(
+                    b"</body>",
+                    ("<p>" + extra + "</p></body>").encode(), 1))
+                texts.append("")
+                langs.append(langs[base_j])
+                g_kind.append("html")
+                g_text.append(g_text[base_j] + "\n\n" + extra)
+                g_exact.append(True)
+                g_source.append("kernel")
+                g_nparas.append((g_nparas[base_j] or 0) + 1)
+                g_pages.append(1)
+                g_dup_of.append(urls[base_j])
+                continue
 
         langs.append(lang)
         g_dup_of.append(None)

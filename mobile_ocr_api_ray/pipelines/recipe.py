@@ -299,9 +299,8 @@ def _plan_lookup_task(refs) -> "tuple[np.ndarray, np.ndarray]":
 def fate_batch(batch: pa.Table) -> pa.Table:
     """Per-row fate = the FIRST rejecting stage in pipeline order
     (url/payload quarantine → exact dup → near dup → C4 → Gopher), else
-    ``kept_{split}``. Module-level so the priority ladder is unit-testable
-    without a pipeline run (the synthetic corpus never exercises the
-    near-dup branch end to end — its near-dups are all exact dups)."""
+    ``kept_{split}``. Module-level so the priority ladder is
+    unit-testable without a pipeline run."""
     fate0 = np.asarray(batch["fate0"].to_pylist(), object)
     near = batch["near"].to_numpy(zero_copy_only=False)
     exact_rep = batch["exact_rep"].to_numpy(zero_copy_only=False)

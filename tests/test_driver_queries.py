@@ -569,11 +569,13 @@ class TestCurationRecipe:
                  "gopher_gate", "host_split"]
         for prev, cur in zip(chain, chain[1:]):
             assert m.loc[cur].rows_in == m.loc[prev].rows_out, (prev, cur)
-        # monotone non-increasing survivors; every stage really fires at
-        # this tier except url/near (corpus has no blocked urls, and its
-        # near-dups are exact dups removed one stage earlier)
+        # monotone non-increasing survivors; every content stage really
+        # fires at this tier (v9 corpus grafts NEAR-duplicates — base
+        # page + one appended paragraph — so the near-dedup stage drops
+        # rows end to end, not just in unit tests)
         assert m.loc["payload_gate"].rows_out < m.loc["payload_gate"].rows_in
         assert m.loc["exact_dedup"].rows_out < m.loc["exact_dedup"].rows_in
+        assert m.loc["near_dedup"].rows_out < m.loc["near_dedup"].rows_in
         assert m.loc["c4_gate"].rows_out < m.loc["c4_gate"].rows_in
         assert m.loc["gopher_gate"].rows_out < m.loc["gopher_gate"].rows_in
 
@@ -624,9 +626,9 @@ class TestCurationRecipe:
         assert [os.path.getmtime(p) for p in new_parts] != stamps
 
     def test_fate_priority_ladder(self):
-        """Unit-pin the fate ladder, ESPECIALLY the near_dup branch the
-        synthetic corpus never exercises end to end (its near-dups are
-        all exact dups, removed one stage earlier)."""
+        """Unit-pin the fate ladder with an 8-case truth table (the
+        corpus-level near_dup evidence lives in the v9 corpus's grafted
+        near-duplicate pages + the composed oracle)."""
         from mobile_ocr_api_ray.pipelines.recipe import fate_batch
         rows = [
             # fate0,            rep,   near,  c4,    gopher, split, want
