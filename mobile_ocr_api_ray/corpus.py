@@ -411,14 +411,26 @@ def ensure_corpus(n_rows: int, seed: int = 42,
     Shard count targets >= 4 blocks per CPU at 32 CPUs (SURVEY.md §4).
     ``pages.parquet`` is a directory of shards; ``read_pages`` and plain
     pyarrow both read it transparently.
+
+    CONCURRENCY-SAFE: generation happens in a per-pid temp directory and
+    commits with one ``os.rename`` — two processes racing on a missing
+    tier (e.g. the driver's bench and correctness runners) each build a
+    complete private copy and exactly one rename wins; the loser discards
+    its copy and uses the winner's. A crash mid-generation leaves only a
+    stray temp dir, never a half-written tier that the ``_DONE`` marker
+    would misreport as complete.
     """
+    import shutil
+
     d = os.path.join(base, f"v{CORPUS_VERSION}_n{n_rows}_s{seed}")
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
         return d
-    os.makedirs(d, exist_ok=True)
+    tmp = f"{d}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     pages, golden = generate_pages(n_rows, seed)
-    pages_dir = os.path.join(d, "pages.parquet")
+    pages_dir = os.path.join(tmp, "pages.parquet")
     os.makedirs(pages_dir, exist_ok=True)
     n_shards = min(128, max(8, n_rows // 64))
     per = (n_rows + n_shards - 1) // n_shards
@@ -427,8 +439,19 @@ def ensure_corpus(n_rows: int, seed: int = 42,
         if shard.num_rows == 0:
             break
         pq.write_table(shard, os.path.join(pages_dir, f"shard-{s:04d}.parquet"))
-    pq.write_table(golden, os.path.join(d, "golden.parquet"),
+    pq.write_table(golden, os.path.join(tmp, "golden.parquet"),
                    row_group_size=max(16, n_rows // 64))
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        # lost the race (or a stale partial dir from a pre-v9 crash is in
+        # the way): trust the winner iff its marker committed, else
+        # replace the debris with our complete copy
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(tmp, d)
     return d
